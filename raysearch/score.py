@@ -1,0 +1,112 @@
+"""Scoring kernels shared by the engine and the oracle.
+
+Both the Ray Data scorer stage and the single-process oracle call the
+SAME functions here, with the same float64 expression tree and the same
+per-document accumulation order (ascending unique query-term order), so
+BM25 scores are bit-identical between engine and oracle — the
+rank-identity gate (BASELINE.json north_rule) then holds exactly, not
+within a tolerance.
+
+Two scoring modes:
+- "bm25": Lucene-style BM25, idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+  (always positive), tf-norm = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+  Query-term multiplicity multiplies the contribution (the reference
+  counts every query-token occurrence — src/lib.rs:383-399).
+- "overlap": the reference's integer score, score(doc) = sum over query
+  token occurrences of tf(token, doc) (src/lib.rs:374-399).
+
+Tie-break is the deterministic total order (-score, doc_id); the
+reference's own tie order is HashMap-iteration nondeterminism
+(src/lib.rs:401-404), fixed here per SURVEY §7.5.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from raysearch.tokenize import tokenize_query
+
+
+def query_term_weights(query: str) -> list[tuple[str, int]]:
+    """Sorted unique query terms with multiplicities (the accumulation
+    order contract: contributions are added term-major in this order)."""
+    counts = Counter(tokenize_query(query))
+    return sorted(counts.items())
+
+
+def bm25_idf(df: float, n_docs: float) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def bm25_contrib(tf: np.ndarray, dl: np.ndarray, idf: float, weight: int,
+                 k1: float, b: float, avgdl: float) -> np.ndarray:
+    """Vectorized per-posting BM25 contribution (float64)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    denom = tf + k1 * (1.0 - b + b * (dl / avgdl))
+    return (float(weight) * idf) * (tf * (k1 + 1.0)) / denom
+
+
+def accumulate_scores(
+    term_postings: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-term (doc_ids, contribs) pairs into per-doc totals.
+
+    term_postings MUST be in ascending unique-term order; each term's
+    doc_ids ascending. Accumulation per doc is then term-major — the
+    deterministic order both engine and oracle share.
+    Returns (unique_doc_ids, scores) with doc_ids ascending.
+    """
+    if not term_postings:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    all_docs = np.concatenate([d for d, _ in term_postings])
+    all_contrib = np.concatenate([c for _, c in term_postings])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=all_contrib.dtype)
+    np.add.at(scores, inv, all_contrib)
+    return uniq.astype(np.int64), scores
+
+
+def score_postings(
+    qweights: list[tuple[str, int]],
+    lookup,  # term -> (doc_ids, tfs, dls) or None
+    df: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    mode: str = "bm25",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score every candidate doc for one query over one posting source.
+
+    ``lookup(term)`` returns this source's (doc_ids, tfs, dls) arrays —
+    either the whole index (oracle) or one doc-partition segment
+    (engine). ``df`` is always the GLOBAL document frequency, so scores
+    are final regardless of partitioning.
+    """
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for term, w in qweights:
+        got = lookup(term)
+        if got is None:
+            continue
+        docs, tfs, dls = got
+        if len(docs) == 0:
+            continue
+        if mode == "overlap":
+            contrib = (w * tfs).astype(np.int64)
+        else:
+            idf = bm25_idf(df.get(term, 0), n_docs)
+            contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
+        per_term.append((docs, contrib))
+    return accumulate_scores(per_term)
+
+
+def topk(doc_ids: np.ndarray, scores: np.ndarray, k: int
+         ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k under the total order (-score, doc_id)."""
+    if len(doc_ids) == 0:
+        return doc_ids[:0], scores[:0]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
