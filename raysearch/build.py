@@ -1,0 +1,205 @@
+"""Index build pipeline — the Ray Data replacement for the reference's
+serial in-memory build loop (/root/reference/src/main.rs:66-69 folding
+docs one at a time into a HashMap on one thread).
+
+Dataflow (streaming end-to-end, two shuffles):
+
+    read_parquet(corpus, columns=[doc_id, lang, content])   # prune at read
+      -> map_batches(make_triples, pyarrow, zero-copy)      # tokenize+combine
+      -> groupby(gkey).map_groups(build_partials)           # THE big shuffle
+      -> groupby(dpart).map_groups(write_segment)           # narrow, compressed
+      -> P stats rows -> driver tree-merge -> stats.json
+    read_parquet(segments/*/postings.parquet, cols=[term,df,cf])
+      -> groupby(term).aggregate(Sum)                       # global lexicon
+      -> sort(term) -> lexicon/*.parquet
+
+Skew handling: partitioning is by hash(doc_id), so a hot term's
+postings are split across all P parts and no reduce group can exceed
+one partition's triple mass; ``salt`` (config) additionally subdivides
+each partition's build group S ways for very large partitions, merged
+by the second (cheap: already-encoded partials) shuffle. The lexicon
+groupby has at most P*S rows per term, so the classic hot-term reducer
+blowup cannot occur there either. Per-part hot-term metrics are logged
+in each manifest ("skew": top terms by cf).
+
+Resume: partitions with a valid manifest (config hash + lineage id +
+file digests — checkpoint.py) are not rewritten; a fully-valid index
+returns without launching any Ray work.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from raysearch import checkpoint
+from raysearch import stats as statsmod
+from raysearch.config import IndexConfig
+from raysearch.segments import (
+    build_partials,
+    merge_partials,
+    part_dirname,
+    write_segment_files,
+)
+from raysearch.triples import make_triple_fn
+
+STATS_ROW_SCHEMA = pa.schema([
+    ("part", pa.int32()),
+    ("n_terms", pa.int64()),
+    ("n_postings", pa.int64()),
+    ("n_docs", pa.int64()),
+    ("sum_dl", pa.int64()),
+    ("total_tf", pa.int64()),
+    ("skipped", pa.bool_()),
+])
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    stats: dict
+    parts_built: int
+    parts_skipped: int
+
+
+def _auto_parts(n_docs: int) -> int:
+    # ~50k docs per segment, clamped; decoupled from cluster size
+    return max(4, min(512, (n_docs + 49_999) // 50_000 or 4))
+
+
+def _make_segment_writer(index_dir: str, config: IndexConfig,
+                         input_id: str, valid_parts: frozenset[int]):
+    config_hash = config.config_hash()
+
+    def write_segment(group: pa.Table) -> pa.Table:
+        part = int(group["dpart"][0].as_py())
+        part_dir = part_dirname(index_dir, part)
+        skipped = part in valid_parts
+        if skipped:
+            m = checkpoint.load_manifest(part_dir)
+            s = m["stats"]
+        else:
+            postings, doclens = merge_partials(group)
+            s = write_segment_files(part_dir, postings, doclens)
+            hot = postings.sort_by([("cf", "descending")]).slice(0, 10)
+            skew = {"top_terms": [
+                {"term": t, "cf": c, "df": d} for t, c, d in
+                zip(hot["term"].to_pylist(), hot["cf"].to_pylist(),
+                    hot["df"].to_pylist())]}
+            checkpoint.write_manifest(
+                part_dir, part, config_hash,
+                {"input_id": input_id}, s, skew)
+        return pa.table({
+            "part": pa.array([part], pa.int32()),
+            "n_terms": pa.array([s["n_terms"]], pa.int64()),
+            "n_postings": pa.array([s["n_postings"]], pa.int64()),
+            "n_docs": pa.array([s["n_docs"]], pa.int64()),
+            "sum_dl": pa.array([s["sum_dl"]], pa.int64()),
+            "total_tf": pa.array([s["total_tf"]], pa.int64()),
+            "skipped": pa.array([skipped], pa.bool_()),
+        })
+
+    return write_segment
+
+
+def _write_lexicon(index_dir: str) -> int:
+    """Global lexicon: term -> (df, cf) summed over segments. Returns
+    global vocabulary size."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    seg_root = os.path.join(index_dir, "segments")
+    paths = [os.path.join(seg_root, d, "postings.parquet")
+             for d in sorted(os.listdir(seg_root))
+             if d.startswith("part-") and not d.endswith(".tmp")]
+    lex_dir = os.path.join(index_dir, "lexicon")
+    tmp_dir = lex_dir + f".tmp-{os.getpid()}"
+    ds = (ray.data.read_parquet(paths, columns=["term", "df", "cf"])
+          .groupby("term")
+          .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+          .sort("term"))
+    if os.path.isdir(tmp_dir):
+        import shutil
+        shutil.rmtree(tmp_dir)
+    ds.write_parquet(tmp_dir)
+    n_terms = ray.data.read_parquet(tmp_dir).count()
+    if os.path.isdir(lex_dir):
+        import shutil
+        shutil.rmtree(lex_dir)
+    os.replace(tmp_dir, lex_dir)
+    return n_terms
+
+
+def build_index(
+    source,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    input_id: str | None = None,
+    with_sha: bool = True,
+    verify_resume_bytes: bool = True,
+) -> BuildResult:
+    """Build (or resume) an index at ``index_dir`` from a corpus.
+
+    source: parquet path(s) or a ray.data.Dataset with columns
+        (doc_id, lang, content). Extra columns are pruned at the read
+        when a path is given.
+    """
+    import ray.data
+
+    if isinstance(source, (str, list)):
+        ds = ray.data.read_parquet(source, columns=["doc_id", "lang", "content"])
+        default_id = str(source)
+    else:
+        ds = source
+        default_id = "<dataset>"
+    n_input = ds.count()
+    input_id = f"{input_id or default_id}#rows={n_input}"
+
+    if config is None:
+        config = IndexConfig(num_parts=_auto_parts(n_input))
+    config_hash = config.config_hash()
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    valid = frozenset(
+        p for p in range(config.num_parts)
+        if checkpoint.validate_manifest(
+            part_dirname(index_dir, p), config_hash, input_id,
+            verify_bytes=verify_resume_bytes))
+    # full-resume shortcut: stats.json (written last) lists the parts
+    # that actually exist (hash-empty partitions produce no segment);
+    # if they all validate, skip launching any Ray work at all
+    if os.path.exists(statsmod.stats_path(index_dir)):
+        st = statsmod.load_stats(index_dir)
+        if (st.get("lineage", {}).get("input_id") == input_id
+                and st.get("lineage", {}).get("config_hash") == config_hash
+                and set(st.get("parts", [])) <= valid):
+            return BuildResult(index_dir, st, 0, len(st.get("parts", [])))
+
+    triples = ds.map_batches(
+        make_triple_fn(config, with_sha=with_sha),
+        batch_format="pyarrow", zero_copy_batch=True)
+    partials = triples.groupby("gkey").map_groups(
+        build_partials, batch_format="pyarrow")
+    seg_rows = partials.groupby("dpart").map_groups(
+        _make_segment_writer(index_dir, config, input_id, valid),
+        batch_format="pyarrow")
+    rows = seg_rows.take_all()  # P tiny stats rows
+
+    partials_list = [
+        {"n_docs": r["n_docs"], "sum_dl": r["sum_dl"],
+         "total_tf": r["total_tf"], "n_postings": r["n_postings"],
+         "n_terms": r["n_terms"]}
+        for r in rows]
+    merged = statsmod.tree_merge(partials_list)
+    vocab = _write_lexicon(index_dir)
+    stats = statsmod.write_stats(
+        index_dir, merged, config.to_dict(),
+        {"input_id": input_id, "config_hash": config_hash},
+        extra={"vocab_size": vocab,
+               "parts": sorted(int(r["part"]) for r in rows)})
+    n_skipped = sum(1 for r in rows if r["skipped"])
+    return BuildResult(index_dir, stats,
+                       parts_built=len(rows) - n_skipped,
+                       parts_skipped=n_skipped)

@@ -1,0 +1,175 @@
+"""Query pipeline: batch top-k search over a built index.
+
+The reference serves queries from an unbounded channel into threads
+sharing one Arc'd index (/root/reference/src/processor.rs:83-144); its
+sharded mode partial-aggregates per-shard scores under locks and
+barriers (src/processor.rs:146-369). Here queries are a small broadcast
+side and the INDEX is the distributed dimension:
+
+    from_items([{part: p} for parts])            # one row per segment
+      -> map_batches(SegmentScorer, concurrency=A)  # actor pool
+      -> P * Q * k candidate rows (tiny)
+      -> final top-k merge per query (driver-side heap over <= P*k rows)
+
+Because segments partition by DOCUMENT hash, each segment computes the
+FINAL BM25 score of its docs (global df/N/avgdl are broadcast), so
+per-segment top-k is exact and the merge is a k-way selection — no
+score re-aggregation, no barriers, and pruning inside a segment stays
+safe. (The reference's term-range sharding — where partial scores must
+be sum-merged, src/lib.rs:190-226 — is what forced its lock+condvar
+dance; doc partitioning dissolves it.)
+
+The scorer is an actor pool: query-term weights, global df, and
+collection stats are computed once per actor in __init__; each __call__
+reads only its part's postings for the query terms (parquet row-group
+pruning on the sorted term column) and scores vectorized.
+
+Within a segment, scoring is exact full evaluation of the query's
+posting lists (vectorized term-at-a-time accumulation in sorted term
+order — the determinism contract shared with the oracle). See
+raysearch/wand.py for the optional exact max-score/block-max pruning
+path used when a segment's candidate set is large.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raysearch.config import IndexConfig
+from raysearch.score import (
+    accumulate_scores,
+    bm25_contrib,
+    bm25_idf,
+    query_term_weights,
+    topk,
+)
+from raysearch.segments import decode_posting_row, part_dirname, read_postings
+from raysearch.stats import load_stats
+
+RESULT_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("rank", pa.int32()),
+    ("doc_id", pa.int64()),
+    ("score", pa.float64()),
+])
+
+
+def lexicon_df(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """Global df for the query terms (filtered read of the lexicon)."""
+    import pyarrow.dataset as pads
+
+    lex = pads.dataset(os.path.join(index_dir, "lexicon"))
+    tbl = lex.to_table(columns=["term", "df"],
+                       filter=pads.field("term").isin(terms))
+    return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+
+class SegmentScorer:
+    """Actor-pool stage: one actor scores many segments, state
+    (queries, global df, stats) loaded once per actor."""
+
+    def __init__(self, index_dir: str, queries: list[str], k: int,
+                 mode: str, df: dict[str, int], n_docs: int, avgdl: float,
+                 k1: float, b: float):
+        self.index_dir = index_dir
+        self.k, self.mode = k, mode
+        self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
+        self.k1, self.b = k1, b
+        self.qweights = [query_term_weights(q) for q in queries]
+        self.all_terms = sorted({t for qw in self.qweights for t, _ in qw})
+
+    def _score_part(self, part: int) -> pa.Table:
+        part_dir = part_dirname(self.index_dir, part)
+        if not os.path.isdir(part_dir):
+            return RESULT_SCHEMA.empty_table()
+        tbl = read_postings(part_dir, self.all_terms)
+        postings = {}
+        for i, t in enumerate(tbl["term"].to_pylist()):
+            postings[t] = decode_posting_row(tbl, i)
+        qids, ranks, dids, scores = [], [], [], []
+        for qid, qw in enumerate(self.qweights):
+            per_term = []
+            for term, w in qw:  # ascending term order = accumulation contract
+                got = postings.get(term)
+                if got is None:
+                    continue
+                docs, tfs, dls = got
+                if self.mode == "overlap":
+                    contrib = (w * tfs).astype(np.int64)
+                else:
+                    idf = bm25_idf(self.df.get(term, 0), self.n_docs)
+                    contrib = bm25_contrib(tfs, dls, idf, w,
+                                           self.k1, self.b, self.avgdl)
+                per_term.append((docs, contrib))
+            docs, sc = accumulate_scores(per_term)
+            d, s = topk(docs, sc, self.k)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(float(x) for x in s)
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [self._score_part(int(p)) for p in batch["part"].to_pylist()]
+        return pa.concat_tables(outs) if outs else RESULT_SCHEMA.empty_table()
+
+
+def query_index(
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    mode: str = "bm25",
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Top-k for each query: (query_id, rank, doc_id, score), ranked by
+    the deterministic total order (-score, doc_id)."""
+    import ray.data
+
+    stats = load_stats(index_dir)
+    cfg = stats["config"]
+    parts = stats.get("parts")
+    if parts is None:
+        seg_root = os.path.join(index_dir, "segments")
+        parts = sorted(int(d.split("-")[1]) for d in os.listdir(seg_root)
+                       if d.startswith("part-") and not d.endswith(".tmp"))
+    all_terms = sorted({t for q in queries for t, _ in query_term_weights(q)})
+    df = lexicon_df(index_dir, all_terms)
+    if concurrency is None:
+        concurrency = max(1, min(len(parts), 16))
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    candidates = parts_ds.map_batches(
+        SegmentScorer,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
+            n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+            k1=cfg["k1"], b=cfg["b"]),
+        batch_format="pyarrow", batch_size=1,
+        concurrency=min(concurrency, max(1, len(parts))), num_cpus=1)
+    # P * Q * k candidate rows — k-bounded and tiny by construction, so
+    # the final merge is a driver-side selection, not a shuffle
+    cand = candidates.to_pandas()
+    out_frames = []
+    for qid in range(len(queries)):
+        sub = cand[cand.query_id == qid]
+        sub = sub.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(k)
+        sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int32))
+        out_frames.append(sub)
+    if not out_frames:
+        return RESULT_SCHEMA.empty_table()
+    merged = pd.concat(out_frames, ignore_index=True)
+    return pa.table({
+        "query_id": pa.array(merged.query_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(merged["rank"].to_numpy(np.int32), pa.int32()),
+        "doc_id": pa.array(merged.doc_id.to_numpy(np.int64), pa.int64()),
+        "score": pa.array(merged.score.to_numpy(np.float64), pa.float64()),
+    })

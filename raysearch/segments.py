@@ -1,0 +1,271 @@
+"""Posting-list segment construction and IO.
+
+A segment = one document-hash partition of the index:
+
+    segments/part-00042/
+        postings.parquet   term, df, cf, max_tf, docs_enc, tfs_enc, dls_enc
+        doclens.parquet    doc_id, dl, sha (sha256 of source content)
+        _MANIFEST.json     lineage + content hashes (checkpoint.py)
+
+postings.parquet rows are term-sorted; doc_ids are ascending,
+delta+varint encoded (codec.py); tf and dl ride along per posting entry
+so BM25 needs no doclens join at query time. Small row groups keep
+term-filtered reads cheap (row-group min/max pruning on the sorted term
+column).
+
+The reference never persists its index at all (nothing serializes
+SearchLibrary — absence noted in SURVEY §2.1); this layout is mandated
+by the north rule (compressed postings, per-partition doc-length
+tables, resumable checkpoints).
+
+All posting construction is vectorized: sort -> dictionary-encode ->
+reduceat for df/cf/max_tf -> one bulk varint pass per column, then the
+per-term blobs are cut out of the bulk buffer by byte offsets
+(codec.bulk_encode_segmented). No per-term Python loop on the build
+path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raysearch.codec import bulk_encode_segmented, decode_doc_ids, decode_ints
+from raysearch.triples import KIND_DOCLEN, KIND_POSTING
+
+_SHA_HEX_LEN = 64
+
+PARTIAL_SCHEMA = pa.schema([
+    ("dpart", pa.int32()),
+    ("kind", pa.int8()),
+    ("term", pa.large_string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("max_tf", pa.int32()),
+    ("docs_enc", pa.large_binary()),
+    ("tfs_enc", pa.large_binary()),
+    ("dls_enc", pa.large_binary()),
+])
+
+POSTINGS_SCHEMA = pa.schema([
+    ("term", pa.large_string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("max_tf", pa.int32()),
+    ("docs_enc", pa.large_binary()),
+    ("tfs_enc", pa.large_binary()),
+    ("dls_enc", pa.large_binary()),
+])
+
+
+def _binary_from_offsets(buf: bytes, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array: per-value slices of one buffer."""
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
+         pa.py_buffer(buf)])
+
+
+def postings_from_sorted_triples(
+    terms: pa.Array, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+) -> pa.Table:
+    """Build encoded posting rows from (term, doc_id)-sorted triples."""
+    n = len(doc_ids)
+    if n == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    dict_arr = pc.dictionary_encode(terms)
+    # terms sorted => dictionary is in first-appearance = sorted order
+    # and codes are monotonically nondecreasing
+    codes = dict_arr.indices.to_numpy()
+    uniq_terms = dict_arr.dictionary
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1])
+    bounds = np.append(starts, n)
+    df = np.diff(bounds)
+    cf = np.add.reduceat(tfs, starts)
+    max_tf = np.maximum.reduceat(tfs, starts)
+    docs_buf, docs_off = bulk_encode_segmented(doc_ids, starts, delta=True)
+    tfs_buf, tfs_off = bulk_encode_segmented(tfs, starts, delta=False)
+    dls_buf, dls_off = bulk_encode_segmented(dls, starts, delta=False)
+    return pa.table({
+        "term": pc.cast(uniq_terms, pa.large_string()),
+        "df": pa.array(df, pa.int64()),
+        "cf": pa.array(cf.astype(np.int64), pa.int64()),
+        "max_tf": pa.array(max_tf.astype(np.int32), pa.int32()),
+        "docs_enc": _binary_from_offsets(docs_buf, docs_off),
+        "tfs_enc": _binary_from_offsets(tfs_buf, tfs_off),
+        "dls_enc": _binary_from_offsets(dls_buf, dls_off),
+    })
+
+
+def build_partials(group: pa.Table) -> pa.Table:
+    """Stage B (per gkey group): triples -> encoded partial postings +
+    one packed doclen row. With salt S=1 a group is a whole partition
+    and the output is already final; with S>1 each of the S subgroups
+    produces sorted partial runs merged in stage C."""
+    dpart = int(group["dpart"][0].as_py())
+
+    out_tables = []
+    post = group.filter(pc.equal(group["kind"], KIND_POSTING))
+    if post.num_rows:
+        post = post.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        tbl = postings_from_sorted_triples(
+            post["term"].combine_chunks(),
+            post["doc_id"].to_numpy(),
+            post["tf"].to_numpy().astype(np.int64),
+            post["dl"].to_numpy().astype(np.int64))
+        tbl = tbl.add_column(0, "dpart", pa.array([dpart] * tbl.num_rows, pa.int32()))
+        tbl = tbl.add_column(1, "kind", pa.array([KIND_POSTING] * tbl.num_rows, pa.int8()))
+        out_tables.append(tbl)
+
+    dlen = group.filter(pc.equal(group["kind"], KIND_DOCLEN))
+    if dlen.num_rows:
+        dlen = dlen.sort_by([("doc_id", "ascending")])
+        docs = dlen["doc_id"].to_numpy()
+        dls = dlen["dl"].to_numpy().astype(np.int64)
+        shas = dlen["sha"].to_pylist()
+        one = np.zeros(1, dtype=np.int64)
+        docs_buf, _ = bulk_encode_segmented(docs, one, delta=True)
+        dls_buf, _ = bulk_encode_segmented(dls, one, delta=False)
+        sha_buf = "".join(s if s is not None else "0" * _SHA_HEX_LEN
+                          for s in shas).encode()
+        out_tables.append(pa.table({
+            "dpart": pa.array([dpart], pa.int32()),
+            "kind": pa.array([KIND_DOCLEN], pa.int8()),
+            "term": pa.array([""], pa.large_string()),
+            "df": pa.array([len(docs)], pa.int64()),
+            "cf": pa.array([int(dls.sum())], pa.int64()),
+            "max_tf": pa.array([0], pa.int32()),
+            "docs_enc": pa.array([docs_buf], pa.large_binary()),
+            "tfs_enc": pa.array([sha_buf], pa.large_binary()),
+            "dls_enc": pa.array([dls_buf], pa.large_binary()),
+        }))
+    if not out_tables:
+        return PARTIAL_SCHEMA.empty_table()
+    return pa.concat_tables([t.cast(PARTIAL_SCHEMA) for t in out_tables])
+
+
+def merge_partials(rows: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Stage C (per dpart): merge <=S partial runs into the final
+    (postings, doclens) tables for one segment.
+
+    When every term has a single run (salt=1) the encoded partials pass
+    through untouched; otherwise the duplicated terms' runs are decoded,
+    concatenated (doc sets are disjoint across salt subgroups) and
+    rebuilt through the same vectorized core.
+    """
+    post = rows.filter(pc.equal(rows["kind"], KIND_POSTING)) \
+               .sort_by([("term", "ascending")])
+    terms = post["term"]
+    n = post.num_rows
+    if n:
+        tnp = np.asarray(terms.to_pylist(), dtype=object)
+        dup_mask = np.zeros(n, dtype=bool)
+        same = tnp[1:] == tnp[:-1]
+        dup_mask[1:] |= same
+        dup_mask[:-1] |= same
+    else:
+        dup_mask = np.zeros(0, dtype=bool)
+    if dup_mask.any():
+        keep = post.filter(pa.array(~dup_mask))
+        dups = post.filter(pa.array(dup_mask))
+        # decode duplicated runs back to triples and rebuild
+        t_list, d_list, f_list, l_list = [], [], [], []
+        for i in range(dups.num_rows):
+            d = decode_doc_ids(dups["docs_enc"][i].as_py())
+            t_list.append(np.full(len(d), dups["term"][i].as_py(),
+                                  dtype=object))
+            d_list.append(d)
+            f_list.append(decode_ints(dups["tfs_enc"][i].as_py()))
+            l_list.append(decode_ints(dups["dls_enc"][i].as_py()))
+        trip = pa.table({
+            "term": pa.array(np.concatenate(t_list), pa.large_string()),
+            "doc_id": pa.array(np.concatenate(d_list), pa.int64()),
+            "tf": pa.array(np.concatenate(f_list), pa.int64()),
+            "dl": pa.array(np.concatenate(l_list), pa.int64()),
+        }).sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        rebuilt = postings_from_sorted_triples(
+            trip["term"].combine_chunks(), trip["doc_id"].to_numpy(),
+            trip["tf"].to_numpy(), trip["dl"].to_numpy())
+        keep = keep.drop_columns(["dpart", "kind"]).cast(POSTINGS_SCHEMA)
+        postings = pa.concat_tables([keep, rebuilt]) \
+                     .sort_by([("term", "ascending")])
+    else:
+        postings = post.drop_columns(["dpart", "kind"]).cast(POSTINGS_SCHEMA)
+
+    dlen = rows.filter(pc.equal(rows["kind"], KIND_DOCLEN))
+    docs_l, dls_l, sha_l = [], [], []
+    for i in range(dlen.num_rows):
+        d = decode_doc_ids(dlen["docs_enc"][i].as_py())
+        docs_l.append(d)
+        dls_l.append(decode_ints(dlen["dls_enc"][i].as_py()))
+        blob = dlen["tfs_enc"][i].as_py().decode()
+        sha_l.append([blob[j * _SHA_HEX_LEN:(j + 1) * _SHA_HEX_LEN]
+                      for j in range(len(d))])
+    if docs_l:
+        docs = np.concatenate(docs_l)
+        order = np.argsort(docs, kind="stable")
+        shas = np.concatenate([np.asarray(s, dtype=object) for s in sha_l])
+        doclens = pa.table({
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "dl": pa.array(np.concatenate(dls_l)[order].astype(np.int32),
+                           pa.int32()),
+            "sha": pa.array(shas[order].tolist(), pa.string()),
+        })
+    else:
+        doclens = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "dl": pa.array([], pa.int32()),
+                            "sha": pa.array([], pa.string())})
+    return postings, doclens
+
+
+# ---- segment IO ----
+
+def part_dirname(index_dir: str, part: int) -> str:
+    return os.path.join(index_dir, "segments", f"part-{part:05d}")
+
+
+def write_segment_files(part_dir: str, postings: pa.Table,
+                        doclens: pa.Table) -> dict:
+    """Atomic write: temp dir + os.replace, so partial writes are
+    invisible and a rerun's validation sees only complete segments."""
+    tmp = part_dir + f".tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings, os.path.join(tmp, "postings.parquet"),
+                   row_group_size=1024, compression="zstd")
+    pq.write_table(doclens, os.path.join(tmp, "doclens.parquet"),
+                   row_group_size=65536, compression="zstd")
+    if os.path.isdir(part_dir):
+        import shutil
+        shutil.rmtree(part_dir)
+    os.replace(tmp, part_dir)
+    return {
+        "n_terms": postings.num_rows,
+        "n_postings": int(pc.sum(postings["df"]).as_py() or 0),
+        "n_docs": doclens.num_rows,
+        "sum_dl": int(pc.sum(doclens["dl"]).as_py() or 0),
+        "total_tf": int(pc.sum(postings["cf"]).as_py() or 0),
+    }
+
+
+def read_postings(part_dir: str, terms: list[str] | None = None) -> pa.Table:
+    path = os.path.join(part_dir, "postings.parquet")
+    if terms is None:
+        return pq.read_table(path)
+    import pyarrow.dataset as pads
+    return pq.read_table(path, filters=pads.field("term").isin(terms))
+
+
+def read_doclens(part_dir: str, columns: list[str] | None = None) -> pa.Table:
+    return pq.read_table(os.path.join(part_dir, "doclens.parquet"),
+                         columns=columns)
+
+
+def decode_posting_row(tbl: pa.Table, i: int
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (decode_doc_ids(tbl["docs_enc"][i].as_py()),
+            decode_ints(tbl["tfs_enc"][i].as_py()),
+            decode_ints(tbl["dls_enc"][i].as_py()))

@@ -1,0 +1,104 @@
+"""Map-side tokenize + combine: corpus batches -> (term, doc_id, tf, dl)
+triples, fully vectorized.
+
+This is the engine's version of the reference's serial
+``add_document_to_index`` loop (/root/reference/src/lib.rs:358-368,
+src/main.rs:66-69): instead of pushing a doc id once per token
+occurrence into a shared HashMap, each Arrow batch is tokenized with
+pyarrow kernels and pre-aggregated to one row per (doc, term) with its
+term frequency — the map-side combiner that shrinks the shuffle. The
+document length ``dl`` rides along on every triple so posting lists
+embed it and query scoring never needs a doclens join (a deliberate
+space-for-locality trade at 100 TB scale).
+
+Each batch also emits one "doclen" row per document (kind=1) carrying
+(doc_id, dl, sha256(content)) packed into the same schema — these flow
+through the same shuffle and become the per-partition document-length
+table + the per-row content-hash invariant record.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raysearch.config import IndexConfig
+from raysearch.hashing import doc_partition, doc_salt
+from raysearch.tokenize import tokenize_column
+
+KIND_POSTING = 0
+KIND_DOCLEN = 1
+
+TRIPLE_SCHEMA = pa.schema([
+    ("gkey", pa.int64()),     # shuffle key: dpart * salt + doc_salt
+    ("dpart", pa.int32()),    # document-hash partition (segment id)
+    ("kind", pa.int8()),      # 0 = posting triple, 1 = doclen record
+    ("term", pa.large_string()),
+    ("doc_id", pa.int64()),
+    ("tf", pa.int32()),       # term frequency (kind=0)
+    ("dl", pa.int32()),       # document token count
+    ("sha", pa.string()),     # sha256(content) hex (kind=1 only)
+])
+
+
+def make_triple_fn(config: IndexConfig, with_sha: bool = True):
+    """Returns the map_batches UDF (a plain function -> stateless Ray
+    tasks; no per-task state worth an actor here)."""
+
+    num_parts, salt = config.num_parts, config.salt
+
+    def make_triples(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_id = batch["doc_id"].to_numpy()
+        content = batch["content"].combine_chunks() if isinstance(
+            batch["content"], pa.ChunkedArray) else batch["content"]
+        lang = batch["lang"] if "lang" in batch.column_names else None
+        if lang is not None and isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        toks = tokenize_column(content, lang)
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat_terms = toks.flatten()
+        # tf per (doc, term): pyarrow native hash aggregation
+        tok_doc_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
+        grouped = pa.table({
+            "di": pa.array(tok_doc_idx, pa.int64()),
+            "term": pc.cast(flat_terms, pa.large_string()),
+        }).group_by(["di", "term"]).aggregate([([], "count_all")])
+        di = grouped["di"].to_numpy()
+        g_doc = doc_id[di]
+        g_dpart = doc_partition(g_doc, num_parts)
+        g_salt = doc_salt(g_doc, salt)
+        n_trip = len(di)
+
+        # doclen rows: one per input doc (including empty docs)
+        d_dpart = doc_partition(doc_id, num_parts)
+        d_salt = doc_salt(doc_id, salt)
+        if with_sha:
+            shas = [hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
+                    if s is not None else None
+                    for s in content.to_pylist()]
+        else:
+            shas = [None] * n
+
+        return pa.table({
+            "gkey": pa.array(np.concatenate([g_dpart * salt + g_salt,
+                                             d_dpart * salt + d_salt]),
+                             pa.int64()),
+            "dpart": pa.array(np.concatenate([g_dpart, d_dpart]), pa.int32()),
+            "kind": pa.array(np.concatenate([
+                np.zeros(n_trip, np.int8), np.ones(n, np.int8)]), pa.int8()),
+            "term": pa.concat_arrays([
+                grouped["term"].combine_chunks(),
+                pa.array([""] * n, pa.large_string())]),
+            "doc_id": pa.array(np.concatenate([g_doc, doc_id]), pa.int64()),
+            "tf": pa.array(np.concatenate([
+                grouped["count_all"].to_numpy().astype(np.int64),
+                np.zeros(n, np.int64)]), pa.int32()),
+            "dl": pa.array(np.concatenate([dl[di], dl]), pa.int32()),
+            "sha": pa.array([None] * n_trip + shas, pa.string()),
+        })
+
+    return make_triples
