@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/ray.shutdown() happens here or in the raysearch library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline — build the segment index over the
+  sf0.001 documents table (tokenize -> salted groupby shuffle ->
+  delta+varint segments with manifests -> tree-merged stats + global
+  lexicon), then run the fixed query set through the distributed BM25
+  scorer and return the top-k table.
+- queries(): one callable per implemented operator/pipeline from
+  SURVEY.md §2 (+ the large-scale training-data ops); each takes an
+  sf_dir and returns a pyarrow Table.
+- oracle_sql(): the DuckDB-equivalent SQL per query, same column
+  names/types.
 """
 
 from __future__ import annotations
@@ -18,27 +20,53 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SMOKE_SF = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from raysearch.pipelines.search_queries import bm25_topk
+
+    return bm25_topk(_SMOKE_SF)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raysearch.pipelines import search_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(search_queries.QUERIES)
+    try:
+        from raysearch.pipelines import textops
+        out.update(textops.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from raysearch.pipelines import dedup
+        out.update(dedup.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from raysearch.pipelines import similarity
+        out.update(similarity.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from raysearch.pipelines import events
+        out.update(events.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raysearch.pipelines import search_queries
+
+    out: dict[str, str] = {}
+    out.update(search_queries.ORACLE_SQL)
+    for mod_name in ("textops", "dedup", "similarity", "events"):
+        try:
+            mod = __import__(f"raysearch.pipelines.{mod_name}",
+                             fromlist=["ORACLE_SQL"])
+            out.update(mod.ORACLE_SQL)
+        except ImportError:
+            pass
+    return out

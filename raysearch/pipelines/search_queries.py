@@ -1,0 +1,377 @@
+"""Driver-contract pipelines: the search-engine operator surface run
+over the testdata ``documents`` table, each with an equivalent DuckDB
+oracle SQL (the driver's correctness gate).
+
+Every callable takes ``sf_dir`` and returns a pyarrow Table whose
+column names/types match the oracle SQL exactly (int64 / float64 /
+rounded doubles; the driver hash-compares values after sorting columns
+by name). Scores are rounded to 6 decimals and re-ranked on the
+ROUNDED value with (score DESC, doc_id ASC) tie order on BOTH sides so
+float summation-order differences (engine accumulates term-major,
+DuckDB sums in its own order, both ~1e-15 apart) cannot flip ranks.
+
+The full segment index (build -> manifest checkpoints -> lexicon) is
+built once per sf_dir into a /tmp cache and resumed on later calls via
+the manifest validation path — the driver therefore exercises the real
+build pipeline, not a shortcut.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raysearch.config import IndexConfig
+from raysearch.score import query_term_weights
+from raysearch.tokenize import tokenize_query
+
+# fixed query set over the documents-table vocabulary (punctuation and
+# case exercise the \w+-lower query tokenizer, FIXTURES.md §2)
+DOC_QUERIES: list[str] = [
+    "Fast hash join?",
+    "Sort the big table; merge it!",
+    "Stream window aggregation, slow query.",
+    "Filter the customer batch data.",
+    "Spark query plan: scan, filter, agg!",
+    "Why is the group-by slow?",
+    "Vector column scan order.",
+    "Small part, big key value?",
+    "Merge sort the data stream.",
+    "Dup dup dup row line.",
+]
+
+FIXED_TERMS = ["dup", "hash", "join", "merge", "window"]
+
+K1, B = 1.2, 0.75
+TOPK = 10
+_TOPK_BUFFER = 30  # raw top-30 per (query, part) before rounded re-rank
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _corpus_ds(sf_dir: str):
+    """documents -> engine corpus schema (doc_id, content); column-pruned
+    read, no lang column (all natural-language rows tokenize as plain)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "content"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cached_index(sf_dir: str) -> str:
+    """Build (or resume from checkpoints) the segment index for this
+    sf_dir under /tmp; returns the index dir."""
+    from raysearch.build import build_index
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp", "raysearch_cache", f"docidx-{key}")
+    os.makedirs(idx, exist_ok=True)
+    cfg = IndexConfig(num_parts=8, k1=K1, b=B)
+    build_index(_corpus_ds(sf_dir), idx, cfg, input_id=os.path.abspath(sf_dir))
+    return idx
+
+
+# ---- pipelines ----
+
+def doc_lengths(sf_dir: str) -> pa.Table:
+    """(doc_id, dl): token count per document — the per-partition
+    doc-length quantity (M2 tokenizer + combine, SURVEY §2.2/§2.3)."""
+    import ray.data
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(
+            pc.cast(b["text"], pa.large_string())))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "dl": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(count_tokens, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def collection_stats(sf_dir: str) -> pa.Table:
+    """Global stats (N, total tokens, avgdl, vocab) — tree-merged from
+    the segment manifests at build time (SURVEY §2.6 aggregations)."""
+    from raysearch.stats import load_stats
+
+    st = load_stats(cached_index(sf_dir))
+    return pa.table({
+        "n_docs": pa.array([st["n_docs"]], pa.int64()),
+        "total_tokens": pa.array([st["total_tokens"]], pa.int64()),
+        "avgdl": pa.array([round(st["avgdl"], 6)], pa.float64()),
+        "vocab_size": pa.array([st["vocab_size"]], pa.int64()),
+    })
+
+
+def term_stats(sf_dir: str) -> pa.Table:
+    """Global lexicon (term, df, cf) — the groupby(term) merge of
+    per-segment lexicon columns (the I1 shuffle's summary)."""
+    import pyarrow.dataset as pads
+
+    idx = cached_index(sf_dir)
+    lex = pads.dataset(os.path.join(idx, "lexicon")).to_table(
+        columns=["term", "df", "cf"])
+    return pa.table({
+        "term": pc.cast(lex["term"], pa.string()),
+        "df": pc.cast(lex["df"], pa.int64()),
+        "cf": pc.cast(lex["cf"], pa.int64()),
+    })
+
+
+def postings(sf_dir: str) -> pa.Table:
+    """Decoded posting entries (term, doc_id, tf, dl) for FIXED_TERMS —
+    the I1/I4 posting-construction operators, read back from the
+    delta+varint segments."""
+    from raysearch.segments import (decode_posting_row, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    cols = {"term": [], "doc_id": [], "tf": [], "dl": []}
+    for part in st["parts"]:
+        tbl = read_postings(part_dirname(idx, part), FIXED_TERMS)
+        for i, term in enumerate(tbl["term"].to_pylist()):
+            d, f, l = decode_posting_row(tbl, i)
+            cols["term"].extend([term] * len(d))
+            cols["doc_id"].append(d)
+            cols["tf"].append(f)
+            cols["dl"].append(l)
+    if not cols["doc_id"]:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64()),
+                         "dl": pa.array([], pa.int64())})
+    return pa.table({
+        "term": pa.array(cols["term"], pa.string()),
+        "doc_id": pa.array(np.concatenate(cols["doc_id"]), pa.int64()),
+        "tf": pa.array(np.concatenate(cols["tf"]), pa.int64()),
+        "dl": pa.array(np.concatenate(cols["dl"]), pa.int64()),
+    })
+
+
+def _topk_rounded(sf_dir: str, mode: str) -> pa.Table:
+    from raysearch.query import query_index
+
+    idx = cached_index(sf_dir)
+    raw = query_index(idx, DOC_QUERIES, k=_TOPK_BUFFER, mode=mode)
+    df = raw.to_pandas()
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= TOPK]
+    out = {
+        "query_id": pa.array(df.query_id.to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+    }
+    if mode == "overlap":
+        out["score"] = pa.array(df.score.to_numpy(np.int64), pa.int64())
+    else:
+        out["score"] = pa.array(df.score.to_numpy(np.float64), pa.float64())
+    return pa.table(out)
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-10 per query over the segment index (Q1/Q3/Q4)."""
+    return _topk_rounded(sf_dir, "bm25")
+
+
+def overlap_topk(sf_dir: str) -> pa.Table:
+    """The reference's integer overlap-tf score, top-10 per query
+    (src/lib.rs:374-411 semantics, deterministic tie order)."""
+    return _topk_rounded(sf_dir, "overlap")
+
+
+def snippet_topk(sf_dir: str) -> pa.Table:
+    """Q6 snippet fetch: top-k results joined back to the corpus by
+    doc_id — the small results side is broadcast into a map_batches
+    filter over the documents table (a broadcast hash join, no
+    shuffle)."""
+    import ray.data
+
+    res = bm25_topk(sf_dir).to_pandas()
+    wanted = set(res.doc_id.tolist())
+
+    def fetch(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["doc_id"], pa.array(list(wanted), pa.int64()))
+        sub = b.filter(mask)
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "snippet": pc.utf8_slice_codeunits(
+                pc.cast(sub["text"], pa.large_string()), 0, 80),
+        })
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    snip = pa.concat_tables(
+        b for b in ds.map_batches(fetch, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    snip["snippet"] = snip["snippet"].astype(str)
+    merged = res.merge(snip, on="doc_id", how="left")
+    return pa.table({
+        "query_id": pa.array(merged.query_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(merged["rank"].to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(merged.doc_id.to_numpy(np.int64), pa.int64()),
+        "snippet": pa.array(merged.snippet.tolist(), pa.string()),
+    })
+
+
+# ---- oracle SQL ----
+
+def _qterms_values(weights_as_float: bool) -> str:
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for term, w in query_term_weights(q):
+            wlit = f"{float(w)!r}" if weights_as_float else str(int(w))
+            rows.append(f"({qid}, '{term}', {wlit})")
+    return ", ".join(rows)
+
+
+_TOK_CTES = r"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+)
+"""
+
+
+def sql_doc_lengths() -> str:
+    return (r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT"
+            r" AS dl FROM documents")
+
+
+def sql_collection_stats() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
+       FROM documents)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT coalesce(sum(dl), 0) FROM dl)::BIGINT AS total_tokens,
+       round((SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS vocab_size
+"""
+
+
+def sql_term_stats() -> str:
+    return f"""
+WITH {_TOK_CTES}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term
+"""
+
+
+def sql_postings() -> str:
+    terms = ", ".join(f"'{t}'" for t in FIXED_TERMS)
+    return f"""
+WITH {_TOK_CTES}
+SELECT tf.term, tf.doc_id, tf.tf, dl.dl
+FROM tf JOIN dl USING (doc_id)
+WHERE tf.term IN ({terms})
+"""
+
+
+def sql_bm25_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_overlap_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+q(query_id, term, w) AS (VALUES {_qterms_values(False)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum(q.w * tf.tf)::BIGINT AS score
+  FROM q JOIN tf ON q.term = tf.term
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_snippet_topk() -> str:
+    bm25 = sql_bm25_topk()
+    return f"""
+WITH base AS ({bm25})
+SELECT base.query_id, base.rank, base.doc_id,
+       substr(documents.text, 1, 80) AS snippet
+FROM base JOIN documents ON base.doc_id = documents.doc_id
+"""
+
+
+QUERIES = {
+    "doc_lengths": doc_lengths,
+    "collection_stats": collection_stats,
+    "term_stats": term_stats,
+    "postings": postings,
+    "bm25_topk": bm25_topk,
+    "overlap_topk": overlap_topk,
+    "snippet_topk": snippet_topk,
+}
+
+ORACLE_SQL = {
+    "doc_lengths": sql_doc_lengths(),
+    "collection_stats": sql_collection_stats(),
+    "term_stats": sql_term_stats(),
+    "postings": sql_postings(),
+    "bm25_topk": sql_bm25_topk(),
+    "overlap_topk": sql_overlap_topk(),
+    "snippet_topk": sql_snippet_topk(),
+}
