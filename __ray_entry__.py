@@ -54,6 +54,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(events.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import multimodal
+        out.update(multimodal.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -62,7 +67,8 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(search_queries.ORACLE_SQL)
-    for mod_name in ("textops", "dedup", "similarity", "events"):
+    for mod_name in ("textops", "dedup", "similarity", "events",
+                     "multimodal"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

@@ -1,0 +1,157 @@
+"""Stream-shaped ops over the ``events`` table (event_id, ts, user_id,
+event_type, value, props).
+
+Ray Data has no event-time windows (SURVEY §2.6: the reference's only
+"stream" is an unordered MPMC query channel, no windows/watermarks
+either); windows are expressed as batch transforms:
+
+- tumbling window: pre-aggregated map-side per (event_type, window)
+  inside map_batches — one partial row per key per batch — then a
+  narrow groupby sums partials (the combiner pattern; the shuffle
+  carries partials, not events).
+- sessionization: groupby(user_id).map_groups over ts-sorted groups
+  (gap > 30 min starts a new session). The partitioning assumption —
+  all of a user's events in one group — is exactly what the groupby
+  provides.
+
+All timestamps are compared in integer MICROSECONDS on both sides
+(epoch_us in DuckDB) so float-epoch rounding can never flip a window
+or session boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_EVENTS = "events.parquet"
+WINDOW_US = 3_600_000_000        # 1 hour
+SESSION_GAP_US = 1_800_000_000   # 30 minutes
+
+
+def _read_events(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, _EVENTS),
+                                 columns=columns)
+
+
+def _epoch_us(ts: pd.Series) -> np.ndarray:
+    return ts.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def events_window(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event_type: count + value sum."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = _epoch_us(df["ts"])
+        win = (tus // WINDOW_US) * WINDOW_US
+        g = (df.assign(window_start_us=win)
+               .groupby(["event_type", "window_start_us"], as_index=False)
+               .agg(n=("value", "size"), sum_value=("value", "sum")))
+        return g
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    return pa.table({
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "window_start_us": pa.array(
+            df.window_start_us.to_numpy(np.int64), pa.int64()),
+        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+        "sum_value": pa.array(np.round(df.sum_value.to_numpy(np.float64), 6),
+                              pa.float64()),
+    })
+
+
+def user_sessions(sf_dir: str) -> pa.Table:
+    """Session windows per user (gap > 30 min splits). Events are
+    ordered by (ts, event_id) inside each user group — the
+    deterministic total order both sides share."""
+    import ray.data
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        tus = _epoch_us(g["ts"])
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (np.diff(tus) > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(brk)
+        out = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                             "sid": sid, "tus": tus})
+               .groupby(["user_id", "sid"], as_index=False)
+               .agg(session_start_us=("tus", "min"),
+                    n_events=("tus", "size"),
+                    duration_us=("tus", lambda x: x.max() - x.min())))
+        return out[["user_id", "session_start_us", "n_events",
+                    "duration_us"]]
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    df = out.to_pandas()
+    return pa.table({
+        "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
+        "session_start_us": pa.array(
+            df.session_start_us.to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(df.n_events.to_numpy(np.int64), pa.int64()),
+        "duration_us": pa.array(df.duration_us.to_numpy(np.int64),
+                                pa.int64()),
+    })
+
+
+# ---- oracle SQL ----
+
+def sql_events_window() -> str:
+    return f"""
+SELECT event_type,
+       (epoch_us(ts) // {WINDOW_US} * {WINDOW_US})::BIGINT
+         AS window_start_us,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY event_type, epoch_us(ts) // {WINDOW_US} * {WINDOW_US}
+"""
+
+
+def sql_user_sessions() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tus FROM events
+),
+b AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+              OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT user_id, tus,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id, min(tus)::BIGINT AS session_start_us,
+       count(*)::BIGINT AS n_events,
+       (max(tus) - min(tus))::BIGINT AS duration_us
+FROM s GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "events_window": events_window,
+    "user_sessions": user_sessions,
+}
+
+ORACLE_SQL = {
+    "events_window": sql_events_window(),
+    "user_sessions": sql_user_sessions(),
+}

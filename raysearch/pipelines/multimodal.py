@@ -1,0 +1,123 @@
+"""Multimodal columns: opaque ``binary`` payloads with typed metadata,
+processed by actor-pool map_batches stages.
+
+The image/audio codec libraries are not available in this environment,
+so the DECODE KERNEL is stubbed (deterministic fake, or
+NotImplementedError in strict mode) — but everything Ray-side is real
+and tested: the binary-column schema, small-batch sizing for wide
+rows, the actor signature (model/codec "loaded" once in __init__), and
+the output layout (one metadata row per payload, features as a
+fixed-width list<float> column).
+
+``blob_meta`` is the exactly-checkable slice of this: payload byte
+length + sha256 computed by the same actor-pool stage shape, with a
+DuckDB oracle (octet_length / sha256).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+_DOCS = "documents.parquet"
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),    # image | audio | video
+    ("payload", pa.large_binary()),  # opaque encoded bytes
+])
+
+FEATURE_DIM = 16
+
+
+class MediaDecoder:
+    """Actor-pool stage for binary media columns.
+
+    strict=False (default) uses a deterministic fake decode so the
+    pipeline plumbing is fully testable; strict=True raises
+    NotImplementedError where a real codec (PIL / torchaudio / ffmpeg)
+    would be called — the seam to swap in when the libs exist.
+    """
+
+    def __init__(self, strict: bool = False, feature_dim: int = FEATURE_DIM):
+        self.strict = strict
+        self.feature_dim = feature_dim
+        # real impl would load the codec/model ONCE here (per actor)
+
+    def decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "media codecs are not available in this environment; "
+                "plug a real decoder here")
+        # deterministic fake: sha256 bytes -> fixed-width float features
+        h = hashlib.sha256(payload).digest()
+        raw = np.frombuffer((h * ((4 * self.feature_dim) // len(h) + 1))
+                            [: 4 * self.feature_dim], dtype=np.uint32)
+        return (raw.astype(np.float64) / np.float64(2**32)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        feats = [self.decode(p, t) for p, t in zip(payloads, types)]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "sha256": pa.array(
+                [hashlib.sha256(p).hexdigest() for p in payloads],
+                pa.string()),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32(), FEATURE_DIM)),
+        })
+
+
+def decode_media(ds, concurrency: int = 4, batch_size: int = 64,
+                 strict: bool = False):
+    """Run the decode stage: small batch_size because payloads are
+    wide; actor pool so codec init happens once per worker."""
+    return ds.map_batches(
+        MediaDecoder, fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def blob_meta(sf_dir: str) -> pa.Table:
+    """Treat each document's text as an opaque binary payload and run
+    it through the media actor-pool stage: (doc_id, n_bytes, sha256)."""
+    import ray.data
+
+    def to_media(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "media_id": b["doc_id"],
+            "media_type": pa.array(["text"] * b.num_rows, pa.string()),
+            "payload": pa.array([t.encode() for t in texts],
+                                pa.large_binary()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "text"])
+    out = decode_media(ds.map_batches(to_media, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       concurrency=2, batch_size=128)
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "doc_id": tbl["media_id"],
+        "n_bytes": tbl["n_bytes"],
+        "sha256": tbl["sha256"],
+    })
+
+
+def sql_blob_meta() -> str:
+    return """
+SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+QUERIES = {"blob_meta": blob_meta}
+ORACLE_SQL = {"blob_meta": sql_blob_meta()}

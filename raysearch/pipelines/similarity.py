@@ -1,0 +1,239 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: list<float>, label).
+
+- ann_topk: brute-force cosine top-k — numpy matmul per batch against
+  a broadcast query matrix (the exact baseline).
+- embedding_dups: near-dup pairs above a cosine threshold — blocked
+  all-vs-all with the normalized matrix broadcast once via ray.put
+  (each batch multiplies against it; nothing is re-shipped per batch).
+- ann_lsh: the scale path — random-hyperplane LSH bucketing
+  (deterministic seeded planes), candidates only within a bucket;
+  approximate by construction so it gets a rows-only check (no SQL
+  oracle) plus a recall assertion in tests.
+
+At 100 TB the broadcast side stays the (small) query set / plane
+matrix; the embedding table streams. embedding_dups' broadcast of the
+full matrix is explicitly the small-collection variant; the LSH bucket
+groupby is the same-shape replacement when the table outgrows memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_EMB = "embeddings.parquet"
+
+N_QUERY_VECS = 5
+TOPK = 10
+_BUFFER = 30
+DUP_COS_THRESHOLD = 0.35
+LSH_PLANES = 8
+
+
+def _read_emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, _EMB),
+                                 columns=["vec_id", "embedding"])
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, len(ids))
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, _EMB),
+                        columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(tbl)
+    order = np.argsort(ids)
+    sel = order[np.isin(ids[order], np.arange(N_QUERY_VECS))]
+    return ids[sel], mat[sel]
+
+
+def ann_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 for query vectors vec_id 0..4: per-batch
+    local top-k against the broadcast query matrix, merged driver-side
+    (k-bounded candidates), re-ranked on round(cos, 6)."""
+    qids, qmat = _query_vectors(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ qn.T  # (n, Q)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[:, j]
+            kk = min(_BUFFER, len(ids))
+            top = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_v.extend(int(x) for x in ids[top])
+            out_c.extend(float(x) for x in col[top])
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    ds = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    df = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).to_pandas()
+    df["cos"] = df["cos"].round(6)
+    df = df.sort_values(["query_vec_id", "cos", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_vec_id").cumcount() + 1
+    df = df[df["rank"] <= TOPK]
+    return pa.table({
+        "query_vec_id": pa.array(df.query_vec_id.to_numpy(np.int64),
+                                 pa.int64()),
+        "vec_id": pa.array(df.vec_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+        "cos": pa.array(df.cos.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def embedding_dups(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (round(cos,6) >= threshold,
+    vec_a < vec_b)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    full_ids, full_mat = _emb_matrix(
+        pq.read_table(os.path.join(sf_dir, _EMB),
+                      columns=["vec_id", "embedding"]))
+    fn = full_mat / np.linalg.norm(full_mat, axis=1, keepdims=True)
+    ref = ray.put((full_ids, fn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        gids, gn = ray.get(ref)
+        ids, mat = _emb_matrix(batch)
+        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = bn @ gn.T
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(ids)):
+            c = np.round(sims[i], 6)
+            hit = (c >= DUP_COS_THRESHOLD) & (gids > ids[i])
+            for j in np.flatnonzero(hit):
+                out_a.append(int(ids[i]))
+                out_b.append(int(gids[j]))
+                out_c.append(float(c[j]))
+        return pa.table({"vec_a": pa.array(out_a, pa.int64()),
+                         "vec_b": pa.array(out_b, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    ds = _read_emb(sf_dir).map_batches(block, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def ann_lsh(sf_dir: str) -> pa.Table:
+    """Approximate ANN: random-hyperplane LSH (8 deterministic planes
+    -> 256 buckets), brute-force only within the query's bucket.
+    Approximate -> rows-only driver check; recall tested in pytest."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    qids, qmat = _query_vectors(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    dim = qmat.shape[1]
+    planes = np.random.default_rng(1234).standard_normal((dim, LSH_PLANES))
+    qsig = (qn @ planes > 0).astype(np.uint8)
+    qbucket = (qsig << np.arange(LSH_PLANES, dtype=np.uint8)).sum(axis=1)
+
+    def bucket_score(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sig = (bn @ planes > 0).astype(np.uint8)
+        bucket = (sig << np.arange(LSH_PLANES, dtype=np.uint8)).sum(axis=1)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids):
+            mask = bucket == qbucket[j]
+            if not mask.any():
+                continue
+            sims = bn[mask] @ qn[j]
+            sub_ids = ids[mask]
+            kk = min(TOPK, len(sub_ids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_v.extend(int(x) for x in sub_ids[top])
+            out_c.extend(float(round(x, 6)) for x in sims[top])
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    ds = _read_emb(sf_dir).map_batches(bucket_score, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    df = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).to_pandas()
+    df = df.sort_values(["query_vec_id", "cos", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_vec_id").cumcount() + 1
+    df = df[df["rank"] <= TOPK]
+    return pa.Table.from_pandas(df[["query_vec_id", "vec_id", "rank", "cos"]],
+                                preserve_index=False)
+
+
+# ---- oracle SQL ----
+
+def sql_ann_topk() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+           AS cos
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_vec_id, vec_id, rank, cos FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_embedding_dups() -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6)
+      >= {DUP_COS_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "ann_topk": ann_topk,
+    "embedding_dups": embedding_dups,
+    "ann_lsh": ann_lsh,
+}
+
+ORACLE_SQL = {
+    "ann_topk": sql_ann_topk(),
+    "embedding_dups": sql_embedding_dups(),
+    # ann_lsh: approximate -> rows-only check, no SQL oracle
+}

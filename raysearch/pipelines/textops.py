@@ -1,0 +1,284 @@
+"""Text-analysis ops for a large-scale training-data pipeline, over the
+``documents`` table: language ID, quality scoring, token counting,
+document fingerprinting. Each is a vectorized ``map_batches`` stage
+(stateful pieces — compiled regexes, stopword arrays — live in an
+actor-pool class) with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_DOCS = "documents.parquet"
+
+# deterministic tie order: first list wins on score ties
+LANGS = ["de", "en", "es", "fr", "zh"]
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "del"],
+    "fr": ["le", "les", "de", "et", "des", "en", "une", "un"],
+    "zh": ["de", "shi", "zai", "le", "he", "you", "wo", "ta"],
+}
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+NGRAM = 3
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                                 columns=["doc_id", "text"])
+
+
+def _tokens(batch: pa.Table) -> pa.ListArray:
+    out = pc.utf8_split_whitespace(pc.utf8_lower(
+        pc.cast(batch["text"], pa.large_string())))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+class TextStats:
+    """Actor-pool stage: stopword arrays and patterns built once per
+    actor (__init__), batches scored vectorized in __call__."""
+
+    def __init__(self) -> None:
+        self.stop_np = {l: np.asarray(ws, dtype=object)
+                        for l, ws in STOPWORDS.items()}
+
+    def lang_scores(self, batch: pa.Table) -> tuple[np.ndarray, dict]:
+        toks = _tokens(batch)
+        n = batch.num_rows
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        idx = np.repeat(np.arange(n), dl)
+        scores = {}
+        for lang in LANGS:
+            hit = np.isin(flat, self.stop_np[lang])
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, idx[hit], 1)
+            scores[lang] = acc
+        return dl, scores
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dl, scores = self.lang_scores(batch)
+        n = batch.num_rows
+        mat = np.stack([scores[l] for l in LANGS])  # order = tie priority
+        best = np.argmax(mat, axis=0)  # argmax returns FIRST max = tie rule
+        mx = mat.max(axis=0)
+        pred = np.asarray(LANGS, dtype=object)[best]
+        pred[mx == 0] = "und"
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+        })
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """Stopword-overlap language ID (n-gram heuristic family); argmax
+    with deterministic (list-order) tie-break, 'und' when no evidence."""
+    out = _read_docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, num_cpus=1)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Length / punctuation / stopword heuristics per doc; the classic
+    pre-training quality filter signals, fully vectorized."""
+
+    stats = TextStats()
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        n_chars = pc.utf8_length(text).to_numpy().astype(np.float64)
+        non_ws = pc.utf8_length(pc.replace_substring_regex(
+            text, r"\s", "")).to_numpy().astype(np.float64)
+        alpha = pc.utf8_length(pc.replace_substring_regex(
+            text, r"[^a-zA-Z]", "")).to_numpy().astype(np.float64)
+        dl, sc = stats.lang_scores(batch)
+        dlf = dl.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_tok = np.where(dl > 0, non_ws / dlf, 0.0)
+            alpha_ratio = np.where(n_chars > 0, alpha / n_chars, 0.0)
+            stop_ratio = np.where(dl > 0, sc["en"] / dlf, 0.0)
+        ok = ((dl >= 5) & (alpha_ratio >= 0.5)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl, pa.int64()),
+            "mean_tok_len": pa.array(np.round(mean_tok, 6), pa.float64()),
+            "alpha_ratio": pa.array(np.round(alpha_ratio, 6), pa.float64()),
+            "stop_ratio": pa.array(np.round(stop_ratio, 6), pa.float64()),
+            "quality_ok": pa.array(ok, pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    """Whitespace token count + BPE-ish regex token count per doc
+    (pyarrow count_substring_regex — no Python in the loop)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        ws = pc.count_substring_regex(text, r"\S+")
+        bpe = pc.count_substring_regex(text, BPE_PATTERN)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ws_tokens": pc.cast(ws, pa.int64()),
+            "bpe_tokens": pc.cast(bpe, pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(count, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def doc_shingles(batch: pa.Table, ngram: int = NGRAM
+                 ) -> tuple[np.ndarray, list[set]]:
+    """(doc_ids, distinct word-ngram shingle set per doc)."""
+    toks = _tokens(batch).to_pylist()
+    doc_ids = batch["doc_id"].to_numpy()
+    sets = [{" ".join(t[i:i + ngram]) for i in range(len(t) - ngram + 1)}
+            for t in toks]
+    return doc_ids, sets
+
+
+def fingerprint(sf_dir: str) -> pa.Table:
+    """Min-hash document fingerprint: the lexicographically smallest
+    md5-prefix over the doc's distinct 3-gram shingles (a min-k
+    sketch with k=1) + the distinct-shingle count. Docs with < 3
+    tokens have no shingles and are excluded (both sides)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        doc_ids, sets = doc_shingles(batch)
+        out_ids, out_fp, out_n = [], [], []
+        for d, s in zip(doc_ids, sets):
+            if not s:
+                continue
+            out_ids.append(int(d))
+            out_fp.append(min(hashlib.md5(g.encode()).hexdigest()[:16]
+                              for g in s))
+            out_n.append(len(s))
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "minhash_hex": pa.array(out_fp, pa.string()),
+            "n_grams": pa.array(out_n, pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+# ---- oracle SQL ----
+
+def _stop_in(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def sql_lang_id() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    sum(CASE WHEN term IN ({_stop_in('de')}) THEN 1 ELSE 0 END) AS s_de,
+    sum(CASE WHEN term IN ({_stop_in('en')}) THEN 1 ELSE 0 END) AS s_en,
+    sum(CASE WHEN term IN ({_stop_in('es')}) THEN 1 ELSE 0 END) AS s_es,
+    sum(CASE WHEN term IN ({_stop_in('fr')}) THEN 1 ELSE 0 END) AS s_fr,
+    sum(CASE WHEN term IN ({_stop_in('zh')}) THEN 1 ELSE 0 END) AS s_zh
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr, s_zh), 0) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
+            THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS pred_lang
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+def sql_quality_score() -> str:
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+    length(text)::DOUBLE AS n_chars,
+    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS non_ws,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS alpha,
+    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        x -> x IN ({_stop_in('en')})))::DOUBLE AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN non_ws / n_tokens ELSE 0 END, 6)
+    AS mean_tok_len,
+  round(CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0 END, 6)
+    AS alpha_ratio,
+  round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0 END, 6)
+    AS stop_ratio,
+  (CASE WHEN n_tokens >= 5
+        AND (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0 END) >= 0.5
+        THEN 1 ELSE 0 END)::BIGINT AS quality_ok
+FROM base
+"""
+
+
+def sql_token_counts() -> str:
+    return rf"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
+SQL_GRAMS_CTE = r"""
+t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+  FROM t
+)
+"""
+
+
+def sql_fingerprint() -> str:
+    return f"""
+WITH {SQL_GRAMS_CTE}
+SELECT doc_id, min(substr(md5(gram), 1, 16)) AS minhash_hex,
+       count(*)::BIGINT AS n_grams
+FROM g GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_counts": token_counts,
+    "fingerprint": fingerprint,
+}
+
+ORACLE_SQL = {
+    "lang_id": sql_lang_id(),
+    "quality_score": sql_quality_score(),
+    "token_counts": sql_token_counts(),
+    "fingerprint": sql_fingerprint(),
+}
