@@ -1,0 +1,152 @@
+"""Benchmark driver.
+
+Plain run: one fresh Ray session at $RAY_GRAFT_CPUS (default 32),
+headline = full index build (tokenize -> salted shuffle -> compressed
+segments + manifests + lexicon) over a 50k-doc synthetic source-code
+corpus (the BASELINE.json input shape) + the 10-query BM25 batch,
+plus per-op timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Prints ONE JSON line.
+
+--scaling: runs the same job in two fresh processes at num_cpus=8 and
+num_cpus=32 on the same input (page cache warmed by an untimed read)
+and reports docs/sec at both plus efficiency = (dps_32/dps_8)/(32/8) —
+the sandbox substitute for the north rule's N vs 4N cluster gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROOT = "/tmp/raysearch_bench"
+CORPUS_DOCS = 50_000
+CORPUS_DIR = os.path.join(BENCH_ROOT, f"corpus-{CORPUS_DOCS}")
+K = 10
+
+PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
+          "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
+          "events_window", "user_sessions", "token_counts", "lang_id"]
+
+
+def ensure_corpus() -> str:
+    if not os.path.isdir(CORPUS_DIR) or not os.listdir(CORPUS_DIR):
+        from raysearch.corpus import write_corpus
+
+        os.makedirs(BENCH_ROOT, exist_ok=True)
+        write_corpus(CORPUS_DIR, CORPUS_DOCS, rows_per_file=3125)
+    return CORPUS_DIR
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from raysearch.build import build_index
+    from raysearch.config import IndexConfig
+    from raysearch.corpus import QUERIES
+    from raysearch.query import query_index
+
+    corpus = ensure_corpus()
+    # untimed warmup: a real (trivial) execution spawns the worker pool
+    # and warms the page cache, so timings measure compute+shuffle, not
+    # cluster cold-start or first disk read
+    n_docs = (ray.data.read_parquet(corpus, columns=["doc_id"])
+              .map_batches(lambda b: b, batch_format="pyarrow").count())
+
+    idx = os.path.join(BENCH_ROOT, f"idx-{ncpu}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = build_index(corpus, idx, IndexConfig(num_parts=32),
+                      input_id="bench-50k")
+    build_sec = time.perf_counter() - t0
+    assert res.stats["n_docs"] == n_docs
+
+    t0 = time.perf_counter()
+    out = query_index(idx, QUERIES, k=K, mode="bm25")
+    qbatch_sec = time.perf_counter() - t0
+    assert out.num_rows == len(QUERIES) * K
+
+    lat = []
+    for q in QUERIES:
+        t0 = time.perf_counter()
+        query_index(idx, [q], k=K, mode="bm25")
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50_ms = 1000 * lat[len(lat) // 2]
+
+    per_query: dict[str, float] = {}
+    import __ray_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    for name in PER_OP:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = build_sec + qbatch_sec
+    result = {
+        "metric": "index-build + 10-query BM25 batch (sec, 50k-doc corpus)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "build_sec": round(build_sec, 3),
+        "query_batch_sec": round(qbatch_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "p50_query_ms": round(p50_ms, 1),
+        "n_docs": n_docs,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=os.environ.get("GRAFT_SF_DIR",
+                                               "/root/testdata/sf0.1"))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "build_sec_8": lo["build_sec"], "build_sec_32": hi["build_sec"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "p50_query_ms_8": lo["p50_query_ms"],
+        "p50_query_ms_32": hi["p50_query_ms"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

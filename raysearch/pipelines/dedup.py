@@ -30,16 +30,24 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raysearch.pipelines.textops import SQL_GRAMS_CTE, doc_shingles
+from raysearch.pipelines.textops import (
+    SQL_GRAMS_CTE,
+    doc_shingles,
+    doc_shingles_flat,
+    md5_prefix_ints,
+)
 
 _DOCS = "documents.parquet"
 
-# MinHash parameters (shared with the SQL oracle)
+# MinHash parameters (shared with the SQL oracle). The gram hash is 44
+# bits (11 md5 hex chars) and A < 2^19 so A*h + B < 2^63 stays exact in
+# both numpy uint64 and DuckDB BIGINT — no big-int arithmetic anywhere.
 NUM_HASHES = 16
 BAND_ROWS = 2
 NUM_BANDS = NUM_HASHES // BAND_ROWS
 MERSENNE_P = (1 << 61) - 1
-_A = [1234567891 + 99991 * i for i in range(NUM_HASHES)]
+HASH_HEX = 11
+_A = [260817 + 4099 * i for i in range(NUM_HASHES)]
 _B = [987654321 + 31337 * i for i in range(NUM_HASHES)]
 JACCARD_THRESHOLD = 0.5
 NGRAM_JACCARD_THRESHOLD = 0.8
@@ -54,12 +62,6 @@ def _read_docs(sf_dir: str):
                                  columns=["doc_id", "text"])
 
 
-def _gram_hash60(gram: str) -> int:
-    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
-
-
-def _gram_hash48(gram: str) -> int:
-    return int(hashlib.md5(gram.encode()).hexdigest()[:12], 16)
 
 
 # ---- exact dedup ----
@@ -92,31 +94,34 @@ def dedup_exact(sf_dir: str) -> pa.Table:
 
 # ---- MinHash + LSH ----
 
-def _signature(grams: set[str]) -> list[int] | None:
-    if not grams:
-        return None
-    hs = [_gram_hash60(g) for g in grams]
-    return [min((a * h + b) % MERSENNE_P for h in hs)
-            for a, b in zip(_A, _B)]
+_A_NP = np.array(_A, dtype=np.uint64)
+_B_NP = np.array(_B, dtype=np.uint64)
+
+
+def _signatures_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, (n_docs x NUM_HASHES) minhash matrix) — one md5 per
+    unique gram, affine hashes + per-doc mins fully vectorized."""
+    doc_ids, flat, starts = doc_shingles_flat(batch)
+    if len(doc_ids) == 0:
+        return doc_ids, np.zeros((0, NUM_HASHES), dtype=np.uint64)
+    h = md5_prefix_ints(flat, HASH_HEX)  # < 2^44
+    vals = (h[:, None] * _A_NP[None, :] + _B_NP[None, :]) % np.uint64(
+        MERSENNE_P)
+    sigs = np.minimum.reduceat(vals, starts, axis=0)
+    return doc_ids, sigs
 
 
 def _band_rows_fn(batch: pa.Table) -> pa.Table:
-    doc_ids, sets = doc_shingles(batch)
-    out_doc, out_band, out_key = [], [], []
-    for d, s in zip(doc_ids, sets):
-        sig = _signature(s)
-        if sig is None:
-            continue
-        for b in range(NUM_BANDS):
-            key = ",".join(str(v) for v in
-                           sig[b * BAND_ROWS:(b + 1) * BAND_ROWS])
-            out_doc.append(int(d))
-            out_band.append(b)
-            out_key.append(key)
+    doc_ids, sigs = _signatures_batch(batch)
+    n = len(doc_ids)
+    out_doc = np.repeat(doc_ids, NUM_BANDS)
+    out_band = np.tile(np.arange(NUM_BANDS, dtype=np.int64), n)
+    keys = [",".join(str(v) for v in sigs[i, b * BAND_ROWS:(b + 1) * BAND_ROWS])
+            for i in range(n) for b in range(NUM_BANDS)]
     return pa.table({
         "doc_id": pa.array(out_doc, pa.int64()),
         "band_id": pa.array(out_band, pa.int64()),
-        "band_key": pa.array(out_key, pa.string()),
+        "band_key": pa.array(keys, pa.string()),
     })
 
 
@@ -159,13 +164,18 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
     shingles, exact-Jaccard verification, threshold 0.5."""
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(group["doc_id"].tolist()))
-        rows = [(a, b) for a, b in itertools.combinations(docs, 2)]
+        # one group per band_id: vectorized duplicate-key detection,
+        # Python only over the (rare) colliding keys
+        dup = group[group["band_key"].duplicated(keep=False)]
+        rows = []
+        for _, sub in dup.groupby("band_key"):
+            docs = sorted(set(sub["doc_id"].tolist()))
+            rows.extend(itertools.combinations(docs, 2))
         return pd.DataFrame(rows or None, columns=["doc_a", "doc_b"])
 
     bands = _read_docs(sf_dir).map_batches(
         _band_rows_fn, batch_format="pyarrow", zero_copy_batch=True)
-    cand_ds = bands.groupby(["band_id", "band_key"]).map_groups(
+    cand_ds = bands.groupby("band_id").map_groups(
         emit_pairs, batch_format="pandas")
     cand = {(int(a), int(b))
             for a, b in zip(*[cand_ds.to_pandas()[c]
@@ -189,20 +199,17 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
 # ---- SimHash ----
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
-    doc_ids, sets = doc_shingles(batch)
-    out_doc, out_sim = [], []
-    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
-    for d, s in zip(doc_ids, sets):
-        if not s:
-            continue
-        h = np.array([_gram_hash48(g) for g in s], dtype=np.int64)
-        bits = (h[:, None] >> shifts) & 1          # (n_grams, 48)
-        v = (2 * bits - 1).sum(axis=0)             # +/-1 votes per bit
-        sim = int(((v > 0).astype(np.int64) << shifts).sum())
-        out_doc.append(int(d))
-        out_sim.append(sim)
-    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                     "simhash": pa.array(out_sim, pa.int64())})
+    doc_ids, flat, starts = doc_shingles_flat(batch)
+    if len(doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "simhash": pa.array([], pa.int64())})
+    h = md5_prefix_ints(flat, 12).astype(np.int64)  # 48 bits
+    sim = np.zeros(len(doc_ids), dtype=np.int64)
+    for j in range(SIMHASH_BITS):  # loop over BITS, never over docs
+        votes = np.add.reduceat(2 * ((h >> j) & 1) - 1, starts)
+        sim |= (votes > 0).astype(np.int64) << j
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "simhash": pa.array(sim, pa.int64())})
 
 
 def dedup_simhash(sf_dir: str) -> pa.Table:
@@ -270,38 +277,75 @@ def ngram_jaccard(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, sets = doc_shingles(batch)
-        out_d, out_g = [], []
-        for d, s in zip(doc_ids, sets):
-            out_d.extend([int(d)] * len(s))
-            out_g.extend(sorted(s))
+        doc_ids, flat, starts = doc_shingles_flat(batch)
+        bounds = np.append(starts, len(flat))
+        out_d = np.repeat(doc_ids, np.diff(bounds))
+        # coarse shuffle key: all copies of a gram land in one group,
+        # but each reduce group holds MANY grams (no per-gram dispatch)
+        gpart = md5_prefix_ints(flat, 8) % np.uint64(64)
         return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                         "gram": pa.array(out_g, pa.string())})
+                         "gram": pa.array(flat.tolist(), pa.string()),
+                         "gpart": pa.array(gpart.astype(np.int64),
+                                           pa.int64())})
 
     grams = _read_docs(sf_dir).map_batches(
         gram_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(group["doc_id"].tolist()))
-        if len(docs) < 2 or len(docs) > GRAM_DF_CAP:
-            return pd.DataFrame(None, columns=["doc_a", "doc_b"])
-        return pd.DataFrame(list(itertools.combinations(docs, 2)),
-                            columns=["doc_a", "doc_b"])
+        # one group per gpart; pair emission fully vectorized: factorize
+        # grams, find runs, emit triangular index blocks per run-length
+        # class (Python loops only over the <= GRAM_DF_CAP length
+        # classes, never over grams or pairs)
+        codes, _ = pd.factorize(group["gram"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        docs_s = group["doc_id"].to_numpy()[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(codes_s)) + 1]
+        lens = np.diff(np.r_[starts, len(codes_s)])
+        out_a, out_b = [], []
+        for m in np.unique(lens):
+            if m < 2 or m > GRAM_DF_CAP:
+                continue
+            idx = starts[lens == m]
+            block = docs_s[idx[:, None] + np.arange(m)]
+            block.sort(axis=1)
+            tri_a, tri_b = np.triu_indices(m, 1)
+            out_a.append(block[:, tri_a].ravel())
+            out_b.append(block[:, tri_b].ravel())
+        if not out_a:
+            return pd.DataFrame({"pkey": np.zeros(0, np.int64),
+                                 "ppart": np.zeros(0, np.int64)})
+        # pack the pair into one int64 (doc_ids < 2^31) and give it a
+        # coarse partition key: per-pair counting then happens inside
+        # 64 vectorized np.unique calls, not a million-group aggregate
+        pkey = (np.concatenate(out_a) << np.int64(32)) | \
+            np.concatenate(out_b)
+        return pd.DataFrame({"pkey": pkey, "ppart": pkey % 64})
 
-    inter_ds = (grams.groupby("gram")
+    def count_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        uniq, counts = np.unique(group["pkey"].to_numpy(), return_counts=True)
+        return pd.DataFrame({
+            "doc_a": uniq >> np.int64(32),
+            "doc_b": uniq & np.int64(0xFFFFFFFF),
+            "inter": counts.astype(np.int64)})
+
+    inter_ds = (grams.groupby("gpart")
                 .map_groups(emit_pairs, batch_format="pandas")
-                .groupby(["doc_a", "doc_b"])
-                .aggregate(Count(alias_name="inter")))
+                .groupby("ppart")
+                .map_groups(count_pairs, batch_format="pandas"))
     inter = inter_ds.to_pandas()
     sizes = (grams.groupby("doc_id")
              .aggregate(Count(alias_name="n")).to_pandas()
-             .set_index("doc_id")["n"].to_dict())
-    out = []
-    for a, b, i in zip(inter.doc_a, inter.doc_b, inter["inter"]):
-        j = round(i / (sizes[a] + sizes[b] - i), 6)
-        if j >= NGRAM_JACCARD_THRESHOLD:
-            out.append((int(a), int(b), j))
-    return _pairs_table(out)
+             .set_index("doc_id")["n"])
+    na = inter.doc_a.map(sizes).to_numpy(np.float64)
+    nb = inter.doc_b.map(sizes).to_numpy(np.float64)
+    ivals = inter["inter"].to_numpy(np.float64)
+    j = np.round(ivals / (na + nb - ivals), 6)
+    keep = j >= NGRAM_JACCARD_THRESHOLD
+    return _pairs_table(list(zip(
+        inter.doc_a.to_numpy()[keep].tolist(),
+        inter.doc_b.to_numpy()[keep].tolist(),
+        j[keep].tolist())))
 
 
 # ---- oracle SQL ----
@@ -317,10 +361,11 @@ def sql_dedup_minhash() -> str:
     return f"""
 WITH {SQL_GRAMS_CTE},
 h AS (SELECT doc_id, gram,
-             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g),
+             ('0x' || substr(md5(gram), 1, {HASH_HEX}))::BIGINT AS h
+      FROM g),
 mh AS (
   SELECT doc_id, i,
-         min(((1234567891 + 99991 * i)::HUGEINT * h
+         min(((260817 + 4099 * i) * h
               + (987654321 + 31337 * i)) % {MERSENNE_P})::BIGINT AS mh
   FROM h, range(0, {NUM_HASHES}) r(i)
   GROUP BY doc_id, i

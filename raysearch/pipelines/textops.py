@@ -153,6 +153,32 @@ def doc_shingles(batch: pa.Table, ngram: int = NGRAM
     return doc_ids, sets
 
 
+def doc_shingles_flat(batch: pa.Table, ngram: int = NGRAM
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat layout for vectorized sketches: (doc_ids, flat distinct
+    grams (object array), per-doc start offsets). Docs with no grams
+    are dropped (their start range is empty anyway)."""
+    doc_ids, sets = doc_shingles(batch, ngram)
+    counts = np.array([len(s) for s in sets], dtype=np.int64)
+    keep = counts > 0
+    flat = np.array([g for s in sets for g in sorted(s)], dtype=object)
+    starts = np.zeros(int(keep.sum()), dtype=np.int64)
+    np.cumsum(counts[keep][:-1], out=starts[1:])
+    return doc_ids[keep], flat, starts
+
+
+def md5_prefix_ints(grams: np.ndarray, hex_len: int) -> np.ndarray:
+    """int(md5(g)[:hex_len], 16) per gram, hashing each UNIQUE gram
+    once per batch (near-dup docs share most shingles)."""
+    import hashlib as _hl
+
+    uniq, inv = np.unique(grams, return_inverse=True)
+    vals = np.fromiter(
+        (int(_hl.md5(g.encode()).hexdigest()[:hex_len], 16) for g in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return vals[inv]
+
+
 def fingerprint(sf_dir: str) -> pa.Table:
     """Min-hash document fingerprint: the lexicographically smallest
     md5-prefix over the doc's distinct 3-gram shingles (a min-k
@@ -160,19 +186,19 @@ def fingerprint(sf_dir: str) -> pa.Table:
     tokens have no shingles and are excluded (both sides)."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        doc_ids, sets = doc_shingles(batch)
-        out_ids, out_fp, out_n = [], [], []
-        for d, s in zip(doc_ids, sets):
-            if not s:
-                continue
-            out_ids.append(int(d))
-            out_fp.append(min(hashlib.md5(g.encode()).hexdigest()[:16]
-                              for g in s))
-            out_n.append(len(s))
+        doc_ids, flat, starts = doc_shingles_flat(batch)
+        if len(doc_ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "minhash_hex": pa.array([], pa.string()),
+                             "n_grams": pa.array([], pa.int64())})
+        h = md5_prefix_ints(flat, 16)  # 64-bit: uint64 min == hex min
+        mins = np.minimum.reduceat(h, starts)
+        bounds = np.append(starts, len(flat))
         return pa.table({
-            "doc_id": pa.array(out_ids, pa.int64()),
-            "minhash_hex": pa.array(out_fp, pa.string()),
-            "n_grams": pa.array(out_n, pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "minhash_hex": pa.array([f"{v:016x}" for v in mins],
+                                    pa.string()),
+            "n_grams": pa.array(np.diff(bounds), pa.int64()),
         })
 
     out = _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow",

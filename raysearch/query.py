@@ -129,9 +129,17 @@ def query_index(
     k: int = 10,
     mode: str = "bm25",
     concurrency: int | None = None,
+    use_actors: bool = False,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
-    the deterministic total order (-score, doc_id)."""
+    the deterministic total order (-score, doc_id).
+
+    use_actors=False (default) scores with stateless tasks — right for
+    one-shot batch jobs (no pool spin-up latency; the scorer holds no
+    heavy state because global df/stats are tiny and postings reads are
+    term-filtered). use_actors=True runs the SegmentScorer actor pool —
+    right for a long-lived session issuing many query batches, where
+    actors amortize state across calls."""
     import ray.data
 
     stats = load_stats(index_dir)
@@ -146,14 +154,19 @@ def query_index(
     if concurrency is None:
         concurrency = max(1, min(len(parts), 16))
     parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    candidates = parts_ds.map_batches(
-        SegmentScorer,
-        fn_constructor_kwargs=dict(
-            index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
-            n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-            k1=cfg["k1"], b=cfg["b"]),
-        batch_format="pyarrow", batch_size=1,
-        concurrency=min(concurrency, max(1, len(parts))), num_cpus=1)
+    scorer_kwargs = dict(
+        index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
+        n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+        k1=cfg["k1"], b=cfg["b"])
+    if use_actors:
+        candidates = parts_ds.map_batches(
+            SegmentScorer, fn_constructor_kwargs=scorer_kwargs,
+            batch_format="pyarrow", batch_size=1,
+            concurrency=min(concurrency, max(1, len(parts))), num_cpus=1)
+    else:
+        scorer = SegmentScorer(**scorer_kwargs)
+        candidates = parts_ds.map_batches(
+            scorer, batch_format="pyarrow", batch_size=1, num_cpus=1)
     # P * Q * k candidate rows — k-bounded and tiny by construction, so
     # the final merge is a driver-side selection, not a shuffle
     cand = candidates.to_pandas()
