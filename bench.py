@@ -23,9 +23,10 @@ import sys
 import time
 
 BENCH_ROOT = "/tmp/raysearch_bench"
-CORPUS_DOCS = 50_000
+CORPUS_DOCS = int(os.environ.get("RAY_GRAFT_BENCH_DOCS", "400000"))
 CORPUS_DIR = os.path.join(BENCH_ROOT, f"corpus-{CORPUS_DOCS}")
 K = 10
+NUM_PARTS = 64
 
 PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
@@ -34,10 +35,10 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
 
 def ensure_corpus() -> str:
     if not os.path.isdir(CORPUS_DIR) or not os.listdir(CORPUS_DIR):
-        from raysearch.corpus import write_corpus
+        from raysearch.corpus import write_corpus_parallel
 
         os.makedirs(BENCH_ROOT, exist_ok=True)
-        write_corpus(CORPUS_DIR, CORPUS_DOCS, rows_per_file=3125)
+        write_corpus_parallel(CORPUS_DIR, CORPUS_DOCS, rows_per_file=6250)
     return CORPUS_DIR
 
 
@@ -62,17 +63,24 @@ def run_bench() -> dict:
     from raysearch.query import query_index
 
     corpus = ensure_corpus()
-    # untimed warmup: a real (trivial) execution spawns the worker pool
-    # and warms the page cache, so timings measure compute+shuffle, not
-    # cluster cold-start or first disk read
-    n_docs = (ray.data.read_parquet(corpus, columns=["doc_id"])
-              .map_batches(lambda b: b, batch_format="pyarrow").count())
+    # untimed warmup: one full (small) build spawns the whole worker
+    # pool, imports, and page cache, so the timed run measures
+    # steady-state compute + shuffle, not cluster cold-start
+    warm_idx = os.path.join(BENCH_ROOT, f"warm-{ncpu}")
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    import ray.data as _rd
+
+    warm_src = sorted(
+        os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR))[:2]
+    build_index(warm_src, warm_idx, IndexConfig(num_parts=8),
+                input_id="warmup")
+    n_docs = _rd.read_parquet(corpus).count()
 
     idx = os.path.join(BENCH_ROOT, f"idx-{ncpu}")
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.perf_counter()
-    res = build_index(corpus, idx, IndexConfig(num_parts=32),
-                      input_id="bench-50k")
+    res = build_index(corpus, idx, IndexConfig(num_parts=NUM_PARTS),
+                      input_id=f"bench-{CORPUS_DOCS}")
     build_sec = time.perf_counter() - t0
     assert res.stats["n_docs"] == n_docs
 
@@ -103,7 +111,8 @@ def run_bench() -> dict:
 
     total = build_sec + qbatch_sec
     result = {
-        "metric": "index-build + 10-query BM25 batch (sec, 50k-doc corpus)",
+        "metric": f"index-build + 10-query BM25 batch (sec, "
+                  f"{CORPUS_DOCS}-doc corpus)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,

@@ -70,7 +70,12 @@ def _auto_parts(n_docs: int) -> int:
 
 
 def _make_segment_writer(index_dir: str, config: IndexConfig,
-                         input_id: str, valid_parts: frozenset[int]):
+                         input_id: str, valid_parts: frozenset[int],
+                         from_triples: bool = False):
+    """Segment-writing group fn. With from_triples=True (salt=1, the
+    single-shuffle plan) the group is raw triples and posting build +
+    write happen in one stage; otherwise the group is encoded partial
+    runs from the salted first shuffle."""
     config_hash = config.config_hash()
 
     def write_segment(group: pa.Table) -> pa.Table:
@@ -81,6 +86,8 @@ def _make_segment_writer(index_dir: str, config: IndexConfig,
             m = checkpoint.load_manifest(part_dir)
             s = m["stats"]
         else:
+            if from_triples:
+                group = build_partials(group)
             postings, doclens = merge_partials(group)
             s = write_segment_files(part_dir, postings, doclens)
             hot = postings.sort_by([("cf", "descending")]).slice(0, 10)
@@ -180,11 +187,30 @@ def build_index(
     triples = ds.map_batches(
         make_triple_fn(config, with_sha=with_sha),
         batch_format="pyarrow", zero_copy_batch=True)
-    partials = triples.groupby("gkey").map_groups(
-        build_partials, batch_format="pyarrow")
-    seg_rows = partials.groupby("dpart").map_groups(
-        _make_segment_writer(index_dir, config, input_id, valid),
-        batch_format="pyarrow")
+    # Coalesce triple blocks before the shuffle: the sort exchange
+    # creates (map blocks x reduce partitions) intermediate objects, so
+    # hundreds of small upstream blocks turn into tens of thousands of
+    # tiny transfers. Targeting ~max(P, cluster CPUs) blocks keeps the
+    # exchange quadratic term bounded while preserving parallelism.
+    try:
+        import ray as _ray
+        n_cpus = int(_ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        n_cpus = 32
+    triples = triples.repartition(max(config.num_parts, n_cpus))
+    if config.salt == 1:
+        # gkey == dpart: ONE shuffle, posting build + segment write in
+        # the same group task
+        seg_rows = triples.groupby("gkey").map_groups(
+            _make_segment_writer(index_dir, config, input_id, valid,
+                                 from_triples=True),
+            batch_format="pyarrow")
+    else:
+        partials = triples.groupby("gkey").map_groups(
+            build_partials, batch_format="pyarrow")
+        seg_rows = partials.groupby("dpart").map_groups(
+            _make_segment_writer(index_dir, config, input_id, valid),
+            batch_format="pyarrow")
     rows = seg_rows.take_all()  # P tiny stats rows
 
     partials_list = [

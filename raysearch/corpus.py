@@ -134,3 +134,52 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42,
         pq.write_table(tbl.slice(lo, hi - lo),
                        os.path.join(out_dir, f"corpus-{f:05d}.parquet"))
     return out_dir
+
+
+def _gen_shard(out_dir: str, shard: int, n_docs: int, offset: int,
+               seed: int) -> str:
+    """One shard, seeded independently (deterministic regardless of
+    scheduling order); doc_id = global row index (sequential — the
+    bench corpus doesn't need the lexicographic-rank property)."""
+    rng = np.random.default_rng(seed + 1000 * shard)
+    repos, paths, commits, langs, contents, ids = [], [], [], [], [], []
+    for j in range(n_docs):
+        i = offset + j
+        q = i % 10
+        repo = f"org{i % 7}/repo{(i // 7) % 25}"
+        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+        path = f"src/q{q + 1}/doc{i // 10}_{i}.{lang}"
+        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()[:12]
+        n_lines = int(rng.integers(4, 25))
+        contents.append(_make_content(rng, _QUERY_VOCAB[q], n_lines, lang))
+        repos.append(repo); paths.append(path); commits.append(commit)
+        langs.append(lang); ids.append(i)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "repo": pa.array(repos, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "commit": pa.array(commits, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "content": pa.array(contents, pa.string()),
+    })
+    dest = os.path.join(out_dir, f"corpus-{shard:05d}.parquet")
+    pq.write_table(tbl, dest)
+    return dest
+
+
+def write_corpus_parallel(out_dir: str, n_docs: int, seed: int = 42,
+                          rows_per_file: int = 6250) -> str:
+    """Large bench corpora: one Ray task per shard (Ray must already be
+    initialised). Deterministic per-shard seeding."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    gen = ray.remote(_gen_shard)
+    n_files = max(1, (n_docs + rows_per_file - 1) // rows_per_file)
+    refs = []
+    for f in range(n_files):
+        lo = f * rows_per_file
+        hi = min(lo + rows_per_file, n_docs)
+        refs.append(gen.remote(out_dir, f, hi - lo, lo, seed))
+    ray.get(refs)
+    return out_dir
