@@ -74,11 +74,12 @@ class SegmentScorer:
 
     def __init__(self, index_dir: str, queries: list[str], k: int,
                  mode: str, df: dict[str, int], n_docs: int, avgdl: float,
-                 k1: float, b: float):
+                 k1: float, b: float, prune: bool = False):
         self.index_dir = index_dir
         self.k, self.mode = k, mode
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
         self.k1, self.b = k1, b
+        self.prune = prune
         self.qweights = [query_term_weights(q) for q in queries]
         self.all_terms = sorted({t for qw in self.qweights for t, _ in qw})
 
@@ -88,10 +89,23 @@ class SegmentScorer:
             return RESULT_SCHEMA.empty_table()
         tbl = read_postings(part_dir, self.all_terms)
         postings = {}
+        max_tfs = {}
         for i, t in enumerate(tbl["term"].to_pylist()):
             postings[t] = decode_posting_row(tbl, i)
+            max_tfs[t] = tbl["max_tf"][i].as_py()
         qids, ranks, dids, scores = [], [], [], []
         for qid, qw in enumerate(self.qweights):
+            if self.prune:
+                from raysearch.wand import pruned_topk
+
+                d, s = pruned_topk(qw, postings, max_tfs, self.df,
+                                   self.n_docs, self.avgdl, self.k1,
+                                   self.b, self.k, self.mode)
+                qids.extend([qid] * len(d))
+                ranks.extend(range(1, len(d) + 1))
+                dids.extend(d.tolist())
+                scores.extend(float(x) for x in s)
+                continue
             per_term = []
             for term, w in qw:  # ascending term order = accumulation contract
                 got = postings.get(term)
@@ -130,6 +144,7 @@ def query_index(
     mode: str = "bm25",
     concurrency: int | None = None,
     use_actors: bool = False,
+    prune: bool = False,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
     the deterministic total order (-score, doc_id).
@@ -157,7 +172,7 @@ def query_index(
     scorer_kwargs = dict(
         index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
         n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-        k1=cfg["k1"], b=cfg["b"])
+        k1=cfg["k1"], b=cfg["b"], prune=prune)
     if use_actors:
         candidates = parts_ds.map_batches(
             SegmentScorer, fn_constructor_kwargs=scorer_kwargs,

@@ -1,0 +1,63 @@
+"""MaxScore pruning must be EXACT: pruned top-k == full-evaluation
+top-k, bit-identical scores, on every fixture corpus and both modes."""
+
+import numpy as np
+import pytest
+
+from raysearch.corpus import QUERIES, generate_corpus
+from raysearch.oracle import Oracle
+from raysearch.score import query_term_weights, topk
+from raysearch.wand import pruned_topk, term_upper_bound
+
+
+def _full_topk(oracle, query, k, mode):
+    return oracle.search(query, k=k, mode=mode)
+
+
+@pytest.mark.parametrize("mode", ["bm25", "overlap"])
+@pytest.mark.parametrize("seed", [42, 7])
+def test_pruned_equals_full(mode, seed):
+    corpus = generate_corpus(300, seed=seed)
+    o = Oracle(corpus)
+    max_tfs = {t: int(p[1].max()) for t, p in o._np_postings.items()}
+    for q in QUERIES:
+        full = _full_topk(o, q, 10, mode)
+        d, s = pruned_topk(query_term_weights(q), o._np_postings, max_tfs,
+                           o.df, o.n_docs, o.avgdl, o.config.k1,
+                           o.config.b, 10, mode)
+        assert list(zip(d.tolist(), s.tolist())) == full
+
+
+def test_pruning_actually_prunes():
+    """On a skewed corpus with one rare high-idf term per query, the
+    non-essential set must be non-empty for at least one query (the
+    hot terms' bounds fall below theta)."""
+    corpus = generate_corpus(500, seed=42)
+    o = Oracle(corpus)
+    from raysearch.score import bm25_idf
+
+    q = "import return def parser ast"  # hot code tokens + rare vocab
+    qw = query_term_weights(q)
+    present = [(t, w) for t, w in qw if t in o._np_postings]
+    bounds = {
+        t: term_upper_bound(w, bm25_idf(o.df[t], o.n_docs),
+                            o.config.k1, "bm25", 0)
+        for t, w in present}
+    # hot terms ('the' absent; common code tokens present everywhere)
+    # must have far lower bounds than the rare query vocabulary
+    assert max(bounds.values()) > 3 * min(bounds.values())
+
+
+def test_query_index_prune_matches(ray_session, small_corpus, tmp_path):
+    import ray.data
+
+    from raysearch.build import build_index
+    from raysearch.config import IndexConfig
+    from raysearch.query import query_index
+
+    idx = str(tmp_path / "pidx")
+    build_index(ray.data.from_arrow(small_corpus), idx,
+                IndexConfig(num_parts=4), input_id="t1")
+    a = query_index(idx, QUERIES, k=10, mode="bm25", prune=False)
+    b = query_index(idx, QUERIES, k=10, mode="bm25", prune=True)
+    assert a.equals(b)
