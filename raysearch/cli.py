@@ -1,0 +1,107 @@
+"""CLI entry points (``ray job submit`` friendly).
+
+    python -m raysearch.cli gen-corpus --out /tmp/corpus --docs 100000
+    python -m raysearch.cli build --corpus /tmp/corpus --index /tmp/idx \
+        --parts 64 [--salt 2]
+    python -m raysearch.cli query --index /tmp/idx --query "hash join" \
+        [--k 10 --mode bm25 --prune]
+
+The CLI owns the Ray session (guarded init + shutdown); the library
+never calls ray.init itself, so the same code runs under the driver's
+pre-initialised session, pytest's session fixture, or a submitted job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_gen_corpus(args) -> None:
+    ray = _ray_session()
+    from raysearch.corpus import write_corpus, write_corpus_parallel
+
+    if args.docs >= 50_000:
+        write_corpus_parallel(args.out, args.docs, seed=args.seed)
+    else:
+        write_corpus(args.out, args.docs, seed=args.seed)
+    print(json.dumps({"out": args.out, "docs": args.docs}))
+    ray.shutdown()
+
+
+def cmd_build(args) -> None:
+    ray = _ray_session()
+    from raysearch.build import build_index
+    from raysearch.config import IndexConfig
+
+    cfg = IndexConfig(num_parts=args.parts, salt=args.salt,
+                      k1=args.k1, b=args.b)
+    res = build_index(args.corpus, args.index, cfg, input_id=args.corpus)
+    print(json.dumps({
+        "index": res.index_dir,
+        "n_docs": res.stats["n_docs"],
+        "vocab_size": res.stats.get("vocab_size"),
+        "avgdl": res.stats["avgdl"],
+        "parts_built": res.parts_built,
+        "parts_skipped": res.parts_skipped,
+    }))
+    ray.shutdown()
+
+
+def cmd_query(args) -> None:
+    ray = _ray_session()
+    from raysearch.query import query_index
+
+    out = query_index(args.index, [args.query], k=args.k, mode=args.mode,
+                      prune=args.prune)
+    for row in out.to_pylist():
+        print(json.dumps(row))
+    ray.shutdown()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="raysearch")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen_corpus)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--parts", type=int, default=32)
+    b.add_argument("--salt", type=int, default=1)
+    b.add_argument("--k1", type=float, default=1.2)
+    b.add_argument("--b", type=float, default=0.75)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
+    q.add_argument("--prune", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
