@@ -1,0 +1,93 @@
+"""Run the engine on the REFERENCE's own test inputs: the 100-file
+labeled corpus (/root/reference/documents/query{q}document{d}.txt) and
+its 10 distinct queries (/root/reference/queries.txt:1-10), evaluated
+with the reference's accuracy metric — precision@10 of filename-label
+matches (/root/reference/src/bin/test.rs:122-137). "A user of the
+reference could switch to this engine and run the pipeline they run
+today." Read-only access to the reference's data files; no code is
+used."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from raysearch.build import build_index
+from raysearch.config import IndexConfig
+from raysearch.oracle import Oracle
+from raysearch.query import query_index
+
+REF_DOCS = "/root/reference/documents"
+REF_QUERIES = "/root/reference/queries.txt"
+
+
+@pytest.fixture(scope="module")
+def ref_corpus():
+    if not os.path.isdir(REF_DOCS):
+        pytest.skip("reference corpus not available")
+    names = sorted(os.listdir(REF_DOCS))
+    rows = []
+    for doc_id, name in enumerate(names):
+        with open(os.path.join(REF_DOCS, name), encoding="utf-8",
+                  errors="replace") as f:
+            content = f.read()
+        # Document.id = file name incl. extension (src/main.rs:331);
+        # we keep the name alongside a dense int64 doc_id
+        rows.append((doc_id, name, name.split(".")[-1], content))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "path": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "content": pa.array([r[3] for r in rows], pa.string()),
+    })
+    with open(REF_QUERIES) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    queries = list(dict.fromkeys(lines))[:10]  # 10 distinct, in order
+    return tbl, queries
+
+
+def _label(name: str) -> int:
+    # query{q}document{d}.txt -> q
+    return int(name.split("document")[0].removeprefix("query"))
+
+
+def test_reference_corpus_precision(ray_session, ref_corpus, tmp_path):
+    import ray.data
+
+    tbl, queries = ref_corpus
+    idx = str(tmp_path / "refidx")
+    build_index(ray.data.from_arrow(tbl), idx, IndexConfig(num_parts=4),
+                input_id="reference-documents")
+    names = dict(zip(tbl["doc_id"].to_pylist(), tbl["path"].to_pylist()))
+
+    # measured on this corpus: bm25 0.87, overlap-tf 0.67 — BM25
+    # strictly beats the reference's own integer scoring on the
+    # reference's own evaluation (common stop-words leak across labels
+    # in the natural-language corpus, which idf down-weights)
+    precisions = {}
+    for mode in ("bm25", "overlap"):
+        out = query_index(idx, queries, k=10, mode=mode)
+        df = out.to_pandas()
+        total, hits = 0, 0
+        for qid in range(len(queries)):
+            sub = df[df.query_id == qid]
+            assert len(sub) == 10
+            total += 10
+            hits += sum(_label(names[d]) == qid + 1 for d in sub.doc_id)
+        precisions[mode] = hits / total
+    assert precisions["bm25"] >= 0.85, precisions
+    assert precisions["overlap"] >= 0.6, precisions
+    assert precisions["bm25"] > precisions["overlap"]
+
+
+def test_reference_corpus_rank_identity(ray_session, ref_corpus, tmp_path):
+    """Engine vs oracle on the reference's own corpus — bit-exact."""
+    import ray.data
+
+    tbl, queries = ref_corpus
+    idx = str(tmp_path / "refidx2")
+    build_index(ray.data.from_arrow(tbl), idx, IndexConfig(num_parts=4),
+                input_id="reference-documents")
+    out = query_index(idx, queries, k=10, mode="bm25")
+    golden = Oracle(tbl).search_all(queries, k=10, mode="bm25")
+    assert out.equals(golden)
