@@ -38,11 +38,13 @@ def _read_docs(sf_dir: str):
 
 
 def _tokens(batch: pa.Table) -> pa.ListArray:
+    from raysearch.tokenize import _drop_empty_tokens
+
     out = pc.utf8_split_whitespace(pc.utf8_lower(
         pc.cast(batch["text"], pa.large_string())))
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
-    return out
+    return _drop_empty_tokens(out)
 
 
 class TextStats:

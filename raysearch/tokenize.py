@@ -115,6 +115,28 @@ def tokenize_query(query: str) -> list[str]:
 
 # ---- vectorized batch path ----
 
+def _drop_empty_tokens(lst: pa.Array) -> pa.Array:
+    """Arrow's utf8_split_whitespace emits '' tokens at string edges
+    (leading/trailing whitespace); Python's str.split() never does.
+    Filter them so both paths agree exactly."""
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    if pc.all(keep).as_py() in (True, None):
+        return lst
+    n = len(lst)
+    dl = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    row = np.repeat(np.arange(n, dtype=np.int64), dl)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    new_counts = np.zeros(n, dtype=np.int64)
+    np.add.at(new_counts, row[keep_np], 1)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=offsets[1:])
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), flat.filter(keep))
+
+
 def tokenize_column(content: pa.Array, lang: pa.Array | None = None) -> pa.ListArray:
     """Tokenize a string column into list<string>, one list per row.
 
@@ -124,7 +146,8 @@ def tokenize_column(content: pa.Array, lang: pa.Array | None = None) -> pa.ListA
     back in position.
     """
     content = pc.cast(content, pa.large_string())
-    plain = pc.utf8_split_whitespace(pc.utf8_lower(content))
+    plain = _drop_empty_tokens(
+        pc.utf8_split_whitespace(pc.utf8_lower(content)))
     if lang is None:
         return plain
     lang_np = np.asarray(lang.to_numpy(zero_copy_only=False), dtype=object)

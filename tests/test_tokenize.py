@@ -72,3 +72,11 @@ def test_tokenize_column_matches_row_tokenizers():
 def test_tokenize_column_all_plain_fast_path():
     out = tokenize_column(pa.array(["A b", "C  d\te"])).to_pylist()
     assert out == [["a", "b"], ["c", "d", "e"]]
+
+
+def test_tokenize_column_edge_whitespace_matches_python_split():
+    # arrow's split emits '' at string edges; python's split doesn't —
+    # the column path must match python exactly (incl. dl counts)
+    texts = ["  lead", "trail  ", "  both  ", "", "   ", "a\n"]
+    out = tokenize_column(pa.array(texts)).to_pylist()
+    assert out == [[t.lower() for t in s.split()] for s in texts]
