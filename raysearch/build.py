@@ -64,6 +64,31 @@ class BuildResult:
     parts_skipped: int
 
 
+def _dedup_by_content(ds):
+    """Exact first-wins dedup on sha256(content): coarse-bucket
+    groupby + vectorized drop_duplicates per bucket."""
+    import hashlib
+
+    import pandas as pd
+
+    def add_sha(b: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(s.encode()).hexdigest()
+                for s in b["content"].to_pylist()]
+        bucket = [int(s[:4], 16) % 64 for s in shas]
+        return (b.append_column("_sha", pa.array(shas, pa.string()))
+                 .append_column("_bucket", pa.array(bucket, pa.int64())))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_sha", "doc_id"]).drop_duplicates(
+            "_sha", keep="first")
+        return g.drop(columns=["_sha", "_bucket"])
+
+    return (ds.map_batches(add_sha, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(first_wins, batch_format="pandas"))
+
+
 def _auto_parts(n_docs: int) -> int:
     # ~50k docs per segment, clamped; decoupled from cluster size
     return max(4, min(512, (n_docs + 49_999) // 50_000 or 4))
@@ -146,13 +171,25 @@ def build_index(
     input_id: str | None = None,
     with_sha: bool = True,
     verify_resume_bytes: bool = True,
+    supported_langs: frozenset[str] | None = None,
+    dedup_input: bool = False,
 ) -> BuildResult:
     """Build (or resume) an index at ``index_dir`` from a corpus.
 
     source: parquet path(s) or a ray.data.Dataset with columns
         (doc_id, lang, content). Extra columns are pruned at the read
         when a path is given.
+    supported_langs: if given, rows with other lang values are dropped
+        before tokenization (SURVEY §2.2 M6 — the reference skips
+        files with unsupported extensions, src/main.rs:336-344). A
+        vectorized predicate inside map_batches, not a per-row filter.
+    dedup_input: optional exact dedup of identical content before
+        indexing (SURVEY §2.6 — "cheap safety groupby", first-wins by
+        smallest doc_id). One extra hash-partitioned shuffle keyed on
+        a coarse bucket of sha256(content); duplicate resolution is
+        vectorized pandas inside each bucket, never per-group Python.
     """
+    import pyarrow.compute as _pc
     import ray.data
 
     if isinstance(source, (str, list)):
@@ -161,6 +198,13 @@ def build_index(
     else:
         ds = source
         default_id = "<dataset>"
+    if supported_langs is not None:
+        langs = pa.array(sorted(supported_langs))
+        ds = ds.map_batches(
+            lambda b: b.filter(_pc.is_in(b["lang"], langs)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    if dedup_input:
+        ds = _dedup_by_content(ds)
     n_input = ds.count()
     input_id = f"{input_id or default_id}#rows={n_input}"
 

@@ -49,7 +49,11 @@ def cmd_build(args) -> None:
 
     cfg = IndexConfig(num_parts=args.parts, salt=args.salt,
                       k1=args.k1, b=args.b)
-    res = build_index(args.corpus, args.index, cfg, input_id=args.corpus)
+    res = build_index(
+        args.corpus, args.index, cfg, input_id=args.corpus,
+        supported_langs=frozenset(args.langs.split(","))
+        if args.langs else None,
+        dedup_input=args.dedup_input)
     print(json.dumps({
         "index": res.index_dir,
         "n_docs": res.stats["n_docs"],
@@ -63,9 +67,13 @@ def cmd_build(args) -> None:
 
 def cmd_query(args) -> None:
     ray = _ray_session()
-    from raysearch.query import query_index
+    from raysearch.query import query_index, read_queries
 
-    out = query_index(args.index, [args.query], k=args.k, mode=args.mode,
+    if args.queries_file:
+        queries = read_queries(args.queries_file)
+    else:
+        queries = [args.query]
+    out = query_index(args.index, queries, k=args.k, mode=args.mode,
                       prune=args.prune)
     for row in out.to_pylist():
         print(json.dumps(row))
@@ -89,11 +97,17 @@ def main(argv=None) -> None:
     b.add_argument("--salt", type=int, default=1)
     b.add_argument("--k1", type=float, default=1.2)
     b.add_argument("--b", type=float, default=0.75)
+    b.add_argument("--langs", default=None,
+                   help="comma-separated lang whitelist (M6 filter)")
+    b.add_argument("--dedup-input", action="store_true")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
-    q.add_argument("--query", required=True)
+    q.add_argument("--query", default=None)
+    q.add_argument("--queries-file", default=None,
+                   help="file of queries, one per line (reference "
+                        "queries.txt format)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
     q.add_argument("--prune", action="store_true")

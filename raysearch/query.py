@@ -58,6 +58,14 @@ RESULT_SCHEMA = pa.schema([
 ])
 
 
+def read_queries(path: str) -> list[str]:
+    """Query-file source (SURVEY §2.1 S2 — the reference harness reads
+    queries.txt lines, /root/reference/src/bin/test.rs:20-32). Returns
+    non-empty lines; tokenization happens at scoring time."""
+    with open(path, encoding="utf-8") as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
 def lexicon_df(index_dir: str, terms: list[str]) -> dict[str, int]:
     """Global df for the query terms (filtered read of the lexicon)."""
     import pyarrow.dataset as pads
