@@ -32,6 +32,7 @@ TOPK = 10
 _BUFFER = 30
 DUP_COS_THRESHOLD = 0.35
 LSH_PLANES = 8
+LSH_PROBE_HAMMING = 1  # multiprobe: also search buckets 1 bit away
 
 
 def _read_emb(sf_dir: str):
@@ -141,9 +142,13 @@ def embedding_dups(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 def ann_lsh(sf_dir: str) -> pa.Table:
     """Approximate ANN: random-hyperplane LSH (8 deterministic planes
-    -> 256 buckets), brute-force only within the query's bucket.
+    -> 256 buckets) with 1-bit multiprobe, brute-force only within the
+    probed buckets (~(planes+1)/2^planes of the data per query).
     Approximate -> rows-only driver check; recall tested in pytest."""
     import ray.data
     from ray.data.aggregate import Count
@@ -162,7 +167,8 @@ def ann_lsh(sf_dir: str) -> pa.Table:
         bucket = (sig << np.arange(LSH_PLANES, dtype=np.uint8)).sum(axis=1)
         out_q, out_v, out_c = [], [], []
         for j, qid in enumerate(qids):
-            mask = bucket == qbucket[j]
+            mask = _POP8[np.bitwise_xor(bucket, qbucket[j])] <= \
+                LSH_PROBE_HAMMING
             if not mask.any():
                 continue
             sims = bn[mask] @ qn[j]
