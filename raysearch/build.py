@@ -268,7 +268,15 @@ def build_index(
         index_dir, merged, config.to_dict(),
         {"input_id": input_id, "config_hash": config_hash},
         extra={"vocab_size": vocab,
-               "parts": sorted(int(r["part"]) for r in rows)})
+               "parts": sorted(int(r["part"]) for r in rows),
+               # per-partition size/skew detail (north rule: per-
+               # partition throughput and skew metrics logged)
+               "parts_detail": sorted(
+                   ({"part": int(r["part"]), "n_docs": int(r["n_docs"]),
+                     "n_terms": int(r["n_terms"]),
+                     "n_postings": int(r["n_postings"]),
+                     "sum_dl": int(r["sum_dl"])} for r in rows),
+                   key=lambda d: d["part"])})
     n_skipped = sum(1 for r in rows if r["skipped"])
     return BuildResult(index_dir, stats,
                        parts_built=len(rows) - n_skipped,

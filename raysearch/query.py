@@ -181,15 +181,19 @@ def query_index(
         index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
         n_docs=stats["n_docs"], avgdl=stats["avgdl"],
         k1=cfg["k1"], b=cfg["b"], prune=prune)
+    # several segments per task: per-part work is a filtered parquet
+    # read + vectorized scoring (~tens of ms), so one task per part
+    # would be pure scheduling overhead at high P
+    per_task = max(1, len(parts) // (2 * concurrency))
     if use_actors:
         candidates = parts_ds.map_batches(
             SegmentScorer, fn_constructor_kwargs=scorer_kwargs,
-            batch_format="pyarrow", batch_size=1,
+            batch_format="pyarrow", batch_size=per_task,
             concurrency=min(concurrency, max(1, len(parts))), num_cpus=1)
     else:
         scorer = SegmentScorer(**scorer_kwargs)
         candidates = parts_ds.map_batches(
-            scorer, batch_format="pyarrow", batch_size=1, num_cpus=1)
+            scorer, batch_format="pyarrow", batch_size=per_task, num_cpus=1)
     # P * Q * k candidate rows — k-bounded and tiny by construction, so
     # the final merge is a driver-side selection, not a shuffle
     cand = candidates.to_pandas()
