@@ -1,0 +1,95 @@
+"""True interruption resume (FIXTURES.md §4.4): SIGKILL a build
+subprocess after at least one partition manifest lands, re-run to
+completion, and require segments byte-identical to an uninterrupted
+build."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from raysearch.segments import part_dirname
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_BUILD_SNIPPET = """
+import sys, ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from raysearch.build import build_index
+from raysearch.config import IndexConfig
+from raysearch.corpus import write_corpus
+corpus, idx = sys.argv[1], sys.argv[2]
+build_index(corpus, idx, IndexConfig(num_parts=6), input_id="kill-test")
+ray.shutdown()
+print("DONE")
+"""
+
+
+def _segment_bytes(idx, parts):
+    out = {}
+    for p in parts:
+        d = part_dirname(idx, p)
+        for name in ("postings.parquet", "doclens.parquet"):
+            with open(os.path.join(d, name), "rb") as f:
+                out[(p, name)] = f.read()
+    return out
+
+
+@pytest.mark.timeout(300)
+def test_kill_and_resume(tmp_path):
+    corpus = str(tmp_path / "corpus")
+    from raysearch.corpus import write_corpus
+
+    write_corpus(corpus, 3000, rows_per_file=500)
+
+    # clean reference build
+    idx_clean = str(tmp_path / "clean")
+    r = subprocess.run([sys.executable, "-c", _BUILD_SNIPPET, corpus,
+                        idx_clean], cwd=REPO, capture_output=True,
+                       text=True, timeout=240)
+    assert "DONE" in r.stdout, r.stderr[-2000:]
+    from raysearch.stats import load_stats
+
+    parts = load_stats(idx_clean)["parts"]
+    clean = _segment_bytes(idx_clean, parts)
+
+    # interrupted build: kill as soon as one manifest exists
+    idx_int = str(tmp_path / "interrupted")
+    proc = subprocess.Popen([sys.executable, "-c", _BUILD_SNIPPET, corpus,
+                             idx_int], cwd=REPO,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    deadline = time.time() + 180
+    killed = False
+    while time.time() < deadline and proc.poll() is None:
+        seg_root = os.path.join(idx_int, "segments")
+        if os.path.isdir(seg_root):
+            manifests = [d for d in os.listdir(seg_root)
+                         if os.path.exists(os.path.join(
+                             seg_root, d, "_MANIFEST.json"))]
+            if manifests:
+                proc.send_signal(signal.SIGKILL)
+                killed = True
+                break
+        time.sleep(0.02)
+    if proc.poll() is None:
+        proc.kill()
+    proc.wait()
+    if not killed:
+        pytest.skip("build finished before a manifest appeared")
+    assert not os.path.exists(os.path.join(idx_int, "stats.json"))
+
+    # resume to completion
+    r2 = subprocess.run([sys.executable, "-c", _BUILD_SNIPPET, corpus,
+                         idx_int], cwd=REPO, capture_output=True,
+                        text=True, timeout=240)
+    assert "DONE" in r2.stdout, r2.stderr[-2000:]
+    assert _segment_bytes(idx_int, parts) == clean
+    stats = load_stats(idx_int)
+    assert stats["n_docs"] == 3000
