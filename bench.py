@@ -109,6 +109,14 @@ def run_bench() -> dict:
         fn(sf_dir)
         per_query[name] = round(time.perf_counter() - t0, 3)
 
+    # partition skew: largest / median posting mass across segments
+    detail = res.stats.get("parts_detail") or []
+    skew = None
+    if detail:
+        masses = sorted(d["n_postings"] for d in detail)
+        med = masses[len(masses) // 2]
+        skew = round(masses[-1] / med, 3) if med else None
+
     total = build_sec + qbatch_sec
     result = {
         "metric": f"index-build + 10-query BM25 batch (sec, "
@@ -123,6 +131,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / build_sec, 1),
         "p50_query_ms": round(p50_ms, 1),
         "n_docs": n_docs,
+        "part_skew_max_over_median": skew,
     }
     ray.shutdown()
     return result

@@ -75,8 +75,16 @@ def cmd_query(args) -> None:
         queries = [args.query]
     out = query_index(args.index, queries, k=args.k, mode=args.mode,
                       prune=args.prune)
-    for row in out.to_pylist():
-        print(json.dumps(row))
+    if args.out:
+        import pyarrow.parquet as pq
+
+        os_mod = __import__("os")
+        os_mod.makedirs(args.out, exist_ok=True)
+        pq.write_table(out, os_mod.path.join(args.out, "results.parquet"))
+        print(json.dumps({"out": args.out, "rows": out.num_rows}))
+    else:
+        for row in out.to_pylist():
+            print(json.dumps(row))
     ray.shutdown()
 
 
@@ -111,6 +119,8 @@ def main(argv=None) -> None:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
     q.add_argument("--prune", action="store_true")
+    q.add_argument("--out", default=None,
+                   help="write results parquet here instead of stdout")
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
