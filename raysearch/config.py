@@ -32,7 +32,10 @@ class IndexConfig:
     salt: int = 1
     k1: float = 1.2
     b: float = 0.75
-    tokenizer_version: str = "ref-v1"  # whitespace+lower docs, \w+ lower queries
+    # BUMP whenever tokenizer semantics change — the hash invalidates
+    # every cached/checkpointed segment built under older semantics.
+    # v2: drop arrow's empty edge tokens (match str.split exactly).
+    tokenizer_version: str = "ref-v2"  # whitespace+lower docs, \w+ lower queries
     codec_version: str = "dv1"  # delta+varint postings
 
     def config_hash(self) -> str:

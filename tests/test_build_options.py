@@ -43,6 +43,28 @@ def test_dedup_input_first_wins(ray_session, tmp_path):
     assert out2["doc_id"].to_pylist() == [1]  # smallest doc_id won
 
 
+def test_empty_and_whitespace_docs(ray_session, tmp_path):
+    """Empty / all-whitespace docs must count toward N and avgdl but
+    produce no postings (dl = 0) — matching the DuckDB oracle's
+    count(*)/sum semantics."""
+    import ray.data
+
+    base = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["txt"] * 4, pa.string()),
+        "content": pa.array(["two tokens", "", "   \n\t ", "one"],
+                            pa.string()),
+    })
+    idx = str(tmp_path / "eidx")
+    res = build_index(ray.data.from_arrow(base), idx,
+                      IndexConfig(num_parts=2), input_id="empty")
+    assert res.stats["n_docs"] == 4
+    assert res.stats["total_tokens"] == 3
+    assert res.stats["avgdl"] == 3 / 4
+    out = query_index(idx, ["tokens one"], k=5, mode="overlap")
+    assert set(out["doc_id"].to_pylist()) == {0, 3}
+
+
 def test_read_queries(tmp_path):
     p = tmp_path / "queries.txt"
     p.write_text("Fast hash join?\n\n  Sort it!  \n")
