@@ -130,6 +130,15 @@ def test_precision_at_10_engine(ray_session, small_corpus, tmp_path):
         assert label == qid + 1
 
 
+def test_actor_pool_path_identical(built_t2):
+    """use_actors=True (long-lived serving pool) must return exactly
+    what the stateless-task path returns."""
+    idx, _ = built_t2
+    a = query_index(idx, QUERIES, k=10, mode="bm25", use_actors=False)
+    b = query_index(idx, QUERIES, k=10, mode="bm25", use_actors=True)
+    assert a.equals(b)
+
+
 def test_lexicon_global_df(built_t2, medium_corpus):
     import pyarrow.dataset as pads
     import os
