@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 from raysearch.config import IndexConfig
 from raysearch.score import query_term_weights
-from raysearch.tokenize import tokenize_query
+
 
 # fixed query set over the documents-table vocabulary (punctuation and
 # case exercise the \w+-lower query tokenizer, FIXTURES.md §2)

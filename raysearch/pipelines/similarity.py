@@ -151,7 +151,6 @@ def ann_lsh(sf_dir: str) -> pa.Table:
     probed buckets (~(planes+1)/2^planes of the data per query).
     Approximate -> rows-only driver check; recall tested in pytest."""
     import ray.data
-    from ray.data.aggregate import Count
 
     qids, qmat = _query_vectors(sf_dir)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

@@ -7,7 +7,6 @@ actor-pool class) with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np

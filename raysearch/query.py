@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raysearch.config import IndexConfig
+
 from raysearch.score import (
     accumulate_scores,
     bm25_contrib,
