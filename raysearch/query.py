@@ -197,6 +197,11 @@ def query_index(
     # P * Q * k candidate rows — k-bounded and tiny by construction, so
     # the final merge is a driver-side selection, not a shuffle
     cand = candidates.to_pandas()
+    if cand.empty:
+        cand = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int32"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
     out_frames = []
     for qid in range(len(queries)):
         sub = cand[cand.query_id == qid]

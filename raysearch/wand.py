@@ -21,6 +21,11 @@ top-k, bit-identical scores included:
    cannot displace any of the >= k docs scoring >= theta — the
    candidate set (union of essential postings) is a superset of the
    true top-k.
+3b. Block-max refinement: each essential posting is viewed in
+   128-entry blocks with a per-block max-tf score bound (dl-free,
+   conservative); a candidate whose summed block bounds plus the
+   non-essential total still falls strictly below theta is dropped
+   before full scoring. Still a superset of the true top-k.
 4. Candidates are then scored over ALL query terms in ascending
    unique-term order — the same canonical accumulation order as full
    evaluation and the oracle — so returned scores are bit-identical.
@@ -36,6 +41,46 @@ import numpy as np
 from raysearch.score import accumulate_scores, bm25_contrib, bm25_idf, topk
 
 Posting = tuple[np.ndarray, np.ndarray, np.ndarray]  # docs, tfs, dls
+
+BLOCK = 128  # posting entries per block for block-max bounds
+
+
+def _block_entry_bounds(tfs: np.ndarray, w: int, idf: float, k1: float,
+                        b: float, mode: str) -> np.ndarray:
+    """Per-entry score upper bound from each 128-entry block's max tf.
+
+    The bound is dl-free (denominator minimized at dl -> 0:
+    tf*(k1+1)/(tf + k1*(1-b)) is the largest the tf-norm can get for
+    that tf), so it is conservative for every entry in the block."""
+    n = len(tfs)
+    starts = np.arange(0, n, BLOCK)
+    bmax = np.maximum.reduceat(tfs, starts).astype(np.float64)
+    if mode == "overlap":
+        block_ub = w * bmax
+    else:
+        block_ub = (w * idf) * (bmax * (k1 + 1.0)) / (bmax + k1 * (1.0 - b))
+    return np.repeat(block_ub, np.minimum(BLOCK, n - starts))
+
+
+def _block_max_candidates(essential, postings, idfs, k1, b, mode,
+                          theta: float, cum_non_essential: float
+                          ) -> np.ndarray:
+    """Block-max candidate pruning (exact): a doc whose summed
+    block-level upper bounds across the essential terms, plus the
+    non-essential terms' total bound, fall strictly below theta cannot
+    reach the top-k and is dropped before canonical scoring."""
+    if not essential:
+        return np.zeros(0, np.int64)
+    all_docs = np.concatenate([postings[t][0] for t, _ in essential])
+    if theta <= cum_non_essential:
+        return np.unique(all_docs)
+    all_ubs = np.concatenate([
+        _block_entry_bounds(postings[t][1], w, idfs[t], k1, b, mode)
+        for t, w in essential])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    ub = np.full(len(uniq), cum_non_essential, dtype=np.float64)
+    np.add.at(ub, inv, all_ubs)
+    return uniq[ub >= theta]
 
 
 def term_upper_bound(weight: int, idf: float, k1: float, mode: str,
@@ -95,8 +140,8 @@ def pruned_topk(
             break
     essential = [tw for tw in terms if tw[0] not in non_essential]
 
-    cand = (np.unique(np.concatenate([postings[t][0] for t, _ in essential]))
-            if essential else np.zeros(0, np.int64))
+    cand = _block_max_candidates(essential, postings, idfs,
+                                 k1, b, mode, theta, cum)
     if len(cand) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 

@@ -65,6 +65,21 @@ def test_empty_and_whitespace_docs(ray_session, tmp_path):
     assert set(out["doc_id"].to_pylist()) == {0, 3}
 
 
+def test_unknown_term_queries(ray_session, small_corpus, tmp_path):
+    """Queries with no indexed terms return zero rows (no crash, no
+    placeholder rows) in both modes and with pruning."""
+    import ray.data
+
+    idx = str(tmp_path / "uidx")
+    build_index(ray.data.from_arrow(small_corpus), idx,
+                IndexConfig(num_parts=4), input_id="t1")
+    for mode in ("bm25", "overlap"):
+        out = query_index(idx, ["zzzqxj nonexistent!"], k=10, mode=mode)
+        assert out.num_rows == 0
+    out = query_index(idx, ["zzzqxj", QUERIES[0]], k=5, prune=True)
+    assert set(out["query_id"].to_pylist()) == {1}
+
+
 def test_read_queries(tmp_path):
     p = tmp_path / "queries.txt"
     p.write_text("Fast hash join?\n\n  Sort it!  \n")

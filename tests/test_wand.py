@@ -48,6 +48,35 @@ def test_pruning_actually_prunes():
     assert max(bounds.values()) > 3 * min(bounds.values())
 
 
+def test_block_max_candidates_prune_and_stay_exact():
+    """Block-max candidate pruning must shrink the candidate set on a
+    hot+rare query (theta high, hot-term blocks bounded low) while the
+    final top-k stays equal to full evaluation."""
+    from raysearch.score import bm25_idf
+    from raysearch.wand import _block_max_candidates
+
+    corpus = generate_corpus(800, seed=42)
+    o = Oracle(corpus)
+    q = "import parser ast grammar syntax"
+    qw = [(t, w) for t, w in query_term_weights(q) if t in o._np_postings]
+    idfs = {t: bm25_idf(o.df[t], o.n_docs) for t, _ in qw}
+    # theta from the rare high-bound terms' typical contribution scale
+    all_cand = np.unique(np.concatenate([o._np_postings[t][0]
+                                         for t, _ in qw]))
+    theta = 5.0
+    pruned = _block_max_candidates(qw, o._np_postings, idfs,
+                                   o.config.k1, o.config.b, "bm25",
+                                   theta, 0.0)
+    assert len(pruned) < len(all_cand)
+    # and end-to-end exactness at that corpus size
+    max_tfs = {t: int(p[1].max()) for t, p in o._np_postings.items()}
+    full = o.search(q, k=10, mode="bm25")
+    d, s = pruned_topk(query_term_weights(q), o._np_postings, max_tfs,
+                       o.df, o.n_docs, o.avgdl, o.config.k1, o.config.b,
+                       10, "bm25")
+    assert list(zip(d.tolist(), s.tolist())) == full
+
+
 def test_query_index_prune_matches(ray_session, small_corpus, tmp_path):
     import ray.data
 
