@@ -232,16 +232,18 @@ def build_index(
         make_triple_fn(config, with_sha=with_sha),
         batch_format="pyarrow", zero_copy_batch=True)
     # Coalesce triple blocks before the shuffle: the sort exchange
-    # creates (map blocks x reduce partitions) intermediate objects, so
-    # hundreds of small upstream blocks turn into tens of thousands of
-    # tiny transfers. Targeting ~max(P, cluster CPUs) blocks keeps the
-    # exchange quadratic term bounded while preserving parallelism.
+    # creates (map blocks x reduce partitions) intermediate objects —
+    # QUADRATIC in block count (measured: P=64 blocks 13.5s, P=128
+    # blocks 45s on a 1M-doc corpus) — so the width is capped
+    # independently of num_parts. Reduce groups (one per gkey) are
+    # unaffected: any number of logical groups flows through a bounded
+    # physical exchange.
     try:
         import ray as _ray
         n_cpus = int(_ray.cluster_resources().get("CPU", 32))
     except Exception:
         n_cpus = 32
-    triples = triples.repartition(max(config.num_parts, n_cpus))
+    triples = triples.repartition(min(max(config.num_parts, n_cpus), 64))
     if config.salt == 1:
         # gkey == dpart: ONE shuffle, posting build + segment write in
         # the same group task
