@@ -59,6 +59,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(multimodal.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import extras
+        out.update(extras.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -68,7 +73,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
-                     "multimodal"):
+                     "multimodal", "extras"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

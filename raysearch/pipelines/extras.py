@@ -1,0 +1,270 @@
+"""Additional aggregation / ranking operators over the testdata tables
+— the SURVEY §2.6 categories the reference lacks, expressed
+Ray-Data-first with exact DuckDB oracles.
+
+- source_stats: grouped aggregate with map-side partials (the
+  combiner pattern: one partial row per key per batch).
+- top_terms_tfidf: per-document top-k ranking against a broadcast
+  global-df side (tiny) — no shuffle join.
+- window_top_events: windowed top-k (tumbling hour windows, top event
+  types per window) — the streaming-top-k shape on a batch log.
+- phrase_counts: adjacent-bigram phrase membership via the shingle
+  machinery (a positional query the unigram index cannot answer).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raysearch.pipelines.textops import _tokens
+
+_DOCS = "documents.parquet"
+
+TFIDF_TOPK = 3
+WINDOW_US = 3_600_000_000
+WINDOW_TOPK = 2
+PHRASES = ["hash join", "sort merge", "window stream"]
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                                 columns=columns)
+
+
+def source_stats(sf_dir: str) -> pa.Table:
+    """(source, n_docs, total_tokens, avg_dl): grouped aggregate with
+    per-batch partials so the shuffle carries one row per (source,
+    batch), not one per document."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        dl = pc.list_value_length(_tokens(b)).to_numpy().astype(np.int64)
+        df = pd.DataFrame({"source": b["source"].to_pylist(), "dl": dl})
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("dl", "size"), total_tokens=("dl", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read_docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"))
+    df = agg.to_pandas()
+    return pa.table({
+        "source": pa.array(df.source.tolist(), pa.string()),
+        "n_docs": pa.array(df.n_docs.to_numpy(np.int64), pa.int64()),
+        "total_tokens": pa.array(df.total_tokens.to_numpy(np.int64),
+                                 pa.int64()),
+        "avg_dl": pa.array(
+            np.round(df.total_tokens.to_numpy(np.float64)
+                     / df.n_docs.to_numpy(np.float64), 6), pa.float64()),
+    })
+
+
+def top_terms_tfidf(sf_dir: str) -> pa.Table:
+    """Top-3 terms per doc by tf * ln(N/df), ties by term asc; global
+    df is computed once and broadcast into the per-batch ranking (a
+    broadcast join, no shuffle). Scores rounded to 6; re-ranked on the
+    rounded value on both sides."""
+    from raysearch.pipelines.search_queries import cached_index
+    from raysearch.stats import load_stats
+    import pyarrow.dataset as pads
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    lex = pads.dataset(os.path.join(idx, "lexicon")).to_table(
+        columns=["term", "df"])
+    df_map = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+    n_docs = float(st["n_docs"])
+
+    def rank(b: pa.Table) -> pa.Table:
+        toks = _tokens(b)
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_ids = b["doc_id"].to_numpy()
+        rows_d, rows_t, rows_s = [], [], []
+        lists = toks.to_pylist()
+        for d, ts in zip(doc_ids, lists):
+            if not ts:
+                continue
+            counts: dict[str, int] = {}
+            for t in ts:
+                counts[t] = counts.get(t, 0) + 1
+            scored = sorted(
+                ((round(tf * float(np.log(n_docs / df_map.get(t, 1.0))), 6),
+                  t) for t, tf in counts.items()),
+                key=lambda x: (-x[0], x[1]))[:TFIDF_TOPK]
+            for r, (s, t) in enumerate(scored, 1):
+                rows_d.append((int(d), r))
+                rows_t.append(t)
+                rows_s.append(s)
+        return pa.table({
+            "doc_id": pa.array([x[0] for x in rows_d], pa.int64()),
+            "rank": pa.array([x[1] for x in rows_d], pa.int64()),
+            "term": pa.array(rows_t, pa.string()),
+            "tfidf": pa.array(rows_s, pa.float64()),
+        })
+
+    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rank, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def window_top_events(sf_dir: str) -> pa.Table:
+    """Per tumbling hour window: top-2 event types by count (ties by
+    event_type asc) — windowed top-k over the event log."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        win = (tus // WINDOW_US) * WINDOW_US
+        return (df.assign(window_start_us=win)
+                .groupby(["window_start_us", "event_type"], as_index=False)
+                .agg(n=("event_type", "size")))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"]).map_batches(
+            partial, batch_format="pandas")
+    agg = ds.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["window_start_us", "n", "event_type"],
+                          ascending=[True, False, True])
+    agg["rank"] = agg.groupby("window_start_us").cumcount() + 1
+    agg = agg[agg["rank"] <= WINDOW_TOPK]
+    return pa.table({
+        "window_start_us": pa.array(
+            agg.window_start_us.to_numpy(np.int64), pa.int64()),
+        "event_type": pa.array(agg.event_type.tolist(), pa.string()),
+        "n": pa.array(agg.n.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(agg["rank"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def phrase_counts(sf_dir: str) -> pa.Table:
+    """(phrase, n_docs): documents containing each fixed phrase as an
+    ADJACENT token bigram (what a positional/shingle index answers and
+    a bag-of-words index cannot)."""
+
+    def count(b: pa.Table) -> pa.Table:
+        lists = _tokens(b).to_pylist()
+        hits = {p: 0 for p in PHRASES}
+        targets = [tuple(p.split()) for p in PHRASES]
+        for ts in lists:
+            grams = set(zip(ts, ts[1:]))
+            for p, t in zip(PHRASES, targets):
+                if t in grams:
+                    hits[p] += 1
+        return pa.table({
+            "phrase": pa.array(PHRASES, pa.string()),
+            "n_docs": pa.array([hits[p] for p in PHRASES], pa.int64()),
+        })
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["text"]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby("phrase").aggregate(Sum("n_docs", alias_name="n_docs"))
+    df = agg.to_pandas()
+    return pa.table({
+        "phrase": pa.array(df.phrase.tolist(), pa.string()),
+        "n_docs": pa.array(df.n_docs.to_numpy(np.int64), pa.int64()),
+    })
+
+
+# ---- oracle SQL ----
+
+def sql_source_stats() -> str:
+    return r"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS total_tokens,
+       round(sum(len(regexp_extract_all(text, '\S+')))::DOUBLE
+             / count(*), 6) AS avg_dl
+FROM documents GROUP BY source
+"""
+
+
+def sql_top_terms_tfidf() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+def sql_window_top_events() -> str:
+    return f"""
+WITH counts AS (
+  SELECT (epoch_us(ts) // {WINDOW_US} * {WINDOW_US})::BIGINT
+           AS window_start_us,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start_us, event_type, n,
+         row_number() OVER (PARTITION BY window_start_us
+                            ORDER BY n DESC, event_type) AS rank
+  FROM counts
+)
+SELECT window_start_us, event_type, n, rank
+FROM ranked WHERE rank <= {WINDOW_TOPK}
+"""
+
+
+def sql_phrase_counts() -> str:
+    phrases = ", ".join(f"('{p}')" for p in PHRASES)
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks), 1)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+p(phrase) AS (VALUES {phrases})
+SELECT p.phrase, count(g.doc_id)::BIGINT AS n_docs
+FROM p LEFT JOIN g ON g.bigram = p.phrase
+GROUP BY p.phrase
+"""
+
+
+QUERIES = {
+    "source_stats": source_stats,
+    "top_terms_tfidf": top_terms_tfidf,
+    "window_top_events": window_top_events,
+    "phrase_counts": phrase_counts,
+}
+
+ORACLE_SQL = {
+    "source_stats": sql_source_stats(),
+    "top_terms_tfidf": sql_top_terms_tfidf(),
+    "window_top_events": sql_window_top_events(),
+    "phrase_counts": sql_phrase_counts(),
+}
