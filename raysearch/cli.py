@@ -87,6 +87,48 @@ def cmd_query(args) -> None:
     ray.shutdown()
 
 
+def cmd_verify_index(args) -> None:
+    """Offline integrity check: every partition manifest must validate
+    (config hash, lineage, file digests) and the tree-merged partials
+    must reproduce stats.json."""
+    import json as _json
+
+    from raysearch import checkpoint
+    from raysearch import stats as statsmod
+    from raysearch.segments import part_dirname
+
+    st = statsmod.load_stats(args.index)
+    cfg_hash = st["lineage"]["config_hash"]
+    input_id = st["lineage"]["input_id"]
+    bad, partials = [], []
+    for p in st["parts"]:
+        m = checkpoint.validate_manifest(part_dirname(args.index, p),
+                                         cfg_hash, input_id)
+        if m is None:
+            bad.append(p)
+        else:
+            partials.append(m["stats"])
+    merged = statsmod.tree_merge(partials)
+    ok = (not bad and merged["n_docs"] == st["n_docs"]
+          and merged["sum_dl"] == st["total_tokens"])
+    print(_json.dumps({"ok": ok, "parts": len(st["parts"]),
+                       "invalid_parts": bad,
+                       "n_docs": merged["n_docs"],
+                       "expected_docs": st["n_docs"]}))
+    if not ok:
+        raise SystemExit(1)
+
+
+def cmd_merge(args) -> None:
+    ray = _ray_session()
+    from raysearch.merge import merge_indexes
+
+    stats = merge_indexes(args.inputs.split(","), args.out)
+    print(json.dumps({"out": args.out, "n_docs": stats["n_docs"],
+                      "vocab_size": stats["vocab_size"]}))
+    ray.shutdown()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="raysearch")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,6 +163,17 @@ def main(argv=None) -> None:
     q.add_argument("--out", default=None,
                    help="write results parquet here instead of stdout")
     q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("verify-index")
+    v.add_argument("--index", required=True)
+    v.set_defaults(fn=cmd_verify_index)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--inputs", required=True,
+                   help="comma-separated index dirs (disjoint corpora, "
+                        "same config)")
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
     args.fn(args)
