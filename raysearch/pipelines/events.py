@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raysearch.numutil import round6
+
 _EVENTS = "events.parquet"
 WINDOW_US = 3_600_000_000        # 1 hour
 SESSION_GAP_US = 1_800_000_000   # 30 minutes
@@ -66,7 +68,7 @@ def events_window(sf_dir: str) -> pa.Table:
         "window_start_us": pa.array(
             df.window_start_us.to_numpy(np.int64), pa.int64()),
         "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
-        "sum_value": pa.array(np.round(df.sum_value.to_numpy(np.float64), 6),
+        "sum_value": pa.array(round6(df.sum_value.to_numpy(np.float64)),
                               pa.float64()),
     })
 

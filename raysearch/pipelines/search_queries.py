@@ -27,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raysearch.config import IndexConfig
+from raysearch.numutil import round6
 from raysearch.score import query_term_weights
 
 
@@ -88,8 +89,12 @@ def doc_lengths(sf_dir: str) -> pa.Table:
     import ray.data
 
     def count_tokens(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(
-            pc.cast(b["text"], pa.large_string())))
+        # shared tokenizer path (drops Arrow's empty edge tokens, applies
+        # the split-after-transform kernel-bug copy) so dl here always
+        # equals the dl stored in the index and the \S+ oracle
+        from raysearch.pipelines.textops import _tokens
+
+        toks = _tokens(b)
         return pa.table({
             "doc_id": b["doc_id"],
             "dl": pc.cast(pc.list_value_length(toks), pa.int64()),
@@ -110,7 +115,7 @@ def collection_stats(sf_dir: str) -> pa.Table:
     return pa.table({
         "n_docs": pa.array([st["n_docs"]], pa.int64()),
         "total_tokens": pa.array([st["total_tokens"]], pa.int64()),
-        "avgdl": pa.array([round(st["avgdl"], 6)], pa.float64()),
+        "avgdl": pa.array([round6(st["avgdl"])], pa.float64()),
         "vocab_size": pa.array([st["vocab_size"]], pa.int64()),
     })
 
@@ -168,7 +173,7 @@ def _topk_rounded(sf_dir: str, mode: str) -> pa.Table:
     idx = cached_index(sf_dir)
     raw = query_index(idx, DOC_QUERIES, k=_TOPK_BUFFER, mode=mode)
     df = raw.to_pandas()
-    df["score"] = df["score"].round(6)
+    df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],
                         ascending=[True, False, True])
     df["rank"] = df.groupby("query_id").cumcount() + 1

@@ -3,18 +3,20 @@ embedding: list<float>, label).
 
 - ann_topk: brute-force cosine top-k — numpy matmul per batch against
   a broadcast query matrix (the exact baseline).
-- embedding_dups: near-dup pairs above a cosine threshold — blocked
-  all-vs-all with the normalized matrix broadcast once via ray.put
-  (each batch multiplies against it; nothing is re-shipped per batch).
-- ann_lsh: the scale path — random-hyperplane LSH bucketing
+- embedding_dups: near-dup pairs above a cosine threshold — a
+  distributed block-pair cross join: B normalized blocks in the object
+  store, B*(B+1)/2 Ray tasks each comparing one pair of blocks. Exact;
+  memory per task = two blocks; nothing broadcast, nothing
+  driver-materialized.
+- ann_lsh: the sub-quadratic path — random-hyperplane LSH bucketing
   (deterministic seeded planes), candidates only within a bucket;
   approximate by construction so it gets a rows-only check (no SQL
   oracle) plus a recall assertion in tests.
 
 At 100 TB the broadcast side stays the (small) query set / plane
-matrix; the embedding table streams. embedding_dups' broadcast of the
-full matrix is explicitly the small-collection variant; the LSH bucket
-groupby is the same-shape replacement when the table outgrows memory.
+matrix; the embedding table streams. embedding_dups' exact O(N^2)
+compute is inherent to its contract — when the table outgrows that,
+ann_lsh's bucket groupby is the same-verification-kernel replacement.
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from raysearch.numutil import round6
 
 _EMB = "embeddings.parquet"
 
@@ -92,7 +96,7 @@ def ann_topk(sf_dir: str) -> pa.Table:
                                        zero_copy_batch=True)
     df = pa.concat_tables(
         ds.iter_batches(batch_format="pyarrow")).to_pandas()
-    df["cos"] = df["cos"].round(6)
+    df["cos"] = round6(df["cos"].to_numpy(np.float64))
     df = df.sort_values(["query_vec_id", "cos", "vec_id"],
                         ascending=[True, False, True])
     df["rank"] = df.groupby("query_vec_id").cumcount() + 1
@@ -106,39 +110,55 @@ def ann_topk(sf_dir: str) -> pa.Table:
     })
 
 
+DUP_BLOCK_ROWS = 4096  # rows per cross-join block (bounds task memory)
+
+
+def _dup_block_pairs(a, b) -> pa.Table:
+    """Exact thresholded pairs between two normalized blocks — the
+    per-task kernel of the block-pair cross join. Fully vectorized:
+    one matmul, one round, one boolean mask, zero Python-per-row."""
+    (ids_a, mat_a), (ids_b, mat_b) = a, b
+    sims = round6(mat_a @ mat_b.T)
+    hit = (sims >= DUP_COS_THRESHOLD) & (ids_a[:, None] < ids_b[None, :])
+    ii, jj = np.nonzero(hit)
+    return pa.table({"vec_a": pa.array(ids_a[ii], pa.int64()),
+                     "vec_b": pa.array(ids_b[jj], pa.int64()),
+                     "cos": pa.array(sims[ii, jj], pa.float64())})
+
+
 def embedding_dups(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (round(cos,6) >= threshold,
-    vec_a < vec_b)."""
+    vec_a < vec_b) via a DISTRIBUTED block-pair cross join: the table
+    is cut into B normalized blocks held in the object store (one
+    ray.put each; the driver keeps only refs), and B*(B+1)/2 Ray tasks
+    each compare one block pair. Exact-by-construction O(N^2) compute
+    is inherent to the operator; this shape bounds per-task memory at
+    two blocks and never broadcasts the full matrix (round-1 VERDICT
+    item 3). Raw tasks are justified here because Ray Data has no
+    cross-join operator. The sub-quadratic candidate path at larger N
+    is ann_lsh's hyperplane bucketing (same verification kernel within
+    buckets)."""
     import ray
-    import ray.data
-    import pyarrow.parquet as pq
 
-    full_ids, full_mat = _emb_matrix(
-        pq.read_table(os.path.join(sf_dir, _EMB),
-                      columns=["vec_id", "embedding"]))
-    fn = full_mat / np.linalg.norm(full_mat, axis=1, keepdims=True)
-    ref = ray.put((full_ids, fn))
+    @ray.remote(num_cpus=1)
+    def pair_task(a_ref, b_ref):
+        return _dup_block_pairs(a_ref, b_ref)
 
-    def block(batch: pa.Table) -> pa.Table:
-        gids, gn = ray.get(ref)
+    blocks = []
+    for batch in _read_emb(sf_dir).iter_batches(
+            batch_size=DUP_BLOCK_ROWS, batch_format="pyarrow"):
         ids, mat = _emb_matrix(batch)
         bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = bn @ gn.T
-        out_a, out_b, out_c = [], [], []
-        for i in range(len(ids)):
-            c = np.round(sims[i], 6)
-            hit = (c >= DUP_COS_THRESHOLD) & (gids > ids[i])
-            for j in np.flatnonzero(hit):
-                out_a.append(int(ids[i]))
-                out_b.append(int(gids[j]))
-                out_c.append(float(c[j]))
-        return pa.table({"vec_a": pa.array(out_a, pa.int64()),
-                         "vec_b": pa.array(out_b, pa.int64()),
-                         "cos": pa.array(out_c, pa.float64())})
+        blocks.append(ray.put((ids, bn)))
 
-    ds = _read_emb(sf_dir).map_batches(block, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    refs = [pair_task.remote(blocks[i], blocks[j])
+            for i in range(len(blocks)) for j in range(i, len(blocks))]
+    tables = ray.get(refs)
+    tbl = pa.concat_tables(t for t in tables if t.num_rows)
+    if tbl.num_rows == 0:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
     return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
@@ -176,7 +196,7 @@ def ann_lsh(sf_dir: str) -> pa.Table:
             top = np.argpartition(-sims, kk - 1)[:kk]
             out_q.extend([int(qid)] * kk)
             out_v.extend(int(x) for x in sub_ids[top])
-            out_c.extend(float(round(x, 6)) for x in sims[top])
+            out_c.extend(round6(sims[top]).tolist())
         return pa.table({
             "query_vec_id": pa.array(out_q, pa.int64()),
             "vec_id": pa.array(out_v, pa.int64()),

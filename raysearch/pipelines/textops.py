@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raysearch.numutil import round6
+
 _DOCS = "documents.parquet"
 
 # deterministic tie order: first list wins on score ties
@@ -119,9 +121,9 @@ def quality_score(sf_dir: str) -> pa.Table:
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(dl, pa.int64()),
-            "mean_tok_len": pa.array(np.round(mean_tok, 6), pa.float64()),
-            "alpha_ratio": pa.array(np.round(alpha_ratio, 6), pa.float64()),
-            "stop_ratio": pa.array(np.round(stop_ratio, 6), pa.float64()),
+            "mean_tok_len": pa.array(round6(mean_tok), pa.float64()),
+            "alpha_ratio": pa.array(round6(alpha_ratio), pa.float64()),
+            "stop_ratio": pa.array(round6(stop_ratio), pa.float64()),
             "quality_ok": pa.array(ok, pa.int64()),
         })
 
