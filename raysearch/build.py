@@ -39,6 +39,8 @@ from raysearch import stats as statsmod
 from raysearch.config import IndexConfig
 from raysearch.segments import (
     build_partials,
+    clean_stale_staging,
+    list_segment_parts,
     merge_partials,
     part_dirname,
     write_segment_files,
@@ -142,10 +144,8 @@ def _write_lexicon(index_dir: str) -> int:
     import ray.data
     from ray.data.aggregate import Sum
 
-    seg_root = os.path.join(index_dir, "segments")
-    paths = [os.path.join(seg_root, d, "postings.parquet")
-             for d in sorted(os.listdir(seg_root))
-             if d.startswith("part-") and not d.endswith(".tmp")]
+    paths = [os.path.join(part_dirname(index_dir, p), "postings.parquet")
+             for p in list_segment_parts(index_dir)]
     lex_dir = os.path.join(index_dir, "lexicon")
     tmp_dir = lex_dir + f".tmp-{os.getpid()}"
     ds = (ray.data.read_parquet(paths, columns=["term", "df", "cf"])
@@ -205,13 +205,25 @@ def build_index(
             batch_format="pyarrow", zero_copy_batch=True)
     if dedup_input:
         ds = _dedup_by_content(ds)
-    n_input = ds.count()
-    input_id = f"{input_id or default_id}#rows={n_input}"
+    # For plain parquet sources ds.count() is metadata-only (cheap) and
+    # makes input_id row-count-sensitive. For a Dataset source with
+    # transforms applied it would EXECUTE the whole upstream pipeline
+    # once just to count (round-1 VERDICT item 6) — skip it there and
+    # count only if num_parts autosizing actually needs a number.
+    plain_source = isinstance(source, (str, list)) and not (
+        supported_langs is not None or dedup_input)
+    n_input = ds.count() if (plain_source or config is None) else None
+    input_id = (f"{input_id or default_id}#rows={n_input}"
+                if n_input is not None else f"{input_id or default_id}")
 
     if config is None:
         config = IndexConfig(num_parts=_auto_parts(n_input))
     config_hash = config.config_hash()
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    # drop part-NNNNN.tmp-<pid> leftovers from a killed build BEFORE
+    # anything scans the segments dir (a stale staging dir can hold a
+    # complete postings.parquet that would double-count df/cf)
+    clean_stale_staging(index_dir)
 
     valid = frozenset(
         p for p in range(config.num_parts)

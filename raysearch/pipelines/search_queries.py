@@ -68,16 +68,28 @@ def _corpus_ds(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint (size + mtime_ns) so a changed
+    documents.parquet at the same path invalidates the cached index
+    instead of serving stale segments."""
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def cached_index(sf_dir: str) -> str:
     """Build (or resume from checkpoints) the segment index for this
-    sf_dir under /tmp; returns the index dir."""
+    sf_dir under /tmp; returns the index dir. The manifest input_id
+    embeds a file fingerprint, so path-stable-but-content-changed
+    inputs rebuild."""
     from raysearch.build import build_index
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     idx = os.path.join("/tmp", "raysearch_cache", f"docidx-{key}")
     os.makedirs(idx, exist_ok=True)
     cfg = IndexConfig(num_parts=8, k1=K1, b=B)
-    build_index(_corpus_ds(sf_dir), idx, cfg, input_id=os.path.abspath(sf_dir))
+    input_id = (f"{os.path.abspath(sf_dir)}"
+                f"@{_source_fingerprint(_docs_path(sf_dir))}")
+    build_index(_corpus_ds(sf_dir), idx, cfg, input_id=input_id)
     return idx
 
 

@@ -3,6 +3,12 @@
 document fingerprinting. Each is a vectorized ``map_batches`` stage
 (stateful pieces — compiled regexes, stopword arrays — live in an
 actor-pool class) with an exact DuckDB oracle.
+
+Operator contract — whitespace: documents are tokenized on Unicode
+whitespace (Arrow ``utf8_split_whitespace``) while the DuckDB oracles
+use RE2 ``\\S+`` (ASCII whitespace). The two agree on ASCII input; a
+document containing non-ASCII whitespace (e.g. U+00A0 NBSP) is outside
+the contract and the sides may differ. The testdata corpus is ASCII.
 """
 
 from __future__ import annotations
@@ -58,18 +64,19 @@ class TextStats:
     actor (__init__), batches scored vectorized in __call__."""
 
     def __init__(self) -> None:
-        self.stop_np = {l: np.asarray(ws, dtype=object)
-                        for l, ws in STOPWORDS.items()}
+        self.stop_sets = {l: pa.array(ws, pa.large_string())
+                          for l, ws in STOPWORDS.items()}
 
     def lang_scores(self, batch: pa.Table) -> tuple[np.ndarray, dict]:
         toks = _tokens(batch)
         n = batch.num_rows
         dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        flat = toks.flatten()  # Arrow array: no per-token Python
         idx = np.repeat(np.arange(n), dl)
         scores = {}
         for lang in LANGS:
-            hit = np.isin(flat, self.stop_np[lang])
+            hit = pc.is_in(flat, value_set=self.stop_sets[lang]).to_numpy(
+                zero_copy_only=False)
             acc = np.zeros(n, dtype=np.int64)
             np.add.at(acc, idx[hit], 1)
             scores[lang] = acc

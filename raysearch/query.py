@@ -169,9 +169,9 @@ def query_index(
     cfg = stats["config"]
     parts = stats.get("parts")
     if parts is None:
-        seg_root = os.path.join(index_dir, "segments")
-        parts = sorted(int(d.split("-")[1]) for d in os.listdir(seg_root)
-                       if d.startswith("part-") and not d.endswith(".tmp"))
+        from raysearch.segments import list_segment_parts
+
+        parts = list_segment_parts(index_dir)
     all_terms = sorted({t for q in queries for t, _ in query_term_weights(q)})
     df = lexicon_df(index_dir, all_terms)
     if concurrency is None:

@@ -28,6 +28,7 @@ path.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -223,6 +224,44 @@ def merge_partials(rows: pa.Table) -> tuple[pa.Table, pa.Table]:
 
 
 # ---- segment IO ----
+
+# exact segment-dir pattern: staging dirs are named
+# "part-NNNNN.tmp-<pid>" and MUST never match (a SIGKILL can leave a
+# staging dir containing a complete postings.parquet; a loose
+# endswith(".tmp") filter would read it and double-count df/cf)
+SEGMENT_DIR_RE = re.compile(r"part-(\d{5})")
+
+
+def list_segment_parts(index_dir: str) -> list[int]:
+    """Sorted part numbers of COMPLETE segment dirs only (exact
+    part-NNNNN names; staging leftovers excluded)."""
+    seg_root = os.path.join(index_dir, "segments")
+    out = []
+    for d in os.listdir(seg_root):
+        m = SEGMENT_DIR_RE.fullmatch(d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def clean_stale_staging(index_dir: str) -> int:
+    """Delete part-NNNNN.tmp-<pid> leftovers from killed builds (their
+    contents may be complete OR truncated; either way they are not
+    segments). Returns the number removed."""
+    import shutil
+
+    seg_root = os.path.join(index_dir, "segments")
+    n = 0
+    if not os.path.isdir(seg_root):
+        return 0
+    for d in os.listdir(seg_root):
+        if SEGMENT_DIR_RE.fullmatch(d):
+            continue
+        if SEGMENT_DIR_RE.match(d) and ".tmp-" in d:
+            shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
+            n += 1
+    return n
+
 
 def part_dirname(index_dir: str, part: int) -> str:
     return os.path.join(index_dir, "segments", f"part-{part:05d}")

@@ -96,7 +96,10 @@ def test_manifest_lineage_fields(ray_session, small_corpus, tmp_path):
     for p in res.stats["parts"]:
         m = load_manifest(part_dirname(idx, p))
         assert m["config_hash"] == cfg.config_hash()
-        assert m["lineage"]["input_id"].startswith("t1#rows=")
+        # Dataset sources with an explicit config skip the row pre-count
+        # (counting would execute the whole upstream pipeline once);
+        # the caller-supplied input_id is used verbatim
+        assert m["lineage"]["input_id"] == "t1"
         assert set(m["files"]) == {"postings.parquet", "doclens.parquet"}
         assert m["skew"]["top_terms"]  # hot-term metrics logged
         assert m["stats"]["n_docs"] > 0

@@ -85,6 +85,20 @@ def test_kill_and_resume(tmp_path):
         pytest.skip("build finished before a manifest appeared")
     assert not os.path.exists(os.path.join(idx_int, "stats.json"))
 
+    # plant a stale staging dir with a COMPLETE postings.parquet (what
+    # a SIGKILL can leave behind): the resumed build must ignore AND
+    # remove it — a loose filter would double-count its df/cf into the
+    # lexicon (round-1 ADVICE, high)
+    seg_root = os.path.join(idx_int, "segments")
+    done = [d for d in os.listdir(seg_root)
+            if os.path.exists(os.path.join(seg_root, d,
+                                           "postings.parquet"))]
+    stale = None
+    if done:
+        import shutil
+        stale = os.path.join(seg_root, done[0] + ".tmp-99999")
+        shutil.copytree(os.path.join(seg_root, done[0]), stale)
+
     # resume to completion
     r2 = subprocess.run([sys.executable, "-c", _BUILD_SNIPPET, corpus,
                          idx_int], cwd=REPO, capture_output=True,
@@ -93,3 +107,17 @@ def test_kill_and_resume(tmp_path):
     assert _segment_bytes(idx_int, parts) == clean
     stats = load_stats(idx_int)
     assert stats["n_docs"] == 3000
+    if stale is not None:
+        assert not os.path.exists(stale), "stale staging dir survived"
+
+    # the lexicon (df/cf sums over segments) must ALSO be identical to
+    # the clean build's — segment-bytes equality alone missed the
+    # staging-dir double-count bug
+    import pyarrow.dataset as pads
+
+    def lex_table(idx):
+        return pads.dataset(os.path.join(idx, "lexicon")).to_table(
+            columns=["term", "df", "cf"]).sort_by([("term", "ascending")])
+
+    assert lex_table(idx_int).equals(lex_table(idx_clean))
+    assert stats["vocab_size"] == load_stats(idx_clean)["vocab_size"]
