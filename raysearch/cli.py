@@ -5,6 +5,7 @@
         --parts 64 [--salt 2]
     python -m raysearch.cli query --index /tmp/idx --query "hash join" \
         [--k 10 --mode bm25 --prune]
+    python -m raysearch.cli serve --index /tmp/idx   # stdin REPL (S3)
 
 The CLI owns the Ray session (guarded init + shutdown); the library
 never calls ray.init itself, so the same code runs under the driver's
@@ -87,6 +88,36 @@ def cmd_query(args) -> None:
     ray.shutdown()
 
 
+def cmd_serve(args) -> None:
+    """Resident query REPL (the reference's stdin serve surface,
+    src/main.rs:247-287, re-expressed over the segment-affine actor
+    pool): one query per stdin line, top-k JSON per result line;
+    decoded postings stay cached in the actors between lines.
+    ``:stats`` prints per-actor cache stats; EOF or ``:quit`` exits."""
+    import sys
+
+    ray = _ray_session()
+    from raysearch.serve import QuerySession
+
+    with QuerySession(args.index, num_actors=args.actors) as session:
+        print(json.dumps({"ready": True, "index": args.index,
+                          "parts": session.n_parts}), flush=True)
+        for line in sys.stdin:
+            q = line.strip()
+            if not q:
+                continue
+            if q == ":quit":
+                break
+            if q == ":stats":
+                print(json.dumps({"cache": session.cache_stats()}),
+                      flush=True)
+                continue
+            out = session.query_batch([q], k=args.k, mode=args.mode)
+            print(json.dumps({"query": q, "results": out.to_pylist()}),
+                  flush=True)
+    ray.shutdown()
+
+
 def cmd_verify_index(args) -> None:
     """Offline integrity check: every partition manifest must validate
     (config hash, lineage, file digests) and the tree-merged partials
@@ -163,6 +194,13 @@ def main(argv=None) -> None:
     q.add_argument("--out", default=None,
                    help="write results parquet here instead of stdout")
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--index", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
+    s.add_argument("--actors", type=int, default=None)
+    s.set_defaults(fn=cmd_serve)
 
     v = sub.add_parser("verify-index")
     v.add_argument("--index", required=True)

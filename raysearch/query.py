@@ -70,10 +70,87 @@ def lexicon_df(index_dir: str, terms: list[str]) -> dict[str, int]:
     """Global df for the query terms (filtered read of the lexicon)."""
     import pyarrow.dataset as pads
 
+    if not terms:
+        # isin([]) builds a null-typed value set -> ArrowTypeError; a
+        # token-less query (pure punctuation) legitimately has no terms
+        return {}
     lex = pads.dataset(os.path.join(index_dir, "lexicon"))
     tbl = lex.to_table(columns=["term", "df"],
                        filter=pads.field("term").isin(terms))
     return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+
+def score_queries_over_postings(
+        qweights, postings: dict, max_tfs: dict, df: dict,
+        n_docs: int, avgdl: float, k1: float, b: float, k: int,
+        mode: str, prune: bool = False) -> pa.Table:
+    """Score a query batch against one segment's (already decoded)
+    postings — the shared kernel behind both the one-shot SegmentScorer
+    and the resident SegmentServer actors (raysearch/serve.py).
+    Doc-hash partitioning makes these per-segment scores FINAL, so
+    per-segment top-k is exact (see module docstring)."""
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, qw in enumerate(qweights):
+        if prune:
+            from raysearch.wand import pruned_topk
+
+            d, s = pruned_topk(qw, postings, max_tfs, df, n_docs,
+                               avgdl, k1, b, k, mode)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(float(x) for x in s)
+            continue
+        per_term = []
+        for term, w in qw:  # ascending term order = accumulation contract
+            got = postings.get(term)
+            if got is None:
+                continue
+            docs, tfs, dls = got
+            if mode == "overlap":
+                contrib = (w * tfs).astype(np.int64)
+            else:
+                idf = bm25_idf(df.get(term, 0), n_docs)
+                contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
+            per_term.append((docs, contrib))
+        docs, sc = accumulate_scores(per_term)
+        d, s = topk(docs, sc, k)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        dids.extend(d.tolist())
+        scores.extend(float(x) for x in s)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int32()),
+        "doc_id": pa.array(dids, pa.int64()),
+        "score": pa.array(scores, pa.float64()),
+    })
+
+
+def merge_candidates(cand: pd.DataFrame, n_queries: int, k: int) -> pa.Table:
+    """Final top-k per query from the P*Q*k candidate rows (k-bounded
+    by construction — a driver-side selection, not a shuffle)."""
+    if cand.empty:
+        cand = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int32"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    out_frames = []
+    for qid in range(n_queries):
+        sub = cand[cand.query_id == qid]
+        sub = sub.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(k)
+        sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int32))
+        out_frames.append(sub)
+    if not out_frames:
+        return RESULT_SCHEMA.empty_table()
+    merged = pd.concat(out_frames, ignore_index=True)
+    return pa.table({
+        "query_id": pa.array(merged.query_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(merged["rank"].to_numpy(np.int32), pa.int32()),
+        "doc_id": pa.array(merged.doc_id.to_numpy(np.int64), pa.int64()),
+        "score": pa.array(merged.score.to_numpy(np.float64), pa.float64()),
+    })
 
 
 class SegmentScorer:
@@ -101,44 +178,9 @@ class SegmentScorer:
         for i, t in enumerate(tbl["term"].to_pylist()):
             postings[t] = decode_posting_row(tbl, i)
             max_tfs[t] = tbl["max_tf"][i].as_py()
-        qids, ranks, dids, scores = [], [], [], []
-        for qid, qw in enumerate(self.qweights):
-            if self.prune:
-                from raysearch.wand import pruned_topk
-
-                d, s = pruned_topk(qw, postings, max_tfs, self.df,
-                                   self.n_docs, self.avgdl, self.k1,
-                                   self.b, self.k, self.mode)
-                qids.extend([qid] * len(d))
-                ranks.extend(range(1, len(d) + 1))
-                dids.extend(d.tolist())
-                scores.extend(float(x) for x in s)
-                continue
-            per_term = []
-            for term, w in qw:  # ascending term order = accumulation contract
-                got = postings.get(term)
-                if got is None:
-                    continue
-                docs, tfs, dls = got
-                if self.mode == "overlap":
-                    contrib = (w * tfs).astype(np.int64)
-                else:
-                    idf = bm25_idf(self.df.get(term, 0), self.n_docs)
-                    contrib = bm25_contrib(tfs, dls, idf, w,
-                                           self.k1, self.b, self.avgdl)
-                per_term.append((docs, contrib))
-            docs, sc = accumulate_scores(per_term)
-            d, s = topk(docs, sc, self.k)
-            qids.extend([qid] * len(d))
-            ranks.extend(range(1, len(d) + 1))
-            dids.extend(d.tolist())
-            scores.extend(float(x) for x in s)
-        return pa.table({
-            "query_id": pa.array(qids, pa.int64()),
-            "rank": pa.array(ranks, pa.int32()),
-            "doc_id": pa.array(dids, pa.int64()),
-            "score": pa.array(scores, pa.float64()),
-        })
+        return score_queries_over_postings(
+            self.qweights, postings, max_tfs, self.df, self.n_docs,
+            self.avgdl, self.k1, self.b, self.k, self.mode, self.prune)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = [self._score_part(int(p)) for p in batch["part"].to_pylist()]
@@ -197,24 +239,4 @@ def query_index(
     # P * Q * k candidate rows — k-bounded and tiny by construction, so
     # the final merge is a driver-side selection, not a shuffle
     cand = candidates.to_pandas()
-    if cand.empty:
-        cand = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                             "rank": pd.Series([], dtype="int32"),
-                             "doc_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
-    out_frames = []
-    for qid in range(len(queries)):
-        sub = cand[cand.query_id == qid]
-        sub = sub.sort_values(["score", "doc_id"],
-                              ascending=[False, True]).head(k)
-        sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int32))
-        out_frames.append(sub)
-    if not out_frames:
-        return RESULT_SCHEMA.empty_table()
-    merged = pd.concat(out_frames, ignore_index=True)
-    return pa.table({
-        "query_id": pa.array(merged.query_id.to_numpy(np.int64), pa.int64()),
-        "rank": pa.array(merged["rank"].to_numpy(np.int32), pa.int32()),
-        "doc_id": pa.array(merged.doc_id.to_numpy(np.int64), pa.int64()),
-        "score": pa.array(merged.score.to_numpy(np.float64), pa.float64()),
-    })
+    return merge_candidates(cand, len(queries), k)
