@@ -150,6 +150,51 @@ def cmd_verify_index(args) -> None:
         raise SystemExit(1)
 
 
+def cmd_monitor(args) -> None:
+    """Live build progress (SURVEY §2.5 O5 — the reference's monitor
+    thread polls per-shard counters, src/processor.rs:390-526; here
+    progress is read from the durable per-partition manifests, so the
+    monitor works from ANY process, during or after the run, and
+    after a crash). One JSON line per poll: parts done, docs/postings
+    so far, throughput since monitoring began; --watch polls until
+    stats.json (written last) appears."""
+    import os
+    import time
+
+    from raysearch import checkpoint
+    from raysearch import stats as statsmod
+    from raysearch.segments import list_segment_parts, part_dirname
+
+    t_start = time.time()
+    docs_start = None
+    while True:
+        seg_root = os.path.join(args.index, "segments")
+        parts = list_segment_parts(args.index) if os.path.isdir(seg_root) \
+            else []
+        done, n_docs, n_postings = 0, 0, 0
+        for p in parts:
+            m = checkpoint.load_manifest(part_dirname(args.index, p))
+            if m is None:
+                continue
+            done += 1
+            n_docs += m["stats"]["n_docs"]
+            n_postings += m["stats"]["n_postings"]
+        if docs_start is None:
+            docs_start = n_docs
+        finished = os.path.exists(statsmod.stats_path(args.index))
+        dt = max(time.time() - t_start, 1e-9)
+        print(json.dumps({
+            "parts_done": done,
+            "n_docs": n_docs,
+            "n_postings": n_postings,
+            "docs_per_sec_since_start": round((n_docs - docs_start) / dt, 1),
+            "complete": finished,
+        }), flush=True)
+        if finished or not args.watch:
+            break
+        time.sleep(args.interval)
+
+
 def cmd_merge(args) -> None:
     ray = _ray_session()
     from raysearch.merge import merge_indexes
@@ -205,6 +250,13 @@ def main(argv=None) -> None:
     v = sub.add_parser("verify-index")
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_verify_index)
+
+    mo = sub.add_parser("monitor")
+    mo.add_argument("--index", required=True)
+    mo.add_argument("--watch", action="store_true",
+                    help="poll until the build completes")
+    mo.add_argument("--interval", type=float, default=2.0)
+    mo.set_defaults(fn=cmd_monitor)
 
     m = sub.add_parser("merge")
     m.add_argument("--inputs", required=True,

@@ -210,74 +210,46 @@ def _verify_jaccard(sf_dir: str, pair_keys: np.ndarray,
     array (8 B/pair, the broadcast small side) — shingle work stays in
     the cluster:
 
-    - gram rows are produced only for candidate docs (broadcast-id
-      semi-join inside map_batches),
+    - gram rows (with the map-side-carried per-doc set size ``nd``)
+      are produced only for candidate docs (broadcast-id semi-join
+      inside map_batches) — ONE pass over the corpus,
     - intersections are counted by the same coarse-keyed two-stage
       groupby as ngram_jaccard, with candidate-pair filtering applied
       vectorized (np.isin against the broadcast key set) BEFORE the
       pair shuffle,
-    - set sizes come from a per-doc count aggregate over the same
-      (candidate-only, materialized-once) gram dataset.
+    - Jaccard is computed inside the count stage from the carried
+      sizes, so the driver receives FINAL pairs only.
     """
     import ray
     import ray.data
-    from ray.data.aggregate import Count
 
     cand_docs = np.unique(np.concatenate(
         [pair_keys >> np.int64(32), pair_keys & np.int64(0xFFFFFFFF)]))
     ids_ref = ray.put(pa.array(cand_docs, pa.int64()))
     pk_ref = ray.put(np.sort(pair_keys))
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
+    def cand_gram_rows(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.is_in(batch["doc_id"], ray.get(ids_ref)))
-        d, flat, starts = doc_shingles_flat(sub)
-        bounds = np.append(starts, len(flat))
-        out_d = np.repeat(d, np.diff(bounds))
-        gpart = md5_prefix_ints(flat, 8) % np.uint64(_N_BPART)
-        return pa.table({
-            "doc_id": pa.array(out_d, pa.int64()),
-            "gram": pa.array(flat.tolist(), pa.string()),
-            "gpart": pa.array(gpart.astype(np.int64), pa.int64())})
-
-    grams = _read_docs(sf_dir).map_batches(
-        gram_rows, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()  # candidate-only: small
+        return _gram_rows(sub)
 
     def emit_inter(group: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(group["gram"], sort=False)
-        a, b = _run_pairs([codes], group["doc_id"].to_numpy())
+        a, b, na, nb = _run_pairs([codes], group["doc_id"].to_numpy(),
+                                  payload=group["nd"].to_numpy())
         pkey = (a << np.int64(32)) | b
-        pkey = pkey[np.isin(pkey, ray.get(pk_ref))]
-        return pd.DataFrame({"pkey": pkey, "ppart": pkey % _N_BPART})
+        keep = np.isin(pkey, ray.get(pk_ref))
+        return pd.DataFrame({"pkey": pkey[keep], "na": na[keep],
+                             "nb": nb[keep],
+                             "ppart": pkey[keep] % _N_BPART})
 
-    def count_inter(group: pd.DataFrame) -> pd.DataFrame:
-        uniq, counts = np.unique(group["pkey"].to_numpy(),
-                                 return_counts=True)
-        return pd.DataFrame({
-            "doc_a": uniq >> np.int64(32),
-            "doc_b": uniq & np.int64(0xFFFFFFFF),
-            "inter": counts.astype(np.int64)})
-
-    inter = (grams.groupby("gpart")
+    grams = _read_docs(sf_dir).map_batches(
+        cand_gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (grams.groupby("gpart")
              .map_groups(emit_inter, batch_format="pandas")
              .groupby("ppart")
-             .map_groups(count_inter, batch_format="pandas")).to_pandas()
-    if inter.empty:
-        return _empty_pairs()
-    sizes = (grams.groupby("doc_id")
-             .aggregate(Count(alias_name="n")).to_pandas()
-             .set_index("doc_id")["n"])
-    na = inter.doc_a.map(sizes).to_numpy(np.float64)
-    nb = inter.doc_b.map(sizes).to_numpy(np.float64)
-    iv = inter["inter"].to_numpy(np.float64)
-    j = round6(iv / (na + nb - iv))
-    keep = j >= threshold
-    out = pa.table({
-        "doc_a": pa.array(inter.doc_a.to_numpy(np.int64)[keep], pa.int64()),
-        "doc_b": pa.array(inter.doc_b.to_numpy(np.int64)[keep], pa.int64()),
-        "jaccard": pa.array(j[keep], pa.float64()),
-    })
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+             .map_groups(_count_jaccard(threshold),
+                         batch_format="pandas"))
+    return _collect_pairs(pairs)
 
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
@@ -421,86 +393,83 @@ def simhash_pairs(sf_dir: str) -> pa.Table:
 
 # ---- exact n-gram Jaccard ----
 
+def _gram_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, gram, gpart, nd) rows. Each document is wholly inside
+    one batch, so its total distinct-gram count ``nd`` is known
+    MAP-SIDE and travels with every gram row — downstream stages can
+    compute Jaccard without a second pass over the corpus or a sizes
+    join. gpart is the coarse shuffle key: all copies of a gram land
+    in one reduce group, each group holds MANY grams (no per-gram
+    Python dispatch)."""
+    doc_ids, flat, starts = doc_shingles_flat(batch)
+    bounds = np.append(starts, len(flat))
+    nd = np.diff(bounds)
+    out_d = np.repeat(doc_ids, nd)
+    out_nd = np.repeat(nd, nd)
+    gpart = md5_prefix_ints(flat, 8) % np.uint64(_N_BPART)
+    return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                     "gram": pa.array(flat.tolist(), pa.string()),
+                     "gpart": pa.array(gpart.astype(np.int64), pa.int64()),
+                     "nd": pa.array(out_nd, pa.int64())})
+
+
+def _count_jaccard(threshold: float):
+    """Final stage shared by ngram_jaccard and _verify_jaccard: per
+    coarse pair-partition, count gram co-occurrences per packed pair
+    key (one np.unique), recover (na, nb) from the carried payloads,
+    compute round6 Jaccard, and keep only pairs over the threshold —
+    the driver sees FINAL pairs only."""
+
+    def count(group: pd.DataFrame) -> pd.DataFrame:
+        pk = group["pkey"].to_numpy()
+        uniq, first, counts = np.unique(pk, return_index=True,
+                                        return_counts=True)
+        na = group["na"].to_numpy(np.float64)[first]
+        nb = group["nb"].to_numpy(np.float64)[first]
+        iv = counts.astype(np.float64)
+        j = round6(iv / (na + nb - iv))
+        keep = j >= threshold
+        return pd.DataFrame({
+            "doc_a": uniq[keep] >> np.int64(32),
+            "doc_b": uniq[keep] & np.int64(0xFFFFFFFF),
+            "jaccard": j[keep]})
+
+    return count
+
+
+def _collect_pairs(pairs_ds) -> pa.Table:
+    tbl = pa.concat_tables(pairs_ds.iter_batches(batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return _empty_pairs()
+    return (tbl.select(["doc_a", "doc_b", "jaccard"])
+            .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
+
+
 def ngram_jaccard(sf_dir: str) -> pa.Table:
     """Exact 3-gram-Jaccard near-dup pairs (threshold 0.8): candidates
     from an inverted shingle join (shingles with df <= GRAM_DF_CAP
     only — the hot-key guard), intersections counted distributed,
-    Jaccard over the full shingle sets."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, flat, starts = doc_shingles_flat(batch)
-        bounds = np.append(starts, len(flat))
-        out_d = np.repeat(doc_ids, np.diff(bounds))
-        # coarse shuffle key: all copies of a gram land in one group,
-        # but each reduce group holds MANY grams (no per-gram dispatch)
-        gpart = md5_prefix_ints(flat, 8) % np.uint64(64)
-        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                         "gram": pa.array(flat.tolist(), pa.string()),
-                         "gpart": pa.array(gpart.astype(np.int64),
-                                           pa.int64())})
-
-    grams = _read_docs(sf_dir).map_batches(
-        gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    Jaccard computed inside the count stage from map-side-carried set
+    sizes — ONE pass over the corpus, no sizes join, and the driver
+    receives final pairs only."""
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # one group per gpart; pair emission fully vectorized: factorize
-        # grams, find runs, emit triangular index blocks per run-length
-        # class (Python loops only over the <= GRAM_DF_CAP length
-        # classes, never over grams or pairs)
         codes, _ = pd.factorize(group["gram"], sort=False)
-        order = np.argsort(codes, kind="stable")
-        codes_s = codes[order]
-        docs_s = group["doc_id"].to_numpy()[order]
-        starts = np.r_[0, np.flatnonzero(np.diff(codes_s)) + 1]
-        lens = np.diff(np.r_[starts, len(codes_s)])
-        out_a, out_b = [], []
-        for m in np.unique(lens):
-            if m < 2 or m > GRAM_DF_CAP:
-                continue
-            idx = starts[lens == m]
-            block = docs_s[idx[:, None] + np.arange(m)]
-            block.sort(axis=1)
-            tri_a, tri_b = np.triu_indices(m, 1)
-            out_a.append(block[:, tri_a].ravel())
-            out_b.append(block[:, tri_b].ravel())
-        if not out_a:
-            return pd.DataFrame({"pkey": np.zeros(0, np.int64),
-                                 "ppart": np.zeros(0, np.int64)})
-        # pack the pair into one int64 (doc_ids < 2^31) and give it a
-        # coarse partition key: per-pair counting then happens inside
-        # 64 vectorized np.unique calls, not a million-group aggregate
-        pkey = (np.concatenate(out_a) << np.int64(32)) | \
-            np.concatenate(out_b)
-        return pd.DataFrame({"pkey": pkey, "ppart": pkey % 64})
+        a, b, na, nb = _run_pairs([codes], group["doc_id"].to_numpy(),
+                                  payload=group["nd"].to_numpy(),
+                                  cap=GRAM_DF_CAP)
+        pkey = (a << np.int64(32)) | b
+        return pd.DataFrame({"pkey": pkey, "na": na, "nb": nb,
+                             "ppart": pkey % _N_BPART})
 
-    def count_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        uniq, counts = np.unique(group["pkey"].to_numpy(), return_counts=True)
-        return pd.DataFrame({
-            "doc_a": uniq >> np.int64(32),
-            "doc_b": uniq & np.int64(0xFFFFFFFF),
-            "inter": counts.astype(np.int64)})
-
-    inter_ds = (grams.groupby("gpart")
-                .map_groups(emit_pairs, batch_format="pandas")
-                .groupby("ppart")
-                .map_groups(count_pairs, batch_format="pandas"))
-    inter = inter_ds.to_pandas()
-    sizes = (grams.groupby("doc_id")
-             .aggregate(Count(alias_name="n")).to_pandas()
-             .set_index("doc_id")["n"])
-    na = inter.doc_a.map(sizes).to_numpy(np.float64)
-    nb = inter.doc_b.map(sizes).to_numpy(np.float64)
-    ivals = inter["inter"].to_numpy(np.float64)
-    j = round6(ivals / (na + nb - ivals))
-    keep = j >= NGRAM_JACCARD_THRESHOLD
-    out = pa.table({
-        "doc_a": pa.array(inter.doc_a.to_numpy(np.int64)[keep], pa.int64()),
-        "doc_b": pa.array(inter.doc_b.to_numpy(np.int64)[keep], pa.int64()),
-        "jaccard": pa.array(j[keep], pa.float64()),
-    })
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    grams = _read_docs(sf_dir).map_batches(
+        _gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (grams.groupby("gpart")
+             .map_groups(emit_pairs, batch_format="pandas")
+             .groupby("ppart")
+             .map_groups(_count_jaccard(NGRAM_JACCARD_THRESHOLD),
+                         batch_format="pandas"))
+    return _collect_pairs(pairs)
 
 
 # ---- oracle SQL ----

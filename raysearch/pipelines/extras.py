@@ -139,10 +139,14 @@ def top_terms_tfidf(sf_dir: str) -> pa.Table:
     lex_ref = ray.put((np.asarray(lex["term"].to_pylist(), dtype=object),
                        lex["df"].to_numpy().astype(np.float64)))
 
+    # autoscaling pool (min 1): a FIXED pool sized at the session CPU
+    # count reserves every core and starves the upstream read task —
+    # deadlocks a 4-CPU session (observed: ReadParquet backpressured
+    # forever behind 4 resident actors)
     out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         TfidfRanker, fn_constructor_args=(lex_ref, float(st["n_docs"])),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=4, num_cpus=1)
+        concurrency=(1, 4), num_cpus=1)
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 

@@ -77,11 +77,13 @@ class MediaDecoder:
 def decode_media(ds, concurrency: int = 4, batch_size: int = 64,
                  strict: bool = False):
     """Run the decode stage: small batch_size because payloads are
-    wide; actor pool so codec init happens once per worker."""
+    wide; actor pool so codec init happens once per worker. The pool
+    autoscales from 1 so it can never reserve every session CPU and
+    starve the upstream read (the 4-CPU deadlock)."""
     return ds.map_batches(
         MediaDecoder, fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=(1, concurrency), num_cpus=1)
 
 
 def blob_meta(sf_dir: str) -> pa.Table:

@@ -213,7 +213,25 @@ def overlap_topk(sf_dir: str) -> pa.Table:
     return _topk_rounded(sf_dir, "overlap")
 
 
-def snippet_topk(sf_dir: str) -> pa.Table:
+SNIPPET_CHARS = 80
+SNIPPET_LINES = 5
+
+
+def _render_snippet(text: pa.Array, mode: str) -> pa.Array:
+    """Two renderings: 'chars' = first 80 chars; 'lines' = the
+    reference's display semantics (first 5 lines,
+    /root/reference/src/lib.rs:240-256). Both vectorized."""
+    text = pc.cast(text, pa.large_string())
+    if mode == "chars":
+        return pc.utf8_slice_codeunits(text, 0, SNIPPET_CHARS)
+    splits = pc.list_slice(pc.split_pattern(text, "\n"), 0, SNIPPET_LINES)
+    # binary_join has no (large_list, scalar) kernel — separator must
+    # be an array of the same length
+    sep = pa.array(["\n"] * len(text), pa.large_string())
+    return pc.binary_join(splits, sep)
+
+
+def _snippet_topk_mode(sf_dir: str, mode: str) -> pa.Table:
     """Q6 snippet fetch: top-k results joined back to the corpus by
     doc_id — the small results side is broadcast into a map_batches
     filter over the documents table (a broadcast hash join, no
@@ -228,8 +246,7 @@ def snippet_topk(sf_dir: str) -> pa.Table:
         sub = b.filter(mask)
         return pa.table({
             "doc_id": sub["doc_id"],
-            "snippet": pc.utf8_slice_codeunits(
-                pc.cast(sub["text"], pa.large_string()), 0, 80),
+            "snippet": _render_snippet(sub["text"], mode),
         })
 
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
@@ -245,6 +262,17 @@ def snippet_topk(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(merged.doc_id.to_numpy(np.int64), pa.int64()),
         "snippet": pa.array(merged.snippet.tolist(), pa.string()),
     })
+
+
+def snippet_topk(sf_dir: str) -> pa.Table:
+    """Q6 snippet fetch, 80-char rendering."""
+    return _snippet_topk_mode(sf_dir, "chars")
+
+
+def snippet_lines_topk(sf_dir: str) -> pa.Table:
+    """Q6 snippet fetch with the REFERENCE's display semantics: the
+    first 5 lines of each hit (src/lib.rs:240-256)."""
+    return _snippet_topk_mode(sf_dir, "lines")
 
 
 # ---- oracle SQL ----
@@ -368,7 +396,18 @@ def sql_snippet_topk() -> str:
     return f"""
 WITH base AS ({bm25})
 SELECT base.query_id, base.rank, base.doc_id,
-       substr(documents.text, 1, 80) AS snippet
+       substr(documents.text, 1, {SNIPPET_CHARS}) AS snippet
+FROM base JOIN documents ON base.doc_id = documents.doc_id
+"""
+
+
+def sql_snippet_lines_topk() -> str:
+    bm25 = sql_bm25_topk()
+    return f"""
+WITH base AS ({bm25})
+SELECT base.query_id, base.rank, base.doc_id,
+       array_to_string(list_slice(string_split(documents.text, chr(10)),
+                                  1, {SNIPPET_LINES}), chr(10)) AS snippet
 FROM base JOIN documents ON base.doc_id = documents.doc_id
 """
 
@@ -381,6 +420,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "overlap_topk": overlap_topk,
     "snippet_topk": snippet_topk,
+    "snippet_lines_topk": snippet_lines_topk,
 }
 
 ORACLE_SQL = {
@@ -391,4 +431,5 @@ ORACLE_SQL = {
     "bm25_topk": sql_bm25_topk(),
     "overlap_topk": sql_overlap_topk(),
     "snippet_topk": sql_snippet_topk(),
+    "snippet_lines_topk": sql_snippet_lines_topk(),
 }

@@ -59,12 +59,14 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
+    # predicate pushdown: only row groups containing the query ids are
+    # read (the small broadcast side, never the full table)
     tbl = pq.read_table(os.path.join(sf_dir, _EMB),
-                        columns=["vec_id", "embedding"])
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", N_QUERY_VECS)])
     ids, mat = _emb_matrix(tbl)
     order = np.argsort(ids)
-    sel = order[np.isin(ids[order], np.arange(N_QUERY_VECS))]
-    return ids[sel], mat[sel]
+    return ids[order], mat[order]
 
 
 def ann_topk(sf_dir: str) -> pa.Table:
@@ -215,6 +217,128 @@ def ann_lsh(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+# ---- IVF ----
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_LLOYD_ITERS = 3
+IVF_TRAIN_STRIDE = 1  # at scale: train on vec_id % stride == 0 sample
+
+
+def _ivf_train(sf_dir: str) -> np.ndarray:
+    """Deterministic distributed k-means (spherical): seed centroids =
+    a fixed hash-strided sample, then IVF_LLOYD_ITERS assign+update
+    rounds where the ASSIGN step is a map_batches over the (sampled)
+    table emitting per-batch partial sums (one (K x dim) matrix + one
+    count vector per batch — the combiner pattern; the driver reduces
+    K rows, never sees vectors). Deterministic: no RNG, fixed seeds,
+    fixed iteration count."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    # seed: first K vectors by vec_id order (deterministic; predicate
+    # pushdown reads only the containing row groups, not the table)
+    seed_tbl = pq.read_table(os.path.join(sf_dir, _EMB),
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "<", IVF_CENTROIDS)])
+    ids, mat = _emb_matrix(seed_tbl)
+    order = np.argsort(ids)
+    seeds = mat[order[:IVF_CENTROIDS]]
+    cents = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+
+    for _ in range(IVF_LLOYD_ITERS):
+        import ray
+
+        cref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            bids, bmat = _emb_matrix(batch)
+            keep = bids % IVF_TRAIN_STRIDE == 0
+            bmat = bmat[keep]
+            if len(bmat) == 0:
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
+            bn = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+            assign = np.argmax(bn @ c.T, axis=1)
+            sums = np.zeros((IVF_CENTROIDS, bn.shape[1]))
+            np.add.at(sums, assign, bn)
+            counts = np.bincount(assign, minlength=IVF_CENTROIDS)
+            nz = counts > 0
+            return pa.table({
+                "cid": pa.array(np.flatnonzero(nz), pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+                "vsum": pa.array(list(sums[nz]), pa.list_(pa.float64()))})
+
+        agg = _read_emb(sf_dir).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(IVF_CENTROIDS, dtype=np.int64)
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            cids = b["cid"].to_numpy()
+            counts[cids] += b["n"].to_numpy()
+            vs = np.array(b["vsum"].to_pylist())
+            if len(vs):
+                sums[cids] += vs
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return cents
+
+
+def ann_ivf(sf_dir: str) -> pa.Table:
+    """Approximate ANN via IVF (inverted-file) clustering: spherical
+    k-means centroids trained distributed (_ivf_train), each query
+    probes its IVF_NPROBE nearest centroids, and only vectors assigned
+    to a probed centroid are scored (~nprobe/K of the table per
+    query). The sub-quadratic partitioned-search scale path alongside
+    ann_lsh; approximate -> rows-only driver check, recall asserted in
+    pytest against the exact ann_topk."""
+    cents = _ivf_train(sf_dir)
+    qids, qmat = _query_vectors(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :IVF_NPROBE]
+
+    def bucket_score(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(bn @ cents.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids):
+            mask = np.isin(assign, qprobe[j])
+            if not mask.any():
+                continue
+            sims = bn[mask] @ qn[j]
+            sub_ids = ids[mask]
+            kk = min(TOPK, len(sub_ids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_v.extend(int(x) for x in sub_ids[top])
+            out_c.extend(round6(sims[top]).tolist())
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    ds = _read_emb(sf_dir).map_batches(bucket_score, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    df = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).to_pandas()
+    df = df.sort_values(["query_vec_id", "cos", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_vec_id").cumcount() + 1
+    df = df[df["rank"] <= TOPK]
+    return pa.Table.from_pandas(df[["query_vec_id", "vec_id", "rank", "cos"]],
+                                preserve_index=False)
+
+
 # ---- oracle SQL ----
 
 def sql_ann_topk() -> str:
@@ -255,6 +379,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "embedding_dups": embedding_dups,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
 }
 
 ORACLE_SQL = {

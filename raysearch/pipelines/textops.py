@@ -101,7 +101,7 @@ def lang_id(sf_dir: str) -> pa.Table:
     with deterministic (list-order) tie-break, 'und' when no evidence."""
     out = _read_docs(sf_dir).map_batches(
         TextStats, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2, num_cpus=1)
+        concurrency=(1, 4), num_cpus=1)
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 

@@ -231,7 +231,8 @@ def query_index(
         candidates = parts_ds.map_batches(
             SegmentScorer, fn_constructor_kwargs=scorer_kwargs,
             batch_format="pyarrow", batch_size=per_task,
-            concurrency=min(concurrency, max(1, len(parts))), num_cpus=1)
+            concurrency=(1, min(concurrency, max(1, len(parts)))),
+            num_cpus=1)
     else:
         scorer = SegmentScorer(**scorer_kwargs)
         candidates = parts_ds.map_batches(

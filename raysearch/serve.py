@@ -159,6 +159,15 @@ class QuerySession:
         if num_actors is None:
             num_actors = max(1, min(8, len(parts)))
         num_actors = max(1, min(num_actors, max(1, len(parts))))
+        # never request more resident actors than the cluster has CPUs
+        # for: pending actors would never start and their query calls
+        # would block ray.get forever
+        try:
+            avail = int(ray.cluster_resources().get("CPU", num_actors))
+        except Exception:
+            avail = num_actors
+        num_actors = max(1, min(num_actors,
+                                int(avail / max(num_cpus_per_actor, 1e-9))))
         remote_cls = ray.remote(num_cpus=num_cpus_per_actor)(
             _SegmentServerImpl)
         # static round-robin part assignment = segment affinity

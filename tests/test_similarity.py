@@ -48,3 +48,30 @@ def test_embedding_dups_symmetric_threshold(ray_session):
     t = S.embedding_dups(SF).to_pandas()
     assert (t.vec_a < t.vec_b).all()
     assert (t.cos >= S.DUP_COS_THRESHOLD).all()
+
+
+def test_ivf_recall_and_determinism(ray_session, exact):
+    approx = S.ann_ivf(SF).to_pandas()
+    recalls = []
+    for q in range(S.N_QUERY_VECS):
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        a = set(approx[approx.query_vec_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    mean = sum(recalls) / len(recalls)
+    # nprobe/K = 4/16 scans ~25% of vectors; on structure-free random
+    # embeddings recall is bounded well below 1 but must beat the
+    # scanned fraction
+    assert mean >= 0.35, recalls
+    # every query recovers itself (its own cluster is always probed)
+    for q in range(S.N_QUERY_VECS):
+        assert q in set(approx[approx.query_vec_id == q].vec_id)
+    # deterministic end to end (fixed seeds, fixed iterations, no RNG)
+    again = S.ann_ivf(SF).to_pandas()
+    assert again.equals(approx)
+
+
+def test_ivf_centroids_unit_norm(ray_session):
+    cents = S._ivf_train(SF)
+    assert cents.shape == (S.IVF_CENTROIDS, 64)
+    norms = np.linalg.norm(cents, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0)
