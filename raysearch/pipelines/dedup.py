@@ -189,11 +189,9 @@ def _emit_cand(group: pd.DataFrame) -> pd.DataFrame:
         [group["band_id"].to_numpy(), group["bkey"].to_numpy()],
         group["doc_id"].to_numpy())
     pkey = (a << np.int64(32)) | b
-    return pd.DataFrame({"pkey": pkey, "ppart": pkey % _N_BPART})
-
-
-def _dedup_pkeys(group: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({"pkey": np.unique(group["pkey"].to_numpy())})
+    # dedup within the group so at most one copy per (pair, band)
+    # reaches the driver
+    return pd.DataFrame({"pkey": np.unique(pkey)})
 
 
 def _empty_pairs() -> pa.Table:
@@ -256,15 +254,16 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
     """MinHash(16)+LSH(8 bands x 2) candidate generation over 3-gram
     shingles, exact-Jaccard verification, threshold 0.5. Candidate
     buckets shuffle on a coarse (band, key)-hash partition (vectorized
-    run detection inside each reduce group); pair dedup is a second
-    coarse groupby; verification is fully distributed
-    (_verify_jaccard). Driver state = the packed pair-key array only."""
+    run detection inside each reduce group); verification is fully
+    distributed (_verify_jaccard). The driver needs the packed
+    pair-key array anyway (it is the verification broadcast), so
+    cross-band dedup happens in the driver-side np.unique — no second
+    shuffle. Driver state = that key array only (<= NUM_BANDS copies
+    per unique pair arrive, group-deduped)."""
     bands = _read_docs(sf_dir).map_batches(
         _minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True)
-    cand_ds = (bands.groupby("bpart")
-               .map_groups(_emit_cand, batch_format="pandas")
-               .groupby("ppart")
-               .map_groups(_dedup_pkeys, batch_format="pandas"))
+    cand_ds = bands.groupby("bpart").map_groups(
+        _emit_cand, batch_format="pandas")
     parts = [b["pkey"].to_numpy()
              for b in cand_ds.iter_batches(batch_format="pyarrow")]
     pkeys = (np.unique(np.concatenate(parts)) if parts
