@@ -98,10 +98,16 @@ class TextStats:
 
 def lang_id(sf_dir: str) -> pa.Table:
     """Stopword-overlap language ID (n-gram heuristic family); argmax
-    with deterministic (list-order) tie-break, 'und' when no evidence."""
+    with deterministic (list-order) tie-break, 'und' when no evidence.
+
+    Stateless-task stage on purpose: TextStats state (five tiny Arrow
+    stopword arrays) costs microseconds to build, so shipping the
+    pre-built instance in the task closure beats paying actor-pool
+    spin-up (measured 2x at sf0.1). The actor-pool version of the
+    same stage pattern lives where state is actually expensive
+    (TfidfRanker's broadcast lexicon, MediaDecoder's codec init)."""
     out = _read_docs(sf_dir).map_batches(
-        TextStats, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4), num_cpus=1)
+        TextStats(), batch_format="pyarrow", zero_copy_batch=True)
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
