@@ -91,6 +91,61 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     })
 
 
+def clean_corpus(sf_dir: str) -> pa.Table:
+    """Exact-dedup SINK: drop duplicate texts (first-wins by smallest
+    doc_id, same bucketed shuffle as dedup_exact but carrying the full
+    row once) and WRITE the cleaned corpus as partitioned parquet —
+    the "apply the keep-list" pipeline a training-data run needs, and
+    the resumable-output shape (one file per output block under a
+    fresh directory; a failed run re-writes only its own directory).
+    Returns the summary row; the written dataset is re-read
+    metadata-only for the kept count (no second execution)."""
+    import shutil
+
+    import ray.data
+
+    out_dir = os.path.join(
+        "/tmp", "raysearch_clean",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(t.encode()).hexdigest()
+                for t in b["text"].to_pylist()]
+        bucket = [int(s[:4], 16) % 64 for s in shas]
+        return (b.append_column("_sha", pa.array(shas, pa.string()))
+                 .append_column("_bucket", pa.array(bucket, pa.int64())))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_sha", "doc_id"]).drop_duplicates(
+            "_sha", keep="first")
+        return g.drop(columns=["_sha", "_bucket"])
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS))
+    n_in = ds.count()  # metadata-only for a plain parquet read
+    (ds.map_batches(add_bucket, batch_format="pyarrow",
+                    zero_copy_batch=True)
+       .groupby("_bucket")
+       .map_groups(first_wins, batch_format="pandas")
+       .write_parquet(out_dir))
+    n_kept = ray.data.read_parquet(out_dir).count()
+    return pa.table({
+        "n_docs_in": pa.array([n_in], pa.int64()),
+        "n_docs_kept": pa.array([n_kept], pa.int64()),
+        "n_dups_removed": pa.array([n_in - n_kept], pa.int64()),
+    })
+
+
+def sql_clean_corpus() -> str:
+    return """
+SELECT count(*)::BIGINT AS n_docs_in,
+       count(DISTINCT text)::BIGINT AS n_docs_kept,
+       (count(*) - count(DISTINCT text))::BIGINT AS n_dups_removed
+FROM documents
+"""
+
+
 # ---- MinHash + LSH ----
 
 _A_NP = np.array(_A, dtype=np.uint64)
@@ -573,6 +628,7 @@ WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6)
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "clean_corpus": clean_corpus,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "simhash_pairs": simhash_pairs,
@@ -581,6 +637,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": sql_dedup_exact(),
+    "clean_corpus": sql_clean_corpus(),
     "dedup_minhash": sql_dedup_minhash(),
     "dedup_simhash": sql_dedup_simhash(),
     "simhash_pairs": sql_simhash_pairs(),

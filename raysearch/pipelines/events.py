@@ -108,7 +108,51 @@ def user_sessions(sf_dir: str) -> pa.Table:
     })
 
 
+QUANTILES = (0.5, 0.95)
+
+
+def event_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-event-type value quantiles (p50/p95, linear
+    interpolation — numpy 'linear' == DuckDB quantile_cont).
+    groupby(event_type) is bounded by the type cardinality (small and
+    fixed), so shipping each type's values to one group task is safe;
+    the 100-TB path for HIGH-cardinality keys or memory-bounded groups
+    is a mergeable sketch (t-digest) in map-side partials — this
+    operator's contract is the exact quantile, which fundamentally
+    needs the group's values together."""
+    import ray.data
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["value"].to_numpy(np.float64)
+        qs = np.quantile(vals, QUANTILES, method="linear")
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [round6(qs[0])],
+            "p95": [round6(qs[1])],
+            "n": [np.int64(len(vals))]})
+
+    out = (_read_events(sf_dir, ["event_type", "value"])
+           .groupby("event_type").map_groups(q, batch_format="pandas"))
+    df = out.to_pandas()
+    return pa.table({
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "p50": pa.array(df.p50.to_numpy(np.float64), pa.float64()),
+        "p95": pa.array(df.p95.to_numpy(np.float64), pa.float64()),
+        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+    })
+
+
 # ---- oracle SQL ----
+
+def sql_event_quantiles() -> str:
+    return f"""
+SELECT event_type,
+       round(quantile_cont(value, {QUANTILES[0]}), 6) AS p50,
+       round(quantile_cont(value, {QUANTILES[1]}), 6) AS p95,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
 
 def sql_events_window() -> str:
     return f"""
@@ -151,9 +195,11 @@ FROM s GROUP BY user_id, sid
 QUERIES = {
     "events_window": events_window,
     "user_sessions": user_sessions,
+    "event_quantiles": event_quantiles,
 }
 
 ORACLE_SQL = {
     "events_window": sql_events_window(),
     "user_sessions": sql_user_sessions(),
+    "event_quantiles": sql_event_quantiles(),
 }
