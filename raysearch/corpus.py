@@ -183,3 +183,56 @@ def write_corpus_parallel(out_dir: str, n_docs: int, seed: int = 42,
         refs.append(gen.remote(out_dir, f, hi - lo, lo, seed))
     ray.get(refs)
     return out_dir
+
+
+# ---- file-tree ingestion (reference S1 shape) ----
+
+# extension -> tokenizer dispatch lang, mirroring the reference's
+# match on file extension (/root/reference/src/main.rs:336-344)
+SUPPORTED_EXTS: dict[str, str] = {"txt": "text", "html": "html",
+                                  "json": "json"}
+
+
+def corpus_from_files(root: str,
+                      supported_exts: dict[str, str] | None = None):
+    """Distributed file-tree corpus source: the reference ingests a
+    directory of .txt/.html/.json files (src/main.rs:320-344); here
+    ``ray.data.read_binary_files`` streams (path, bytes) blocks in
+    parallel and a vectorized map stage produces the engine corpus
+    schema (doc_id, path, lang, content).
+
+    - unsupported extensions are dropped map-side (M6 filter, exactly
+      the reference's skip branch);
+    - doc_id = splitmix64(md5-prefix of the RELATIVE path): stable
+      across re-runs, machines, and file enumeration order — the
+      property resumable builds need (input_id + manifest validation
+      reuse segments only if ids are reproducible).
+    """
+    import hashlib as _hl
+
+    import ray.data
+
+    from raysearch.hashing import splitmix64
+
+    exts = supported_exts or SUPPORTED_EXTS
+
+    def to_corpus(b: pa.Table) -> pa.Table:
+        paths = [os.path.relpath(p, root) for p in b["path"].to_pylist()]
+        suffix = [p.rsplit(".", 1)[-1].lower() if "." in p else ""
+                  for p in paths]
+        keep = [i for i, e in enumerate(suffix) if e in exts]
+        rel = [paths[i] for i in keep]
+        raw = np.array([int(_hl.md5(p.encode()).hexdigest()[:15], 16)
+                        for p in rel], dtype=np.uint64)
+        ids = (splitmix64(raw) >> np.uint64(1)).astype(np.int64)
+        texts = [b["bytes"][i].as_py().decode("utf-8", errors="replace")
+                 for i in keep]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "path": pa.array(rel, pa.string()),
+            "lang": pa.array([exts[suffix[i]] for i in keep], pa.string()),
+            "content": pa.array(texts, pa.string()),
+        })
+
+    return ray.data.read_binary_files(root, include_paths=True).map_batches(
+        to_corpus, batch_format="pyarrow")
