@@ -138,27 +138,77 @@ def _make_segment_writer(index_dir: str, config: IndexConfig,
     return write_segment
 
 
-def _write_lexicon(index_dir: str) -> int:
+# per-segment lexicon rows below this: aggregate on the driver (a Ray
+# job on KB-scale data costs ~2 s of fixed scheduling — it was the
+# single largest serial term in the scaling measurement)
+_LEXICON_DRIVER_MAX_ROWS = 2_000_000
+
+
+def _write_lexicon(index_dir: str, n_rows_hint: int | None = None) -> int:
     """Global lexicon: term -> (df, cf) summed over segments. Returns
-    global vocabulary size."""
-    import ray.data
-    from ray.data.aggregate import Sum
+    global vocabulary size.
+
+    Two paths, same output: when the total per-segment lexicon rows
+    (sum of n_terms over manifests — known for free from the build's
+    stats rows) are small, the merge is a driver-side pyarrow
+    group_by over a threaded parquet read; past the threshold it is
+    the distributed Ray groupby (code-scale vocabularies are 10^8-9
+    terms x P rows — that side MUST shuffle)."""
+    import shutil
+
+    import pyarrow.parquet as pq
 
     paths = [os.path.join(part_dirname(index_dir, p), "postings.parquet")
              for p in list_segment_parts(index_dir)]
     lex_dir = os.path.join(index_dir, "lexicon")
     tmp_dir = lex_dir + f".tmp-{os.getpid()}"
-    ds = (ray.data.read_parquet(paths, columns=["term", "df", "cf"])
-          .groupby("term")
-          .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-          .sort("term"))
     if os.path.isdir(tmp_dir):
-        import shutil
         shutil.rmtree(tmp_dir)
-    ds.write_parquet(tmp_dir)
-    n_terms = ray.data.read_parquet(tmp_dir).count()
+
+    if os.environ.get("RAYSEARCH_LEXICON_DISTRIBUTED"):
+        n_rows_hint = None  # operational override: always shuffle
+    if n_rows_hint is not None and n_rows_hint <= _LEXICON_DRIVER_MAX_ROWS:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            tables = list(ex.map(
+                lambda p: pq.read_table(p, columns=["term", "df", "cf"]),
+                paths))
+        merged = pa.concat_tables(tables)
+        agg = merged.group_by("term").aggregate(
+            [("df", "sum"), ("cf", "sum")])
+        agg = agg.rename_columns(["term", "df", "cf"]).sort_by(
+            [("term", "ascending")])
+        # same schema as the distributed path (string, not the
+        # large_string that concat of segment columns produces)
+        agg = agg.set_column(0, "term",
+                             agg["term"].cast(pa.string()))
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(agg, os.path.join(tmp_dir, "lexicon.parquet"),
+                       row_group_size=1024)
+        n_terms = agg.num_rows
+    else:
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        # groupby is Ray's sort-based shuffle: output blocks are
+        # DISJOINT key ranges, so sorting within each block gives the
+        # same row-group min/max pruning as a global sort — without a
+        # second full exchange
+        ds = (ray.data.read_parquet(paths, columns=["term", "df", "cf"])
+              .groupby("term")
+              .aggregate(Sum("df", alias_name="df"),
+                         Sum("cf", alias_name="cf"))
+              .map_batches(
+                  lambda b: b.sort_by([("term", "ascending")]),
+                  batch_format="pyarrow", zero_copy_batch=True))
+        ds.write_parquet(tmp_dir)
+        # vocab size from footer metadata — no second read job
+        n_terms = sum(
+            pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows
+            for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+
     if os.path.isdir(lex_dir):
-        import shutil
         shutil.rmtree(lex_dir)
     os.replace(tmp_dir, lex_dir)
     return n_terms
@@ -240,11 +290,8 @@ def build_index(
                 and set(st.get("parts", [])) <= valid):
             return BuildResult(index_dir, st, 0, len(st.get("parts", [])))
 
-    triples = ds.map_batches(
-        make_triple_fn(config, with_sha=with_sha),
-        batch_format="pyarrow", zero_copy_batch=True)
-    # Coalesce triple blocks before the shuffle: the sort exchange
-    # creates (map blocks x reduce partitions) intermediate objects —
+    # Bound the shuffle's physical width: the sort exchange creates
+    # (map blocks x reduce partitions) intermediate objects —
     # QUADRATIC in block count (measured: P=64 blocks 13.5s, P=128
     # blocks 45s on a 1M-doc corpus) — so the width is capped
     # independently of num_parts. Reduce groups (one per gkey) are
@@ -255,7 +302,22 @@ def build_index(
         n_cpus = int(_ray.cluster_resources().get("CPU", 32))
     except Exception:
         n_cpus = 32
-    triples = triples.repartition(min(max(config.num_parts, n_cpus), 64))
+    width = min(max(config.num_parts, n_cpus), 64)
+    if plain_source:
+        # Shape the block count AT THE READ instead of paying a
+        # separate repartition exchange of every triple row (measured:
+        # -28% build wall at 400k docs). On a real multi-node cluster
+        # the same width cap applies per exchange round — see SCALE.md.
+        ds = ray.data.read_parquet(source,
+                                   columns=["doc_id", "lang", "content"],
+                                   override_num_blocks=width)
+        triples = ds.map_batches(
+            make_triple_fn(config, with_sha=with_sha),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        triples = ds.map_batches(
+            make_triple_fn(config, with_sha=with_sha),
+            batch_format="pyarrow", zero_copy_batch=True).repartition(width)
     if config.salt == 1:
         # gkey == dpart: ONE shuffle, posting build + segment write in
         # the same group task
@@ -277,7 +339,8 @@ def build_index(
          "n_terms": r["n_terms"]}
         for r in rows]
     merged = statsmod.tree_merge(partials_list)
-    vocab = _write_lexicon(index_dir)
+    vocab = _write_lexicon(
+        index_dir, n_rows_hint=sum(int(r["n_terms"]) for r in rows))
     stats = statsmod.write_stats(
         index_dir, merged, config.to_dict(),
         {"input_id": input_id, "config_hash": config_hash},

@@ -137,7 +137,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
         {"n_docs": r["n_docs"], "sum_dl": r["sum_dl"],
          "total_tf": r["total_tf"], "n_postings": r["n_postings"],
          "n_terms": r["n_terms"]} for r in out_rows])
-    vocab = _write_lexicon(out_dir)
+    vocab = _write_lexicon(
+        out_dir, n_rows_hint=sum(int(r["n_terms"]) for r in out_rows))
     return statsmod.write_stats(
         out_dir, merged, config,
         {"input_id": input_id, "config_hash": config_hash},
