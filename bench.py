@@ -26,7 +26,10 @@ BENCH_ROOT = "/tmp/raysearch_bench"
 CORPUS_DOCS = int(os.environ.get("RAY_GRAFT_BENCH_DOCS", "400000"))
 CORPUS_DIR = os.path.join(BENCH_ROOT, f"corpus-{CORPUS_DOCS}")
 K = 10
-NUM_PARTS = 64
+# partitions scale with the corpus (~12.5k docs/part, floor 64):
+# reduce-group materialization degrades sharply past ~16k docs/part
+# (see build._auto_parts)
+NUM_PARTS = max(64, CORPUS_DOCS // 12_500)
 
 PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",

@@ -92,8 +92,12 @@ def _dedup_by_content(ds):
 
 
 def _auto_parts(n_docs: int) -> int:
-    # ~50k docs per segment, clamped; decoupled from cluster size
-    return max(4, min(512, (n_docs + 49_999) // 50_000 or 4))
+    # ~12.5k docs per segment, clamped; decoupled from cluster size.
+    # Measured cliff (2M docs @32cpus): 31k docs/part = 123 s,
+    # 15.6k/part = 23.5 s, 7.8k/part = 22.1 s — reduce-group
+    # materialization degrades sharply past ~16k docs/part, so the
+    # target sits well inside the safe region.
+    return max(4, min(4096, (n_docs + 12_499) // 12_500 or 4))
 
 
 def _make_segment_writer(index_dir: str, config: IndexConfig,
