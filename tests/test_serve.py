@@ -91,3 +91,29 @@ def test_lru_eviction(ray_session, idx):
     srv = _SegmentServerImpl(idx, parts[:1], cache_terms=2)
     srv.query_batch(["fast hash join merge sort"], k=5, mode="bm25", df={})
     assert len(srv._cache) <= 2
+
+
+def test_cli_serve_repl(idx):
+    """End-to-end REPL: queries + :stats + punctuation-only line +
+    :quit over a piped stdin, one JSON per line."""
+    import json
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = "fast hash join\n:stats\nfast hash join\n:stats\n!!! ???\n:quit\n"
+    r = subprocess.run(
+        [sys.executable, "-m", "raysearch.cli", "serve", "--index", idx,
+         "--k", "3", "--actors", "2"],
+        input=lines, capture_output=True, text=True, cwd=REPO, timeout=240)
+    out = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    assert out[0]["ready"] is True
+    q1, s1, q2, s2, punct = out[1], out[2], out[3], out[4], out[5]
+    assert q1["results"] and q1 == q2          # identical served results
+    assert sum(a["misses"] for a in s1["cache"]) > 0
+    assert sum(a["hits"] for a in s1["cache"]) == 0
+    assert (sum(a["misses"] for a in s2["cache"])
+            == sum(a["misses"] for a in s1["cache"]))  # warm: no new reads
+    assert sum(a["hits"] for a in s2["cache"]) > 0
+    assert punct["results"] == []              # token-less query is clean
+    assert r.returncode == 0
