@@ -33,7 +33,10 @@ NUM_PARTS = max(64, CORPUS_DOCS // 12_500)
 
 PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
-          "events_window", "user_sessions", "token_counts", "lang_id"]
+          "events_window", "user_sessions", "token_counts", "lang_id",
+          # round 2 additions
+          "simhash_pairs", "ngram_jaccard", "quality_score",
+          "ann_ivf", "event_quantiles", "clean_corpus"]
 
 
 def ensure_corpus() -> str:
