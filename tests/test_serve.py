@@ -117,3 +117,24 @@ def test_cli_serve_repl(idx):
     assert sum(a["hits"] for a in s2["cache"]) > 0
     assert punct["results"] == []              # token-less query is clean
     assert r.returncode == 0
+
+
+def test_cli_monitor(idx):
+    """Monitor reads durable manifests: single-shot poll on a finished
+    index reports all parts and complete=true."""
+    import json
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "raysearch.cli", "monitor", "--index", idx],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    out = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(out) == 1 and out[0]["complete"] is True
+    from raysearch.stats import load_stats
+
+    st = load_stats(idx)
+    assert out[0]["parts_done"] == len(st["parts"])
+    assert out[0]["n_docs"] == st["n_docs"]
+    assert r.returncode == 0
