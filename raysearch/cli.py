@@ -65,7 +65,22 @@ def cmd_build(args) -> None:
     ray.shutdown()
 
 
+def _require_index(path: str) -> None:
+    import os
+
+    from raysearch.stats import stats_path
+
+    if not os.path.exists(stats_path(path)):
+        print(json.dumps({
+            "error": f"not a completed index: {path} "
+                     f"(missing stats.json — is the build finished? "
+                     f"use 'monitor --index {path}' to inspect)"}),
+            flush=True)
+        raise SystemExit(2)
+
+
 def cmd_query(args) -> None:
+    _require_index(args.index)
     ray = _ray_session()
     from raysearch.query import query_index, read_queries
 
@@ -96,6 +111,7 @@ def cmd_serve(args) -> None:
     ``:stats`` prints per-actor cache stats; EOF or ``:quit`` exits."""
     import sys
 
+    _require_index(args.index)
     ray = _ray_session()
     from raysearch.serve import QuerySession
 
@@ -160,6 +176,13 @@ def cmd_monitor(args) -> None:
     stats.json (written last) appears."""
     import os
     import time
+
+    if not os.path.isdir(args.index):
+        # a live build creates the index dir first, so a missing dir
+        # means a wrong path, not an early poll
+        print(json.dumps({"error": f"no such index dir: {args.index}"}),
+              flush=True)
+        raise SystemExit(2)
 
     from raysearch import checkpoint
     from raysearch import stats as statsmod
