@@ -73,30 +73,52 @@ def events_window(sf_dir: str) -> pa.Table:
     })
 
 
+_N_UPART = 64
+
+
 def user_sessions(sf_dir: str) -> pa.Table:
     """Session windows per user (gap > 30 min splits). Events are
-    ordered by (ts, event_id) inside each user group — the
-    deterministic total order both sides share."""
+    ordered by (ts, event_id) inside each user — the deterministic
+    total order both sides share.
+
+    Keyed by a COARSE user-hash partition (all of a user's events in
+    one group — the partitioning assumption — but each reduce group
+    holds MANY users): sessionization is vectorized ACROSS users
+    inside the group via a user-change flag in the break mask, so
+    there is no per-user Python dispatch (the #1 map_groups pitfall
+    at 10^9-user scale)."""
     import ray.data
 
+    def add_upart(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        upart = pc.cast(
+            pc.bit_wise_and(b["user_id"], _N_UPART - 1), pa.int64())
+        return b.append_column("upart", upart)
+
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
         tus = _epoch_us(g["ts"])
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, tus, uid))
+        uid, tus = uid[order], tus[order]
         brk = np.ones(len(g), dtype=np.int64)
         if len(g) > 1:
-            brk[1:] = (np.diff(tus) > SESSION_GAP_US).astype(np.int64)
-        sid = np.cumsum(brk)
-        out = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                             "sid": sid, "tus": tus})
+            brk[1:] = ((uid[1:] != uid[:-1])
+                       | (np.diff(tus) > SESSION_GAP_US)).astype(np.int64)
+        sid = np.cumsum(brk)  # globally increasing -> unique per session
+        out = (pd.DataFrame({"user_id": uid, "sid": sid, "tus": tus})
                .groupby(["user_id", "sid"], as_index=False)
                .agg(session_start_us=("tus", "min"),
                     n_events=("tus", "size"),
-                    duration_us=("tus", lambda x: x.max() - x.min())))
+                    session_end_us=("tus", "max")))
+        out["duration_us"] = out.session_end_us - out.session_start_us
         return out[["user_id", "session_start_us", "n_events",
                     "duration_us"]]
 
-    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"]).map_batches(
+        add_upart, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("upart").map_groups(sessionize, batch_format="pandas")
     df = out.to_pandas()
     return pa.table({
         "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
