@@ -130,6 +130,56 @@ def user_sessions(sf_dir: str) -> pa.Table:
     })
 
 
+HOP_US = 1_800_000_000  # hopping windows: 1 h windows every 30 min
+
+
+def events_hopping(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) 1-hour windows with a 30-minute hop: every
+    event belongs to exactly WINDOW/HOP = 2 overlapping windows, both
+    emitted MAP-SIDE as pre-aggregated partials (the combiner pattern
+    again — the shuffle carries 2 partial rows per (key, batch), not
+    2x the events)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tus = _epoch_us(df["ts"])
+        w0 = (tus // HOP_US) * HOP_US      # latest window containing t
+        frames = []
+        for k in range(WINDOW_US // HOP_US):
+            frames.append(df.assign(window_start_us=w0 - k * HOP_US))
+        both = pd.concat(frames, ignore_index=True)
+        return (both.groupby(["event_type", "window_start_us"],
+                             as_index=False)
+                .agg(n=("value", "size"), sum_value=("value", "sum")))
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    df = agg.to_pandas()
+    return pa.table({
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "window_start_us": pa.array(
+            df.window_start_us.to_numpy(np.int64), pa.int64()),
+        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+        "sum_value": pa.array(round6(df.sum_value.to_numpy(np.float64)),
+                              pa.float64()),
+    })
+
+
+def sql_events_hopping() -> str:
+    return f"""
+SELECT event_type,
+       ((epoch_us(ts) // {HOP_US} - k) * {HOP_US})::BIGINT
+         AS window_start_us,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM events, range(0, {WINDOW_US // HOP_US}) r(k)
+GROUP BY 1, 2
+"""
+
+
 QUANTILES = (0.5, 0.95)
 
 
@@ -218,9 +268,11 @@ QUERIES = {
     "events_window": events_window,
     "user_sessions": user_sessions,
     "event_quantiles": event_quantiles,
+    "events_hopping": events_hopping,
 }
 
 ORACLE_SQL = {
+    "events_hopping": sql_events_hopping(),
     "events_window": sql_events_window(),
     "user_sessions": sql_user_sessions(),
     "event_quantiles": sql_event_quantiles(),
