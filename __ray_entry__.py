@@ -64,6 +64,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(extras.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import chunking
+        out.update(chunking.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -73,7 +78,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
-                     "multimodal", "extras"):
+                     "multimodal", "extras", "chunking"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])
