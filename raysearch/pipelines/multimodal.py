@@ -113,6 +113,65 @@ def blob_meta(sf_dir: str) -> pa.Table:
     })
 
 
+FRAME_BYTES = 256
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def frame_sample(sf_dir: str) -> pa.Table:
+    """Frame sampling for video-like payloads: each payload is a
+    sequence of fixed-size frames; the stage EXPANDS one media row
+    into one row per sampled frame (keep every FRAME_STRIDE-th) — the
+    1:N output layout a real frame sampler produces, with small
+    batches because rows are wide. Frame slicing is real byte-range
+    work (no codec needed), so this stage gets a full DuckDB oracle
+    unlike the stubbed decode kernel."""
+    import ray.data
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        texts = [t.encode() for t in b["text"].to_pylist()]
+        out_id, out_idx, out_n, out_sha = [], [], [], []
+        for mid, raw in zip(ids, texts):
+            n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                frame = raw[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
+                out_id.append(int(mid))
+                out_idx.append(fi)
+                out_n.append(len(frame))
+                out_sha.append(hashlib.sha256(frame).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+            "n_bytes": pa.array(out_n, pa.int64()),
+            "frame_sha": pa.array(out_sha, pa.string()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(sample, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=256)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def sql_frame_sample() -> str:
+    return f"""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest((length(text) + {FRAME_BYTES} - 1)
+                                  // {FRAME_BYTES}, 0))) AS k
+  FROM documents
+),
+f AS (
+  SELECT doc_id, k::BIGINT AS frame_idx,
+         substr(text, 1 + k * {FRAME_BYTES}, {FRAME_BYTES}) AS frame
+  FROM idx WHERE k % {FRAME_STRIDE} = 0
+)
+SELECT doc_id, frame_idx, length(frame)::BIGINT AS n_bytes,
+       sha256(frame) AS frame_sha
+FROM f
+"""
+
+
 def sql_blob_meta() -> str:
     return """
 SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
@@ -121,5 +180,6 @@ FROM documents
 """
 
 
-QUERIES = {"blob_meta": blob_meta}
-ORACLE_SQL = {"blob_meta": sql_blob_meta()}
+QUERIES = {"blob_meta": blob_meta, "frame_sample": frame_sample}
+ORACLE_SQL = {"blob_meta": sql_blob_meta(),
+              "frame_sample": sql_frame_sample()}
