@@ -141,6 +141,12 @@ class QuerySession:
 
     Results are bit-identical to ``query_index`` (same kernels, same
     deterministic merge).
+
+    Staleness contract: actors snapshot stats at construction and
+    cache postings thereafter — a session observes the index AS OF its
+    creation. After an index rebuild or merge, create a new session
+    (segment files are replaced atomically, so a live session never
+    sees torn data, only the old or the new bytes per part).
     """
 
     def __init__(self, index_dir: str, num_actors: int | None = None,
@@ -187,8 +193,14 @@ class QuerySession:
         df = lexicon_df(self.index_dir, all_terms)
         refs = [a.query_batch.remote(queries, k, mode, df, prune)
                 for a in self._actors]
-        cand = pd.concat(ray.get(refs), ignore_index=True) if refs else \
-            pd.DataFrame()
+        if refs:
+            cand = pd.concat(ray.get(refs), ignore_index=True)
+        else:  # index with zero segments: typed-empty candidate frame
+            cand = pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "rank": pd.Series([], dtype="int32"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")})
         return merge_candidates(cand, len(queries), k)
 
     def cache_stats(self) -> list[dict]:
