@@ -28,6 +28,15 @@ _DOCS = "documents.parquet"
 CDC_WINDOW = 16          # rolling window bytes
 CDC_TARGET = 64          # boundary when hash % TARGET == 0 (~64B mean)
 CDC_MIN_CHUNK = 16       # suppress boundaries closer than this
+
+# LOAD-BEARING INVARIANT: boundaries are only honored at offsets
+# >= CDC_MIN_CHUNK into a document, and a cut at offset i is derived
+# from the window [i-CDC_WINDOW, i). MIN_CHUNK >= WINDOW therefore
+# guarantees every honored window lies wholly inside its document —
+# the hash over the batch-flattened byte array can never leak a
+# neighbor document's bytes into a cut decision (which would make
+# chunking depend on batch composition).
+assert CDC_MIN_CHUNK >= CDC_WINDOW
 _P = np.uint64(1_000_003)
 _POWERS = (_P ** np.arange(CDC_WINDOW, dtype=np.uint64))[::-1].copy()
 

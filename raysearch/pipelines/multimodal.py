@@ -124,7 +124,9 @@ def frame_sample(sf_dir: str) -> pa.Table:
     1:N output layout a real frame sampler produces, with small
     batches because rows are wide. Frame slicing is real byte-range
     work (no codec needed), so this stage gets a full DuckDB oracle
-    unlike the stubbed decode kernel."""
+    unlike the stubbed decode kernel. (Engine slices BYTES, the SQL
+    oracle slices CHARACTERS — equal under the documented ASCII
+    corpus contract, textops module docstring.)"""
     import ray.data
 
     def sample(b: pa.Table) -> pa.Table:

@@ -79,3 +79,22 @@ def test_dedup_stats(ray_session, docs_dir):
     # doc 0 repeats one sentence 40x AND doc 3 shares doc 0's suffix:
     # distinct bytes must be well below total
     assert st.distinct_bytes < 0.8 * st.total_bytes
+
+
+def test_batch_composition_independence(ray_session, docs_dir):
+    """Chunk boundaries must depend only on each document's own bytes,
+    never on batch neighbors: chunking with batch_size=1 equals the
+    default batching (guarded by the MIN_CHUNK >= WINDOW invariant)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(docs_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    one = pa.concat_tables(
+        ds.map_batches(C._chunk_batch, batch_format="pyarrow",
+                       batch_size=1)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    full = C.doc_chunks(docs_dir).to_pandas()
+    key = ["doc_id", "chunk_idx"]
+    assert one.sort_values(key, ignore_index=True).equals(
+        full.sort_values(key, ignore_index=True))
