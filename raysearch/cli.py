@@ -166,6 +166,56 @@ def cmd_verify_index(args) -> None:
         raise SystemExit(1)
 
 
+def cmd_evaluate(args) -> None:
+    """The reference's accuracy harness as one command
+    (build_and_run_tests.sh + src/bin/test.rs:122-173): build an index
+    from a labeled file tree (query{q}document{d}.* names), run the
+    queries file, report precision@10 per query and the average.
+    Uses the distributed file-tree source (corpus_from_files)."""
+    import os
+    import tempfile
+
+    ray = _ray_session()
+    from raysearch.build import build_index
+    from raysearch.config import IndexConfig
+    from raysearch.corpus import corpus_from_files
+    from raysearch.query import query_index, read_queries
+
+    ds = corpus_from_files(args.corpus_dir)
+    # label map: (doc_id -> path). Harness corpora are small labeled
+    # test sets; at scale labels would live in the corpus table itself.
+    id_path = {int(r["doc_id"]): r["path"]
+               for r in ds.select_columns(["doc_id", "path"]).take_all()}
+    # the reference harness repeats each query 50x to measure latency
+    # (build_and_run_tests.sh); accuracy is per DISTINCT query, labeled
+    # by first-occurrence order
+    raw = read_queries(args.queries)
+    queries = list(dict.fromkeys(raw))
+    idx = args.index or tempfile.mkdtemp(prefix="rayseval-")
+    build_index(ds, idx, IndexConfig(num_parts=args.parts),
+                input_id=f"evaluate:{os.path.abspath(args.corpus_dir)}")
+    out = query_index(idx, queries, k=args.k, mode=args.mode).to_pandas()
+    per_query = []
+    for qid in range(len(queries)):
+        # reference labeling: doc query{q}document{d}.* is relevant to
+        # the q-th query (1-based line number), src/bin/test.rs:122-137
+        label = f"query{qid + 1}document"
+        sub = out[out.query_id == qid]
+        hits = sum(
+            1 for d in sub.doc_id
+            if os.path.basename(id_path.get(int(d), "")).startswith(label))
+        per_query.append({"query": queries[qid],
+                          "precision_at_k": round(hits / args.k, 4)})
+    avg = (sum(p["precision_at_k"] for p in per_query) / len(per_query)
+           if per_query else 0.0)
+    print(json.dumps({"mode": args.mode, "k": args.k,
+                      "n_queries": len(queries),
+                      "n_query_lines": len(raw),
+                      "avg_precision": round(avg, 4),
+                      "per_query": per_query}))
+    ray.shutdown()
+
+
 def cmd_monitor(args) -> None:
     """Live build progress (SURVEY §2.5 O5 — the reference's monitor
     thread polls per-shard counters, src/processor.rs:390-526; here
@@ -273,6 +323,18 @@ def main(argv=None) -> None:
     v = sub.add_parser("verify-index")
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_verify_index)
+
+    e = sub.add_parser("evaluate")
+    e.add_argument("--corpus-dir", required=True,
+                   help="labeled file tree (query{q}document{d}.* names)")
+    e.add_argument("--queries", required=True,
+                   help="queries file, one per line")
+    e.add_argument("--index", default=None,
+                   help="index dir (default: fresh temp dir)")
+    e.add_argument("--parts", type=int, default=4)
+    e.add_argument("--k", type=int, default=10)
+    e.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
+    e.set_defaults(fn=cmd_evaluate)
 
     mo = sub.add_parser("monitor")
     mo.add_argument("--index", required=True)

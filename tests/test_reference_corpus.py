@@ -91,3 +91,25 @@ def test_reference_corpus_rank_identity(ray_session, ref_corpus, tmp_path):
     out = query_index(idx, queries, k=10, mode="bm25")
     golden = Oracle(tbl).search_all(queries, k=10, mode="bm25")
     assert out.equals(golden)
+
+
+@pytest.mark.timeout(300)
+def test_evaluate_cli_reproduces_metric():
+    """The one-command harness (cli evaluate) reproduces the
+    reference's accuracy number on its own corpus+queries."""
+    import json
+    import subprocess
+    import sys
+
+    if not os.path.isdir(REF_DOCS):
+        pytest.skip("reference corpus not available")
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "raysearch.cli", "evaluate",
+         "--corpus-dir", REF_DOCS, "--queries", REF_QUERIES,
+         "--mode", "bm25"],
+        capture_output=True, text=True, cwd=REPO, timeout=280)
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["n_queries"] == 10 and d["n_query_lines"] == 500
+    assert d["avg_precision"] >= 0.85
