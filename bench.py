@@ -119,6 +119,12 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             session.query_batch([q], k=K)
             warm.append(time.perf_counter() - t0)
+        # warm throughput: one 100-query batch (10 distinct x 10), all
+        # terms cached — the steady-state serving rate
+        big = QUERIES * 10
+        t0 = time.perf_counter()
+        session.query_batch(big, k=K)
+        resident_qps = len(big) / (time.perf_counter() - t0)
     cold.sort()
     warm.sort()
     resident_cold_ms = 1000 * cold[len(cold) // 2]
@@ -161,6 +167,7 @@ def run_bench() -> dict:
         "p50_query_ms": round(p50_ms, 1),
         "p50_resident_cold_ms": round(resident_cold_ms, 1),
         "p50_resident_warm_ms": round(resident_warm_ms, 1),
+        "resident_warm_qps": round(resident_qps, 1),
         "n_docs": n_docs,
         "part_skew_max_over_median": skew,
     }
