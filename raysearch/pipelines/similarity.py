@@ -217,6 +217,51 @@ def ann_lsh(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def embedding_dups_lsh(sf_dir: str) -> pa.Table:
+    """The SUB-QUADRATIC near-dup path: hyperplane-LSH bucket
+    candidates + exact cosine verification WITHIN buckets only —
+    compute drops from all-pairs to sum(bucket^2) (~N^2/2^planes for
+    balanced buckets). Approximate (pairs split across all probed
+    buckets are missed) -> rows-only check; recall vs the exact
+    block-pair join asserted in pytest. One exchange: groupby(bucket)
+    carrying (vec_id, normalized embedding); pair emission inside the
+    group is one matmul."""
+    import ray.data
+
+    dim = _query_vectors(sf_dir)[1].shape[1]
+    planes = np.random.default_rng(1234).standard_normal((dim, LSH_PLANES))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sig = (bn @ planes > 0).astype(np.uint8)
+        bucket = (sig << np.arange(LSH_PLANES, dtype=np.uint8)).sum(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            "emb": pa.array(list(bn.astype(np.float64)),
+                            pa.list_(pa.float64(), bn.shape[1])),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["emb"].to_numpy())
+        a, b = _dup_block_pairs((ids, mat), (ids, mat)).to_pandas(), None
+        return a[["vec_a", "vec_b", "cos"]]
+
+    ds = _read_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    pairs = ds.groupby("bucket").map_groups(bucket_pairs,
+                                            batch_format="pandas")
+    tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    return (tbl.select(["vec_a", "vec_b", "cos"])
+            .sort_by([("vec_a", "ascending"), ("vec_b", "ascending")]))
+
+
 # ---- IVF ----
 
 IVF_CENTROIDS = 16
@@ -380,6 +425,7 @@ QUERIES = {
     "embedding_dups": embedding_dups,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "embedding_dups_lsh": embedding_dups_lsh,
 }
 
 ORACLE_SQL = {

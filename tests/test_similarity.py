@@ -75,3 +75,21 @@ def test_ivf_centroids_unit_norm(ray_session):
     assert cents.shape == (S.IVF_CENTROIDS, 64)
     norms = np.linalg.norm(cents, axis=1)
     assert np.allclose(norms[norms > 0], 1.0)
+
+
+def test_embedding_dups_lsh_subset_and_recall(ray_session):
+    """Bucketed variant: every reported pair is a TRUE pair (exact
+    verification inside buckets => precision 1.0) and recall vs the
+    exact block-pair join is meaningful for near-dup cosines."""
+    exact_pairs = S.embedding_dups(SF).to_pandas()
+    approx = S.embedding_dups_lsh(SF).to_pandas()
+    ex = set(zip(exact_pairs.vec_a, exact_pairs.vec_b))
+    ap = set(zip(approx.vec_a, approx.vec_b))
+    assert ap <= ex  # precision 1.0 by construction
+    # high-cosine pairs land in the same hyperplane bucket with high
+    # probability: recall on cos >= 0.9 pairs must be strong
+    hot = exact_pairs[exact_pairs.cos >= 0.9]
+    if len(hot):
+        hot_set = set(zip(hot.vec_a, hot.vec_b))
+        rec = len(hot_set & ap) / len(hot_set)
+        assert rec >= 0.5, rec
