@@ -246,8 +246,8 @@ def embedding_dups_lsh(sf_dir: str) -> pa.Table:
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()
         mat = np.stack(g["emb"].to_numpy())
-        a, b = _dup_block_pairs((ids, mat), (ids, mat)).to_pandas(), None
-        return a[["vec_a", "vec_b", "cos"]]
+        pairs = _dup_block_pairs((ids, mat), (ids, mat)).to_pandas()
+        return pairs[["vec_a", "vec_b", "cos"]]
 
     ds = _read_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow",
                                        zero_copy_batch=True)
