@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(chunking.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import lm
+        out.update(lm.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -78,7 +83,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
-                     "multimodal", "extras", "chunking"):
+                     "multimodal", "extras", "chunking", "lm"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])
