@@ -115,16 +115,29 @@ def ann_topk(sf_dir: str) -> pa.Table:
 DUP_BLOCK_ROWS = 4096  # rows per cross-join block (bounds task memory)
 
 
-def _dup_block_pairs(a, b) -> pa.Table:
+def _dup_block_pairs(a, b, diagonal: bool = True) -> pa.Table:
     """Exact thresholded pairs between two normalized blocks — the
     per-task kernel of the block-pair cross join. Fully vectorized:
-    one matmul, one round, one boolean mask, zero Python-per-row."""
+    one matmul, one round, one boolean mask, zero Python-per-row.
+
+    diagonal=True means a and b are the SAME id set: the strict
+    ids_a < ids_b mask both drops self-pairs and halves the symmetric
+    matrix. For an off-diagonal block pair the id sets are disjoint
+    but NOT ordered relative to each other (the parquet need not be
+    id-sorted and the streaming executor may reorder blocks), so each
+    hit is oriented by min/max instead — a `<` mask there silently
+    drops every pair whose block-a id exceeds its block-b id."""
     (ids_a, mat_a), (ids_b, mat_b) = a, b
     sims = round6(mat_a @ mat_b.T)
-    hit = (sims >= DUP_COS_THRESHOLD) & (ids_a[:, None] < ids_b[None, :])
+    hit = sims >= DUP_COS_THRESHOLD
+    if diagonal:
+        hit &= ids_a[:, None] < ids_b[None, :]
+    else:
+        hit &= ids_a[:, None] != ids_b[None, :]
     ii, jj = np.nonzero(hit)
-    return pa.table({"vec_a": pa.array(ids_a[ii], pa.int64()),
-                     "vec_b": pa.array(ids_b[jj], pa.int64()),
+    va, vb = ids_a[ii], ids_b[jj]
+    return pa.table({"vec_a": pa.array(np.minimum(va, vb), pa.int64()),
+                     "vec_b": pa.array(np.maximum(va, vb), pa.int64()),
                      "cos": pa.array(sims[ii, jj], pa.float64())})
 
 
@@ -143,8 +156,8 @@ def embedding_dups(sf_dir: str) -> pa.Table:
     import ray
 
     @ray.remote(num_cpus=1)
-    def pair_task(a_ref, b_ref):
-        return _dup_block_pairs(a_ref, b_ref)
+    def pair_task(a_ref, b_ref, diagonal):
+        return _dup_block_pairs(a_ref, b_ref, diagonal=diagonal)
 
     blocks = []
     for batch in _read_emb(sf_dir).iter_batches(
@@ -153,7 +166,7 @@ def embedding_dups(sf_dir: str) -> pa.Table:
         bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         blocks.append(ray.put((ids, bn)))
 
-    refs = [pair_task.remote(blocks[i], blocks[j])
+    refs = [pair_task.remote(blocks[i], blocks[j], i == j)
             for i in range(len(blocks)) for j in range(i, len(blocks))]
     tables = ray.get(refs)
     tbl = pa.concat_tables(t for t in tables if t.num_rows)

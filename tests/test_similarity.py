@@ -77,6 +77,41 @@ def test_ivf_centroids_unit_norm(ray_session):
     assert np.allclose(norms[norms > 0], 1.0)
 
 
+def test_embedding_dups_multiblock_unsorted_ids(ray_session, tmp_path,
+                                                monkeypatch):
+    """Regression (round-3 ADVICE high): the off-diagonal block-pair
+    kernel must not assume vec_ids are globally sorted across blocks.
+    Build a corpus larger than the block size with ids written in
+    DESCENDING order so every off-diagonal block pair has block-a ids
+    strictly greater than block-b ids, and compare the distributed
+    join with a driver-side brute force."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 8
+    mat = rng.standard_normal((n, dim))
+    # plant strong cross-block dups between far-apart ids
+    for a, b in [(5, 280), (17, 251), (40, 299), (123, 260)]:
+        mat[b] = mat[a] + rng.standard_normal(dim) * 0.01
+    ids = np.arange(n, dtype=np.int64)[::-1].copy()  # descending order
+    tbl = __import__("pyarrow").table({
+        "vec_id": ids,
+        "embedding": list(mat[ids].astype(np.float64)),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    monkeypatch.setattr(S, "DUP_BLOCK_ROWS", 64)  # force ~5 blocks
+
+    got = S.embedding_dups(str(tmp_path)).to_pandas()
+
+    from raysearch.numutil import round6
+    bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = round6(bn @ bn.T)
+    ia, ib = np.nonzero(np.triu(sims >= S.DUP_COS_THRESHOLD, 1))
+    want = sorted(zip(ia.tolist(), ib.tolist()))
+    assert list(zip(got.vec_a, got.vec_b)) == want
+    assert np.allclose(got.cos.to_numpy(), sims[ia, ib])
+
+
 def test_embedding_dups_lsh_subset_and_recall(ray_session):
     """Bucketed variant: every reported pair is a TRUE pair (exact
     verification inside buckets => precision 1.0) and recall vs the
