@@ -66,17 +66,24 @@ class BuildResult:
     parts_skipped: int
 
 
-def _dedup_by_content(ds):
+def _dedup_by_content(ds, n_docs_hint: int | None = None):
     """Exact first-wins dedup on sha256(content): coarse-bucket
-    groupby + vectorized drop_duplicates per bucket."""
+    groupby + vectorized drop_duplicates per bucket. Bucket count is
+    input-scaled (auto_buckets; full rows travel through this shuffle,
+    so groups target ~2k rows) — a fixed constant would make group
+    mass linear in corpus size."""
     import hashlib
 
     import pandas as pd
 
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(n_docs_hint, docs_per_bucket=2_000)
+
     def add_sha(b: pa.Table) -> pa.Table:
         shas = [hashlib.sha256(s.encode()).hexdigest()
                 for s in b["content"].to_pylist()]
-        bucket = [int(s[:4], 16) % 64 for s in shas]
+        bucket = [int(s[:8], 16) % nb for s in shas]
         return (b.append_column("_sha", pa.array(shas, pa.string()))
                  .append_column("_bucket", pa.array(bucket, pa.int64())))
 
@@ -181,8 +188,12 @@ def _write_lexicon(index_dir: str, n_rows_hint: int | None = None) -> int:
         merged = pa.concat_tables(tables)
         agg = merged.group_by("term").aggregate(
             [("df", "sum"), ("cf", "sum")])
-        agg = agg.rename_columns(["term", "df", "cf"]).sort_by(
-            [("term", "ascending")])
+        # select by NAME: pyarrow has changed whether group keys come
+        # first across majors, so a positional rename could silently
+        # write df values as terms
+        agg = (agg.select(["term", "df_sum", "cf_sum"])
+               .rename_columns(["term", "df", "cf"])
+               .sort_by([("term", "ascending")]))
         # same schema as the distributed path (string, not the
         # large_string that concat of segment columns produces)
         agg = agg.set_column(0, "term",
@@ -258,7 +269,12 @@ def build_index(
             lambda b: b.filter(_pc.is_in(b["lang"], langs)),
             batch_format="pyarrow", zero_copy_batch=True)
     if dedup_input:
-        ds = _dedup_by_content(ds)
+        # bucket-size hint: metadata-only count of the raw source (an
+        # upper bound when a lang filter dropped rows — fine for
+        # sizing); None (-> floor) for opaque Dataset sources
+        hint = (ray.data.read_parquet(source).count()
+                if isinstance(source, (str, list)) else None)
+        ds = _dedup_by_content(ds, n_docs_hint=hint)
     # For plain parquet sources ds.count() is metadata-only (cheap) and
     # makes input_id row-count-sensitive. For a Dataset source with
     # transforms applied it would EXECUTE the whole upstream pipeline

@@ -24,6 +24,25 @@ def doc_partition(doc_ids: np.ndarray, num_parts: int) -> np.ndarray:
     return (splitmix64(doc_ids) % np.uint64(num_parts)).astype(np.int64)
 
 
+def auto_buckets(n_docs: int, docs_per_bucket: int = 8_000,
+                 lo: int = 64, hi: int = 65_536) -> int:
+    """Coarse shuffle-key cardinality scaled to the input, so each
+    reduce group holds ~docs_per_bucket documents' worth of rows no
+    matter how large the corpus is — the same reduce-group-cliff guard
+    as build._auto_parts (measured there: group materialization
+    degrades ~5x past ~16k docs/group). A FIXED bucket constant makes
+    group mass linear in input size; this keeps it O(target).
+
+    Bucket count must never change operator RESULTS — only group
+    sizes (asserted in tests/test_skew.py by comparing runs at two
+    bucket cardinalities). Always a power of two so callers may mask
+    (`x & (nb-1)`) instead of modulo."""
+    if n_docs is None:
+        return lo
+    want = max(lo, min(hi, -(-int(n_docs) // docs_per_bucket)))
+    return 1 << (want - 1).bit_length()
+
+
 def doc_salt(doc_ids: np.ndarray, salt: int) -> np.ndarray:
     """Build-shuffle sub-key in [0, salt). Independent of doc_partition
     (different avalanche input) so salting actually subdivides a part."""

@@ -73,7 +73,10 @@ def events_window(sf_dir: str) -> pa.Table:
     })
 
 
-_N_UPART = 64
+def _n_events(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, _EVENTS)).num_rows
 
 
 def user_sessions(sf_dir: str) -> pa.Table:
@@ -86,14 +89,21 @@ def user_sessions(sf_dir: str) -> pa.Table:
     holds MANY users): sessionization is vectorized ACROSS users
     inside the group via a user-change flag in the break mask, so
     there is no per-user Python dispatch (the #1 map_groups pitfall
-    at 10^9-user scale)."""
+    at 10^9-user scale). Partition cardinality is input-scaled
+    (auto_buckets over the footer row count, always a power of two so
+    the key is a bitmask) — a fixed constant would make group mass
+    linear in input size."""
     import ray.data
+
+    from raysearch.hashing import auto_buckets
+
+    n_upart = auto_buckets(_n_events(sf_dir))
 
     def add_upart(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         upart = pc.cast(
-            pc.bit_wise_and(b["user_id"], _N_UPART - 1), pa.int64())
+            pc.bit_wise_and(b["user_id"], n_upart - 1), pa.int64())
         return b.append_column("upart", upart)
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:

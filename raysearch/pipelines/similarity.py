@@ -303,6 +303,10 @@ def _ivf_train(sf_dir: str) -> np.ndarray:
     ids, mat = _emb_matrix(seed_tbl)
     order = np.argsort(ids)
     seeds = mat[order[:IVF_CENTROIDS]]
+    # K' may be < IVF_CENTROIDS on tiny corpora (fewer than K vectors
+    # with vec_id < K): every shape below derives from len(seeds) so
+    # the trainer degrades gracefully instead of raising
+    K = len(seeds)
     cents = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
 
     for _ in range(IVF_LLOYD_ITERS):
@@ -322,9 +326,9 @@ def _ivf_train(sf_dir: str) -> np.ndarray:
                     "vsum": pa.array([], pa.list_(pa.float64()))})
             bn = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
             assign = np.argmax(bn @ c.T, axis=1)
-            sums = np.zeros((IVF_CENTROIDS, bn.shape[1]))
+            sums = np.zeros((len(c), bn.shape[1]))
             np.add.at(sums, assign, bn)
-            counts = np.bincount(assign, minlength=IVF_CENTROIDS)
+            counts = np.bincount(assign, minlength=len(c))
             nz = counts > 0
             return pa.table({
                 "cid": pa.array(np.flatnonzero(nz), pa.int64()),
@@ -334,7 +338,7 @@ def _ivf_train(sf_dir: str) -> np.ndarray:
         agg = _read_emb(sf_dir).map_batches(
             partials, batch_format="pyarrow", zero_copy_batch=True)
         sums = np.zeros_like(cents)
-        counts = np.zeros(IVF_CENTROIDS, dtype=np.int64)
+        counts = np.zeros(K, dtype=np.int64)
         for b in agg.iter_batches(batch_format="pyarrow"):
             cids = b["cid"].to_numpy()
             counts[cids] += b["n"].to_numpy()
@@ -361,7 +365,8 @@ def ann_ivf(sf_dir: str) -> pa.Table:
     cents = _ivf_train(sf_dir)
     qids, qmat = _query_vectors(sf_dir)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :IVF_NPROBE]
+    qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :min(IVF_NPROBE,
+                                                         len(cents))]
 
     def bucket_score(batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
