@@ -3,16 +3,30 @@ perplexity-style pre-training filter, two streaming passes:
 
 1. TRAIN: global bigram counts c2(w1 w2) and first-position unigram
    counts c1(w1), map-side partial-counted (one row per distinct gram
-   per batch — the combiner pattern) then summed by one groupby; the
-   resulting model is vocabulary-bounded and broadcast once via
-   ray.put.
-2. SCORE: per document, mean log P(w2|w1) = mean ln(c2/c1) over its
-   bigrams, fully vectorized (factorized lookups + np.add.at per-doc
-   sums). Documents with no bigrams (< 2 tokens) are excluded on both
-   sides.
+   per batch — the combiner pattern) then summed by one groupby. The
+   model ships as FOUR numpy arrays — (sorted uint64 gram hashes,
+   int64 counts) for each of c1/c2 — ray.put once; numpy arrays come
+   out of ray.get ZERO-COPY from the object store, unlike pandas
+   Series which would re-deserialize per consumer.
+2. SCORE: an ACTOR-POOL map_batches stage (BigramScorer) that
+   ray.gets the model once per actor in __init__ (never per batch)
+   and looks grams up with np.searchsorted on their md5 hashes; the
+   per-doc mean ln(c2/c1) is np.add.at over doc offsets. Documents
+   with no bigrams (< 2 tokens) are excluded on both sides.
 
 Counts come from the corpus being scored, so every observed bigram
 has c2 >= 1 — no smoothing needed and the oracle is exact SQL.
+
+At 100 TB the model is the corpus's bigram vocabulary, which grows
+with the data (unlike a fixed-size KenLM artifact). The broadcast
+path here holds while the hashed model fits a worker heap (16 B/gram:
+~60 GB per 4e9 distinct bigrams — beyond that, either (a) cap the
+vocabulary map-side by count-min-sketch thresholding of rare grams,
+or (b) replace the broadcast lookup with a shuffle-join: hash-
+partition both the model rows and the per-doc gram rows on
+hash(gram) % P and join inside each group, then groupby(doc_id) to
+re-assemble the per-doc mean. The two-pass streaming shape is
+unchanged either way.)
 """
 
 from __future__ import annotations
@@ -42,7 +56,7 @@ def _doc_bigrams(batch: pa.Table):
     masked)."""
     toks = _tokens(batch)
     dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
     if len(flat) < 2:
         e = np.zeros(0, dtype=np.int64)
         return e, np.zeros(0, object), np.zeros(0, object)
@@ -53,9 +67,22 @@ def _doc_bigrams(batch: pa.Table):
     return doc_idx[:-1][same], w1, bg
 
 
+_HASH_HEX = 16  # 64-bit md5 prefix: the gram-key space for lookups
+
+
+def _hash_sorted(grams: np.ndarray, counts: np.ndarray):
+    """(sorted uint64 hashes, counts aligned) for searchsorted lookup."""
+    from raysearch.pipelines.textops import md5_prefix_ints
+
+    h = md5_prefix_ints(grams, _HASH_HEX)
+    order = np.argsort(h)
+    return h[order], counts[order].astype(np.int64)
+
+
 def _train(sf_dir: str):
-    """Global (c1_first, c2) count Series via map-side partials + one
-    groupby; returns a ray.put ref to the broadcast model."""
+    """Global (c1_first, c2) counts via map-side partials + one
+    groupby; returns a ray.put ref to the broadcast model — four
+    plain numpy arrays (zero-copy out of the object store)."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -76,27 +103,46 @@ def _train(sf_dir: str):
                            zero_copy_batch=True)
               .groupby(["kind", "gram"])
               .aggregate(Sum("n", alias_name="n"))).to_pandas()
-    c1 = counts[counts.kind == 1].set_index("gram")["n"]
-    c2 = counts[counts.kind == 2].set_index("gram")["n"]
-    return ray.put((c1, c2))
+    one = counts[counts.kind == 1]
+    two = counts[counts.kind == 2]
+    h1, n1 = _hash_sorted(one["gram"].to_numpy(object),
+                          one["n"].to_numpy())
+    h2, n2 = _hash_sorted(two["gram"].to_numpy(object),
+                          two["n"].to_numpy())
+    return ray.put((h1, n1, h2, n2))
 
 
-def bigram_logprob(sf_dir: str) -> pa.Table:
-    """(doc_id, n_bigrams, logprob): mean ln c2(w1w2)/c1(w1) per doc."""
-    import ray
+def _lookup(h_sorted: np.ndarray, n: np.ndarray,
+            keys: np.ndarray) -> np.ndarray:
+    """Counts for uint64 keys via binary search. Every scored gram was
+    counted in training (same corpus), so misses cannot happen; the
+    clip only guards indexing if they somehow did."""
+    idx = np.searchsorted(h_sorted, keys).clip(0, max(len(h_sorted) - 1, 0))
+    return n[idx].astype(np.float64)
 
-    model_ref = _train(sf_dir)
 
-    def score(batch: pa.Table) -> pa.Table:
-        c1, c2 = ray.get(model_ref)
+class BigramScorer:
+    """Actor-pool scoring stage: the broadcast model is ray.get ONCE
+    per actor here in __init__ (zero-copy numpy views over the shared
+    object-store buffer), never per batch."""
+
+    def __init__(self, model_ref) -> None:
+        import ray
+
+        self.h1, self.n1, self.h2, self.n2 = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import md5_prefix_ints
+
         doc_idx, w1, bg = _doc_bigrams(batch)
         n_docs = batch.num_rows
         if len(bg) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_bigrams": pa.array([], pa.int64()),
                              "logprob": pa.array([], pa.float64())})
-        lp = np.log(c2.reindex(bg).to_numpy(np.float64)
-                    / c1.reindex(w1).to_numpy(np.float64))
+        lp = np.log(
+            _lookup(self.h2, self.n2, md5_prefix_ints(bg, _HASH_HEX))
+            / _lookup(self.h1, self.n1, md5_prefix_ints(w1, _HASH_HEX)))
         sums = np.zeros(n_docs)
         np.add.at(sums, doc_idx, lp)
         cnt = np.zeros(n_docs, dtype=np.int64)
@@ -110,8 +156,17 @@ def bigram_logprob(sf_dir: str) -> pa.Table:
                                 pa.float64()),
         })
 
-    out = _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
-                                         zero_copy_batch=True)
+
+def bigram_logprob(sf_dir: str) -> pa.Table:
+    """(doc_id, n_bigrams, logprob): mean ln c2(w1w2)/c1(w1) per doc.
+    Scoring runs as an autoscaling actor pool (never fixed-size: a
+    fixed pool equal to session CPUs starves the upstream read)."""
+    model_ref = _train(sf_dir)
+
+    out = _read_docs(sf_dir).map_batches(
+        BigramScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=1)
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
