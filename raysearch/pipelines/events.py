@@ -224,6 +224,110 @@ def event_quantiles(sf_dir: str) -> pa.Table:
     })
 
 
+# ---- mergeable quantile sketch (the scale path for quantiles) ----
+
+TDIGEST_K = 256  # clusters per sketch; rank error ~= 1/(2K)
+
+
+def _sketch_values(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Equal-weight centroid sketch (t-digest-style mergeable summary)
+    of one value array: <= TDIGEST_K (mean, weight) clusters built
+    fully vectorized (sort + reduceat)."""
+    vals = np.sort(vals.astype(np.float64))
+    n = len(vals)
+    k = min(TDIGEST_K, n)
+    edges = (np.arange(k + 1, dtype=np.int64) * n) // k
+    w = np.diff(edges)
+    means = np.add.reduceat(vals, edges[:-1]) / w
+    return means, w.astype(np.float64)
+
+
+def _merge_sketches(means: np.ndarray,
+                    weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Merge many clusters into <= TDIGEST_K: sort by mean, re-chunk on
+    equal cumulative-weight boundaries (vectorized searchsorted +
+    bincount). Mergeable and associative up to the re-chunk error."""
+    order = np.lexsort((weights, means))
+    m, w = means[order], weights[order]
+    cumw = np.cumsum(w)
+    total = cumw[-1]
+    k = min(TDIGEST_K, len(m))
+    bounds = np.linspace(0.0, total, k + 1)
+    mid = cumw - w / 2
+    bin_id = np.clip(np.searchsorted(bounds, mid, side="right") - 1,
+                     0, k - 1)
+    out_w = np.bincount(bin_id, weights=w, minlength=k)
+    out_mw = np.bincount(bin_id, weights=w * m, minlength=k)
+    nz = out_w > 0
+    return out_mw[nz] / out_w[nz], out_w[nz]
+
+
+def _sketch_quantiles(means: np.ndarray, weights: np.ndarray,
+                      qs) -> np.ndarray:
+    """Interpolated quantiles from a sketch: centroids sit at their
+    cumulative-weight midpoints; np.interp between them."""
+    cumw = np.cumsum(weights)
+    pos = (cumw - weights / 2) / cumw[-1]
+    return np.interp(qs, pos, means)
+
+
+def event_quantiles_tdigest(sf_dir: str) -> pa.Table:
+    """APPROXIMATE per-event-type quantiles via mergeable sketches —
+    the scale path event_quantiles' docstring promises: no stage ever
+    holds a type's full value set. Map-side each batch emits <= K
+    clusters per type (the combiner pattern: the shuffle carries
+    centroid rows, not values); a salted pre-merge bounds the final
+    group at K * n_salts clusters regardless of block count; the final
+    per-type merge interpolates p50/p95. Rank error ~1/(2K) = 0.2%;
+    bounded against the exact operator in pytest. Approximate by
+    construction -> rows-only driver check (no SQL oracle)."""
+    import ray.data
+
+    n_salt = 16
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_m, out_w, out_s = [], [], [], []
+        for etype, g in df.groupby("event_type"):
+            m, w = _sketch_values(g["value"].to_numpy(np.float64))
+            out_t.append(etype)
+            out_m.append(m)
+            out_w.append(w)
+            # spread a type's partials over salts: derive from the
+            # batch slice (varies per batch), not the type name
+            out_s.append(int(g.index[0]) % n_salt)
+        return pd.DataFrame({"event_type": out_t, "salt": out_s,
+                             "means": out_m, "weights": out_w})
+
+    def premerge(g: pd.DataFrame) -> pd.DataFrame:
+        m, w = _merge_sketches(np.concatenate(list(g["means"])),
+                               np.concatenate(list(g["weights"])))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "means": [m], "weights": [w]})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m, w = _merge_sketches(np.concatenate(list(g["means"])),
+                               np.concatenate(list(g["weights"])))
+        qs = _sketch_quantiles(m, w, QUANTILES)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [round6(qs[0])], "p95": [round6(qs[1])],
+            "n": [np.int64(w.sum())]})
+
+    out = (_read_events(sf_dir, ["event_type", "value"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby(["event_type", "salt"])
+           .map_groups(premerge, batch_format="pandas")
+           .groupby("event_type")
+           .map_groups(final, batch_format="pandas"))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "p50": pa.array(df.p50.to_numpy(np.float64), pa.float64()),
+        "p95": pa.array(df.p95.to_numpy(np.float64), pa.float64()),
+        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+    })
+
+
 # ---- oracle SQL ----
 
 def sql_event_quantiles() -> str:
@@ -278,6 +382,7 @@ QUERIES = {
     "events_window": events_window,
     "user_sessions": user_sessions,
     "event_quantiles": event_quantiles,
+    "event_quantiles_tdigest": event_quantiles_tdigest,
     "events_hopping": events_hopping,
 }
 
