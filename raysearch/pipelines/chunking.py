@@ -65,37 +65,74 @@ def _chunk_batch(batch: pa.Table) -> pa.Table:
     ends = starts + lens
 
     # rolling hash of every WINDOW-byte window: strided view + matmul
-    cut = np.zeros(len(flat) + 1, dtype=bool)
+    cand = np.zeros(0, dtype=np.int64)
     if len(flat) >= CDC_WINDOW:
         win = np.lib.stride_tricks.sliding_window_view(flat, CDC_WINDOW)
         h = win.astype(np.uint64) @ _POWERS  # wraps mod 2^64
         # window ending at byte i-1 puts a cut BEFORE byte i
         cand = np.flatnonzero(h % np.uint64(CDC_TARGET) == 0) + CDC_WINDOW
-        cut[cand] = True
-    # Python below loops over CHUNKS (~10/doc), never bytes: the
-    # byte-level rolling hash above is one strided matmul
-    out_d, out_i, out_n, out_sha = [], [], [], []
-    for di in np.flatnonzero(keep):
-        s, e = int(starts[di]), int(ends[di])
-        # cuts interior to this doc, honoring the minimum chunk size
-        interior = np.flatnonzero(cut[s + CDC_MIN_CHUNK:e])
-        bounds = [s]
-        for c in (interior + s + CDC_MIN_CHUNK).tolist():
-            if c - bounds[-1] >= CDC_MIN_CHUNK:
-                bounds.append(c)
-        bounds.append(e)
-        raw = texts[di]
-        for k in range(len(bounds) - 1):
-            a, b = bounds[k] - s, bounds[k + 1] - s
-            out_d.append(int(doc_ids[di]))
-            out_i.append(k)
-            out_n.append(b - a)
-            out_sha.append(hashlib.sha256(raw[a:b]).hexdigest()[:16])
+
+    # Greedy min-gap boundary selection, vectorized ACROSS DOCS: every
+    # doc advances one kept cut per pass (searchsorted over the flat
+    # candidate array), so the Python loop runs max-chunks-per-doc
+    # times per batch — not n_docs x chunks times.
+    live = np.flatnonzero(keep)
+    c_lo = np.searchsorted(cand, starts[live] + CDC_MIN_CHUNK)
+    c_hi = np.searchsorted(cand, ends[live])
+    last = starts[live].copy()
+    cut_doc_parts, cut_pos_parts = [], []
+    while True:
+        j = np.searchsorted(cand, last + CDC_MIN_CHUNK)
+        j = np.maximum(j, c_lo)
+        act = j < c_hi
+        if not act.any():
+            break
+        pos = cand[j[act]]
+        cut_doc_parts.append(live[act])
+        cut_pos_parts.append(pos)
+        # docs with no further candidate park at their end (inactive)
+        nxt = np.where(act, 0, ends[live])
+        nxt[act] = pos
+        last = nxt
+        c_lo = np.maximum(c_lo, np.where(act, j + 1, c_lo))
+
+    n_docs = len(doc_ids)
+    if cut_doc_parts:
+        cut_doc = np.concatenate(cut_doc_parts)
+        cut_pos = np.concatenate(cut_pos_parts)
+        order = np.lexsort((cut_pos, cut_doc))
+        cut_doc, cut_pos = cut_doc[order], cut_pos[order]
+    else:
+        cut_doc = cut_pos = np.zeros(0, dtype=np.int64)
+
+    # assemble per-chunk (start, end) arrays: doc d with k_d kept cuts
+    # yields k_d + 1 chunks; starts interleave [s_d, cuts], ends
+    # interleave [cuts, e_d]
+    k = np.bincount(cut_doc, minlength=n_docs)
+    n_chunks = np.where(keep, k + 1, 0)
+    total = int(n_chunks.sum())
+    first = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(n_chunks[:-1], out=first[1:])
+    doc_rep = np.repeat(np.arange(n_docs), n_chunks)
+    chunk_idx = np.arange(total) - np.repeat(first, n_chunks)
+    cs = np.empty(total, dtype=np.int64)
+    ce = np.empty(total, dtype=np.int64)
+    is_first = chunk_idx == 0
+    is_last = chunk_idx == np.repeat(n_chunks - 1, n_chunks)
+    cs[is_first] = starts[keep]
+    cs[~is_first] = cut_pos
+    ce[is_last] = ends[keep]
+    ce[~is_last] = cut_pos
+
+    # Python below loops over CHUNKS only (the sha call); slices are
+    # zero-copy memoryviews of the flat byte buffer
+    shas = [hashlib.sha256(flat[a:b]).hexdigest()[:16]
+            for a, b in zip(cs, ce)]
     return pa.table({
-        "doc_id": pa.array(out_d, pa.int64()),
-        "chunk_idx": pa.array(out_i, pa.int64()),
-        "n_bytes": pa.array(out_n, pa.int64()),
-        "chunk_sha": pa.array(out_sha, pa.string()),
+        "doc_id": pa.array(doc_ids[doc_rep], pa.int64()),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "n_bytes": pa.array(ce - cs, pa.int64()),
+        "chunk_sha": pa.array(shas, pa.string()),
     })
 
 

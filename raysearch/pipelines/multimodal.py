@@ -132,20 +132,30 @@ def frame_sample(sf_dir: str) -> pa.Table:
     def sample(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy()
         texts = [t.encode() for t in b["text"].to_pylist()]
-        out_id, out_idx, out_n, out_sha = [], [], [], []
-        for mid, raw in zip(ids, texts):
-            n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
-            for fi in range(0, n_frames, FRAME_STRIDE):
-                frame = raw[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
-                out_id.append(int(mid))
-                out_idx.append(fi)
-                out_n.append(len(frame))
-                out_sha.append(hashlib.sha256(frame).hexdigest())
+        # vectorized 1:N expansion (np.repeat/arange over frame
+        # offsets); Python loops only for the per-frame sha call,
+        # hashing zero-copy slices of one flat byte buffer
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        n_frames = -(-lens // FRAME_BYTES)
+        n_samp = -(-n_frames // FRAME_STRIDE)
+        total = int(n_samp.sum())
+        first = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(n_samp[:-1], out=first[1:])
+        doc_rep = np.repeat(np.arange(len(texts)), n_samp)
+        frame_idx = (np.arange(total)
+                     - np.repeat(first, n_samp)) * FRAME_STRIDE
+        fs = starts[doc_rep] + frame_idx * FRAME_BYTES
+        fe = np.minimum(fs + FRAME_BYTES, starts[doc_rep] + lens[doc_rep])
+        shas = [hashlib.sha256(flat[a:e]).hexdigest()
+                for a, e in zip(fs, fe)]
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "frame_idx": pa.array(out_idx, pa.int64()),
-            "n_bytes": pa.array(out_n, pa.int64()),
-            "frame_sha": pa.array(out_sha, pa.string()),
+            "doc_id": pa.array(ids[doc_rep], pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "n_bytes": pa.array(fe - fs, pa.int64()),
+            "frame_sha": pa.array(shas, pa.string()),
         })
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
