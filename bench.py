@@ -36,7 +36,62 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "events_window", "user_sessions", "token_counts", "lang_id",
           # round 2 additions
           "simhash_pairs", "ngram_jaccard", "quality_score",
-          "ann_ivf", "event_quantiles", "clean_corpus"]
+          "ann_ivf", "event_quantiles", "clean_corpus",
+          # round 3 additions
+          "bigram_logprob", "event_quantiles_tdigest", "doc_chunks"]
+
+
+def run_quality(sf_dir: str) -> dict:
+    """Driver-visible quality numbers for the approximate (no-oracle)
+    operators — recall/precision vs their exact counterparts and the
+    CDC dedup ratio (round-2 VERDICT item 5). The pytest bounds exist
+    too; this puts the measured curve in BENCH_r{N}.json where a user
+    tuning planes/nprobe can see it."""
+    from raysearch.pipelines import chunking as C
+    from raysearch.pipelines import events as E
+    from raysearch.pipelines import similarity as S
+
+    out: dict[str, float] = {}
+    exact = S.ann_topk(sf_dir).to_pandas()
+    for name, fn in (("ann_lsh", S.ann_lsh), ("ann_ivf", S.ann_ivf)):
+        ap = fn(sf_dir).to_pandas()
+        recalls = []
+        for q in range(S.N_QUERY_VECS):
+            e = set(exact[exact.query_vec_id == q].vec_id)
+            a = set(ap[ap.query_vec_id == q].vec_id)
+            recalls.append(len(e & a) / max(len(e), 1))
+        out[f"{name}_recall_at_{S.TOPK}"] = round(
+            sum(recalls) / len(recalls), 3)
+
+    ex_pairs = S.embedding_dups(sf_dir).to_pandas()
+    ap_pairs = S.embedding_dups_lsh(sf_dir).to_pandas()
+    ex = set(zip(ex_pairs.vec_a, ex_pairs.vec_b))
+    ap = set(zip(ap_pairs.vec_a, ap_pairs.vec_b))
+    out["embedding_dups_lsh_pair_recall"] = round(
+        len(ex & ap) / max(len(ex), 1), 3)
+    out["embedding_dups_lsh_pair_precision"] = round(
+        len(ex & ap) / max(len(ap), 1), 3)
+    hot = ex_pairs[ex_pairs.cos >= 0.9]
+    if len(hot):
+        hs = set(zip(hot.vec_a, hot.vec_b))
+        out["embedding_dups_lsh_recall_cos90"] = round(
+            len(hs & ap) / len(hs), 3)
+
+    st = C.chunk_dedup_stats(sf_dir).to_pandas().iloc[0]
+    out["cdc_distinct_chunk_ratio"] = round(
+        float(st.distinct_chunks) / max(int(st.total_chunks), 1), 3)
+    out["cdc_bytes_saved_pct"] = round(
+        100.0 * (1 - float(st.distinct_bytes)
+                 / max(int(st.total_bytes), 1)), 3)
+
+    exq = E.event_quantiles(sf_dir).to_pandas().set_index("event_type")
+    apq = E.event_quantiles_tdigest(sf_dir).to_pandas().set_index(
+        "event_type")
+    rel = max(
+        (abs(apq.p50 - exq.p50) / exq.p50.abs().clip(lower=1e-9)).max(),
+        (abs(apq.p95 - exq.p95) / exq.p95.abs().clip(lower=1e-9)).max())
+    out["tdigest_max_rel_err"] = round(float(rel), 5)
+    return out
 
 
 def ensure_corpus() -> str:
@@ -95,6 +150,13 @@ def run_bench() -> dict:
     qbatch_sec = time.perf_counter() - t0
     assert out.num_rows == len(QUERIES) * K
 
+    # MaxScore/block-max pruned path: must be bit-identical to the
+    # exhaustive scorer (exact pruning), reported alongside it
+    t0 = time.perf_counter()
+    out_pruned = query_index(idx, QUERIES, k=K, mode="bm25", prune=True)
+    qbatch_pruned_sec = time.perf_counter() - t0
+    assert out_pruned.equals(out), "pruned top-k diverged from exact"
+
     lat = []
     for q in QUERIES:
         t0 = time.perf_counter()
@@ -131,6 +193,7 @@ def run_bench() -> dict:
     resident_warm_ms = 1000 * warm[len(warm) // 2]
 
     per_query: dict[str, float] = {}
+    quality: dict[str, float] = {}
     import __ray_entry__ as entrymod
 
     qmap = entrymod.queries()
@@ -143,6 +206,8 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         fn(sf_dir)
         per_query[name] = round(time.perf_counter() - t0, 3)
+    if qmap:
+        quality = run_quality(sf_dir)
 
     # partition skew: largest / median posting mass across segments
     detail = res.stats.get("parts_detail") or []
@@ -163,6 +228,8 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "build_sec": round(build_sec, 3),
         "query_batch_sec": round(qbatch_sec, 3),
+        "query_batch_pruned_sec": round(qbatch_pruned_sec, 3),
+        "quality": quality,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "p50_query_ms": round(p50_ms, 1),
         "p50_resident_cold_ms": round(resident_cold_ms, 1),

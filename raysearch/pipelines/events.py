@@ -280,10 +280,16 @@ def event_quantiles_tdigest(sf_dir: str) -> pa.Table:
     group at K * n_salts clusters regardless of block count; the final
     per-type merge interpolates p50/p95. Rank error ~1/(2K) = 0.2%;
     bounded against the exact operator in pytest. Approximate by
-    construction -> rows-only driver check (no SQL oracle)."""
+    construction -> rows-only driver check (no SQL oracle).
+
+    The pre-merge level only pays for itself once there are enough
+    blocks that K * n_blocks clusters per type would strain the final
+    group — below ~1M events it is skipped (one fewer exchange; the
+    re-chunk math is identical either way)."""
     import ray.data
 
     n_salt = 16
+    two_level = _n_events(sf_dir) >= 1_000_000
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out_t, out_m, out_w, out_s = [], [], [], []
@@ -313,12 +319,13 @@ def event_quantiles_tdigest(sf_dir: str) -> pa.Table:
             "p50": [round6(qs[0])], "p95": [round6(qs[1])],
             "n": [np.int64(w.sum())]})
 
-    out = (_read_events(sf_dir, ["event_type", "value"])
-           .map_batches(partial, batch_format="pandas")
-           .groupby(["event_type", "salt"])
-           .map_groups(premerge, batch_format="pandas")
-           .groupby("event_type")
-           .map_groups(final, batch_format="pandas"))
+    sketches = _read_events(sf_dir, ["event_type", "value"]).map_batches(
+        partial, batch_format="pandas")
+    if two_level:
+        sketches = sketches.groupby(["event_type", "salt"]).map_groups(
+            premerge, batch_format="pandas")
+    out = sketches.groupby("event_type").map_groups(
+        final, batch_format="pandas")
     df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
     return pa.table({
         "event_type": pa.array(df.event_type.tolist(), pa.string()),
