@@ -24,7 +24,10 @@ import time
 
 BENCH_ROOT = "/tmp/raysearch_bench"
 CORPUS_DOCS = int(os.environ.get("RAY_GRAFT_BENCH_DOCS", "400000"))
-CORPUS_DIR = os.path.join(BENCH_ROOT, f"corpus-{CORPUS_DOCS}")
+_CSCALE = os.environ.get("RAY_GRAFT_CONTENT_SCALE", "1")
+CORPUS_DIR = os.path.join(
+    BENCH_ROOT, f"corpus-{CORPUS_DOCS}"
+    + (f"-x{_CSCALE}" if _CSCALE != "1" else ""))
 K = 10
 # partitions scale with the corpus (~12.5k docs/part, floor 64):
 # reduce-group materialization degrades sharply past ~16k docs/part
@@ -266,13 +269,15 @@ def run_scaling() -> dict:
         a, b = run_once(ncpu), run_once(ncpu)
         return a if a["build_sec"] <= b["build_sec"] else b
 
-    # N -> 4N per the scaling criterion. Default 4 -> 16: on a SINGLE
-    # box the 32-cpu point saturates shared memory bandwidth (4x CPUs
-    # != 4x bandwidth), which a real 4x-node cluster does not suffer —
-    # 4 vs 16 keeps both points inside the box's bandwidth envelope.
-    # Override with RAY_GRAFT_SCALE_CPUS="8,32" etc.
+    # N -> 4N per the scaling criterion. Default 8 -> 32 (the honest
+    # pair): round 2 measured 0.699 here and attributed the miss to
+    # single-box memory-bandwidth saturation; round 3 cut shuffle
+    # bytes (dictionary-encoded terms through the build exchange,
+    # triples.py) and the pair now measures >= 0.8 — see BASELINE.md
+    # for the run-by-run evidence. Override with
+    # RAY_GRAFT_SCALE_CPUS="4,16" etc.
     lo_n, hi_n = (int(x) for x in os.environ.get(
-        "RAY_GRAFT_SCALE_CPUS", "4,16").split(","))
+        "RAY_GRAFT_SCALE_CPUS", "8,32").split(","))
     lo, hi = run(lo_n), run(hi_n)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_n / lo_n)
     return {

@@ -134,6 +134,32 @@ def cmd_serve(args) -> None:
     ray.shutdown()
 
 
+def cmd_serve_tcp(args) -> None:
+    """TCP submit/poll servers (the reference's S4/S5 surface,
+    src/server.rs:34-118): JSON {"query": ...} on the submit port
+    returns a query_id; JSON {"query_id": ...} on the poll port
+    returns documents + timing (or the not-ready message). Backed by
+    the same resident actor pool as `serve`. Runs until SIGINT."""
+    import signal
+
+    _require_index(args.index)
+    ray = _ray_session()
+    from raysearch.server import SearchServer
+
+    with SearchServer(args.index, k=args.k, mode=args.mode,
+                      num_actors=args.actors,
+                      submit_port=args.submit_port,
+                      poll_port=args.poll_port) as srv:
+        print(json.dumps({"ready": True, "index": args.index,
+                          "submit_port": srv.submit_port,
+                          "poll_port": srv.poll_port}), flush=True)
+        stop = {"flag": False}
+        signal.signal(signal.SIGINT, lambda *a: stop.update(flag=True))
+        while not stop["flag"]:
+            signal.pause()
+    ray.shutdown()
+
+
 def cmd_verify_index(args) -> None:
     """Offline integrity check: every partition manifest must validate
     (config hash, lineage, file digests) and the tree-merged partials
@@ -319,6 +345,15 @@ def main(argv=None) -> None:
     s.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
     s.add_argument("--actors", type=int, default=None)
     s.set_defaults(fn=cmd_serve)
+
+    st = sub.add_parser("serve-tcp")
+    st.add_argument("--index", required=True)
+    st.add_argument("--k", type=int, default=10)
+    st.add_argument("--mode", default="bm25")
+    st.add_argument("--actors", type=int, default=None)
+    st.add_argument("--submit-port", type=int, default=8080)
+    st.add_argument("--poll-port", type=int, default=8081)
+    st.set_defaults(fn=cmd_serve_tcp)
 
     v = sub.add_parser("verify-index")
     v.add_argument("--index", required=True)

@@ -150,7 +150,11 @@ def _gen_shard(out_dir: str, shard: int, n_docs: int, offset: int,
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
         path = f"src/q{q + 1}/doc{i // 10}_{i}.{lang}"
         commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()[:12]
-        n_lines = int(rng.integers(4, 25))
+        # RAY_GRAFT_CONTENT_SCALE shrinks/grows doc bodies for the
+        # bandwidth-saturation control experiment (BASELINE.md): same
+        # doc count, scaled shuffle bytes
+        scale = float(os.environ.get("RAY_GRAFT_CONTENT_SCALE", "1"))
+        n_lines = max(1, int(int(rng.integers(4, 25)) * scale))
         contents.append(_make_content(rng, _QUERY_VOCAB[q], n_lines, lang))
         repos.append(repo); paths.append(path); commits.append(commit)
         langs.append(lang); ids.append(i)

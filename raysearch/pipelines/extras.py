@@ -89,7 +89,7 @@ class TfidfRanker:
     def __call__(self, b: pa.Table) -> pa.Table:
         toks = _tokens(b)
         dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
         if len(flat) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64()),
@@ -193,7 +193,7 @@ def phrase_counts(sf_dir: str) -> pa.Table:
         # (doc, phrase) hits via one np.unique — no Python per row
         toks = _tokens(b)
         dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
         hits = np.zeros(len(PHRASES), dtype=np.int64)
         if len(flat) >= 2:
             doc_idx = np.repeat(np.arange(len(dl), dtype=np.int64), dl)

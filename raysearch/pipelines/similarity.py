@@ -166,9 +166,23 @@ def embedding_dups(sf_dir: str) -> pa.Table:
         bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         blocks.append(ray.put((ids, bn)))
 
-    refs = [pair_task.remote(blocks[i], blocks[j], i == j)
-            for i in range(len(blocks)) for j in range(i, len(blocks))]
-    tables = ray.get(refs)
+    # bounded waves: the driver holds O(wave) in-flight refs, not the
+    # full quadratic B(B+1)/2 list (round-2 VERDICT minor)
+    from itertools import islice
+
+    def gen_pairs():
+        for i in range(len(blocks)):
+            for j in range(i, len(blocks)):
+                yield i, j
+
+    wave, tables, it = 256, [], gen_pairs()
+    while True:
+        chunk = list(islice(it, wave))
+        if not chunk:
+            break
+        refs = [pair_task.remote(blocks[i], blocks[j], i == j)
+                for i, j in chunk]
+        tables.extend(ray.get(refs))
     tbl = pa.concat_tables(t for t in tables if t.num_rows)
     if tbl.num_rows == 0:
         return pa.table({"vec_a": pa.array([], pa.int64()),

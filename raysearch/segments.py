@@ -109,6 +109,14 @@ def build_partials(group: pa.Table) -> pa.Table:
     produces sorted partial runs merged in stage C."""
     dpart = int(group["dpart"][0].as_py())
 
+    # terms arrive dictionary-encoded from the shuffle (triples.py);
+    # decode once here — everything downstream wants plain strings
+    tcol = group["term"]
+    if pa.types.is_dictionary(tcol.type):
+        group = group.set_column(
+            group.schema.get_field_index("term"), "term",
+            pc.cast(tcol, pa.large_string()))
+
     out_tables = []
     post = group.filter(pc.equal(group["kind"], KIND_POSTING))
     if post.num_rows:

@@ -36,7 +36,12 @@ TRIPLE_SCHEMA = pa.schema([
     ("gkey", pa.int64()),     # shuffle key: dpart * salt + doc_salt
     ("dpart", pa.int32()),    # document-hash partition (segment id)
     ("kind", pa.int8()),      # 0 = posting triple, 1 = doclen record
-    ("term", pa.large_string()),
+    # dictionary-encoded through the shuffle: a block's terms repeat
+    # heavily across documents, so shipping int32 codes + one
+    # dictionary per block cuts the exchange's dominant payload to a
+    # fraction of the full strings (decoded after the shuffle in
+    # segments.build_partials)
+    ("term", pa.dictionary(pa.int32(), pa.large_string())),
     ("doc_id", pa.int64()),
     ("tf", pa.int32()),       # term frequency (kind=0)
     ("dl", pa.int32()),       # document token count
@@ -140,9 +145,9 @@ def make_triple_fn(config: IndexConfig, with_sha: bool = True):
             "dpart": pa.array(np.concatenate([g_dpart, d_dpart]), pa.int32()),
             "kind": pa.array(np.concatenate([
                 np.zeros(n_trip, np.int8), np.ones(n, np.int8)]), pa.int8()),
-            "term": pa.concat_arrays([
+            "term": pc.dictionary_encode(pa.concat_arrays([
                 grouped["term"].combine_chunks(),
-                pa.array([""] * n, pa.large_string())]),
+                pa.array([""] * n, pa.large_string())])),
             "doc_id": pa.array(np.concatenate([g_doc, doc_id]), pa.int64()),
             "tf": pa.array(np.concatenate([
                 grouped["count_all"].to_numpy().astype(np.int64),
