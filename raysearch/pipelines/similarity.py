@@ -351,14 +351,29 @@ def _ivf_train(sf_dir: str) -> np.ndarray:
 
         agg = _read_emb(sf_dir).map_batches(
             partials, batch_format="pyarrow", zero_copy_batch=True)
+        # Order-independent driver reduce: iter_batches yields blocks
+        # in nondeterministic arrival order, and float64 addition is
+        # not associative — a naive running sum perturbs centroids
+        # between runs, which cascades into different probe sets and a
+        # different top-k tail. math.fsum is exactly rounded (result
+        # independent of summation order), and the partial table is
+        # tiny (<= K rows per input block), so the driver cost is
+        # K x dim fsum calls.
+        import math
+        parts = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+        cids = parts["cid"].to_numpy() if parts.num_rows else \
+            np.array([], dtype=np.int64)
+        ns = parts["n"].to_numpy() if parts.num_rows else \
+            np.array([], dtype=np.int64)
+        vs = (np.array(parts["vsum"].to_pylist())
+              if parts.num_rows else np.zeros((0, cents.shape[1])))
         sums = np.zeros_like(cents)
-        counts = np.zeros(K, dtype=np.int64)
-        for b in agg.iter_batches(batch_format="pyarrow"):
-            cids = b["cid"].to_numpy()
-            counts[cids] += b["n"].to_numpy()
-            vs = np.array(b["vsum"].to_pylist())
-            if len(vs):
-                sums[cids] += vs
+        counts = np.bincount(cids, weights=ns,
+                             minlength=K).astype(np.int64)
+        for k in np.unique(cids):
+            m = cids == k
+            for d in range(cents.shape[1]):
+                sums[k, d] = math.fsum(vs[m, d])
         nz = counts > 0
         new = cents.copy()
         new[nz] = sums[nz] / counts[nz, None]
