@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(lm.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import joins
+        out.update(joins.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -83,7 +88,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
-                     "multimodal", "extras", "chunking", "lm"):
+                     "multimodal", "extras", "chunking", "lm", "joins"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

@@ -1,0 +1,462 @@
+"""Distributed join operators Ray Data lacks as primitives, built as
+compositions of map_batches + coarse groupby — the "custom operator"
+path the brief names explicitly (as-of join, range join) plus the
+relational workhorses a training-data pipeline needs (hash join with
+map-side pre-aggregation, deterministic hash-split sampling, exact
+integer-money aggregation).
+
+The reference engine has no joins (its only wide op is the index
+HashMap, src/lib.rs:341); these extend the engine beyond parity, over
+the driver's TPC-H-shaped `orders`/`customer`/`nation`/`lineitem`
+tables and the `events`/`documents` tables.
+
+Partitioning assumptions (documented per the custom-operator
+contract):
+
+- asof_join / range_join_events co-locate by USER: the coarse group
+  key is `user_id & (auto_buckets-1)`, so all of one user's events
+  land in one reduce group, many users per group, and the kernel is
+  vectorized ACROSS users (no per-user Python dispatch). A single
+  pathological user still bounds a group; the fix at that scale is
+  time-bucketing with boundary replication (range) / per-user segment
+  checkpoints (as-of), not implemented here.
+- revenue_by_nation co-locates both join sides by `custkey &
+  (auto_buckets-1)` — a bucketed shuffle hash join. The orders side is
+  pre-aggregated per custkey MAP-SIDE before the exchange (the
+  combiner pattern: the shuffle carries one partial row per (batch,
+  custkey), never raw orders), and the 25-row nation table is joined
+  driver-side after the final 25-row aggregate.
+
+Money is exact: every sum over price/discount columns happens in
+int64 cents (the source values are 2-decimal), so engine and DuckDB
+oracle agree bit-for-bit regardless of shuffle/summation order —
+float sums at 1e9 magnitude cannot survive a round-to-6 value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_EVENTS = "events.parquet"
+_DOCS = "documents.parquet"
+
+ASOF_LEFT = "click"       # each left event joins ...
+ASOF_RIGHT = "purchase"   # ... its most recent prior right event
+RANGE_US = 3_600_000_000  # range join: same-user pairs within 1 hour
+
+
+def _read(sf_dir: str, name: str, columns=None, **kw):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, name),
+                                 columns=columns, **kw)
+
+
+def _epoch_us(ts: pd.Series) -> np.ndarray:
+    return ts.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def _n_rows(sf_dir: str, name: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, name)).num_rows
+
+
+def _user_sorted(g: pd.DataFrame):
+    """Sort a coarse user-bucket group by (user_id, ts_us, event_id) —
+    the deterministic total order the SQL oracles share — and return
+    the sorted columns plus each row's user-segment start index."""
+    tus = _epoch_us(g["ts"])
+    uid = g["user_id"].to_numpy(np.int64)
+    eid = g["event_id"].to_numpy(np.int64)
+    order = np.lexsort((eid, tus, uid))
+    uid, eid, tus = uid[order], eid[order], tus[order]
+    n = len(uid)
+    new_user = np.ones(n, dtype=bool)
+    if n > 1:
+        new_user[1:] = uid[1:] != uid[:-1]
+    start = np.maximum.accumulate(
+        np.where(new_user, np.arange(n), -1))
+    return uid, eid, tus, order, start, n
+
+
+def asof_join(sf_dir: str) -> pa.Table:
+    """As-of join over events: for every '{left}' event, the same
+    user's most recent PRIOR '{right}' event in (ts, event_id) order
+    (a purchase at the same timestamp with a smaller event_id counts
+    as prior; no match -> sentinel -1, keeping the schema all-int64).
+
+    Shape: filtered read (only the two event types leave storage) ->
+    coarse user-hash groupby -> one vectorized running-maximum pass
+    per group: idx = where(is_right, arange, -1); cummax; shift by
+    one row; a candidate is valid iff it lies inside the row's own
+    user segment. No per-user dispatch, no per-row Python.
+    """.format(left=ASOF_LEFT, right=ASOF_RIGHT)
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
+
+    def add_upart(b: pa.Table) -> pa.Table:
+        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
+        return b.append_column("upart", upart)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        uid, eid, tus, order, start, n = _user_sorted(g)
+        is_r = g["event_type"].to_numpy()[order] == ASOF_RIGHT
+        idx = np.where(is_r, np.arange(n), -1)
+        cm = np.maximum.accumulate(idx)
+        prior = np.empty(n, dtype=np.int64)
+        prior[0] = -1
+        if n > 1:
+            prior[1:] = cm[:-1]
+        valid = prior >= start
+        left = ~is_r
+        pl = np.maximum(prior[left], 0)
+        vl = valid[left]
+        return pd.DataFrame({
+            "event_id": eid[left],
+            "user_id": uid[left],
+            "ts_us": tus[left],
+            "prior_event_id": np.where(vl, eid[pl], -1),
+            "gap_us": np.where(vl, tus[left] - tus[pl], -1),
+        })
+
+    ds = _read(sf_dir, _EVENTS,
+               columns=["event_id", "ts", "user_id", "event_type"],
+               filter=pads.field("event_type").isin(
+                   [ASOF_LEFT, ASOF_RIGHT]))
+    out = (ds.map_batches(add_upart, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("upart").map_groups(kern, batch_format="pandas"))
+    df = out.to_pandas()
+    return pa.table({
+        "event_id": pa.array(df.event_id.to_numpy(np.int64), pa.int64()),
+        "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
+        "ts_us": pa.array(df.ts_us.to_numpy(np.int64), pa.int64()),
+        "prior_event_id": pa.array(
+            df.prior_event_id.to_numpy(np.int64), pa.int64()),
+        "gap_us": pa.array(df.gap_us.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def range_join_events(sf_dir: str) -> pa.Table:
+    """Range (interval) self-join: all same-user event pairs (a, b)
+    with a < b in (ts, event_id) order and ts_b - ts_a <= RANGE_US.
+
+    Shape: coarse user-hash groupby; inside the group, each user's
+    time range is shifted into a disjoint integer band (band width >
+    group time span + RANGE_US, so a searchsorted window can never
+    cross users), then ONE global searchsorted gives every row's
+    match window and np.repeat/cumsum expand the pairs — fully
+    vectorized across users, O(pairs) output work.
+    """
+    import pyarrow.compute as pc
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
+
+    def add_upart(b: pa.Table) -> pa.Table:
+        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
+        return b.append_column("upart", upart)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        uid, eid, tus, order, start, n = _user_sorted(g)
+        if n == 0:
+            return pd.DataFrame({"ev_a": [], "ev_b": [], "gap_us": []})
+        t0 = tus.min()
+        band = np.int64(tus.max() - t0) + RANGE_US + 1
+        urank = np.cumsum(start == np.arange(n)) - 1  # 0-based user rank
+        key = urank.astype(np.int64) * band + (tus - t0)
+        hi = np.searchsorted(key, key + RANGE_US, side="right")
+        cnt = hi - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"ev_a": [], "ev_b": [], "gap_us": []})
+        a_idx = np.repeat(np.arange(n), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        b_idx = (np.arange(total) - np.repeat(offs, cnt)
+                 + np.repeat(np.arange(n) + 1, cnt))
+        return pd.DataFrame({
+            "ev_a": eid[a_idx], "ev_b": eid[b_idx],
+            "gap_us": tus[b_idx] - tus[a_idx]})
+
+    ds = _read(sf_dir, _EVENTS, columns=["event_id", "ts", "user_id"])
+    out = (ds.map_batches(add_upart, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("upart").map_groups(kern, batch_format="pandas"))
+    df = out.to_pandas()
+    return pa.table({
+        "ev_a": pa.array(df.ev_a.to_numpy(np.int64), pa.int64()),
+        "ev_b": pa.array(df.ev_b.to_numpy(np.int64), pa.int64()),
+        "gap_us": pa.array(df.gap_us.to_numpy(np.int64), pa.int64()),
+    }).sort_by([("ev_a", "ascending"), ("ev_b", "ascending")])
+
+
+# ---- deterministic hash-split sampling ----
+
+# md5-hex first digit: '0'..'b' (12/16 = 75%) train, 'c'/'d' (12.5%)
+# val, 'e'/'f' (12.5%) test. Exact fractions in hex so the split is
+# reproducible from the doc_id alone on ANY engine (DuckDB expresses
+# it with substr(md5(...))) — the property a train/val/test split of
+# a 100-TB corpus must have (membership never depends on scan order,
+# partitioning, or a stored assignment table).
+_SPLITS = (("train", "0", "c"), ("val", "c", "e"), ("test", "e", "g"))
+
+
+def sample_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test hash split of the documents table:
+    split = f(md5(doc_id)), aggregated map-side (the shuffle carries
+    one partial row per (batch, split)) into per-split doc counts and
+    character volume."""
+    import hashlib
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        chars = b["n_chars"].to_numpy()
+        # one md5 per row, same as the exact-dedup stage; the digest
+        # IS the contract (DuckDB md5() must reproduce membership)
+        d0 = np.array([hashlib.md5(str(int(i)).encode()).hexdigest()[0]
+                       for i in ids])
+        split = np.where(d0 < "c", "train", np.where(d0 < "e",
+                                                     "val", "test"))
+        df = pd.DataFrame({"split": split, "n_chars": chars})
+        return (df.groupby("split", as_index=False)
+                .agg(n_docs=("n_chars", "size"),
+                     total_chars=("n_chars", "sum")))
+
+    ds = _read(sf_dir, _DOCS, columns=["doc_id", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby("split").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"))
+    df = agg.to_pandas()
+    return pa.table({
+        "split": pa.array(df.split.tolist(), pa.string()),
+        "n_docs": pa.array(df.n_docs.to_numpy(np.int64), pa.int64()),
+        "total_chars": pa.array(df.total_chars.to_numpy(np.int64),
+                                pa.int64()),
+    })
+
+
+# ---- bucketed shuffle hash join (orders x customer x nation) ----
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Exact int64 cents from a 2-decimal float column."""
+    return np.rint(x * 100.0).astype(np.int64)
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Order revenue per nation: orders JOIN customer ON custkey JOIN
+    nation — the canonical distributed equi-join. Both sides are
+    bucketed by custkey hash-mask (auto-sized), the orders side is
+    pre-aggregated per custkey inside map_batches BEFORE the exchange,
+    the per-bucket merge is one pandas inner join emitting per-nation
+    partials, and a final 25-row groupby + driver-side nation-name
+    lookup finishes. The shuffle never carries a raw order row, and
+    the only broadcast object is the 25-row nation table."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["o_custkey"].to_numpy(np.int64)
+        g = (pd.DataFrame({
+                "custkey": ck,
+                "cents": _cents(df["o_totalprice"].to_numpy(np.float64))})
+             .groupby("custkey", as_index=False)
+             .agg(n_orders=("cents", "size"), cents=("cents", "sum")))
+        g["bucket"] = g.custkey.to_numpy() & (nb - 1)
+        g["nationkey"] = np.int64(-1)
+        return g[["bucket", "custkey", "nationkey", "n_orders", "cents"]]
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": ck & (nb - 1),
+            "custkey": ck,
+            "nationkey": df["c_nationkey"].to_numpy(np.int64),
+            "n_orders": np.int64(0),
+            "cents": np.int64(0)})
+
+    def join_kern(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g.nationkey >= 0][["custkey", "nationkey"]]
+        o = (g[g.nationkey < 0]
+             .groupby("custkey", as_index=False)
+             .agg(n_orders=("n_orders", "sum"), cents=("cents", "sum")))
+        j = o.merge(c, on="custkey", how="inner")
+        return (j.groupby("nationkey", as_index=False)
+                .agg(n_orders=("n_orders", "sum"), cents=("cents", "sum")))
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_custkey", "o_totalprice"]).map_batches(
+        o_partial, batch_format="pandas")
+    cust = _read(sf_dir, "customer.parquet",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        c_rows, batch_format="pandas")
+    agg = (orders.union(cust)
+           .groupby("bucket").map_groups(join_kern, batch_format="pandas")
+           .groupby("nationkey").aggregate(
+               Sum("n_orders", alias_name="n_orders"),
+               Sum("cents", alias_name="revenue_cents")))
+    df = agg.to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    df = df.merge(nation, left_on="nationkey", right_on="n_nationkey",
+                  how="inner")
+    return pa.table({
+        "n_name": pa.array(df.n_name.tolist(), pa.string()),
+        "n_orders": pa.array(df.n_orders.to_numpy(np.int64), pa.int64()),
+        "revenue_cents": pa.array(df.revenue_cents.to_numpy(np.int64),
+                                  pa.int64()),
+    })
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-shaped pricing summary over lineitem, grouped by
+    (returnflag, linestatus): quantity sum, base price, and discounted
+    price — all in exact integer units (cents / 1e-4 dollars) so the
+    result is bit-identical to the SQL oracle under ANY summation
+    order. Pure combiner pattern: per-batch partials, tiny final
+    groupby (cardinality = |flags| x |statuses|)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = np.rint(
+            df["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "l_linestatus": df["l_linestatus"].to_numpy(),
+            "sum_qty": np.rint(
+                df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+            "base_price_cents": cents,
+            "disc_price_c4": cents * (100 - disc),
+            "n_rows": np.int64(1)})
+        return (g.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).sum())
+
+    ds = _read(sf_dir, "lineitem.parquet",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"]).map_batches(
+        partial, batch_format="pandas")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("base_price_cents", alias_name="base_price_cents"),
+        Sum("disc_price_c4", alias_name="disc_price_c4"),
+        Sum("n_rows", alias_name="n_rows"))
+    df = agg.to_pandas()
+    return pa.table({
+        "l_returnflag": pa.array(df.l_returnflag.tolist(), pa.string()),
+        "l_linestatus": pa.array(df.l_linestatus.tolist(), pa.string()),
+        "sum_qty": pa.array(df.sum_qty.to_numpy(np.int64), pa.int64()),
+        "base_price_cents": pa.array(
+            df.base_price_cents.to_numpy(np.int64), pa.int64()),
+        "disc_price_c4": pa.array(df.disc_price_c4.to_numpy(np.int64),
+                                  pa.int64()),
+        "n_rows": pa.array(df.n_rows.to_numpy(np.int64), pa.int64()),
+    })
+
+
+# ---- oracle SQL ----
+
+def sql_asof_join() -> str:
+    return f"""
+WITH w AS (
+  SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us, event_type,
+         last_value(CASE WHEN event_type = '{ASOF_RIGHT}'
+                         THEN event_id END IGNORE NULLS)
+           OVER u AS pid,
+         last_value(CASE WHEN event_type = '{ASOF_RIGHT}'
+                         THEN epoch_us(ts)::BIGINT END IGNORE NULLS)
+           OVER u AS pts
+  FROM events WHERE event_type IN ('{ASOF_LEFT}', '{ASOF_RIGHT}')
+  WINDOW u AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us,
+       COALESCE(pid, -1)::BIGINT AS prior_event_id,
+       COALESCE(ts_us - pts, -1)::BIGINT AS gap_us
+FROM w WHERE event_type = '{ASOF_LEFT}'
+"""
+
+
+def sql_range_join_events() -> str:
+    return f"""
+SELECT a.event_id AS ev_a, b.event_id AS ev_b,
+       (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS gap_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+  AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_US}
+"""
+
+
+def sql_sample_split() -> str:
+    return """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+            THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def sql_revenue_by_nation() -> str:
+    return """
+SELECT n_name, count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def sql_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity, 0) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT
+         AS base_price_cents,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))::BIGINT
+         AS disc_price_c4,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES = {
+    "asof_join": asof_join,
+    "range_join_events": range_join_events,
+    "sample_split": sample_split,
+    "revenue_by_nation": revenue_by_nation,
+    "pricing_summary": pricing_summary,
+}
+
+ORACLE_SQL = {
+    "asof_join": sql_asof_join(),
+    "range_join_events": sql_range_join_events(),
+    "sample_split": sql_sample_split(),
+    "revenue_by_nation": sql_revenue_by_nation(),
+    "pricing_summary": sql_pricing_summary(),
+}
