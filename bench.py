@@ -41,7 +41,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "simhash_pairs", "ngram_jaccard", "quality_score",
           "ann_ivf", "event_quantiles", "clean_corpus",
           # round 3 additions
-          "bigram_logprob", "event_quantiles_tdigest", "doc_chunks"]
+          "bigram_logprob", "event_quantiles_tdigest", "doc_chunks",
+          "asof_join", "range_join_events", "sample_split",
+          "revenue_by_nation", "pricing_summary"]
 
 
 def run_quality(sf_dir: str) -> dict:
@@ -56,15 +58,24 @@ def run_quality(sf_dir: str) -> dict:
 
     out: dict[str, float] = {}
     exact = S.ann_topk(sf_dir).to_pandas()
-    for name, fn in (("ann_lsh", S.ann_lsh), ("ann_ivf", S.ann_ivf)):
-        ap = fn(sf_dir).to_pandas()
+
+    def recall(ap) -> float:
         recalls = []
         for q in range(S.N_QUERY_VECS):
             e = set(exact[exact.query_vec_id == q].vec_id)
             a = set(ap[ap.query_vec_id == q].vec_id)
             recalls.append(len(e & a) / max(len(e), 1))
-        out[f"{name}_recall_at_{S.TOPK}"] = round(
-            sum(recalls) / len(recalls), 3)
+        return round(sum(recalls) / len(recalls), 3)
+
+    out[f"ann_ivf_recall_at_{S.TOPK}"] = recall(
+        S.ann_ivf(sf_dir).to_pandas())
+    # the multiprobe recall/scan curve: default depth + one shallower
+    # point, so the knob's tradeoff is visible in the artifact
+    for probes in (S.LSH_PROBES, max(1, S.LSH_PROBES // 4)):
+        out[f"ann_lsh_recall_at_{S.TOPK}_p{probes}"] = recall(
+            S.ann_lsh(sf_dir, n_probes=probes).to_pandas())
+        out[f"ann_lsh_scan_frac_p{probes}"] = round(
+            probes / (1 << S.LSH_PLANES), 4)
 
     ex_pairs = S.embedding_dups(sf_dir).to_pandas()
     ap_pairs = S.embedding_dups_lsh(sf_dir).to_pandas()

@@ -34,11 +34,12 @@ def test_lsh_recall(ray_session, exact):
         a = set(approx[approx.query_vec_id == q].vec_id)
         recalls.append(len(e & a) / len(e))
     mean = sum(recalls) / len(recalls)
-    # multiprobe-1 over 8 planes scans ~9/256 = 3.5% of vectors; on
-    # structure-free random embeddings that bounds recall well below 1,
-    # but it must beat the scanned fraction by a wide margin (the
-    # hashes do concentrate direction)
-    assert mean >= 0.2, recalls
+    # margin-ordered multiprobe at the default depth scans
+    # LSH_PROBES/256 ~ 9.4% of vectors; on structure-free random
+    # embeddings that bounds recall well below 1, but it must beat the
+    # scanned fraction by a wide margin (the hashes concentrate
+    # direction; measured 0.5 at sf0.1, 24 probes)
+    assert mean >= 0.35, recalls
     # and every query at least recovers itself
     for q in range(S.N_QUERY_VECS):
         assert q in set(approx[approx.query_vec_id == q].vec_id)
