@@ -192,36 +192,238 @@ GROUP BY 1, 2
 
 QUANTILES = (0.5, 0.95)
 
+# Distributed EXACT rank selection (radix-select): a value's float64
+# bits map order-preservingly to uint64, sliced into 16-bit digits.
+# Pass 1 histograms the top digit per type (map-side partial counts —
+# the shuffle-free combiner; the driver reduces integer counts, which
+# are order-independent). The driver walks the cumulative counts to
+# the bucket holding each needed order statistic; any bucket bigger
+# than FETCH_CAP is refined with another 16-bit digit pass (<= 3
+# refinements reaches the full 64 bits, where a bucket is a single
+# float and resolves with no fetch). A final pass fetches ONLY the
+# resolved buckets' values (<= FETCH_CAP each) for the exact
+# interpolation. No stage ever holds a type's full value set.
+RADIX_BITS = 16
+FETCH_CAP = 65_536  # max values fetched per (type, target) bucket
+
+
+def _ordered_u64(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> uint64 (IEEE-754 total order:
+    flip all bits of negatives, flip just the sign bit otherwise)."""
+    b = v.astype(np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)) == 1
+    return np.where(neg, ~b, b | np.uint64(1) << np.uint64(63))
+
+
+def _u64_to_f64(u: int) -> float:
+    u = np.uint64(u)
+    if (u >> np.uint64(63)) == 0:
+        u = ~u
+    else:
+        u = u & ~(np.uint64(1) << np.uint64(63))
+    return float(np.array([u], dtype=np.uint64).view(np.float64)[0])
+
+
+def _digit_hist(sf_dir: str, jobs: list[tuple[str, int, int]],
+                level: int) -> dict[tuple[str, int, int], np.ndarray]:
+    """One histogram pass: for each (type, prefix) job at ``level``
+    (prefix = the already-resolved high bits, right-aligned), count
+    values per next-16-bit digit. Returns {(type, prefix, level):
+    counts[65536]}. Map-side partials are (type, digit) count rows;
+    the driver reduce is exact integer addition."""
+    shift = np.uint64(64 - RADIX_BITS * (level + 1))
+    pre_shift = np.uint64(64 - RADIX_BITS * level) if level else None
+    want: dict[str, list[int]] = {}
+    for t, p, _ in jobs:
+        want.setdefault(t, []).append(p)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_d, out_c = [], [], []
+        for t, g in df.groupby("event_type"):
+            if t not in want:
+                continue
+            u = _ordered_u64(g["value"].to_numpy(np.float64))
+            for p in want[t]:
+                m = (u >> pre_shift) == np.uint64(p) if level else \
+                    np.ones(len(u), dtype=bool)
+                if not m.any():
+                    continue
+                d = ((u[m] >> shift)
+                     & np.uint64((1 << RADIX_BITS) - 1)).astype(np.int64)
+                uniq, cnt = np.unique(d, return_counts=True)
+                out_t.extend([t] * len(uniq))
+                out_d.append(np.stack([np.full(len(uniq), p,
+                                               dtype=np.int64), uniq,
+                                       cnt], axis=1))
+        pdn = (np.concatenate(out_d) if out_d
+               else np.zeros((0, 3), dtype=np.int64))
+        return pd.DataFrame({"event_type": out_t, "p": pdn[:, 0],
+                             "d": pdn[:, 1], "n": pdn[:, 2]})
+
+    ds = _read_events(sf_dir, ["event_type", "value"]).map_batches(
+        hist, batch_format="pandas")
+    acc: dict[tuple[str, int, int], np.ndarray] = {
+        (t, p, level): np.zeros(1 << RADIX_BITS, dtype=np.int64)
+        for t, p, _ in jobs}
+    for b in ds.iter_batches(batch_format="pandas"):
+        ts = b["event_type"].to_numpy()
+        ps = b["p"].to_numpy()
+        dg = b["d"].to_numpy()
+        ns = b["n"].to_numpy()
+        for t in pd.unique(ts):
+            for p in np.unique(ps[ts == t]):
+                key = (t, int(p), level)
+                if key in acc:
+                    m = (ts == t) & (ps == p)
+                    np.add.at(acc[key], dg[m], ns[m])
+    return acc
+
+
+def _fetch_bucket_values(sf_dir: str, fetches) -> dict:
+    """Final pass: collect the values of each resolved (type, prefix,
+    level) bucket (each <= FETCH_CAP by construction)."""
+    want = {(t, p, lv) for t, p, lv in fetches}
+
+    def grab(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_p, out_l, out_v = [], [], [], []
+        for t, g in df.groupby("event_type"):
+            u = _ordered_u64(g["value"].to_numpy(np.float64))
+            v = g["value"].to_numpy(np.float64)
+            for (tt, p, lv) in want:
+                if tt != t:
+                    continue
+                sh = np.uint64(64 - RADIX_BITS * lv)
+                m = (u >> sh) == np.uint64(p)
+                if not m.any():
+                    continue
+                vs = v[m]
+                out_t.extend([t] * len(vs))
+                out_p.extend([p] * len(vs))
+                out_l.extend([lv] * len(vs))
+                out_v.extend(vs)
+        return pd.DataFrame({"event_type": out_t, "p": out_p,
+                             "lv": out_l, "value": out_v})
+
+    ds = _read_events(sf_dir, ["event_type", "value"]).map_batches(
+        grab, batch_format="pandas")
+    vals: dict = {k: [] for k in want}
+    for b in ds.iter_batches(batch_format="pandas"):
+        for t, p, lv, v in zip(b["event_type"], b["p"], b["lv"],
+                               b["value"]):
+            vals[(t, int(p), int(lv))].append(float(v))
+    return {k: np.sort(np.array(v)) for k, v in vals.items()}
+
 
 def event_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-event-type value quantiles (p50/p95, linear
-    interpolation — numpy 'linear' == DuckDB quantile_cont).
-    groupby(event_type) is bounded by the type cardinality (small and
-    fixed), so shipping each type's values to one group task is safe;
-    the 100-TB path for HIGH-cardinality keys or memory-bounded groups
-    is a mergeable sketch (t-digest) in map-side partials — this
-    operator's contract is the exact quantile, which fundamentally
-    needs the group's values together."""
-    import ray.data
-
-    def q(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g["value"].to_numpy(np.float64)
-        qs = np.quantile(vals, QUANTILES, method="linear")
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "p50": [round6(qs[0])],
-            "p95": [round6(qs[1])],
-            "n": [np.int64(len(vals))]})
-
-    out = (_read_events(sf_dir, ["event_type", "value"])
-           .groupby("event_type").map_groups(q, batch_format="pandas"))
-    df = out.to_pandas()
+    interpolation — numpy 'linear' == DuckDB quantile_cont), computed
+    by DISTRIBUTED RADIX RANK SELECTION: histogram passes over
+    order-preserving 16-bit digit slices locate each order statistic's
+    bucket, oversized buckets are refined digit-by-digit, and only the
+    final (<= FETCH_CAP-value) buckets are fetched — no stage and not
+    the driver ever holds a type's full value set, unlike a
+    groupby(event_type) whole-group kernel, so per-type volume is
+    unbounded. The approximate single-pass alternative is
+    event_quantiles_tdigest."""
+    # pass 1: top-digit histogram for every type (types + counts +
+    # each rank's level-0 bucket all come from this one pass)
+    first = _digit_hist_all_types(sf_dir)
+    out_rows = []
+    # targets: (type, global_rank) for floor/ceil of each quantile
+    fetch_jobs = []     # (type, prefix, level, within_rank, tag)
+    direct = {}         # tag -> exact value (single-u64 bucket)
+    for etype, counts0 in first.items():
+        n = int(counts0.sum())
+        ranks = {}
+        for qi, q in enumerate(QUANTILES):
+            r = q * (n - 1)
+            ranks[(qi, "lo")] = int(np.floor(r))
+            ranks[(qi, "hi")] = int(np.ceil(r))
+        # locate each rank's bucket, refining oversized buckets.
+        # refinement histograms are memoized: the lo/hi ranks of one
+        # quantile almost always land in the same bucket, and the
+        # memo turns their two walks into one corpus pass.
+        hist_memo: dict[tuple[str, int, int], np.ndarray] = {}
+        for tag, rank in ranks.items():
+            level, prefix, counts, rk = 0, 0, counts0, rank
+            while True:
+                cum = np.cumsum(counts)
+                b = int(np.searchsorted(cum, rk, side="right"))
+                within = rk - (int(cum[b - 1]) if b else 0)
+                prefix = (prefix << RADIX_BITS) | b
+                size = int(counts[b])
+                level += 1
+                if size <= FETCH_CAP:
+                    fetch_jobs.append((etype, prefix, level, within,
+                                       tag))
+                    break
+                if level * RADIX_BITS >= 64:
+                    # bucket is one exact u64 -> one float value
+                    direct[(etype, tag)] = _u64_to_f64(prefix)
+                    break
+                key = (etype, prefix, level)
+                if key not in hist_memo:
+                    hist_memo[key] = _digit_hist(
+                        sf_dir, [key], level)[key]
+                counts = hist_memo[key]
+                rk = within
+        out_rows.append((etype, n, ranks))
+    fetched = _fetch_bucket_values(
+        sf_dir, [(t, p, lv) for t, p, lv, _, _ in fetch_jobs]) \
+        if fetch_jobs else {}
+    picked = dict(direct)
+    for t, p, lv, within, tag in fetch_jobs:
+        picked[(t, tag)] = float(fetched[(t, p, lv)][within])
+    res = {"event_type": [], "p50": [], "p95": [], "n": []}
+    for etype, n, _ in sorted(out_rows):
+        res["event_type"].append(etype)
+        res["n"].append(np.int64(n))
+        for qi, (q, col) in enumerate(zip(QUANTILES, ("p50", "p95"))):
+            r = q * (n - 1)
+            lo = picked[(etype, (qi, "lo"))]
+            hi = picked[(etype, (qi, "hi"))]
+            res[col].append(round6(lo + (r - np.floor(r)) * (hi - lo)))
     return pa.table({
-        "event_type": pa.array(df.event_type.tolist(), pa.string()),
-        "p50": pa.array(df.p50.to_numpy(np.float64), pa.float64()),
-        "p95": pa.array(df.p95.to_numpy(np.float64), pa.float64()),
-        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+        "event_type": pa.array(res["event_type"], pa.string()),
+        "p50": pa.array(np.array(res["p50"], dtype=np.float64),
+                        pa.float64()),
+        "p95": pa.array(np.array(res["p95"], dtype=np.float64),
+                        pa.float64()),
+        "n": pa.array(np.array(res["n"], dtype=np.int64), pa.int64()),
     })
+
+
+def _digit_hist_all_types(sf_dir: str) -> dict[str, np.ndarray]:
+    """Level-0 histogram for EVERY type in one pass (no type filter):
+    {type: counts[65536] of the top 16-bit digit}."""
+    shift = np.uint64(64 - RADIX_BITS)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_d, out_c = [], [], []
+        for t, g in df.groupby("event_type"):
+            u = _ordered_u64(g["value"].to_numpy(np.float64))
+            d = (u >> shift).astype(np.int64)
+            uniq, cnt = np.unique(d, return_counts=True)
+            out_t.extend([t] * len(uniq))
+            out_d.extend(uniq)
+            out_c.extend(cnt)
+        return pd.DataFrame({"event_type": out_t,
+                             "d": np.array(out_d, dtype=np.int64),
+                             "n": np.array(out_c, dtype=np.int64)})
+
+    ds = _read_events(sf_dir, ["event_type", "value"]).map_batches(
+        hist, batch_format="pandas")
+    acc: dict[str, np.ndarray] = {}
+    for b in ds.iter_batches(batch_format="pandas"):
+        ts = b["event_type"].to_numpy()
+        dg = b["d"].to_numpy()
+        ns = b["n"].to_numpy()
+        for t in pd.unique(ts):
+            if t not in acc:
+                acc[t] = np.zeros(1 << RADIX_BITS, dtype=np.int64)
+            m = ts == t
+            np.add.at(acc[t], dg[m], ns[m])
+    return acc
 
 
 # ---- mergeable quantile sketch (the scale path for quantiles) ----
