@@ -256,21 +256,40 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.rint(x * 100.0).astype(np.int64)
 
 
+# broadcast the customer dimension when it fits comfortably in a
+# worker heap (rows x 16 B); shuffle-join above the cap. Strategy
+# choice must never change results (asserted in tests/test_joins.py
+# by forcing each path).
+JOIN_BROADCAST_CAP = 4_000_000
+
+
 def revenue_by_nation(sf_dir: str) -> pa.Table:
     """Order revenue per nation: orders JOIN customer ON custkey JOIN
-    nation — the canonical distributed equi-join. Both sides are
-    bucketed by custkey hash-mask (auto-sized), the orders side is
-    pre-aggregated per custkey inside map_batches BEFORE the exchange,
-    the per-bucket merge is one pandas inner join emitting per-nation
-    partials, and a final 25-row groupby + driver-side nation-name
-    lookup finishes. The shuffle never carries a raw order row, and
-    the only broadcast object is the 25-row nation table."""
+    nation — the canonical distributed equi-join, with automatic
+    strategy selection:
+
+    - customer side <= JOIN_BROADCAST_CAP rows: BROADCAST hash join.
+      The (custkey -> nationkey) map ships once via ray.put as two
+      sorted numpy arrays (zero-copy ray.get); each orders batch
+      aggregates per custkey, searchsorted-joins to nationkey, and
+      emits per-NATION partials — zero wide exchange beyond the final
+      25-row groupby.
+    - larger: bucketed SHUFFLE hash join. Both sides bucket by custkey
+      hash-mask (auto-sized), the orders side is pre-aggregated per
+      custkey inside map_batches BEFORE the exchange, the per-bucket
+      merge is one pandas inner join emitting per-nation partials.
+      The shuffle never carries a raw order row.
+
+    Either way the 25-row nation name table joins driver-side."""
     import pyarrow.parquet as pq
     import ray.data
     from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets
 
+    n_cust = _n_rows(sf_dir, "customer.parquet")
+    if n_cust <= JOIN_BROADCAST_CAP:
+        return _revenue_broadcast(sf_dir)
     nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
 
     def o_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -314,6 +333,12 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
                Sum("n_orders", alias_name="n_orders"),
                Sum("cents", alias_name="revenue_cents")))
     df = agg.to_pandas()
+    return _attach_nation_names(sf_dir, df)
+
+
+def _attach_nation_names(sf_dir: str, df: pd.DataFrame) -> pa.Table:
+    import pyarrow.parquet as pq
+
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"),
         columns=["n_nationkey", "n_name"]).to_pandas()
@@ -325,6 +350,49 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
         "revenue_cents": pa.array(df.revenue_cents.to_numpy(np.int64),
                                   pa.int64()),
     })
+
+
+def _revenue_broadcast(sf_dir: str) -> pa.Table:
+    """Broadcast-side of revenue_by_nation: the (custkey, nationkey)
+    map is two sorted int64 numpy arrays in the object store —
+    zero-copy on every ray.get — and each orders batch emits
+    per-nation partials directly, so the ONLY exchange is the final
+    nation-cardinality groupby of partial rows."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    nk = cust["c_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    dim_ref = ray.put((ck[order], nk[order]))
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cks, nks = ray.get(dim_ref)  # zero-copy numpy views
+        g = (pd.DataFrame({
+                "custkey": df["o_custkey"].to_numpy(np.int64),
+                "cents": _cents(df["o_totalprice"].to_numpy(np.float64))})
+             .groupby("custkey", as_index=False)
+             .agg(n_orders=("cents", "size"), cents=("cents", "sum")))
+        keys = g.custkey.to_numpy()
+        pos = np.searchsorted(cks, keys)
+        pos_ok = pos < len(cks)
+        hit = np.zeros(len(keys), dtype=bool)
+        hit[pos_ok] = cks[pos[pos_ok]] == keys[pos_ok]
+        g = g[hit].assign(nationkey=nks[pos[hit]])
+        return (g.groupby("nationkey", as_index=False)
+                .agg(n_orders=("n_orders", "sum"),
+                     cents=("cents", "sum")))
+
+    agg = (_read(sf_dir, "orders.parquet",
+                 columns=["o_custkey", "o_totalprice"])
+           .map_batches(o_partial, batch_format="pandas")
+           .groupby("nationkey").aggregate(
+               Sum("n_orders", alias_name="n_orders"),
+               Sum("cents", alias_name="revenue_cents")))
+    return _attach_nation_names(sf_dir, agg.to_pandas())
 
 
 def pricing_summary(sf_dir: str) -> pa.Table:

@@ -133,3 +133,13 @@ def test_revenue_join_matches_oracle_sf001(ray_session):
                     f"read_parquet('{sf}/{t}.parquet')")
     ora = _norm(con.execute(joins.sql_revenue_by_nation()).df())
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_revenue_join_strategies_agree(ray_session, monkeypatch):
+    """Broadcast and shuffle hash-join paths must produce identical
+    results; the cap only selects the execution strategy."""
+    sf = "/root/testdata/sf0.001"
+    broadcast = _norm(joins.revenue_by_nation(sf).to_pandas())
+    monkeypatch.setattr(joins, "JOIN_BROADCAST_CAP", 0)  # force shuffle
+    shuffle = _norm(joins.revenue_by_nation(sf).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, shuffle)
