@@ -171,10 +171,23 @@ def range_join_events(sf_dir: str) -> pa.Table:
         uid, eid, tus, order, start, n = _user_sorted(g)
         if n == 0:
             return pd.DataFrame({"ev_a": [], "ev_b": [], "gap_us": []})
-        t0 = tus.min()
-        band = np.int64(tus.max() - t0) + RANGE_US + 1
+        # per-USER-relative offsets keep the band as narrow as the
+        # widest single user's span (not the group's global span), so
+        # n_users * band stays far from int64 even in huge groups
+        user_t0 = tus[start]            # first ts of each row's user
+        off = tus - user_t0
+        band = np.int64(off.max()) + RANGE_US + 1
         urank = np.cumsum(start == np.arange(n)) - 1  # 0-based user rank
-        key = urank.astype(np.int64) * band + (tus - t0)
+        n_users = int(urank[-1]) + 1
+        if n_users * int(band) >= 1 << 62:
+            # a group this wide needs the time-bucketed formulation
+            # (bucket by (user, ts // RANGE_US) with boundary
+            # replication) — fail loudly rather than wrap around
+            raise OverflowError(
+                f"range_join group too wide for band keys "
+                f"({n_users} users x {int(band)} us span); use "
+                f"time-bucket partitioning")
+        key = urank.astype(np.int64) * band + off
         hi = np.searchsorted(key, key + RANGE_US, side="right")
         cnt = hi - np.arange(n) - 1
         total = int(cnt.sum())
