@@ -107,34 +107,14 @@ def asof_join(sf_dir: str) -> pa.Table:
         upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
         return b.append_column("upart", upart)
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
-        uid, eid, tus, order, start, n = _user_sorted(g)
-        is_r = g["event_type"].to_numpy()[order] == ASOF_RIGHT
-        idx = np.where(is_r, np.arange(n), -1)
-        cm = np.maximum.accumulate(idx)
-        prior = np.empty(n, dtype=np.int64)
-        prior[0] = -1
-        if n > 1:
-            prior[1:] = cm[:-1]
-        valid = prior >= start
-        left = ~is_r
-        pl = np.maximum(prior[left], 0)
-        vl = valid[left]
-        return pd.DataFrame({
-            "event_id": eid[left],
-            "user_id": uid[left],
-            "ts_us": tus[left],
-            "prior_event_id": np.where(vl, eid[pl], -1),
-            "gap_us": np.where(vl, tus[left] - tus[pl], -1),
-        })
-
     ds = _read(sf_dir, _EVENTS,
                columns=["event_id", "ts", "user_id", "event_type"],
                filter=pads.field("event_type").isin(
                    [ASOF_LEFT, ASOF_RIGHT]))
     out = (ds.map_batches(add_upart, batch_format="pyarrow",
                           zero_copy_batch=True)
-           .groupby("upart").map_groups(kern, batch_format="pandas"))
+           .groupby("upart").map_groups(_asof_kern,
+                                        batch_format="pandas"))
     df = out.to_pandas()
     return pa.table({
         "event_id": pa.array(df.event_id.to_numpy(np.int64), pa.int64()),
@@ -143,6 +123,32 @@ def asof_join(sf_dir: str) -> pa.Table:
         "prior_event_id": pa.array(
             df.prior_event_id.to_numpy(np.int64), pa.int64()),
         "gap_us": pa.array(df.gap_us.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def _asof_kern(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse user-bucket group of {ASOF_LEFT, ASOF_RIGHT} events
+    -> as-of rows. Vectorized across users (running maximum of right-
+    row indices, shifted one row, validated against each row's own
+    user-segment start)."""
+    uid, eid, tus, order, start, n = _user_sorted(g)
+    is_r = g["event_type"].to_numpy()[order] == ASOF_RIGHT
+    idx = np.where(is_r, np.arange(n), -1)
+    cm = np.maximum.accumulate(idx)
+    prior = np.empty(n, dtype=np.int64)
+    prior[0] = -1
+    if n > 1:
+        prior[1:] = cm[:-1]
+    valid = prior >= start
+    left = ~is_r
+    pl = np.maximum(prior[left], 0)
+    vl = valid[left]
+    return pd.DataFrame({
+        "event_id": eid[left],
+        "user_id": uid[left],
+        "ts_us": tus[left],
+        "prior_event_id": np.where(vl, eid[pl], -1),
+        "gap_us": np.where(vl, tus[left] - tus[pl], -1),
     })
 
 
@@ -167,50 +173,54 @@ def range_join_events(sf_dir: str) -> pa.Table:
         upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
         return b.append_column("upart", upart)
 
-    def kern(g: pd.DataFrame) -> pd.DataFrame:
-        uid, eid, tus, order, start, n = _user_sorted(g)
-        if n == 0:
-            return pd.DataFrame({"ev_a": [], "ev_b": [], "gap_us": []})
-        # per-USER-relative offsets keep the band as narrow as the
-        # widest single user's span (not the group's global span), so
-        # n_users * band stays far from int64 even in huge groups
-        user_t0 = tus[start]            # first ts of each row's user
-        off = tus - user_t0
-        band = np.int64(off.max()) + RANGE_US + 1
-        urank = np.cumsum(start == np.arange(n)) - 1  # 0-based user rank
-        n_users = int(urank[-1]) + 1
-        if n_users * int(band) >= 1 << 62:
-            # a group this wide needs the time-bucketed formulation
-            # (bucket by (user, ts // RANGE_US) with boundary
-            # replication) — fail loudly rather than wrap around
-            raise OverflowError(
-                f"range_join group too wide for band keys "
-                f"({n_users} users x {int(band)} us span); use "
-                f"time-bucket partitioning")
-        key = urank.astype(np.int64) * band + off
-        hi = np.searchsorted(key, key + RANGE_US, side="right")
-        cnt = hi - np.arange(n) - 1
-        total = int(cnt.sum())
-        if total == 0:
-            return pd.DataFrame({"ev_a": [], "ev_b": [], "gap_us": []})
-        a_idx = np.repeat(np.arange(n), cnt)
-        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-        b_idx = (np.arange(total) - np.repeat(offs, cnt)
-                 + np.repeat(np.arange(n) + 1, cnt))
-        return pd.DataFrame({
-            "ev_a": eid[a_idx], "ev_b": eid[b_idx],
-            "gap_us": tus[b_idx] - tus[a_idx]})
-
     ds = _read(sf_dir, _EVENTS, columns=["event_id", "ts", "user_id"])
     out = (ds.map_batches(add_upart, batch_format="pyarrow",
                           zero_copy_batch=True)
-           .groupby("upart").map_groups(kern, batch_format="pandas"))
+           .groupby("upart").map_groups(_range_kern,
+                                        batch_format="pandas"))
     df = out.to_pandas()
     return pa.table({
         "ev_a": pa.array(df.ev_a.to_numpy(np.int64), pa.int64()),
         "ev_b": pa.array(df.ev_b.to_numpy(np.int64), pa.int64()),
         "gap_us": pa.array(df.gap_us.to_numpy(np.int64), pa.int64()),
     }).sort_by([("ev_a", "ascending"), ("ev_b", "ascending")])
+
+
+def _range_kern(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse user-bucket group -> all same-user pairs within
+    RANGE_US. Per-USER-relative offsets keep the band key as narrow as
+    the widest single user's span (not the group's global span), so
+    n_users * band stays far from int64 even in huge groups; one
+    global searchsorted then finds every row's match window."""
+    uid, eid, tus, order, start, n = _user_sorted(g)
+    if n == 0:
+        return pd.DataFrame({"ev_a": [], "ev_b": [], "gap_us": []})
+    user_t0 = tus[start]            # first ts of each row's user
+    off = tus - user_t0
+    band = np.int64(off.max()) + RANGE_US + 1
+    urank = np.cumsum(start == np.arange(n)) - 1  # 0-based user rank
+    n_users = int(urank[-1]) + 1
+    if n_users * int(band) >= 1 << 62:
+        # a group this wide needs the time-bucketed formulation
+        # (bucket by (user, ts // RANGE_US) with boundary
+        # replication) — fail loudly rather than wrap around
+        raise OverflowError(
+            f"range_join group too wide for band keys "
+            f"({n_users} users x {int(band)} us span); use "
+            f"time-bucket partitioning")
+    key = urank.astype(np.int64) * band + off
+    hi = np.searchsorted(key, key + RANGE_US, side="right")
+    cnt = hi - np.arange(n) - 1
+    total = int(cnt.sum())
+    if total == 0:
+        return pd.DataFrame({"ev_a": [], "ev_b": [], "gap_us": []})
+    a_idx = np.repeat(np.arange(n), cnt)
+    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    b_idx = (np.arange(total) - np.repeat(offs, cnt)
+             + np.repeat(np.arange(n) + 1, cnt))
+    return pd.DataFrame({
+        "ev_a": eid[a_idx], "ev_b": eid[b_idx],
+        "gap_us": tus[b_idx] - tus[a_idx]})
 
 
 # ---- deterministic hash-split sampling ----
