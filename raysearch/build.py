@@ -98,6 +98,23 @@ def _dedup_by_content(ds, n_docs_hint: int | None = None):
             .map_groups(first_wins, batch_format="pandas"))
 
 
+def _footer_rows(source: str | list) -> int:
+    """Row count straight from parquet footers (file or directory or
+    list of either) — no Ray involvement."""
+    import pyarrow.parquet as pq
+
+    paths = source if isinstance(source, list) else [source]
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            total += sum(pq.read_metadata(os.path.join(p, f)).num_rows
+                         for f in os.listdir(p)
+                         if f.endswith(".parquet"))
+        else:
+            total += pq.read_metadata(p).num_rows
+    return total
+
+
 def _auto_parts(n_docs: int) -> int:
     # ~12.5k docs per segment, clamped; decoupled from cluster size.
     # Measured cliff (2M docs @32cpus): 31k docs/part = 123 s,
@@ -269,10 +286,12 @@ def build_index(
             lambda b: b.filter(_pc.is_in(b["lang"], langs)),
             batch_format="pyarrow", zero_copy_batch=True)
     if dedup_input:
-        # bucket-size hint: metadata-only count of the raw source (an
-        # upper bound when a lang filter dropped rows — fine for
-        # sizing); None (-> floor) for opaque Dataset sources
-        hint = (ray.data.read_parquet(source).count()
+        # bucket-size hint: parquet-footer row count of the raw source
+        # (no Ray Dataset, no plan — the same pq.read_metadata pattern
+        # as joins._n_rows/dedup._n_docs; an upper bound when a lang
+        # filter dropped rows, fine for sizing); None (-> floor) for
+        # opaque Dataset sources
+        hint = (_footer_rows(source)
                 if isinstance(source, (str, list)) else None)
         ds = _dedup_by_content(ds, n_docs_hint=hint)
     # For plain parquet sources ds.count() is metadata-only (cheap) and

@@ -141,6 +141,7 @@ def cmd_serve_tcp(args) -> None:
     returns documents + timing (or the not-ready message). Backed by
     the same resident actor pool as `serve`. Runs until SIGINT."""
     import signal
+    import threading
 
     _require_index(args.index)
     ray = _ray_session()
@@ -153,10 +154,12 @@ def cmd_serve_tcp(args) -> None:
         print(json.dumps({"ready": True, "index": args.index,
                           "submit_port": srv.submit_port,
                           "poll_port": srv.poll_port}), flush=True)
-        stop = {"flag": False}
-        signal.signal(signal.SIGINT, lambda *a: stop.update(flag=True))
-        while not stop["flag"]:
-            signal.pause()
+        # Event.wait is race-free (a SIGINT between the loop check and
+        # the wait still wakes it), unlike check-then-signal.pause()
+        stop = threading.Event()
+        signal.signal(signal.SIGINT, lambda *a: stop.set())
+        while not stop.is_set():
+            stop.wait(timeout=1.0)
     ray.shutdown()
 
 

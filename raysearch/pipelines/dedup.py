@@ -137,6 +137,12 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None) -> pa.Table:
     if out_dir is None:
         out_dir = os.path.join("/tmp", "raysearch_clean",
                                uuid.uuid4().hex[:12])
+    else:
+        # write_parquet names files with a per-run UUID, so rerunning
+        # into the same directory would ADD a second generation of
+        # files (doubling both the on-disk corpus and the kept count)
+        # rather than replace the first — clear it like any sink
+        shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     # full rows travel through this shuffle -> size groups to ~2k rows
     nb = auto_buckets(_n_docs(sf_dir), docs_per_bucket=2_000)

@@ -331,7 +331,12 @@ def event_quantiles(sf_dir: str) -> pa.Table:
     out_rows = []
     # targets: (type, global_rank) for floor/ceil of each quantile
     fetch_jobs = []     # (type, prefix, level, within_rank, tag)
-    direct = {}         # tag -> exact value (single-u64 bucket)
+    direct = {}         # (type, tag) -> exact value (single-u64 bucket)
+    # all rank walks advance in LOCKSTEP by level: every walker that
+    # needs a refinement at level L is batched into ONE _digit_hist
+    # corpus pass (deduped on (type, prefix)) — a per-walker pass
+    # would re-read the whole table once per unresolved bucket.
+    walkers = []        # [etype, tag, prefix, rk, counts]
     for etype, counts0 in first.items():
         n = int(counts0.sum())
         ranks = {}
@@ -339,35 +344,34 @@ def event_quantiles(sf_dir: str) -> pa.Table:
             r = q * (n - 1)
             ranks[(qi, "lo")] = int(np.floor(r))
             ranks[(qi, "hi")] = int(np.ceil(r))
-        # locate each rank's bucket, refining oversized buckets.
-        # refinement histograms are memoized: the lo/hi ranks of one
-        # quantile almost always land in the same bucket, and the
-        # memo turns their two walks into one corpus pass.
-        hist_memo: dict[tuple[str, int, int], np.ndarray] = {}
         for tag, rank in ranks.items():
-            level, prefix, counts, rk = 0, 0, counts0, rank
-            while True:
-                cum = np.cumsum(counts)
-                b = int(np.searchsorted(cum, rk, side="right"))
-                within = rk - (int(cum[b - 1]) if b else 0)
-                prefix = (prefix << RADIX_BITS) | b
-                size = int(counts[b])
-                level += 1
-                if size <= FETCH_CAP:
-                    fetch_jobs.append((etype, prefix, level, within,
-                                       tag))
-                    break
-                if level * RADIX_BITS >= 64:
-                    # bucket is one exact u64 -> one float value
-                    direct[(etype, tag)] = _u64_to_f64(prefix)
-                    break
-                key = (etype, prefix, level)
-                if key not in hist_memo:
-                    hist_memo[key] = _digit_hist(
-                        sf_dir, [key], level)[key]
-                counts = hist_memo[key]
-                rk = within
+            walkers.append([etype, tag, 0, rank, counts0])
         out_rows.append((etype, n, ranks))
+    level = 0
+    while walkers:
+        level += 1
+        refine = []  # walkers that need the next digit histogram
+        for etype, tag, prefix, rk, counts in walkers:
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rk, side="right"))
+            within = rk - (int(cum[b - 1]) if b else 0)
+            prefix = (prefix << RADIX_BITS) | b
+            size = int(counts[b])
+            if size <= FETCH_CAP:
+                fetch_jobs.append((etype, prefix, level, within, tag))
+            elif level * RADIX_BITS >= 64:
+                # bucket is one exact u64 -> one float value
+                direct[(etype, tag)] = _u64_to_f64(prefix)
+            else:
+                refine.append([etype, tag, prefix, within])
+        if not refine:
+            break
+        jobs = sorted({(etype, prefix, level)
+                       for etype, _, prefix, _ in refine})
+        hists = _digit_hist(sf_dir, jobs, level)
+        walkers = [[etype, tag, prefix, rk,
+                    hists[(etype, prefix, level)]]
+                   for etype, tag, prefix, rk in refine]
     fetched = _fetch_bucket_values(
         sf_dir, [(t, p, lv) for t, p, lv, _, _ in fetch_jobs]) \
         if fetch_jobs else {}
@@ -494,15 +498,24 @@ def event_quantiles_tdigest(sf_dir: str) -> pa.Table:
     two_level = _n_events(sf_dir) >= 1_000_000
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from raysearch.hashing import splitmix64
+
         out_t, out_m, out_w, out_s = [], [], [], []
         for etype, g in df.groupby("event_type"):
-            m, w = _sketch_values(g["value"].to_numpy(np.float64))
+            vals = g["value"].to_numpy(np.float64)
+            m, w = _sketch_values(vals)
             out_t.append(etype)
             out_m.append(m)
             out_w.append(w)
-            # spread a type's partials over salts: derive from the
-            # batch slice (varies per batch), not the type name
-            out_s.append(int(g.index[0]) % n_salt)
+            # spread a type's partials uniformly over salts: mix the
+            # batch slice's content (first value bits ^ size ^ first
+            # row index) through splitmix64 — a raw first-row index is
+            # geometrically biased toward 0 for types present in every
+            # batch, which would pile most partials on one salt
+            seed = (vals[:1].view(np.uint64)
+                    ^ np.uint64(len(vals))
+                    ^ np.uint64(int(g.index[0])))
+            out_s.append(int(splitmix64(seed)[0] % np.uint64(n_salt)))
         return pd.DataFrame({"event_type": out_t, "salt": out_s,
                              "means": out_m, "weights": out_w})
 

@@ -116,6 +116,12 @@ def asof_join(sf_dir: str) -> pa.Table:
            .groupby("upart").map_groups(_asof_kern,
                                         batch_format="pandas"))
     df = out.to_pandas()
+    if "prior_event_id" not in df.columns:
+        # zero groups ran (no rows of either type): to_pandas() falls
+        # back to the INPUT schema — return the documented empty shape
+        df = pd.DataFrame({c: np.array([], dtype=np.int64) for c in
+                           ("event_id", "user_id", "ts_us",
+                            "prior_event_id", "gap_us")})
     return pa.table({
         "event_id": pa.array(df.event_id.to_numpy(np.int64), pa.int64()),
         "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
@@ -179,6 +185,9 @@ def range_join_events(sf_dir: str) -> pa.Table:
            .groupby("upart").map_groups(_range_kern,
                                         batch_format="pandas"))
     df = out.to_pandas()
+    if "ev_a" not in df.columns:  # zero groups ran (empty input)
+        df = pd.DataFrame({c: np.array([], dtype=np.int64)
+                           for c in ("ev_a", "ev_b", "gap_us")})
     return pa.table({
         "ev_a": pa.array(df.ev_a.to_numpy(np.int64), pa.int64()),
         "ev_b": pa.array(df.ev_b.to_numpy(np.int64), pa.int64()),
@@ -274,9 +283,16 @@ def sample_split(sf_dir: str) -> pa.Table:
 
 # ---- bucketed shuffle hash join (orders x customer x nation) ----
 
+def _half_away(x: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero, matching DuckDB round() — np.rint is
+    banker's (half-to-even) and diverges on exact .5 ties (the same
+    trap numutil.round6 exists for)."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     """Exact int64 cents from a 2-decimal float column."""
-    return np.rint(x * 100.0).astype(np.int64)
+    return _half_away(x * 100.0)
 
 
 # broadcast the customer dimension when it fits comfortably in a
@@ -430,13 +446,13 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
-        disc = np.rint(
-            df["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        disc = _half_away(
+            df["l_discount"].to_numpy(np.float64) * 100.0)
         g = pd.DataFrame({
             "l_returnflag": df["l_returnflag"].to_numpy(),
             "l_linestatus": df["l_linestatus"].to_numpy(),
-            "sum_qty": np.rint(
-                df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+            "sum_qty": _half_away(
+                df["l_quantity"].to_numpy(np.float64)),
             "base_price_cents": cents,
             "disc_price_c4": cents * (100 - disc),
             "n_rows": np.int64(1)})

@@ -46,26 +46,35 @@ NOT_READY_MESSAGE = "No result yet, check again..."
 class _OneShotJSONHandler(socketserver.BaseRequestHandler):
     """One recv -> one JSON -> one send, like the reference handlers."""
 
+    RECV_TIMEOUT = 10.0  # a silent/half-open client must not pin a thread
+
     def handle(self) -> None:  # pragma: no cover - exercised via socket
+        self.request.settimeout(self.RECV_TIMEOUT)
         buf = b""
         req = None
-        while len(buf) < _MAX_REQUEST:
-            b = self.request.recv(4096)
-            if not b:
-                break
-            buf += b
-            try:  # accept as soon as the accumulated bytes parse
-                req = json.loads(buf)
-                break
-            except ValueError:
-                continue
+        try:
+            while len(buf) < _MAX_REQUEST:
+                b = self.request.recv(4096)
+                if not b:
+                    break
+                buf += b
+                try:  # accept as soon as the accumulated bytes parse
+                    req = json.loads(buf)
+                    break
+                except ValueError:
+                    continue
+        except OSError:  # timeout / reset: fall through with what we have
+            pass
         try:
             if req is None:
                 req = json.loads(buf)
             resp = self.server.respond(req)  # type: ignore[attr-defined]
         except Exception as e:  # malformed request -> error envelope
             resp = {"message": f"bad request: {e}"}
-        self.request.sendall(json.dumps(resp).encode())
+        try:
+            self.request.sendall(json.dumps(resp).encode())
+        except OSError:  # client already gone
+            pass
 
 
 class _Server(socketserver.ThreadingTCPServer):
@@ -86,6 +95,9 @@ class SearchServer:
     """
 
     BATCH_MAX = 64  # queries drained into one resident batch
+    # results are popped on first successful poll; this cap bounds the
+    # map against clients that submit and never poll (oldest evicted)
+    RESULTS_MAX = 4096
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "bm25",
                  num_actors: int | None = None,
@@ -124,11 +136,15 @@ class SearchServer:
 
     def _on_poll(self, req: dict) -> dict:
         qid = str(req["query_id"])
-        with self._lock:
-            got = self._results.get(qid)
+        with self._lock:  # pop: a served result is done (no leak)
+            got = self._results.pop(qid, None)
         if got is None:
             return {"documents": [], "message": NOT_READY_MESSAGE,
                     "query_processing_time": 0.0}
+        if "error" in got:
+            return {"documents": [],
+                    "message": f"Query failed: {got['error']}",
+                    "query_processing_time": got["secs"]}
         return {"documents": got["documents"],
                 "message": "Query result: "
                            f"{len(got['documents'])} documents",
@@ -149,18 +165,30 @@ class SearchServer:
                 except queue.Empty:
                     break
             t0 = time.perf_counter()
-            tbl = self._session.query_batch([q for _, q in batch],
-                                            k=self.k, mode=self.mode)
-            secs = time.perf_counter() - t0
-            df = tbl.to_pandas()
-            with self._lock:
+            try:
+                tbl = self._session.query_batch([q for _, q in batch],
+                                                k=self.k, mode=self.mode)
+                secs = time.perf_counter() - t0
+                df = tbl.to_pandas()
+                results = {}
                 for qi, (qid, _) in enumerate(batch):
                     sub = df[df.query_id == qi]
-                    self._results[qid] = {
+                    results[qid] = {
                         "documents": [[int(d), float(s)] for d, s in
                                       zip(sub.doc_id, sub.score)],
                         "secs": secs,
                     }
+            except Exception as e:
+                # the drain loop must survive any scoring failure: record
+                # a poll-visible error per query and keep serving
+                secs = time.perf_counter() - t0
+                results = {qid: {"error": f"{type(e).__name__}: {e}",
+                                 "secs": secs} for qid, _ in batch}
+            with self._lock:
+                self._results.update(results)
+                while len(self._results) > self.RESULTS_MAX:
+                    # dict preserves insertion order -> oldest first
+                    self._results.pop(next(iter(self._results)))
 
     def close(self) -> None:
         self._stop.set()
