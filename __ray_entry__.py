@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(joins.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import sketches
+        out.update(sketches.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -88,7 +93,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
-                     "multimodal", "extras", "chunking", "lm", "joins"):
+                     "multimodal", "extras", "chunking", "lm", "joins",
+                     "sketches"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

@@ -43,7 +43,11 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 3 additions
           "bigram_logprob", "event_quantiles_tdigest", "doc_chunks",
           "asof_join", "range_join_events", "sample_split",
-          "revenue_by_nation", "pricing_summary"]
+          "revenue_by_nation", "pricing_summary",
+          # round 3, second wave
+          "pii_scrub", "normalize_text", "stratified_sample",
+          "distinct_users", "hll_distinct_users", "heavy_hitters",
+          "grouped_topk"]
 
 
 def run_quality(sf_dir: str) -> dict:
@@ -105,6 +109,14 @@ def run_quality(sf_dir: str) -> dict:
         (abs(apq.p50 - exq.p50) / exq.p50.abs().clip(lower=1e-9)).max(),
         (abs(apq.p95 - exq.p95) / exq.p95.abs().clip(lower=1e-9)).max())
     out["tdigest_max_rel_err"] = round(float(rel), 5)
+
+    from raysearch.pipelines import sketches as K
+
+    exd = K.distinct_users(sf_dir).to_pandas().set_index("event_type")
+    apd = K.hll_distinct_users(sf_dir).to_pandas().set_index("event_type")
+    out["hll_max_rel_err"] = round(float(
+        (abs(apd.n_users_est - exd.n_users)
+         / exd.n_users.clip(lower=1)).max()), 5)
     return out
 
 

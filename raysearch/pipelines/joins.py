@@ -538,6 +538,51 @@ GROUP BY n_name
 """
 
 
+# stratified sampling: per-language keep rates in 16ths (exact hex-
+# digit thresholds, so membership is reproducible from md5(doc_id)
+# alone on any engine — same contract as sample_split). The dominant
+# language is downsampled hardest: the standard rebalancing move for
+# a pre-training mix.
+STRATA_HEX = {"en": "4"}       # en: 4/16 = 25 %
+STRATA_DEFAULT_HEX = "8"       # everything else: 8/16 = 50 %
+
+
+def stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic per-language stratified sample of the documents
+    table: keep doc iff first md5(doc_id) hex digit < the language's
+    threshold. Map-only (embarrassingly parallel — no shuffle at all);
+    returns the sampled (doc_id, lang) membership so the driver
+    value-hash checks exact membership, not just counts."""
+    import hashlib
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        d0 = np.array([hashlib.md5(str(int(i)).encode()).hexdigest()[0]
+                       for i in ids])
+        thr = np.array([STRATA_HEX.get(l, STRATA_DEFAULT_HEX)
+                        for l in langs])
+        keep = d0 < thr
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lang": pa.array(langs[keep].tolist(), pa.string()),
+        })
+
+    ds = _read(sf_dir, _DOCS, columns=["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+def sql_stratified_sample() -> str:
+    cases = " ".join(f"WHEN '{l}' THEN '{h}'"
+                     for l, h in sorted(STRATA_HEX.items()))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 1)
+      < CASE lang {cases} ELSE '{STRATA_DEFAULT_HEX}' END
+"""
+
+
 def sql_pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
@@ -556,6 +601,7 @@ QUERIES = {
     "asof_join": asof_join,
     "range_join_events": range_join_events,
     "sample_split": sample_split,
+    "stratified_sample": stratified_sample,
     "revenue_by_nation": revenue_by_nation,
     "pricing_summary": pricing_summary,
 }
@@ -564,6 +610,7 @@ ORACLE_SQL = {
     "asof_join": sql_asof_join(),
     "range_join_events": sql_range_join_events(),
     "sample_split": sql_sample_split(),
+    "stratified_sample": sql_stratified_sample(),
     "revenue_by_nation": sql_revenue_by_nation(),
     "pricing_summary": sql_pricing_summary(),
 }

@@ -1,0 +1,357 @@
+"""Distributed counting / summary operators: exact distinct counts,
+HyperLogLog approximate distinct, exact heavy hitters (two-pass
+pigeonhole), and per-group top-k — the profile-and-prune family a
+training-data pipeline runs before committing to a full shuffle.
+
+Scale shapes (the point of each operator):
+
+- distinct_users: distinct (type, user) pairs dedup map-side per
+  batch, then a bucketed exact dedup — group mass is (distinct users
+  per type) / n_buckets, input-scaled via auto_buckets; the final
+  exchange carries one partial count per (type, bucket).
+- hll_distinct_users: the sub-linear path — each batch contributes a
+  fixed 2^P-byte register array per type; merge is elementwise max
+  (associative + commutative, so combine anywhere). Standard error
+  1.04/sqrt(2^P) ~= 1.6 % at P=12. Approximate by construction ->
+  rows-only driver check, error-bounded against the exact operator in
+  pytest.
+- heavy_hitters: exact terms with global count > N/s in TWO passes and
+  no full-term shuffle. Pass 1 uses the pigeonhole guarantee (if
+  global count > N/s then some batch has local count > n_i/s) to emit
+  per-batch candidates (<= s rows per batch); candidates are deduped
+  DISTRIBUTED (groupby(term)) before the driver sees them. Pass 2
+  broadcasts the candidate array once (ray.put) and counts exactly,
+  map-side partial + narrow groupby. A groupby over ALL terms would
+  shuffle the whole corpus vocabulary; this shuffles <= s rows per
+  batch + |candidates| partials.
+- grouped_topk: per-group top-k without a global sort — each batch
+  emits its local top-k per group (k rows per (group, batch)), the
+  final per-group selection sees only n_blocks * k rows. The
+  all-to-all `Dataset.sort` this replaces is the single most
+  expensive operation at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_EVENTS = "events.parquet"
+_DOCS = "documents.parquet"
+
+
+def _read(sf_dir: str, name: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, name),
+                                 columns=columns)
+
+
+def _n_events(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, _EVENTS)).num_rows
+
+
+# ---- exact distinct count (bucketed dedup + additive partials) ----
+
+def distinct_users(sf_dir: str) -> pa.Table:
+    """Exact distinct users per event_type. Each batch first dedups
+    its own (type, user) pairs (the map-side combiner: repeat visitors
+    inside a batch never shuffle twice); the exchange is keyed on
+    (type, user-hash bucket) so each group holds one user-subspace of
+    one type — the per-group distinct count is exact and the counts
+    add across buckets because buckets partition the user space."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets, splitmix64
+
+    nb = auto_buckets(_n_events(sf_dir))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        ub = (splitmix64(d["user_id"].to_numpy(np.int64).astype(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return pd.DataFrame({"event_type": d["event_type"].to_numpy(),
+                             "user_id": d["user_id"].to_numpy(),
+                             "ubucket": ub})
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["event_type", "user_id"])
+               .groupby("event_type", as_index=False)
+               .agg(n_users=("user_id", "size")))
+        return out
+
+    ds = _read(sf_dir, _EVENTS, ["event_type", "user_id"]).map_batches(
+        pairs, batch_format="pandas")
+    partials = ds.groupby(["event_type", "ubucket"]).map_groups(
+        count_group, batch_format="pandas")
+    agg = partials.groupby("event_type").aggregate(
+        Sum("n_users", alias_name="n_users"))
+    df = agg.to_pandas()
+    return pa.table({
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "n_users": pa.array(df.n_users.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_distinct_users() -> str:
+    return """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---- HyperLogLog (Flajolet-Fusy-Gandouet-Meunier 2007) ----
+
+HLL_P = 12                       # 2^12 = 4096 registers
+_HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # alpha_m for m >= 128
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (branchless binary
+    search; float log2 is unsafe past 2^53)."""
+    w = w.copy()
+    n = np.full(w.shape, 64, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        n[big] -= shift
+        w[big] >>= np.uint64(shift)
+    n[w > 0] -= 1
+    return n
+
+
+def _hll_registers(user_ids: np.ndarray) -> np.ndarray:
+    """uint8[2^P] register array for one value set."""
+    from raysearch.hashing import splitmix64
+
+    h = splitmix64(user_ids.astype(np.uint64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)          # remaining 64-P bits, aligned
+    rho = np.minimum(_clz64(rest) + 1, 64 - HLL_P + 1).astype(np.uint8)
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    e = _HLL_ALPHA * _HLL_M * _HLL_M / np.sum(
+        np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * _HLL_M and zeros:  # small-range (linear counting)
+        return _HLL_M * float(np.log(_HLL_M / zeros))
+    return float(e)
+
+
+def hll_distinct_users(sf_dir: str) -> pa.Table:
+    """APPROXIMATE distinct users per event_type via HyperLogLog —
+    the sub-linear alternative to distinct_users: a batch contributes
+    one fixed-size register array per type regardless of row count,
+    and merge = elementwise max, so the exchange volume is
+    O(types x blocks x 4 KiB) with an (input-gated) salted pre-merge
+    bounding the final group exactly like event_quantiles_tdigest."""
+    import ray.data
+
+    from raysearch.hashing import splitmix64
+
+    n_salt = 16
+    two_level = _n_events(sf_dir) >= 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_r, out_s = [], [], []
+        for etype, g in df.groupby("event_type"):
+            uid = g["user_id"].to_numpy(np.int64)
+            regs = _hll_registers(uid)
+            out_t.append(etype)
+            out_r.append(regs)
+            seed = (uid[:1].astype(np.uint64)
+                    ^ np.uint64(len(uid))
+                    ^ np.uint64(int(g.index[0])))
+            out_s.append(int(splitmix64(seed)[0] % np.uint64(n_salt)))
+        return pd.DataFrame({"event_type": out_t, "salt": out_s,
+                             "regs": out_r})
+
+    def merge_regs(g: pd.DataFrame) -> np.ndarray:
+        return np.maximum.reduce(list(g["regs"]))
+
+    def premerge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "regs": [merge_regs(g)]})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        est = _hll_estimate(merge_regs(g))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_users_est": [np.int64(round(est))]})
+
+    sk = _read(sf_dir, _EVENTS, ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas")
+    if two_level:
+        sk = sk.groupby(["event_type", "salt"]).map_groups(
+            premerge, batch_format="pandas")
+    out = sk.groupby("event_type").map_groups(final,
+                                              batch_format="pandas")
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "n_users_est": pa.array(df.n_users_est.to_numpy(np.int64),
+                                pa.int64()),
+    })
+
+
+# ---- exact heavy hitters (two-pass pigeonhole) ----
+
+HH_S = 512  # report terms with global count > N / HH_S
+
+
+def _batch_term_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    from raysearch.pipelines.textops import _tokens
+
+    toks = _tokens(batch).flatten().to_numpy(zero_copy_only=False)
+    if len(toks) == 0:
+        return (np.array([], dtype=object),
+                np.array([], dtype=np.int64))
+    return np.unique(toks, return_counts=True)
+
+
+def heavy_hitters(sf_dir: str) -> pa.Table:
+    """EXACT terms whose global count exceeds N / HH_S (N = total
+    tokens), via the two-pass pigeonhole scheme: pass 1 emits each
+    batch's locally-heavy terms (count > batch_tokens / HH_S — at
+    most HH_S rows per batch; any globally heavy term must be locally
+    heavy somewhere) plus one ''-marker row carrying the batch token
+    count; a narrow groupby dedups candidates BEFORE the driver sees
+    them (driver holds only the deduped candidate list, <= HH_S
+    genuinely heavy + per-batch false positives). Pass 2 broadcasts
+    the sorted candidate array once and counts exactly (map-side
+    partials, searchsorted membership). Comparison is integer
+    (cnt * HH_S > N) on both sides — no float threshold."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def pass1(batch: pa.Table) -> pd.DataFrame:
+        terms, cnts = _batch_term_counts(batch)
+        n_i = int(cnts.sum())
+        heavy = cnts * HH_S > n_i
+        return pd.DataFrame({
+            "term": np.concatenate([np.array([""], dtype=object),
+                                    terms[heavy]]),
+            "cnt": np.concatenate([np.array([n_i], dtype=np.int64),
+                                   cnts[heavy]]),
+        })
+
+    ds = _read(sf_dir, _DOCS, ["doc_id", "text"]).map_batches(
+        pass1, batch_format="pyarrow", zero_copy_batch=True)
+    cand_df = (ds.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+               .to_pandas())
+    n_total = int(cand_df.loc[cand_df.term == "", "cnt"].sum())
+    cands = np.sort(cand_df.loc[cand_df.term != "", "term"]
+                    .to_numpy(dtype=object))
+    if len(cands) == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_ref = ray.put(cands)
+
+    def pass2(batch: pa.Table) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        terms, cnts = _batch_term_counts(batch)
+        pos = np.searchsorted(cand, terms)
+        pos_c = np.clip(pos, 0, len(cand) - 1)
+        hit = cand[pos_c] == terms
+        return pd.DataFrame({"term": terms[hit], "cnt": cnts[hit]})
+
+    exact = (_read(sf_dir, _DOCS, ["doc_id", "text"])
+             .map_batches(pass2, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    keep = exact["cnt"].to_numpy(np.int64) * HH_S > n_total
+    out = exact[keep].sort_values("term").reset_index(drop=True)
+    return pa.table({
+        "term": pa.array(out.term.tolist(), pa.string()),
+        "cnt": pa.array(out.cnt.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_heavy_hitters() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT term, count(*)::BIGINT AS cnt
+FROM tok, tot
+GROUP BY term, tot.n
+HAVING count(*) * {HH_S} > tot.n
+"""
+
+
+# ---- per-group top-k without a global sort ----
+
+TOPK_PER_GROUP = 3
+
+
+def grouped_topk(sf_dir: str) -> pa.Table:
+    """Top-{k} documents per language by (n_chars DESC, doc_id ASC):
+    each batch emits only its local per-lang top-k (the k-bounded
+    combiner), so the final per-lang selection sees n_blocks * k rows
+    — never a global sort. Deterministic total order via the doc_id
+    tiebreak."""
+    import ray.data
+
+    k = TOPK_PER_GROUP
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["lang", "n_chars", "doc_id"],
+                               ascending=[True, False, True])
+                .groupby("lang", as_index=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "n_chars", "rank"]]
+
+    ds = _read(sf_dir, _DOCS, ["doc_id", "lang", "n_chars"]).map_batches(
+        local_topk, batch_format="pandas")
+    out = ds.groupby("lang").map_groups(final, batch_format="pandas")
+    df = out.to_pandas()
+    return pa.table({
+        "lang": pa.array(df.lang.tolist(), pa.string()),
+        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
+        "n_chars": pa.array(df.n_chars.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_grouped_topk() -> str:
+    return f"""
+SELECT lang, doc_id, n_chars, rank FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= {TOPK_PER_GROUP}
+"""
+
+
+QUERIES = {
+    "distinct_users": distinct_users,
+    "hll_distinct_users": hll_distinct_users,
+    "heavy_hitters": heavy_hitters,
+    "grouped_topk": grouped_topk,
+}
+
+ORACLE_SQL = {
+    "distinct_users": sql_distinct_users(),
+    "heavy_hitters": sql_heavy_hitters(),
+    "grouped_topk": sql_grouped_topk(),
+    # hll_distinct_users: approximate by construction -> rows-only
+}

@@ -227,6 +227,79 @@ def fingerprint(sf_dir: str) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
+# ---- PII scrubbing + text normalization (map-only cleaning ops) ----
+
+# RE2-compatible patterns (pyarrow and DuckDB both run RE2, so the
+# match semantics — leftmost, non-overlapping, greedy — agree by
+# construction). Applied in a FIXED order (email -> ipv4 -> phone) on
+# both sides: later patterns see earlier redactions, so ordering is
+# part of the operator contract.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9. ()-]{6,}[0-9]"
+_PII_STEPS = (("email", PII_EMAIL, "<EMAIL>"),
+              ("ipv4", PII_IPV4, "<IP>"),
+              ("phone", PII_PHONE, "<PHONE>"))
+
+
+def pii_scrub(sf_dir: str) -> pa.Table:
+    """Redact emails / IPv4s / phone-shaped digit runs from every
+    document (the standard pre-training PII pass). Map-only, fully
+    vectorized (pyarrow RE2 kernels); the scrubbed text is returned as
+    an md5 so the driver value-hash covers every output byte without
+    hauling the corpus back to the driver. At scale this stage is a
+    pure map_batches -> write_parquet sink."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = pc.cast(batch["text"], pa.large_string())
+        counts = {}
+        for name, pat, repl in _PII_STEPS:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+            text = pc.replace_substring_regex(text, pat, repl)
+        clean = text.to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_md5": pa.array(
+                [hashlib.md5(t.encode()).hexdigest() for t in clean],
+                pa.string()),
+            "n_emails": counts["email"],
+            "n_ips": counts["ipv4"],
+            "n_phones": counts["phone"],
+        })
+
+    out = _read_docs(sf_dir).map_batches(scrub, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def normalize_text(sf_dir: str) -> pa.Table:
+    """Canonical text normalization: lowercase, collapse all
+    whitespace runs to single spaces, trim. Map-only; output checked
+    by md5 (same rationale as pii_scrub)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(pc.cast(batch["text"], pa.large_string())),
+            r"\s+", " "))
+        normed = text.to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_md5": pa.array(
+                [hashlib.md5(t.encode()).hexdigest() for t in normed],
+                pa.string()),
+            "norm_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(norm, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
 # ---- oracle SQL ----
 
 def _stop_in(lang: str) -> str:
@@ -316,11 +389,48 @@ FROM g GROUP BY doc_id
 """
 
 
+def sql_pii_scrub() -> str:
+    return f"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '{PII_IPV4}'))::BIGINT AS n_ips,
+         regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+       md5(regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g'))
+         AS clean_md5,
+       n_emails, n_ips,
+       len(regexp_extract_all(t, '{PII_PHONE}'))::BIGINT AS n_phones
+FROM s2
+"""
+
+
+def sql_normalize_text() -> str:
+    return r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, md5(t) AS norm_md5, length(t)::BIGINT AS norm_chars
+FROM n
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_counts": token_counts,
     "fingerprint": fingerprint,
+    "pii_scrub": pii_scrub,
+    "normalize_text": normalize_text,
 }
 
 ORACLE_SQL = {
@@ -328,4 +438,6 @@ ORACLE_SQL = {
     "quality_score": sql_quality_score(),
     "token_counts": sql_token_counts(),
     "fingerprint": sql_fingerprint(),
+    "pii_scrub": sql_pii_scrub(),
+    "normalize_text": sql_normalize_text(),
 }
