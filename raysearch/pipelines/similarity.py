@@ -37,6 +37,13 @@ _BUFFER = 30
 DUP_COS_THRESHOLD = 0.35
 LSH_PLANES = 8
 LSH_PROBES = 24  # multiprobe depth: buckets searched per query
+LSH_TABLES = 6   # independent tables for the near-dup pair path
+
+
+def _n_emb(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, _EMB)).num_rows
 
 
 def _read_emb(sf_dir: str):
@@ -258,28 +265,45 @@ def ann_lsh(sf_dir: str, n_probes: int = LSH_PROBES) -> pa.Table:
 
 
 def embedding_dups_lsh(sf_dir: str) -> pa.Table:
-    """The SUB-QUADRATIC near-dup path: hyperplane-LSH bucket
-    candidates + exact cosine verification WITHIN buckets only —
-    compute drops from all-pairs to sum(bucket^2) (~N^2/2^planes for
-    balanced buckets). Approximate (pairs split across all probed
-    buckets are missed) -> rows-only check; recall vs the exact
-    block-pair join asserted in pytest. One exchange: groupby(bucket)
-    carrying (vec_id, normalized embedding); pair emission inside the
-    group is one matmul."""
+    """The SUB-QUADRATIC near-dup path: MULTI-TABLE hyperplane LSH —
+    LSH_TABLES independent 8-plane signatures per vector; a pair is a
+    candidate if it collides in ANY table, then exact-cosine-verified
+    WITHIN its bucket. Retention of a pair at angle theta is
+    1 - (1 - p^k)^L with p = 1 - theta/pi (k=LSH_PLANES, L=LSH_TABLES)
+    — at L=6, k=8 that is ~0.87 for cos >= 0.9 (true near-dups, the
+    contract this operator optimizes) and intentionally low far below
+    the threshold; a single table caps near-dup recall at p^k ~= 0.29.
+    Compute is ~L * N^2/2^k for balanced buckets.
+
+    Two exchanges: groupby(table<<k | bucket) carrying (vec_id,
+    normalized embedding) x L rows per vector, then a coarse
+    pair-partition groupby that dedups pairs found in several tables
+    (input-scaled buckets; the driver never sees duplicate pairs).
+    Approximate -> rows-only check; recall vs the exact block-pair
+    join asserted in pytest and reported in the bench quality block."""
     import ray.data
 
+    from raysearch.hashing import auto_buckets, splitmix64
+
     dim = _query_vectors(sf_dir)[1].shape[1]
-    planes = np.random.default_rng(1234).standard_normal((dim, LSH_PLANES))
+    planes = np.random.default_rng(1234).standard_normal(
+        (dim, LSH_TABLES * LSH_PLANES))
+    npart = auto_buckets(_n_emb(sf_dir))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
         bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sig = (bn @ planes > 0).astype(np.uint8)
-        bucket = (sig << np.arange(LSH_PLANES, dtype=np.uint8)).sum(axis=1)
+        sig = (bn @ planes > 0).astype(np.uint8).reshape(
+            len(ids), LSH_TABLES, LSH_PLANES)
+        buckets = (sig << np.arange(LSH_PLANES, dtype=np.uint8)).sum(
+            axis=2).astype(np.int64)                  # (n, L)
+        key = buckets + (np.arange(LSH_TABLES, dtype=np.int64)
+                         << LSH_PLANES)[None, :]      # table-disjoint
+        bn_rep = np.repeat(bn.astype(np.float64), LSH_TABLES, axis=0)
         return pa.table({
-            "vec_id": pa.array(ids, pa.int64()),
-            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
-            "emb": pa.array(list(bn.astype(np.float64)),
+            "vec_id": pa.array(np.repeat(ids, LSH_TABLES), pa.int64()),
+            "bucket": pa.array(key.ravel(), pa.int64()),
+            "emb": pa.array(list(bn_rep),
                             pa.list_(pa.float64(), bn.shape[1])),
         })
 
@@ -289,10 +313,25 @@ def embedding_dups_lsh(sf_dir: str) -> pa.Table:
         pairs = _dup_block_pairs((ids, mat), (ids, mat)).to_pandas()
         return pairs[["vec_a", "vec_b", "cos"]]
 
+    def add_ppart(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy().astype(np.uint64)
+        bb = b["vec_b"].to_numpy().astype(np.uint64)
+        pp = (splitmix64((a << np.uint64(32)) ^ bb)
+              % np.uint64(npart)).astype(np.int64)
+        return b.append_column("ppart", pa.array(pp, pa.int64()))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["vec_a", "vec_b"])[
+            ["vec_a", "vec_b", "cos"]]
+
     ds = _read_emb(sf_dir).map_batches(bucketize, batch_format="pyarrow",
                                        zero_copy_batch=True)
-    pairs = ds.groupby("bucket").map_groups(bucket_pairs,
-                                            batch_format="pandas")
+    pairs = (ds.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pandas")
+             .map_batches(add_ppart, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("ppart").map_groups(dedup_pairs,
+                                          batch_format="pandas"))
     tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
     if tbl.num_rows == 0:
         return pa.table({"vec_a": pa.array([], pa.int64()),

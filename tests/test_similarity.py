@@ -129,3 +129,41 @@ def test_embedding_dups_lsh_subset_and_recall(ray_session):
         hot_set = set(zip(hot.vec_a, hot.vec_b))
         rec = len(hot_set & ap) / len(hot_set)
         assert rec >= 0.5, rec
+
+
+def test_embedding_dups_lsh_planted_near_dups(ray_session, tmp_path):
+    """Multi-table retention on TRUE near-dups (the regime the
+    operator optimizes; the fixture corpus has no cos >= 0.9 pairs):
+    plant 40 near-identical pairs among random vectors and require
+    the theoretical 1-(1-p^k)^L retention (~0.87 at cos ~0.95..0.99)
+    within sampling slack, plus exact-verified cosines and no
+    duplicate pairs across tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    n, dim, n_dup = 600, 16, 40
+    mat = rng.standard_normal((n, dim))
+    planted = []
+    for i in range(n_dup):
+        a, b = 2 * i, 2 * i + 1
+        mat[b] = mat[a] + rng.standard_normal(dim) * 0.03
+        planted.append((a, b))
+    tbl = pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(mat.astype(np.float64)),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = S.embedding_dups_lsh(str(tmp_path)).to_pandas()
+    assert not got.duplicated(["vec_a", "vec_b"]).any()
+    bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    hot = [(a, b) for a, b in planted if bn[a] @ bn[b] >= 0.9]
+    found = set(zip(got.vec_a, got.vec_b))
+    rec = len([p for p in hot if p in found]) / len(hot)
+    assert rec >= 0.7, rec
+    # reported cosines are exact (verified in-bucket)
+    from raysearch.numutil import round6
+    for _, r in got.iterrows():
+        assert r.cos == round6(np.array(
+            [bn[int(r.vec_a)] @ bn[int(r.vec_b)]]))[0]
