@@ -738,8 +738,177 @@ WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6)
 """
 
 
+# ---- flagship composed cleaning pipeline ----
+
+def clean_pipeline(sf_dir: str) -> pa.Table:
+    """The composed training-data cleaning pipeline in ONE corpus
+    pass: quality filter (n_tokens >= 5, alpha_ratio >= 0.5 — the
+    quality_score contract) -> case/whitespace normalization -> GLOBAL
+    first-wins dedup on md5(normalized text) -> per-language mix
+    summary (the numbers a pre-training data mix is planned from).
+
+    Shape: stage 1 is a single map over the corpus emitting (a)
+    passing doc rows keyed by an input-scaled hash bucket of the norm
+    hash and (b) salted per-(batch, lang) marker partials carrying
+    total/low-quality counts (bucket < 0 — the heavy_hitters marker
+    trick, so totals ride the SAME exchange instead of a second
+    corpus pass). Stage 2's groupby dedups real buckets first-wins /
+    sums marker buckets; stage 3 is a lang-cardinality groupby of
+    partials. Text itself never shuffles — only (bucket, lang,
+    doc_id, n_chars, hash)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import splitmix64
+
+    nb = auto_buckets(_n_docs(sf_dir), docs_per_bucket=4_000)
+    n_salt = 64
+
+    def stage1(batch: pa.Table) -> pd.DataFrame:
+        text = pc.cast(batch["text"], pa.large_string())
+        n_tokens = pc.count_substring_regex(text, r"\S+").to_numpy() \
+            .astype(np.int64)
+        chars = pc.utf8_length(text).to_numpy().astype(np.float64)
+        alpha = pc.utf8_length(pc.replace_substring_regex(
+            text, r"[^a-zA-Z]", "")).to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha_ratio = np.where(chars > 0, alpha / chars, 0.0)
+        ok = (n_tokens >= 5) & (alpha_ratio >= 0.5)
+
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy()
+        nch = batch["n_chars"].to_numpy()
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(text), r"\s+", " "))
+        # md5 only the passing docs (the filter runs before the hash)
+        kept_norm = norm.filter(pa.array(ok)).to_pylist()
+        h = np.array([hashlib.md5(t.encode()).hexdigest()
+                      for t in kept_norm], dtype=object)
+        bucket = np.array([int(x[:8], 16) % nb for x in h],
+                          dtype=np.int64)
+
+        # per-(batch, lang) totals as negative-bucket marker rows,
+        # salted by mixed batch content so no marker group grows with
+        # block count
+        ml, mt = np.unique(langs, return_counts=True)
+        lowq = np.zeros(len(ml), dtype=np.int64)
+        for i, l in enumerate(ml):
+            lowq[i] = int((~ok[langs == l]).sum())
+        seed = (ids[:1].astype(np.uint64) ^ np.uint64(len(ids)))
+        salt = int(splitmix64(seed)[0] % np.uint64(n_salt))
+        return pd.DataFrame({
+            "bucket": np.concatenate([bucket,
+                                      np.full(len(ml), -1 - salt)]),
+            "lang": np.concatenate([langs[ok], ml]),
+            "doc_id": np.concatenate([ids[ok],
+                                      np.full(len(ml), -1)]),
+            "n_chars": np.concatenate([nch[ok],
+                                       np.zeros(len(ml), np.int64)]),
+            "h": np.concatenate([h, np.array([""] * len(ml),
+                                             dtype=object)]),
+            "n_total": np.concatenate([np.zeros(int(ok.sum()),
+                                                np.int64), mt]),
+            "n_lowq": np.concatenate([np.zeros(int(ok.sum()),
+                                               np.int64), lowq]),
+        })
+
+    def stage2(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["bucket"].iloc[0]) < 0:   # marker group: sum partials
+            out = (g.groupby("lang", as_index=False)
+                   .agg(n_total=("n_total", "sum"),
+                        n_lowq=("n_lowq", "sum")))
+            out["n_kept"] = np.int64(0)
+            out["n_dups"] = np.int64(0)
+            out["chars_kept"] = np.int64(0)
+            return out
+        g = g.sort_values(["h", "doc_id"])
+        first = ~g["h"].duplicated()
+        kept = g[first]
+        out = (kept.groupby("lang", as_index=False)
+               .agg(n_kept=("doc_id", "size"),
+                    chars_kept=("n_chars", "sum")))
+        dups = (g[~first].groupby("lang", as_index=False)
+                .agg(n_dups=("doc_id", "size")))
+        out = out.merge(dups, on="lang", how="outer").fillna(0)
+        out["n_total"] = np.int64(0)
+        out["n_lowq"] = np.int64(0)
+        return out[["lang", "n_total", "n_lowq", "n_kept", "n_dups",
+                    "chars_kept"]].astype(
+            {c: np.int64 for c in ("n_total", "n_lowq", "n_kept",
+                                   "n_dups", "chars_kept")})
+
+    import ray.data as _rd
+
+    ds = _rd.read_parquet(
+        os.path.join(sf_dir, _DOCS),
+        columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
+        stage1, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.groupby("bucket").map_groups(stage2,
+                                               batch_format="pandas")
+    agg = partials.groupby("lang").aggregate(
+        Sum("n_total", alias_name="n_total"),
+        Sum("n_lowq", alias_name="n_lowq"),
+        Sum("n_kept", alias_name="n_kept"),
+        Sum("n_dups", alias_name="n_dups"),
+        Sum("chars_kept", alias_name="chars_kept"))
+    df = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(df.lang.tolist(), pa.string()),
+        "n_total": pa.array(df.n_total.to_numpy(np.int64), pa.int64()),
+        "n_lowq": pa.array(df.n_lowq.to_numpy(np.int64), pa.int64()),
+        "n_kept": pa.array(df.n_kept.to_numpy(np.int64), pa.int64()),
+        "n_dups": pa.array(df.n_dups.to_numpy(np.int64), pa.int64()),
+        "chars_kept": pa.array(df.chars_kept.to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def sql_clean_pipeline() -> str:
+    return r"""
+WITH q AS (
+  SELECT doc_id, lang, n_chars, text,
+    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+              / length(text)
+         ELSE 0 END AS alpha_ratio
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
+),
+d AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM f
+),
+tot AS (
+  SELECT lang, count(*)::BIGINT AS n_total,
+         sum(CASE WHEN n_tokens < 5 OR alpha_ratio < 0.5
+                  THEN 1 ELSE 0 END)::BIGINT AS n_lowq
+  FROM q GROUP BY lang
+),
+kept AS (
+  SELECT lang,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+         sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END)::BIGINT
+           AS chars_kept
+  FROM d GROUP BY lang
+)
+SELECT t.lang, t.n_total, t.n_lowq,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.n_dups, 0)::BIGINT AS n_dups,
+       coalesce(k.chars_kept, 0)::BIGINT AS chars_kept
+FROM tot t LEFT JOIN kept k USING (lang)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "clean_pipeline": clean_pipeline,
     "clean_corpus": clean_corpus,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
@@ -749,6 +918,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": sql_dedup_exact(),
+    "clean_pipeline": sql_clean_pipeline(),
     "clean_corpus": sql_clean_corpus(),
     "dedup_minhash": sql_dedup_minhash(),
     "dedup_simhash": sql_dedup_simhash(),
