@@ -300,6 +300,91 @@ def normalize_text(sf_dir: str) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
+def _list_parents(arr: pa.ListArray) -> np.ndarray:
+    """Parent row index per flattened list element."""
+    offs = arr.offsets.to_numpy()
+    return np.repeat(np.arange(len(arr), dtype=np.int64),
+                     np.diff(offs))
+
+
+def rep_signals(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021, "Scaling Language Models", appendix A1 repetition
+    filters): the fraction of line slots that repeat an earlier
+    identical line, the fraction of line characters inside those
+    repeats, and the share of tokens taken by the single most frequent
+    token. Map-only, one corpus pass, fully vectorized (factorize +
+    bincount — no per-doc Python).
+
+    Lines = '\\n'-split pieces with length > 0 (no trimming); tokens =
+    the module's lowered whitespace split (ASCII contract, see module
+    docstring)."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # defensive copy: split-after-transform kernel bug (tokenize.py)
+        text = pa.concat_arrays([text])
+        n = len(text)
+
+        lines = pc.split_pattern(text, "\n")
+        parent = _list_parents(lines)
+        flat = lines.flatten()
+        lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        keep = lens > 0
+        parent, lens = parent[keep], lens[keep]
+        flat_np = flat.filter(pa.array(keep)).to_numpy(
+            zero_copy_only=False)
+
+        import pandas as pd
+        codes, uniq = pd.factorize(flat_np)
+        key = parent * np.int64(max(len(uniq), 1)) + codes
+        _, first_idx, cnts = np.unique(key, return_index=True,
+                                       return_counts=True)
+        n_lines = np.bincount(parent, minlength=n)
+        n_distinct = np.bincount(parent[first_idx], minlength=n)
+        total_chars = np.bincount(parent, weights=lens,
+                                  minlength=n)
+        distinct_chars = np.bincount(parent[first_idx],
+                                     weights=lens[first_idx],
+                                     minlength=n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_line = np.where(
+                n_lines > 0,
+                (n_lines - n_distinct) / n_lines.astype(np.float64),
+                0.0)
+            dup_char = np.where(
+                total_chars > 0,
+                (total_chars - distinct_chars) / total_chars, 0.0)
+
+        toks = _tokens(batch)
+        tparent = _list_parents(toks)
+        tflat = toks.flatten().to_numpy(zero_copy_only=False)
+        tcodes, tuniq = pd.factorize(tflat)
+        tkey = tparent * np.int64(max(len(tuniq), 1)) + tcodes
+        tk, tcnt = np.unique(tkey, return_counts=True)
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, (tk // np.int64(max(len(tuniq), 1))), tcnt)
+        n_toks = np.bincount(tparent, minlength=n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            top_word = np.where(n_toks > 0,
+                                mx / n_toks.astype(np.float64), 0.0)
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines.astype(np.int64), pa.int64()),
+            "dup_line_frac": pa.array(round6(dup_line), pa.float64()),
+            "dup_line_char_frac": pa.array(round6(dup_char),
+                                           pa.float64()),
+            "top_word_frac": pa.array(round6(top_word), pa.float64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(sig, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
 # ---- oracle SQL ----
 
 def _stop_in(lang: str) -> str:
@@ -424,6 +509,47 @@ FROM n
 """
 
 
+def sql_rep_signals() -> str:
+    return r"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+lc AS (
+  SELECT doc_id, line, length(line)::BIGINT AS len,
+         count(*)::BIGINT AS cnt
+  FROM raw WHERE length(line) > 0 GROUP BY doc_id, line
+),
+ld AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+         count(*)::BIGINT AS n_distinct,
+         sum(cnt * len)::DOUBLE AS total_chars,
+         sum(len)::DOUBLE AS distinct_chars
+  FROM lc GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+),
+tc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       FROM tok GROUP BY doc_id, w),
+tt AS (SELECT doc_id, max(c)::DOUBLE AS mx, sum(c)::DOUBLE AS n
+       FROM tc GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(ld.n_lines, 0)::BIGINT AS n_lines,
+  round(CASE WHEN coalesce(ld.n_lines, 0) > 0
+    THEN (ld.n_lines - ld.n_distinct)::DOUBLE / ld.n_lines
+    ELSE 0 END, 6) AS dup_line_frac,
+  round(CASE WHEN coalesce(ld.total_chars, 0) > 0
+    THEN (ld.total_chars - ld.distinct_chars) / ld.total_chars
+    ELSE 0 END, 6) AS dup_line_char_frac,
+  round(CASE WHEN coalesce(tt.n, 0) > 0 THEN tt.mx / tt.n
+    ELSE 0 END, 6) AS top_word_frac
+FROM documents d
+LEFT JOIN ld USING (doc_id) LEFT JOIN tt USING (doc_id)
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -431,6 +557,7 @@ QUERIES = {
     "fingerprint": fingerprint,
     "pii_scrub": pii_scrub,
     "normalize_text": normalize_text,
+    "rep_signals": rep_signals,
 }
 
 ORACLE_SQL = {
@@ -440,4 +567,5 @@ ORACLE_SQL = {
     "fingerprint": sql_fingerprint(),
     "pii_scrub": sql_pii_scrub(),
     "normalize_text": sql_normalize_text(),
+    "rep_signals": sql_rep_signals(),
 }

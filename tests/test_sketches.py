@@ -175,3 +175,28 @@ def test_distinct_users_bucket_invariance(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         base.sort_values("event_type", ignore_index=True),
         small.sort_values("event_type", ignore_index=True))
+
+
+def test_rep_signals_adversarial(ray_session, tmp_path):
+    """Gopher repetition signals vs oracle on inputs the fixture
+    corpus lacks: heavy line dup, empty lines, token dup, empty doc,
+    empty-lines-only doc, tabs + double spaces."""
+    from raysearch.pipelines import textops as T
+
+    sf = _write_docs(tmp_path, [
+        "same line\nsame line\nsame line\nother",
+        "a b c\n\n\na b c\n",
+        "the the the the unique",
+        "",
+        "\n\n\n",
+        "one\ntwo\nthree",
+        "x\nxx\nx\nxx\nx",
+        "Tab\there and  spaces\nTab\there",
+    ])
+    got = _norm(T.rep_signals(sf).to_pandas())
+    want = _norm(_oracle(sf, T.sql_rep_signals()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id")
+    assert byid.loc[0, "dup_line_frac"] == 0.5
+    assert byid.loc[2, "top_word_frac"] == 0.8
+    assert byid.loc[4, "n_lines"] == 0
