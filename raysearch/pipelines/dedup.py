@@ -608,15 +608,12 @@ def _collect_pairs(pairs_ds) -> pa.Table:
             .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
 
 
-def ngram_jaccard(sf_dir: str) -> pa.Table:
-    """Exact 3-gram-Jaccard near-dup pairs (threshold 0.8): candidates
-    from an inverted shingle join (shingles with df <= GRAM_DF_CAP
-    only — the hot-key guard), intersections counted distributed,
-    Jaccard computed inside the count stage from map-side-carried set
-    sizes — ONE pass over the corpus, no sizes join, and the driver
-    receives final pairs only. Bucket cardinality is input-scaled
-    (auto_buckets)."""
-    nbuckets = auto_buckets(_n_docs(sf_dir))
+def _ngram_pairs_ds(sf_dir: str, nbuckets: int):
+    """The exact 3-gram-Jaccard pair pipeline up to (but NOT
+    including) driver materialization — the pair table stays a
+    Dataset in the object store. Shared by ngram_jaccard (which
+    collects it, the gate contract) and dup_clusters (which keeps
+    iterating on it distributed)."""
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(group["gram"], sort=False)
@@ -630,12 +627,143 @@ def ngram_jaccard(sf_dir: str) -> pa.Table:
     grams = _read_docs(sf_dir).map_batches(
         _make_gram_rows(nbuckets), batch_format="pyarrow",
         zero_copy_batch=True)
-    pairs = (grams.groupby("gpart")
-             .map_groups(emit_pairs, batch_format="pandas")
-             .groupby("ppart")
-             .map_groups(_count_jaccard(NGRAM_JACCARD_THRESHOLD),
-                         batch_format="pandas"))
-    return _collect_pairs(pairs)
+    return (grams.groupby("gpart")
+            .map_groups(emit_pairs, batch_format="pandas")
+            .groupby("ppart")
+            .map_groups(_count_jaccard(NGRAM_JACCARD_THRESHOLD),
+                        batch_format="pandas"))
+
+
+def ngram_jaccard(sf_dir: str) -> pa.Table:
+    """Exact 3-gram-Jaccard near-dup pairs (threshold 0.8): candidates
+    from an inverted shingle join (shingles with df <= GRAM_DF_CAP
+    only — the hot-key guard), intersections counted distributed,
+    Jaccard computed inside the count stage from map-side-carried set
+    sizes — ONE pass over the corpus, no sizes join, and the driver
+    receives final pairs only. Bucket cardinality is input-scaled
+    (auto_buckets)."""
+    nbuckets = auto_buckets(_n_docs(sf_dir))
+    return _collect_pairs(_ngram_pairs_ds(sf_dir, nbuckets))
+
+
+# connected-components rounds hard cap; hash-to-min needs
+# O(log diameter) rounds and near-dup components are shallow, so
+# hitting this means something is broken, not slow
+CC_MAX_ROUNDS = 40
+
+
+def _cc_state_checksum(ds) -> tuple[int, int]:
+    """(row count, order-independent uint64 sum of splitmix64(packed
+    row key)) over the propagation state — one map pass, no exchange.
+    The step transition is a deterministic function of this multiset,
+    so two consecutive equal checksums mean the state is a fixpoint
+    (converged) and the loop can stop."""
+    from raysearch.hashing import splitmix64
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ((batch["v"].to_numpy().astype(np.uint64)
+                << np.uint64(32))
+               | batch["m"].to_numpy().astype(np.uint64))
+        with np.errstate(over="ignore"):
+            s = np.add.reduce(splitmix64(key)) if len(key) \
+                else np.uint64(0)
+        return pd.DataFrame({"n": np.array([len(key)], np.int64),
+                             "s": np.array([s], np.uint64)})
+
+    t = pa.concat_tables(
+        ds.map_batches(part, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow"))
+    with np.errstate(over="ignore"):
+        s = np.add.reduce(t["s"].to_numpy().astype(np.uint64)) \
+            if t.num_rows else np.uint64(0)
+    return int(pc.sum(t["n"]).as_py() or 0), int(s)
+
+
+def dup_clusters(sf_dir: str) -> pa.Table:
+    """Connected components over the exact near-dup pair graph
+    (ngram_jaccard edges): every doc appearing in at least one pair is
+    labeled with the smallest doc_id of its component — the cluster
+    representative a keep-one-per-cluster dedup keeps.
+
+    Distributed hash-to-min label propagation (Rastogi et al. 2013,
+    "Finding connected components in map-reduce in logarithmic
+    rounds"): the state is a (v, member) row set co-located by an
+    input-scaled hash bucket of v; each round every group dedups its
+    rows, sends its full member list to its current minimum and the
+    minimum to every member, and the loop stops when a full-state
+    checksum (one map pass, no exchange) repeats — a fixpoint of the
+    deterministic transition. Rounds are O(log diameter); each round
+    is ONE coarse exchange over the pair graph (which is output-sized,
+    not corpus-sized). The driver holds only checksums and the final
+    (doc_id, cluster_id) table."""
+    nbuckets = auto_buckets(_n_docs(sf_dir))
+    return _cc_from_edges(_ngram_pairs_ds(sf_dir, nbuckets), nbuckets)
+
+
+def _cc_from_edges(pairs, nbuckets: int) -> pa.Table:
+    """Hash-to-min connected components over a Dataset with int64
+    columns doc_a/doc_b (see dup_clusters docstring). Factored out so
+    tests can drive it with adversarial topologies (paths, stars,
+    unsorted ids) directly."""
+
+    def init_rows(batch: pa.Table) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        _check_packable(np.concatenate([a, b]))
+        v = np.concatenate([a, b])
+        m = np.concatenate([b, a])
+        return pd.DataFrame({"v": v, "m": m, "vpart": v % nbuckets})
+
+    def step(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["v"].to_numpy()
+        m = group["m"].to_numpy()
+        key = (v << np.int64(32)) | m
+        _, idx = np.unique(key, return_index=True)
+        v, m = v[idx], m[idx]
+        codes, uv = pd.factorize(v)
+        uv = np.asarray(uv)
+        mn = uv.copy()
+        np.minimum.at(mn, codes, m)
+        lbl = mn[codes]
+        # hash-to-min: min hears every member, members hear the min,
+        # every v keeps its own label row (labels only decrease)
+        a = np.concatenate([lbl, m, uv])
+        b = np.concatenate([m, lbl, mn])
+        out_key = (a << np.int64(32)) | b
+        _, oidx = np.unique(out_key, return_index=True)
+        a, b = a[oidx], b[oidx]
+        return pd.DataFrame({"v": a, "m": b, "vpart": a % nbuckets})
+
+    def final_labels(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["v"].to_numpy()
+        m = group["m"].to_numpy()
+        codes, uv = pd.factorize(v)
+        uv = np.asarray(uv)
+        mn = uv.copy()
+        np.minimum.at(mn, codes, m)
+        return pd.DataFrame({"doc_id": uv, "cluster_id": mn})
+
+    ds = pairs.map_batches(init_rows,
+                           batch_format="pyarrow").materialize()
+    if ds.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    prev = None
+    for _ in range(CC_MAX_ROUNDS):
+        ds = (ds.groupby("vpart")
+              .map_groups(step, batch_format="pandas").materialize())
+        cur = _cc_state_checksum(ds)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("dup_clusters: no fixpoint within "
+                           f"{CC_MAX_ROUNDS} rounds")
+    labels = (ds.groupby("vpart")
+              .map_groups(final_labels, batch_format="pandas"))
+    tbl = pa.concat_tables(labels.iter_batches(batch_format="pyarrow"))
+    return (tbl.select(["doc_id", "cluster_id"])
+            .sort_by([("doc_id", "ascending")]))
 
 
 # ---- oracle SQL ----
@@ -735,6 +863,40 @@ JOIN sz sa ON doc_a = sa.doc_id
 JOIN sz sb ON doc_b = sb.doc_id
 WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6)
       >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+def sql_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {SQL_GRAMS_CTE},
+df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+keep AS (SELECT gram FROM df WHERE df BETWEEN 2 AND {GRAM_DF_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM g a
+  JOIN keep k ON a.gram = k.gram
+  JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6)
+        >= {NGRAM_JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.v
+)
+SELECT v::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+FROM reach GROUP BY v
 """
 
 
@@ -914,6 +1076,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard": ngram_jaccard,
+    "dup_clusters": dup_clusters,
 }
 
 ORACLE_SQL = {
@@ -924,4 +1087,5 @@ ORACLE_SQL = {
     "dedup_simhash": sql_dedup_simhash(),
     "simhash_pairs": sql_simhash_pairs(),
     "ngram_jaccard": sql_ngram_jaccard(),
+    "dup_clusters": sql_dup_clusters(),
 }

@@ -65,3 +65,50 @@ def test_user_sessions_bucket_invariant(ray_session, monkeypatch):
     monkeypatch.setattr(H, "auto_buckets", real)
     pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
     assert len(outs[0]) > 0
+
+
+def test_cc_from_edges_topologies(ray_session):
+    """Hash-to-min connected components on adversarial graphs: a long
+    path (forces multiple propagation rounds), a star, an isolated
+    pair, unsorted/interleaved ids — vs a plain union-find."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raysearch.pipelines.dedup import _cc_from_edges
+
+    # path 100..111, star centered at 500, pair (7, 3), cross-wired ids
+    edges = ([(i, i + 1) for i in range(100, 111)]
+             + [(500, x) for x in (501, 42, 900, 643)]
+             + [(7, 3), (900, 901)])
+    rng = np.random.default_rng(3)
+    edges = [tuple(e) if rng.random() < 0.5 else (e[1], e[0])
+             for e in edges]
+    rng.shuffle(edges)
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        parent[find(x)] = find(y)
+    want = {v: min(u for u in parent if find(u) == find(v))
+            for v in parent}
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a), "doc_b": pa.array(b)}))
+    got = _cc_from_edges(ds, nbuckets=4).to_pandas()
+    assert dict(zip(got.doc_id, got.cluster_id)) == want
+    assert list(got.doc_id) == sorted(got.doc_id)
+
+    # empty edge set
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    assert _cc_from_edges(empty, nbuckets=4).num_rows == 0
