@@ -300,6 +300,82 @@ def normalize_text(sf_dir: str) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
+# Benchmark-decontamination contract: "benchmark" docs are
+# doc_id % BENCH_MOD == 0 (a deterministic held-out split — no
+# external data); overlap unit is the distinct lowered-whitespace
+# CONTAM_NGRAM-gram, compared via 64-bit md5 prefix on both engine
+# and oracle.
+BENCH_MOD = 101
+CONTAM_NGRAM = 5
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (the GPT-3 appendix-C shape): flag
+    every training doc sharing at least one distinct 5-gram with the
+    held-out benchmark split. Pass 1 reads ONLY benchmark docs (a
+    ~1/BENCH_MOD slice; at scale the benchmark is its own small
+    input) and collects their distinct gram hashes — small side,
+    np.unique'd on the driver and broadcast once via ray.put. Pass 2
+    streams the corpus, counting per-doc members of the broadcast set
+    with one searchsorted per batch (zero-copy numpy ray.get). No
+    corpus-sized shuffle anywhere."""
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = (ids % BENCH_MOD) == 0
+        if not keep.any():
+            return pa.table({"h": pa.array([], pa.uint64())})
+        sub = batch.filter(pa.array(keep))
+        _, flat, _ = doc_shingles_flat(sub, ngram=CONTAM_NGRAM)
+        return pa.table({"h": pa.array(np.unique(
+            md5_prefix_ints(flat, 16)), pa.uint64())})
+
+    bds = _read_docs(sf_dir).map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [b["h"].to_numpy()
+             for b in bds.iter_batches(batch_format="pyarrow")]
+    contam = np.unique(np.concatenate(parts)) if parts \
+        else np.array([], dtype=np.uint64)
+    contam_ref = ray.put(contam)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        cset = ray.get(contam_ref)  # zero-copy numpy view
+        ids = batch["doc_id"].to_numpy()
+        n = len(ids)
+        kept, flat, starts = doc_shingles_flat(batch,
+                                               ngram=CONTAM_NGRAM)
+        n_grams = np.zeros(n, dtype=np.int64)
+        n_contam = np.zeros(n, dtype=np.int64)
+        if len(kept):
+            h = md5_prefix_ints(flat, 16)
+            pos = np.searchsorted(cset, h)
+            pos = np.minimum(pos, max(len(cset) - 1, 0))
+            hit = (cset[pos] == h).astype(np.int64) if len(cset) \
+                else np.zeros(len(h), dtype=np.int64)
+            bounds = np.append(starts, len(flat))
+            per_doc_hits = np.add.reduceat(hit, starts) if len(flat) \
+                else np.zeros(len(kept), dtype=np.int64)
+            # kept is an order-preserving subsequence of ids (unique)
+            rows = np.flatnonzero(np.isin(ids, kept))
+            n_grams[rows] = np.diff(bounds)
+            n_contam[rows] = per_doc_hits
+        is_bench = ((ids % BENCH_MOD) == 0).astype(np.int64)
+        contaminated = ((n_contam > 0) & (is_bench == 0)) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_contam": pa.array(n_contam, pa.int64()),
+            "is_benchmark": pa.array(is_bench, pa.int64()),
+            "contaminated": pa.array(contaminated, pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(scan, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
 def _list_parents(arr: pa.ListArray) -> np.ndarray:
     """Parent row index per flattened list element."""
     offs = arr.offsets.to_numpy()
@@ -550,6 +626,37 @@ LEFT JOIN ld USING (doc_id) LEFT JOIN tt USING (doc_id)
 """
 
 
+def sql_decontaminate() -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                || ' ' || toks[i + 3] || ' ' || toks[i + 4])) AS gram
+  FROM t WHERE len(toks) >= {CONTAM_NGRAM}
+),
+bg AS (SELECT DISTINCT substr(md5(gram), 1, 16) AS h
+       FROM g WHERE doc_id % {BENCH_MOD} = 0),
+dg AS (SELECT doc_id, substr(md5(gram), 1, 16) AS h FROM g),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_contam
+         FROM dg JOIN bg USING (h) GROUP BY doc_id),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+        FROM g GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+  coalesce(h.n_contam, 0)::BIGINT AS n_contam,
+  (CASE WHEN d.doc_id % {BENCH_MOD} = 0 THEN 1 ELSE 0 END)::BIGINT
+    AS is_benchmark,
+  (CASE WHEN coalesce(h.n_contam, 0) > 0
+        AND d.doc_id % {BENCH_MOD} <> 0 THEN 1 ELSE 0 END)::BIGINT
+    AS contaminated
+FROM documents d
+LEFT JOIN cnt c USING (doc_id) LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -558,6 +665,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "normalize_text": normalize_text,
     "rep_signals": rep_signals,
+    "decontaminate": decontaminate,
 }
 
 ORACLE_SQL = {
@@ -568,4 +676,5 @@ ORACLE_SQL = {
     "pii_scrub": sql_pii_scrub(),
     "normalize_text": sql_normalize_text(),
     "rep_signals": sql_rep_signals(),
+    "decontaminate": sql_decontaminate(),
 }

@@ -200,3 +200,40 @@ def test_rep_signals_adversarial(ray_session, tmp_path):
     assert byid.loc[0, "dup_line_frac"] == 0.5
     assert byid.loc[2, "top_word_frac"] == 0.8
     assert byid.loc[4, "n_lines"] == 0
+
+
+def test_decontaminate_adversarial(ray_session, tmp_path):
+    """Benchmark decontamination: a doc embedding a benchmark doc's
+    text is flagged; benchmark self-hits are not; <5-token docs have
+    no grams. Engine vs oracle plus direct assertions."""
+    import pyarrow.parquet as _pq
+
+    from raysearch.pipelines import textops as T
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 101, 202, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            bench,
+            "totally different benchmark words here ok",
+            "x",
+            "prefix junk " + bench + " suffix",
+            "alpha beta gamma delta",
+            "clean doc with no shared five gram runs",
+            "",
+        ], pa.string()),
+        "lang": pa.array(["en"] * 7),
+        "source": pa.array(["t"] * 7),
+        "n_chars": pa.array([0] * 7, pa.int64()),
+    })
+    _pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    sf = str(tmp_path)
+    got = _norm(T.decontaminate(sf).to_pandas())
+    want = _norm(_oracle(sf, T.sql_decontaminate()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id")
+    assert byid.loc[1, "contaminated"] == 1
+    assert byid.loc[0, "contaminated"] == 0      # benchmark self-hit
+    assert byid.loc[0, "is_benchmark"] == 1
+    assert byid.loc[2, "n_grams"] == 0           # <5 tokens
+    assert byid.loc[4, "contaminated"] == 0      # 4 tokens, no 5-gram
