@@ -112,3 +112,38 @@ def test_cc_from_edges_topologies(ray_session):
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64())}))
     assert _cc_from_edges(empty, nbuckets=4).num_rows == 0
+
+
+def test_cc_from_edges_random_graph(ray_session):
+    """One seeded 300-edge random graph over a 500-id space (many
+    components, dup edges, self-contained islands) vs union-find —
+    exercises multi-round convergence on nontrivial topology."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from raysearch.pipelines.dedup import _cc_from_edges
+
+    rng = np.random.default_rng(20260817)
+    a = rng.integers(0, 500, size=300).astype(np.int64)
+    b = rng.integers(0, 500, size=300).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        parent[find(x)] = find(y)
+    want = {v: min(u for u in parent if find(u) == find(v))
+            for v in parent}
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a), "doc_b": pa.array(b)}))
+    got = _cc_from_edges(ds, nbuckets=8).to_pandas()
+    assert dict(zip(got.doc_id, got.cluster_id)) == want
