@@ -84,6 +84,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(sketches.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import winnow
+        out.update(winnow.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -94,7 +99,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
                      "multimodal", "extras", "chunking", "lm", "joins",
-                     "sketches"):
+                     "sketches", "winnow"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

@@ -48,7 +48,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "pii_scrub", "normalize_text", "stratified_sample",
           "distinct_users", "hll_distinct_users", "heavy_hitters",
           "grouped_topk", "clean_pipeline", "rep_signals",
-          "dup_clusters", "decontaminate"]
+          "dup_clusters", "decontaminate",
+          "winnow_fingerprints", "winnow_pairs"]
 
 
 def run_quality(sf_dir: str) -> dict:
