@@ -269,6 +269,141 @@ def snippet_topk(sf_dir: str) -> pa.Table:
     return _snippet_topk_mode(sf_dir, "chars")
 
 
+# quoted-phrase queries (normalized token sequences): common phrases,
+# a >k-hit phrase, a single-hit phrase, a zero-hit phrase, a trigram
+PHRASE_QUERIES: list[list[str]] = [
+    ["merge", "sort"],
+    ["hash", "join"],
+    ["data", "stream"],
+    ["slow", "query"],
+    ["dup", "dup"],
+    ["query", "plan"],
+    ["slow", "query", "join"],
+]
+
+
+def phrase_topk(sf_dir: str) -> pa.Table:
+    """Quoted-phrase search over the segment index — the classic
+    two-phase plan: (1) candidate docs per phrase from the index by
+    intersecting the phrase terms' posting lists per segment (term-
+    filtered, row-group-pruned reads; no corpus scan), (2) adjacency
+    verification only on the candidate set via a doc_id-filtered
+    documents read, counting overlapping phrase occurrences vectorized
+    over factorized token codes. Score = phrase tf, rank (tf DESC,
+    doc_id), top-10, hits only.
+
+    Scale contract: the candidate set per phrase is bounded by the
+    MINIMUM df over the phrase's terms — the selectivity the inverted
+    index provides (this synthetic corpus's 31-word vocabulary makes
+    that bound loose; real vocabularies make AND-intersection sharp).
+    Candidate ids are the broadcast small side (same pattern as the
+    snippet fetch); verification is one filtered map pass."""
+    import ray.data
+    from raysearch.segments import (decode_posting_row, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    parts = load_stats(idx)["parts"]
+    all_terms = sorted({t for ph in PHRASE_QUERIES for t in ph})
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        pids, dids = [], []
+        for part in batch["part"].to_pylist():
+            tbl = read_postings(part_dirname(idx, int(part)), all_terms)
+            docs = {t: decode_posting_row(tbl, i)[0]
+                    for i, t in enumerate(tbl["term"].to_pylist())}
+            for pid, ph in enumerate(PHRASE_QUERIES):
+                if any(t not in docs for t in ph):
+                    continue
+                cand = docs[ph[0]]
+                for t in ph[1:]:
+                    cand = cand[np.isin(cand, docs[t],
+                                        assume_unique=True)]
+                    if not len(cand):
+                        break
+                if len(cand):
+                    pids.append(np.full(len(cand), pid, dtype=np.int64))
+                    dids.append(cand)
+        if not pids:
+            return pa.table({"phrase_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "phrase_id": pa.array(np.concatenate(pids), pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), pa.int64())})
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    cand = pa.concat_tables(
+        parts_ds.map_batches(candidates, batch_format="pyarrow",
+                             batch_size=max(1, len(parts) // 16))
+        .iter_batches(batch_format="pyarrow"))
+    empty = pa.table({"phrase_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64())})
+    if cand.num_rows == 0:
+        return empty
+    cand_ids = np.unique(cand["doc_id"].to_numpy())
+
+    def verify(b: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import _list_parents, _tokens
+
+        toks = _tokens(b)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        parents = _list_parents(toks)
+        doc_ids = b["doc_id"].to_numpy()
+        codes, uniq = pd.factorize(flat, sort=False)
+        code_of = {t: c for c, t in enumerate(uniq)}
+        pids, dids, tfs = [], [], []
+        for pid, ph in enumerate(PHRASE_QUERIES):
+            pcodes = [code_of.get(t, -1) for t in ph]
+            m = len(ph)
+            if -1 in pcodes or len(flat) < m:
+                continue
+            n = len(flat) - m + 1
+            match = codes[:n] == pcodes[0]
+            for j in range(1, m):
+                match &= codes[j:j + n] == pcodes[j]
+            # adjacency must not cross a document boundary
+            match &= parents[:n] == parents[m - 1:]
+            tf = np.bincount(parents[:n][match], minlength=len(doc_ids))
+            hit = np.flatnonzero(tf)
+            pids.append(np.full(len(hit), pid, dtype=np.int64))
+            dids.append(doc_ids[hit])
+            tfs.append(tf[hit].astype(np.int64))
+        if not pids:
+            return pa.table({"phrase_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({
+            "phrase_id": pa.array(np.concatenate(pids), pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+            "tf": pa.array(np.concatenate(tfs), pa.int64())})
+
+    import pyarrow.dataset as pads
+
+    docs_ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(cand_ids))
+    counts = pa.concat_tables(
+        docs_ds.map_batches(verify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    if counts.empty:
+        return empty
+    counts = counts.sort_values(["phrase_id", "tf", "doc_id"],
+                                ascending=[True, False, True])
+    counts["rank"] = counts.groupby("phrase_id").cumcount() + 1
+    counts = counts[counts["rank"] <= TOPK]
+    return pa.table({
+        "phrase_id": pa.array(counts.phrase_id.to_numpy(np.int64),
+                              pa.int64()),
+        "doc_id": pa.array(counts.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(counts["rank"].to_numpy(np.int64), pa.int64()),
+        "tf": pa.array(counts.tf.to_numpy(np.int64), pa.int64()),
+    })
+
+
 def snippet_lines_topk(sf_dir: str) -> pa.Table:
     """Q6 snippet fetch with the REFERENCE's display semantics: the
     first 5 lines of each hit (src/lib.rs:240-256)."""
@@ -412,6 +547,32 @@ FROM base JOIN documents ON base.doc_id = documents.doc_id
 """
 
 
+def sql_phrase_topk() -> str:
+    rows = ", ".join(
+        "({}, [{}])".format(pid, ", ".join(f"'{t}'" for t in ph))
+        for pid, ph in enumerate(PHRASE_QUERIES))
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+p(phrase_id, ptoks) AS (VALUES {rows}),
+tf AS (
+  SELECT doc_id, phrase_id,
+         len(list_filter(range(1, len(toks) - len(ptoks) + 2),
+             i -> list_slice(toks, i, i + len(ptoks) - 1) = ptoks))::BIGINT
+           AS tf
+  FROM t, p WHERE len(toks) >= len(ptoks)
+),
+ranked AS (
+  SELECT phrase_id, doc_id, tf,
+         row_number() OVER (PARTITION BY phrase_id
+                            ORDER BY tf DESC, doc_id)::BIGINT AS rank
+  FROM tf WHERE tf > 0
+)
+SELECT phrase_id::BIGINT AS phrase_id, doc_id, rank, tf
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "doc_lengths": doc_lengths,
     "collection_stats": collection_stats,
@@ -421,6 +582,7 @@ QUERIES = {
     "overlap_topk": overlap_topk,
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
+    "phrase_topk": phrase_topk,
 }
 
 ORACLE_SQL = {
@@ -432,4 +594,5 @@ ORACLE_SQL = {
     "overlap_topk": sql_overlap_topk(),
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
+    "phrase_topk": sql_phrase_topk(),
 }
