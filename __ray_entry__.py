@@ -89,6 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(winnow.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import mixing
+        out.update(mixing.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -99,7 +104,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
                      "multimodal", "extras", "chunking", "lm", "joins",
-                     "sketches", "winnow"):
+                     "sketches", "winnow", "mixing"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

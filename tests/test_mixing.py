@@ -1,0 +1,73 @@
+"""mix_weights: oracle parity on adversarial inputs (zero-token
+language, single-language corpus) plus the alpha-smoothing
+invariants."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _write_docs(path, rows):
+    langs, texts = zip(*rows)
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+        "text": pa.array(list(texts), pa.string()),
+        "lang": pa.array(list(langs), pa.string()),
+        "source": pa.array(["t"] * len(rows)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(path, "documents.parquet"))
+    return str(path)
+
+
+def _oracle(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.execute(sql).df()
+
+
+def test_mix_weights_adversarial(ray_session, tmp_path):
+    from raysearch.pipelines.mixing import ORACLE_SQL, mix_weights
+
+    d = _write_docs(tmp_path, [
+        ("en", "one two three four five six seven eight"),
+        ("en", "more english words in this row"),
+        ("de", "nur drei worte"),
+        ("xx", ""),           # zero-token language: weight 0, epochs 0
+        ("xx", "   "),        # whitespace-only
+    ])
+    eng = mix_weights(d).to_pandas()
+    ora = _oracle(d, ORACLE_SQL["mix_weights"])
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()),
+        check_exact=True)
+    xx = eng[eng.lang == "xx"].iloc[0]
+    assert xx.n_tokens == 0 and xx.weight == 0.0 and xx.epochs == 0.0
+    assert abs(eng.weight.sum() - 1.0) < 1e-5
+    # alpha < 1 compresses: the small domain's weight exceeds its
+    # proportional token share, the big one's is below
+    en = eng[eng.lang == "en"].iloc[0]
+    de = eng[eng.lang == "de"].iloc[0]
+    tot = eng.n_tokens.sum()
+    assert de.weight > de.n_tokens / tot
+    assert en.weight < en.n_tokens / tot
+    assert de.epochs > 1.0 > en.epochs
+
+
+def test_mix_weights_single_lang(ray_session, tmp_path):
+    from raysearch.pipelines.mixing import mix_weights
+
+    d = _write_docs(tmp_path, [("en", "a b c"), ("en", "d e")])
+    eng = mix_weights(d).to_pandas()
+    assert len(eng) == 1
+    assert eng.weight.iloc[0] == 1.0 and eng.epochs.iloc[0] == 1.0
