@@ -49,7 +49,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "distinct_users", "hll_distinct_users", "heavy_hitters",
           "grouped_topk", "clean_pipeline", "rep_signals",
           "dup_clusters", "decontaminate",
-          "winnow_fingerprints", "winnow_pairs", "phrase_topk"]
+          "winnow_fingerprints", "winnow_pairs", "phrase_topk",
+          "mix_weights"]
 
 
 def run_quality(sf_dir: str) -> dict:
