@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(mixing.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import dsir
+        out.update(dsir.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -104,7 +109,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
                      "multimodal", "extras", "chunking", "lm", "joins",
-                     "sketches", "winnow", "mixing"):
+                     "sketches", "winnow", "mixing", "dsir"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])
