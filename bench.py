@@ -50,7 +50,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "grouped_topk", "clean_pipeline", "rep_signals",
           "dup_clusters", "decontaminate",
           "winnow_fingerprints", "winnow_pairs", "phrase_topk",
-          "mix_weights"]
+          "mix_weights", "dsir_weights", "top_unshipped_orders",
+          "rolling_active_users"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -49,3 +49,18 @@ def doc_salt(doc_ids: np.ndarray, salt: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         mixed = splitmix64(doc_ids.astype(np.uint64) ^ _C3)
     return (mixed % np.uint64(max(1, salt))).astype(np.int64)
+
+
+def parquet_rows(path: str) -> int:
+    """Row count straight from parquet footers — file OR directory of
+    .parquet files (real tables are directories of shards). This is
+    the input-size hint auto_buckets consumes; no Ray Dataset is built
+    for it (a throwaway plan would cost seconds of scheduling)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(os.path.join(path, f)).num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.read_metadata(path).num_rows

@@ -44,9 +44,9 @@ def _n_docs(sf_dir: str) -> int:
     """Corpus row count from parquet footer metadata only — the
     driver-side size hint that feeds auto_buckets (no data read, no
     Ray job)."""
-    import pyarrow.parquet as pq
+    from raysearch.hashing import parquet_rows
 
-    return pq.read_metadata(os.path.join(sf_dir, _DOCS)).num_rows
+    return parquet_rows(os.path.join(sf_dir, _DOCS))
 
 # MinHash parameters (shared with the SQL oracle). The gram hash is 44
 # bits (11 md5 hex chars) and A < 2^19 so A*h + B < 2^63 stays exact in

@@ -74,9 +74,9 @@ def events_window(sf_dir: str) -> pa.Table:
 
 
 def _n_events(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
+    from raysearch.hashing import parquet_rows
 
-    return pq.read_metadata(os.path.join(sf_dir, _EVENTS)).num_rows
+    return parquet_rows(os.path.join(sf_dir, _EVENTS))
 
 
 def user_sessions(sf_dir: str) -> pa.Table:

@@ -61,9 +61,9 @@ def _epoch_us(ts: pd.Series) -> np.ndarray:
 
 
 def _n_rows(sf_dir: str, name: str) -> int:
-    import pyarrow.parquet as pq
+    from raysearch.hashing import parquet_rows
 
-    return pq.read_metadata(os.path.join(sf_dir, name)).num_rows
+    return parquet_rows(os.path.join(sf_dir, name))
 
 
 def _user_sorted(g: pd.DataFrame):
@@ -434,6 +434,108 @@ def _revenue_broadcast(sf_dir: str) -> pa.Table:
     return _attach_nation_names(sf_dir, agg.to_pandas())
 
 
+# ---- Q3-shaped shipping priority (3-way join + global top-k) ----
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = __import__("datetime").datetime(1998, 1, 1)
+Q3_K = 10
+
+
+def top_unshipped_orders(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-shaped shipping priority: the {k} highest-revenue
+    orders from '{seg}'-segment customers placed before {cut} whose
+    lineitems shipped after it — revenue in exact integer c4 units
+    (cents x (100 - discount)), ties broken (orderdate, orderkey).
+
+    Shape: both fact sides are FILTERED AT THE READ (date predicates
+    push into parquet row groups; only 3 columns of lineitem leave
+    storage). The segment's custkeys broadcast once via ray.put as a
+    sorted array (customer/5 rows — beyond JOIN_BROADCAST_CAP the
+    membership side takes revenue_by_nation's bucketed-shuffle path
+    instead); orders batches membership-filter by searchsorted and
+    emit (orderkey, date) rows; lineitem batches pre-aggregate revenue
+    per orderkey map-side. ONE orderkey-bucketed exchange joins them;
+    each group emits only its local top-{k}, so the driver merges
+    n_buckets x {k} rows — never the joined table. The global sort
+    this replaces is the most expensive all-to-all at scale.""".format(
+        k=Q3_K, seg=Q3_SEGMENT, cut=Q3_CUTOFF.date())
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from raysearch.hashing import auto_buckets
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    mask = pc.equal(cust["c_mktsegment"], Q3_SEGMENT)
+    ck = np.sort(cust.filter(mask)["c_custkey"].to_numpy()
+                 .astype(np.int64))
+    assert len(ck) <= JOIN_BROADCAST_CAP, \
+        "segment membership exceeds broadcast cap: use the bucketed " \
+        "shuffle path (revenue_by_nation)"
+    ck_ref = ray.put(ck)
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cks = ray.get(ck_ref)  # zero-copy numpy view
+        keys = df["o_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(cks, keys)
+        pos_ok = pos < len(cks)
+        hit = np.zeros(len(keys), dtype=bool)
+        hit[pos_ok] = cks[pos[pos_ok]] == keys[pos_ok]
+        ok = df["o_orderkey"].to_numpy(np.int64)[hit]
+        dus = _epoch_us(df["o_orderdate"])[hit]
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "orderkey": ok,
+            "date_us": dus, "c4": np.int64(0)})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        g = (pd.DataFrame({
+                "orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "c4": cents * (100 - disc)})
+             .groupby("orderkey", as_index=False).agg(c4=("c4", "sum")))
+        return g.assign(bucket=g.orderkey.to_numpy() & (nb - 1),
+                        date_us=np.int64(-1))[
+            ["bucket", "orderkey", "date_us", "c4"]]
+
+    def topk_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.date_us >= 0][["orderkey", "date_us"]]
+        li = (g[g.date_us < 0]
+              .groupby("orderkey", as_index=False).agg(c4=("c4", "sum")))
+        j = o.merge(li, on="orderkey", how="inner")
+        return j.sort_values(["c4", "date_us", "orderkey"],
+                             ascending=[False, True, True]).head(Q3_K)
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=pads.field("o_orderdate") < Q3_CUTOFF
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=pads.field("l_shipdate") > Q3_CUTOFF
+               ).map_batches(l_partial, batch_format="pandas")
+    out = (orders.union(li)
+           .groupby("bucket").map_groups(topk_kern,
+                                         batch_format="pandas"))
+    df = out.to_pandas()
+    if "orderkey" not in df.columns:  # zero groups ran (empty input)
+        df = pd.DataFrame({"orderkey": np.array([], dtype=np.int64),
+                           "date_us": np.array([], dtype=np.int64),
+                           "c4": np.array([], dtype=np.int64)})
+    df = df.sort_values(["c4", "date_us", "orderkey"],
+                        ascending=[False, True, True]).head(Q3_K)
+    return pa.table({
+        "o_orderkey": pa.array(df.orderkey.to_numpy(np.int64),
+                               pa.int64()),
+        "orderdate_us": pa.array(df.date_us.to_numpy(np.int64),
+                                 pa.int64()),
+        "revenue_c4": pa.array(df.c4.to_numpy(np.int64), pa.int64()),
+    })
+
+
 def pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H-Q1-shaped pricing summary over lineitem, grouped by
     (returnflag, linestatus): quantity sum, base price, and discounted
@@ -597,6 +699,26 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def sql_top_unshipped_orders() -> str:
+    cut = Q3_CUTOFF.strftime("%Y-%m-%d")
+    return f"""
+SELECT o_orderkey,
+       epoch_us(o_orderdate)::BIGINT AS orderdate_us,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))::BIGINT
+         AS revenue_c4
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{cut}'
+  AND l_shipdate > TIMESTAMP '{cut}'
+GROUP BY 1, 2
+ORDER BY revenue_c4 DESC, orderdate_us, o_orderkey
+LIMIT {Q3_K}
+"""
+
+
 QUERIES = {
     "asof_join": asof_join,
     "range_join_events": range_join_events,
@@ -604,6 +726,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "revenue_by_nation": revenue_by_nation,
     "pricing_summary": pricing_summary,
+    "top_unshipped_orders": top_unshipped_orders,
 }
 
 ORACLE_SQL = {
@@ -613,4 +736,5 @@ ORACLE_SQL = {
     "stratified_sample": sql_stratified_sample(),
     "revenue_by_nation": sql_revenue_by_nation(),
     "pricing_summary": sql_pricing_summary(),
+    "top_unshipped_orders": sql_top_unshipped_orders(),
 }

@@ -41,9 +41,9 @@ LSH_TABLES = 6   # independent tables for the near-dup pair path
 
 
 def _n_emb(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
+    from raysearch.hashing import parquet_rows
 
-    return pq.read_metadata(os.path.join(sf_dir, _EMB)).num_rows
+    return parquet_rows(os.path.join(sf_dir, _EMB))
 
 
 def _read_emb(sf_dir: str):

@@ -51,9 +51,9 @@ def _read(sf_dir: str, name: str, columns):
 
 
 def _n_events(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
+    from raysearch.hashing import parquet_rows
 
-    return pq.read_metadata(os.path.join(sf_dir, _EVENTS)).num_rows
+    return parquet_rows(os.path.join(sf_dir, _EVENTS))
 
 
 # ---- exact distinct count (bucketed dedup + additive partials) ----
@@ -342,16 +342,90 @@ SELECT lang, doc_id, n_chars, rank FROM (
 """
 
 
+# ---- rolling-window distinct (exact trailing 7-day active users) ----
+
+ROLL_WINDOW_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def rolling_active_users(sf_dir: str) -> pa.Table:
+    """Exact trailing-{W}-day active users: for every window end-day w
+    that any activity can reach, the number of distinct users with >= 1
+    event in days [w-{W}+1, w].
+
+    Scale shape: raw events collapse to distinct (user, day) pairs
+    map-side per batch BEFORE anything shuffles (the activity matrix,
+    ~users x days rows, orders of magnitude below event volume); ONE
+    user-bucketed exchange dedups the pairs globally and expands each
+    into its {W} member windows IN THE GROUP — the (user, window)
+    dedup is exact there because the bucket key is a function of user
+    alone, so a user's whole history co-locates. The final exchange
+    carries one partial count per (window, bucket); counts add across
+    buckets because buckets partition the user space (same argument
+    as distinct_users). Nothing driver-side exceeds the day-cardinality
+    result.""".format(W=ROLL_WINDOW_DAYS)
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets, splitmix64
+
+    nb = auto_buckets(_n_events(sf_dir))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // _DAY_US).to_numpy(np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": day}).drop_duplicates()
+        ub = (splitmix64(d["user_id"].to_numpy(np.int64).astype(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return d.assign(ubucket=ub)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day"])
+        u = np.repeat(d["user_id"].to_numpy(np.int64), ROLL_WINDOW_DAYS)
+        w = (d["day"].to_numpy(np.int64)[:, None]
+             + np.arange(ROLL_WINDOW_DAYS, dtype=np.int64)).ravel()
+        uw = pd.DataFrame({"user_id": u, "window_day": w}).drop_duplicates()
+        out = (uw.groupby("window_day", as_index=False)
+               .agg(n_users=("user_id", "size")))
+        return out
+
+    ds = _read(sf_dir, _EVENTS, ["ts", "user_id"]).map_batches(
+        pairs, batch_format="pandas")
+    agg = (ds.groupby("ubucket").map_groups(expand, batch_format="pandas")
+           .groupby("window_day").aggregate(
+               Sum("n_users", alias_name="n_users")))
+    df = agg.to_pandas().sort_values("window_day", ignore_index=True)
+    return pa.table({
+        "window_day": pa.array(df.window_day.to_numpy(np.int64),
+                               pa.int64()),
+        "n_users": pa.array(df.n_users.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_rolling_active_users() -> str:
+    return f"""
+WITH du AS (SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS d, user_id
+            FROM events),
+ks AS (SELECT unnest(range({ROLL_WINDOW_DAYS})) AS k),
+e AS (SELECT d + k AS w, user_id FROM du CROSS JOIN ks)
+SELECT w::BIGINT AS window_day,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM e GROUP BY w
+"""
+
+
 QUERIES = {
     "distinct_users": distinct_users,
     "hll_distinct_users": hll_distinct_users,
     "heavy_hitters": heavy_hitters,
     "grouped_topk": grouped_topk,
+    "rolling_active_users": rolling_active_users,
 }
 
 ORACLE_SQL = {
     "distinct_users": sql_distinct_users(),
     "heavy_hitters": sql_heavy_hitters(),
     "grouped_topk": sql_grouped_topk(),
+    "rolling_active_users": sql_rolling_active_users(),
     # hll_distinct_users: approximate by construction -> rows-only
 }

@@ -143,3 +143,89 @@ def test_revenue_join_strategies_agree(ray_session, monkeypatch):
     monkeypatch.setattr(joins, "JOIN_BROADCAST_CAP", 0)  # force shuffle
     shuffle = _norm(joins.revenue_by_nation(sf).to_pandas())
     pd.testing.assert_frame_equal(broadcast, shuffle)
+
+
+def _write_q3_tables(tmp_path):
+    """Adversarial Q3 fixture: revenue tie at the k-boundary is not
+    exercised (k=10 > rows), but every filter edge is: an order with
+    no post-cutoff lineitem, a non-BUILDING customer, an order after
+    the cutoff, a lineitem shipped exactly AT the cutoff (excluded by
+    the strict >), and two orders with IDENTICAL revenue (tie broken
+    by orderdate then orderkey)."""
+    cut = joins.Q3_CUTOFF
+    before = np.datetime64(cut) - np.timedelta64(10, "D")
+    after = np.datetime64(cut) + np.timedelta64(10, "D")
+    at = np.datetime64(cut)
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["a", "b", "c"]),
+        "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0, 0.0]),
+        "c_mktsegment": pa.array(["BUILDING", "BUILDING", "MACHINERY"]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 3, 1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 6),
+        "o_totalprice": pa.array([0.0] * 6),
+        # 13: non-segment customer; 14: placed AFTER cutoff; others ok
+        "o_orderdate": pa.array([before, before, before, before,
+                                 after, before], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 6),
+    })
+    li_rows = [
+        (10, 100.00, 0.10, after),   # c4 = 10000 * 90
+        (10, 50.00, 0.00, after),    # + 5000 * 100
+        (11, 14.00, 0.00, after),    # 11 and 12 tie: 1400*100 each
+        (12, 14.00, 0.00, after),
+        (12, 99.99, 0.05, at),       # shipped AT cutoff: excluded
+        (13, 70.00, 0.00, after),    # non-segment customer
+        (14, 70.00, 0.00, after),    # order after cutoff
+        (15, 80.00, 0.00, before),   # only pre-cutoff shipments: 15 out
+    ]
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_partkey": pa.array([0] * len(li_rows), pa.int64()),
+        "l_suppkey": pa.array([0] * len(li_rows), pa.int64()),
+        "l_linenumber": pa.array(range(len(li_rows)), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(li_rows)),
+        "l_extendedprice": pa.array([r[1] for r in li_rows]),
+        "l_discount": pa.array([r[2] for r in li_rows]),
+        "l_tax": pa.array([0.0] * len(li_rows)),
+        "l_returnflag": pa.array(["N"] * len(li_rows)),
+        "l_linestatus": pa.array(["O"] * len(li_rows)),
+        "l_shipdate": pa.array([r[3] for r in li_rows],
+                               pa.timestamp("us")),
+    })
+    for name, tbl in (("customer", cust), ("orders", orders),
+                      ("lineitem", li)):
+        pq.write_table(tbl, os.path.join(tmp_path, f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def test_top_unshipped_orders_adversarial(ray_session, tmp_path):
+    sf = _write_q3_tables(tmp_path)
+    eng = joins.top_unshipped_orders(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    ora = con.execute(joins.sql_top_unshipped_orders()).df()
+    pd.testing.assert_frame_equal(
+        _norm(eng), _norm(ora), check_dtype=False)
+    # only orders 10, 11, 12 qualify; 10 leads, the 11/12 revenue tie
+    # breaks by orderkey (same orderdate)
+    assert eng.o_orderkey.tolist() == [10, 11, 12]
+    assert eng.revenue_c4.iloc[1] == eng.revenue_c4.iloc[2] == 140_000
+    assert eng.revenue_c4.iloc[0] == 10_000 * 90 + 5_000 * 100
+
+
+def test_top_unshipped_orders_sf001(ray_session):
+    sf = "/root/testdata/sf0.001"
+    eng = _norm(joins.top_unshipped_orders(sf).to_pandas())
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    ora = _norm(con.execute(joins.sql_top_unshipped_orders()).df())
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)

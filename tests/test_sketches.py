@@ -237,3 +237,52 @@ def test_decontaminate_adversarial(ray_session, tmp_path):
     assert byid.loc[0, "is_benchmark"] == 1
     assert byid.loc[2, "n_grams"] == 0           # <5 tokens
     assert byid.loc[4, "contaminated"] == 0      # 4 tokens, no 5-gram
+
+
+def test_rolling_active_users_adversarial(ray_session, tmp_path):
+    """Window membership edges: a user active on day d counts in
+    windows d..d+6 only (d+7 excluded); duplicate (user, day) pairs
+    across FILES (forcing cross-batch dedup) count once; two users on
+    one day count twice. Engine vs DuckDB oracle + semantic spots."""
+    import duckdb
+    from raysearch.pipelines.sketches import (_DAY_US,
+                                              rolling_active_users,
+                                              sql_rolling_active_users)
+
+    def ev(eid, day, frac_us, uid):
+        return (eid, day * _DAY_US + frac_us, uid)
+
+    rows_a = [ev(1, 100, 10, 7), ev(2, 100, 20, 7),   # same user+day
+              ev(3, 107, 30, 7),                      # d+7: new window
+              ev(4, 100, 40, 8)]
+    rows_b = [ev(5, 100, 50, 7),                      # dup across files
+              ev(6, 103, 60, 8)]
+    for i, rows in enumerate((rows_a, rows_b)):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        })
+        os.makedirs(os.path.join(tmp_path, "events.parquet"),
+                    exist_ok=True)
+        pq.write_table(tbl, os.path.join(tmp_path, "events.parquet",
+                                         f"part-{i}.parquet"))
+    eng = rolling_active_users(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet/*.parquet')")
+    ora = con.execute(sql_rolling_active_users()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    by_w = eng.set_index("window_day").n_users
+    assert by_w.loc[100] == 2          # users 7 and 8 on day 100
+    assert by_w.loc[106] == 2          # day-100 activity still visible
+    assert by_w.loc[107] == 2          # user 7 via day 107, user 8 via 103
+    assert by_w.loc[110] == 1          # only user 7's day-107 remains
+    assert 113 in by_w.index and 114 not in by_w.index
