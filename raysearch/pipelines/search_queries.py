@@ -573,6 +573,70 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# terms whose presence flags a document (the index-backed blocklist
+# path a cleaning pipeline runs instead of a corpus scan); includes a
+# term absent from the corpus to exercise the filtered-read miss path
+BLOCK_TERMS = ("dup", "slow", "spark", "zzzblockedzzz")
+
+
+def blocklist_docs(sf_dir: str) -> pa.Table:
+    """Index-backed blocklist filter: every document containing >= 1
+    blocklist term, with its DISTINCT blocked-term count — computed
+    entirely from posting lists (term-filtered, row-group-pruned
+    segment reads), never a corpus scan.
+
+    Scale contract: work is proportional to the blocklist terms'
+    total df, not corpus size — the selectivity the inverted index
+    exists to provide. Segments partition documents disjointly
+    (doc-hash partitioning), so per-part counts are FINAL: zero
+    exchanges, the result streams straight out of the parts fan-out.
+    The blocklist itself rides the task closure (tiny); a large
+    blocklist would ray.put once like the snippet candidate set."""
+    import ray.data
+
+    from raysearch.segments import (decode_posting_row, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    parts = load_stats(idx)["parts"]
+    terms = sorted(set(BLOCK_TERMS))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        dids = []
+        for part in batch["part"].to_pylist():
+            tbl = read_postings(part_dirname(idx, int(part)), terms)
+            for i in range(tbl.num_rows):
+                dids.append(decode_posting_row(tbl, i)[0])
+        if not dids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_blocked": pa.array([], pa.int64())})
+        # each (term, doc) appears once per posting list, so the
+        # multiplicity of a doc across lists IS its distinct-term count
+        u, c = np.unique(np.concatenate(dids), return_counts=True)
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "n_blocked": pa.array(c.astype(np.int64),
+                                               pa.int64())})
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    out = pa.concat_tables(
+        parts_ds.map_batches(hits, batch_format="pyarrow",
+                             batch_size=max(1, len(parts) // 16))
+        .iter_batches(batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
+def sql_blocklist_docs() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BLOCK_TERMS)))
+    return rf"""
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+           FROM documents)
+SELECT doc_id, count(DISTINCT tok)::BIGINT AS n_blocked
+FROM t WHERE tok IN ({terms}) GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_lengths": doc_lengths,
     "collection_stats": collection_stats,
@@ -583,6 +647,7 @@ QUERIES = {
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
+    "blocklist_docs": blocklist_docs,
 }
 
 ORACLE_SQL = {
@@ -595,4 +660,5 @@ ORACLE_SQL = {
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),
+    "blocklist_docs": sql_blocklist_docs(),
 }
