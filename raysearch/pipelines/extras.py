@@ -300,11 +300,164 @@ GROUP BY p.phrase
 """
 
 
+# ---- top collocations by pointwise mutual information ----
+
+PMI_MIN_COUNT = 5   # bigrams below this global count are noise
+PMI_TOPK = 20
+
+
+def pmi_top_bigrams(sf_dir: str) -> pa.Table:
+    """Top-{k} adjacent-token collocations by PMI
+    ln(p(w1 w2) / (p(w1) p(w2))), min pair count {m} — the classic
+    collocation-mining signal (Church & Hanks 1990).
+
+    Scale shape: ONE corpus pass emits per-batch (kind, gram, n)
+    count partials (the combiner); one vocabulary-cardinality groupby
+    sums them. The summed counts table is materialized ONCE (it is
+    lexicon-scale, not corpus-scale — same budget class as the index
+    lexicon merge) and read twice: the unigram side collects to the
+    driver and broadcasts via ray.put (sorted term array +
+    counts; at true scale, hash terms and searchsorted exactly like
+    lm.py's model transport), the bigram side streams through a PMI +
+    LOCAL-top-k map stage, so the driver merges n_blocks x {k}
+    candidate rows — never the bigram table. Ranking uses the total
+    order (round6(pmi) DESC, w1, w2) on BOTH engine and oracle, so
+    per-batch top-k truncation is exact.""".format(k=PMI_TOPK,
+                                                   m=PMI_MIN_COUNT)
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        grams, kinds, ns = [], [], []
+        if len(flat):
+            u1, n1 = np.unique(flat, return_counts=True)
+            grams.append(u1)
+            kinds.append(np.ones(len(u1), dtype=np.int64))
+            ns.append(n1.astype(np.int64))
+        if len(flat) >= 2:
+            doc_idx = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+            same = doc_idx[:-1] == doc_idx[1:]
+            bg = (flat[:-1] + " " + flat[1:])[same]
+            if len(bg):
+                u2, n2 = np.unique(bg, return_counts=True)
+                grams.append(u2)
+                kinds.append(np.full(len(u2), 2, dtype=np.int64))
+                ns.append(n2.astype(np.int64))
+        if not grams:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "kind": pa.array(np.concatenate(kinds), pa.int64()),
+            "gram": pa.array(np.concatenate(grams).tolist(), pa.string()),
+            "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    counts = (_read_docs(sf_dir, ["text"])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["kind", "gram"])
+              .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    def only_kind(k):
+        def sel(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["kind"], k))
+        return sel
+
+    uni = pa.concat_tables(
+        counts.map_batches(only_kind(1), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    uni = uni.sort_values("gram", ignore_index=True)
+    terms = uni["gram"].to_numpy(object)
+    c1 = uni["n"].to_numpy(np.int64)
+    t_tok = float(c1.sum())
+    t2 = counts.map_batches(only_kind(2), batch_format="pyarrow") \
+        .sum("n") or 0
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "n_pair": pa.array([], pa.int64()),
+                      "pmi": pa.array([], pa.float64())})
+    if t2 == 0 or not len(terms):
+        return empty
+    uni_ref = ray.put((terms, c1))
+    t2 = float(t2)
+
+    def pmi_topk(b: pa.Table) -> pa.Table:
+        ts, cs = ray.get(uni_ref)
+        n2 = b["n"].to_numpy()
+        keep = n2 >= PMI_MIN_COUNT
+        if not keep.any():
+            return empty
+        gr = b["gram"].to_numpy(zero_copy_only=False)[keep]
+        n2 = n2[keep].astype(np.int64)
+        parts = pd.Series(gr).str.split(" ", n=1, expand=True)
+        w1 = parts[0].to_numpy(object)
+        w2 = parts[1].to_numpy(object)
+        ca = cs[np.searchsorted(ts, w1)].astype(np.float64)
+        cb = cs[np.searchsorted(ts, w2)].astype(np.float64)
+        pmi = round6(np.log(n2 / t2) - np.log(ca / t_tok)
+                     - np.log(cb / t_tok))
+        order = np.lexsort((w2, w1, -pmi))[:PMI_TOPK]
+        return pa.table({
+            "w1": pa.array(w1[order].tolist(), pa.string()),
+            "w2": pa.array(w2[order].tolist(), pa.string()),
+            "n_pair": pa.array(n2[order], pa.int64()),
+            "pmi": pa.array(pmi[order], pa.float64())})
+
+    cand = pa.concat_tables(
+        counts.map_batches(only_kind(2), batch_format="pyarrow")
+        .map_batches(pmi_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True],
+                            ignore_index=True).head(PMI_TOPK)
+    return pa.table({
+        "w1": pa.array(cand.w1.tolist(), pa.string()),
+        "w2": pa.array(cand.w2.tolist(), pa.string()),
+        "n_pair": pa.array(cand.n_pair.to_numpy(np.int64), pa.int64()),
+        "pmi": pa.array(cand.pmi.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_pmi_top_bigrams() -> str:
+    return rf"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+flat AS (SELECT unnest(toks) AS tok FROM t),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i + 1])) AS w2
+  FROM t
+),
+c1 AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok),
+c2 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+       HAVING count(*) >= {PMI_MIN_COUNT}),
+tot AS (SELECT (SELECT count(*) FROM flat)::DOUBLE AS t1,
+               (SELECT count(*) FROM bg)::DOUBLE AS t2)
+SELECT c2.w1, c2.w2, c2.n::BIGINT AS n_pair,
+       round(ln(c2.n / tot.t2) - ln(a.n / tot.t1)
+             - ln(b.n / tot.t1), 6) AS pmi
+FROM c2
+JOIN c1 a ON a.tok = c2.w1
+JOIN c1 b ON b.tok = c2.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, c2.w1, c2.w2
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
     "source_stats": source_stats,
     "top_terms_tfidf": top_terms_tfidf,
     "window_top_events": window_top_events,
     "phrase_counts": phrase_counts,
+    "pmi_top_bigrams": pmi_top_bigrams,
 }
 
 ORACLE_SQL = {
@@ -312,4 +465,5 @@ ORACLE_SQL = {
     "top_terms_tfidf": sql_top_terms_tfidf(),
     "window_top_events": sql_window_top_events(),
     "phrase_counts": sql_phrase_counts(),
+    "pmi_top_bigrams": sql_pmi_top_bigrams(),
 }

@@ -71,3 +71,45 @@ def test_mix_weights_single_lang(ray_session, tmp_path):
     eng = mix_weights(d).to_pandas()
     assert len(eng) == 1
     assert eng.weight.iloc[0] == 1.0 and eng.epochs.iloc[0] == 1.0
+
+
+def test_pmi_top_bigrams_adversarial(ray_session, tmp_path):
+    """Min-count boundary (exactly PMI_MIN_COUNT kept, one less
+    dropped), cross-doc adjacency never counted, single-token and
+    empty docs contribute unigrams only; full oracle parity."""
+    import duckdb
+
+    from raysearch.pipelines.extras import (PMI_MIN_COUNT,
+                                            pmi_top_bigrams,
+                                            sql_pmi_top_bigrams)
+
+    rows = []
+    # "aa bb" appears exactly PMI_MIN_COUNT times (kept);
+    # "cc dd" PMI_MIN_COUNT - 1 times (dropped)
+    rows += [("en", "aa bb filler")] * PMI_MIN_COUNT
+    rows += [("en", "cc dd filler")] * (PMI_MIN_COUNT - 1)
+    rows += [("en", "cc")]          # single token: unigram only
+    rows += [("en", "dd")]          # if cross-doc joined, cc dd += 1
+    rows += [("en", "")]
+    langs, texts = zip(*rows)
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+        "text": pa.array(list(texts), pa.string()),
+        "lang": pa.array(list(langs), pa.string()),
+        "source": pa.array(["t"] * len(rows)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    eng = pmi_top_bigrams(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(sql_pmi_top_bigrams()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    pairs = set(zip(eng.w1, eng.w2))
+    assert ("aa", "bb") in pairs
+    assert ("cc", "dd") not in pairs
