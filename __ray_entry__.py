@@ -99,6 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(dsir.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import packing
+        out.update(packing.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -109,7 +114,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
                      "multimodal", "extras", "chunking", "lm", "joins",
-                     "sketches", "winnow", "mixing", "dsir"):
+                     "sketches", "winnow", "mixing", "dsir", "packing"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])
