@@ -104,6 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(packing.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import profile
+        out.update(profile.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -114,7 +119,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(search_queries.ORACLE_SQL)
     for mod_name in ("textops", "dedup", "similarity", "events",
                      "multimodal", "extras", "chunking", "lm", "joins",
-                     "sketches", "winnow", "mixing", "dsir", "packing"):
+                     "sketches", "winnow", "mixing", "dsir", "packing",
+                     "profile"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

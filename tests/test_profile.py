@@ -1,0 +1,66 @@
+"""Histogram profiling ops: oracle parity on edge values (exact bin
+boundary, negative underflow, overflow clamp)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_value_histogram_edges(ray_session, tmp_path):
+    from raysearch.pipelines.profile import (HIST_B, HIST_W,
+                                             sql_value_histogram,
+                                             value_histogram)
+
+    vals = [0.0, HIST_W, HIST_W - 1e-9,      # exact edge + just under
+            -5.0,                            # underflow -> bin 0
+            HIST_W * HIST_B * 10,            # overflow -> top bin
+            HIST_W * (HIST_B - 1)]           # exact top-bin edge
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([0] * len(vals), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array(["click"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * len(vals)),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    eng = value_histogram(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    ora = con.execute(sql_value_histogram()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    by_bin = eng.set_index("bin").n
+    assert by_bin.loc[0] == 3          # 0.0, just-under-edge, clamped -5.0
+    assert by_bin.loc[1] == 1          # value == HIST_W lands in bin 1
+    assert by_bin.loc[HIST_B - 1] == 2  # overflow + exact top edge
+    assert eng.n.sum() == len(vals)
+
+
+def test_doclen_histogram_parity_sf001(ray_session):
+    from raysearch.pipelines.profile import (doclen_histogram,
+                                             sql_doclen_histogram)
+
+    d = "/root/testdata/sf0.001"
+    eng = doclen_histogram(d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    ora = con.execute(sql_doclen_histogram()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    assert eng.n_docs.sum() == 500
