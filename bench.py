@@ -52,7 +52,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "winnow_fingerprints", "winnow_pairs", "phrase_topk",
           "mix_weights", "dsir_weights", "top_unshipped_orders",
           "rolling_active_users", "blocklist_docs", "pmi_top_bigrams",
-          "pack_offsets", "value_histogram", "doclen_histogram"]
+          "pack_offsets", "value_histogram", "doclen_histogram",
+          "session_funnel"]
 
 
 def run_quality(sf_dir: str) -> dict:

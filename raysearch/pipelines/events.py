@@ -140,6 +140,122 @@ def user_sessions(sf_dir: str) -> pa.Table:
     })
 
 
+FUNNEL_FROM = "click"     # funnel entry event
+FUNNEL_TO = "purchase"    # conversion event
+
+
+def session_funnel(sf_dir: str) -> pa.Table:
+    """Session-level conversion funnel: per session (same 30-min-gap
+    sessionization as user_sessions), the click/purchase counts and
+    whether the session CONVERTED — a purchase at-or-after the
+    session's first click (ts >= first-click ts; equal-timestamp
+    purchases count, the contract both sides share).
+
+    Same scale shape as user_sessions (coarse user-hash groups,
+    vectorized across users); the funnel logic adds two masks and a
+    per-session min/any reduction to the same kernel — composition,
+    not a new exchange."""
+    import ray.data
+
+    from raysearch.hashing import auto_buckets
+
+    n_upart = auto_buckets(_n_events(sf_dir))
+
+    def add_upart(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        upart = pc.cast(
+            pc.bit_wise_and(b["user_id"], n_upart - 1), pa.int64())
+        return b.append_column("upart", upart)
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        tus = _epoch_us(g["ts"])
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, tus, uid))
+        uid, tus, et = uid[order], tus[order], et[order]
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = ((uid[1:] != uid[:-1])
+                       | (np.diff(tus) > SESSION_GAP_US)).astype(np.int64)
+        sid = np.cumsum(brk)
+        d = pd.DataFrame({
+            "user_id": uid, "sid": sid, "tus": tus,
+            "is_from": (et == FUNNEL_FROM),
+            "is_to": (et == FUNNEL_TO),
+            "from_tus": np.where(et == FUNNEL_FROM, tus, np.int64(2**62)),
+        })
+        out = (d.groupby(["user_id", "sid"], as_index=False)
+               .agg(session_start_us=("tus", "min"),
+                    n_from=("is_from", "sum"),
+                    n_to=("is_to", "sum"),
+                    first_from=("from_tus", "min")))
+        # converted: any to-event at-or-after the first from-event —
+        # computed per session via the max to-event timestamp
+        to_max = (d[d.is_to].groupby(["user_id", "sid"],
+                                     as_index=False)
+                  .agg(to_max=("tus", "max")))
+        out = out.merge(to_max, on=["user_id", "sid"], how="left")
+        out["converted"] = ((out.n_from > 0)
+                            & out.to_max.notna()
+                            & (out.to_max.fillna(-1)
+                               >= out.first_from)).astype(np.int64)
+        return out[["user_id", "session_start_us", "n_from", "n_to",
+                    "converted"]]
+
+    ds = _read_events(sf_dir,
+                      ["event_id", "ts", "user_id", "event_type"]
+                      ).map_batches(add_upart, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    out = ds.groupby("upart").map_groups(funnel, batch_format="pandas")
+    df = out.to_pandas()
+    if "converted" not in df.columns:  # empty input
+        df = pd.DataFrame({c: np.array([], dtype=np.int64) for c in
+                           ("user_id", "session_start_us", "n_from",
+                            "n_to", "converted")})
+    return pa.table({
+        "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
+        "session_start_us": pa.array(
+            df.session_start_us.to_numpy(np.int64), pa.int64()),
+        "n_clicks": pa.array(df.n_from.to_numpy(np.int64), pa.int64()),
+        "n_purchases": pa.array(df.n_to.to_numpy(np.int64), pa.int64()),
+        "converted": pa.array(df.converted.to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def sql_session_funnel() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts)::BIGINT AS tus
+  FROM events
+),
+b AS (
+  SELECT user_id, event_id, event_type, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+              OR tus - lag(tus) OVER w > {{gap}}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT user_id, event_type, tus,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id, min(tus)::BIGINT AS session_start_us,
+       count(*) FILTER (event_type = '{{f}}')::BIGINT AS n_clicks,
+       count(*) FILTER (event_type = '{{t}}')::BIGINT AS n_purchases,
+       COALESCE(count(*) FILTER (event_type = '{{f}}') > 0
+                AND max(CASE WHEN event_type = '{{t}}' THEN tus END)
+                    >= min(CASE WHEN event_type = '{{f}}' THEN tus END),
+                FALSE)::BIGINT AS converted
+FROM s GROUP BY user_id, sid
+""".format(gap=SESSION_GAP_US, f=FUNNEL_FROM, t=FUNNEL_TO)
+
+
 HOP_US = 1_800_000_000  # hopping windows: 1 h windows every 30 min
 
 
@@ -606,6 +722,7 @@ QUERIES = {
     "event_quantiles": event_quantiles,
     "event_quantiles_tdigest": event_quantiles_tdigest,
     "events_hopping": events_hopping,
+    "session_funnel": session_funnel,
 }
 
 ORACLE_SQL = {
@@ -613,4 +730,5 @@ ORACLE_SQL = {
     "events_window": sql_events_window(),
     "user_sessions": sql_user_sessions(),
     "event_quantiles": sql_event_quantiles(),
+    "session_funnel": sql_session_funnel(),
 }

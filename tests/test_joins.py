@@ -229,3 +229,54 @@ def test_top_unshipped_orders_sf001(ray_session):
                     f"read_parquet('{sf}/{t}.parquet')")
     ora = _norm(con.execute(joins.sql_top_unshipped_orders()).df())
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_session_funnel_adversarial(ray_session, tmp_path):
+    """Funnel edges: purchase BEFORE any click in the session (not
+    converted), purchase at the exact first-click timestamp
+    (converted), purchase in a LATER session after a gap (that session
+    alone converts or not), clickless session with purchases."""
+    from raysearch.pipelines import events as E
+
+    G = E.SESSION_GAP_US
+    rows = [
+        # user 1, session A: purchase(t=10) then click(t=20) -> NOT
+        # converted; session B after the gap: click(t) then purchase
+        (1, 10, 1, "purchase"),
+        (2, 20, 1, "click"),
+        (3, 20 + G + 1, 1, "click"),
+        (4, 20 + G + 2, 1, "purchase"),       # converted
+        # user 2: purchase at EXACTLY the first click's ts -> converted
+        (5, 100, 2, "click"),
+        (6, 100, 2, "purchase"),
+        # user 3: purchases only, no click -> not converted
+        (7, 50, 3, "purchase"),
+        # user 4: clicks only
+        (8, 60, 4, "click"),
+        (9, 70, 4, "view"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    eng = E.session_funnel(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    ora = con.execute(E.sql_session_funnel()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    by = eng.set_index(["user_id", "session_start_us"])
+    assert by.loc[(1, 10), "converted"] == 0     # purchase precedes click
+    assert by.loc[(1, 20 + G + 1), "converted"] == 1
+    assert by.loc[(2, 100), "converted"] == 1    # same-ts purchase counts
+    assert by.loc[(3, 50), "converted"] == 0     # no click
+    assert by.loc[(4, 60), "converted"] == 0
