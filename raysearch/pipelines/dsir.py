@@ -139,17 +139,77 @@ class DsirScorer:
         })
 
 
+def _score_ds(sf_dir: str):
+    """The scored-documents Dataset (streaming; shared by
+    dsir_weights and dsir_resample)."""
+    llr_ref = _train(sf_dir)
+    return _read_docs(sf_dir, with_lang=False).map_batches(
+        DsirScorer, fn_constructor_kwargs={"llr_ref": llr_ref},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=1)
+
+
 def dsir_weights(sf_dir: str) -> pa.Table:
     """(doc_id, n_bigrams, dsir_logratio) per document with >= 1
     bigram: the summed hashed-bigram log importance ratio
     target-vs-raw. Autoscaling actor pool (a fixed pool equal to the
     session CPUs starves the upstream read — see lm.py)."""
-    llr_ref = _train(sf_dir)
-    out = _read_docs(sf_dir, with_lang=False).map_batches(
-        DsirScorer, fn_constructor_kwargs={"llr_ref": llr_ref},
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), num_cpus=1)
-    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(
+        _score_ds(sf_dir).iter_batches(batch_format="pyarrow"))
+
+
+# ---- importance RESAMPLING (the R in DSIR) ----
+
+DSIR_SAMPLE_K = 100
+
+
+def dsir_resample(sf_dir: str) -> pa.Table:
+    """Top-{k} documents under Gumbel-top-k importance resampling:
+    key = dsir_logratio + Gumbel noise, noise derived DETERMINISTICALLY
+    from md5(doc_id) (u = (h44 + 0.5) / 2^44, g = -ln(-ln(u))) — the
+    standard Gumbel trick turns weighted sampling-without-replacement
+    into a top-k, and the hash-derived noise makes membership
+    reproducible from the doc_id alone on any engine (the same
+    contract as sample_split/stratified_sample).
+
+    Scale shape: the scoring stream gains a per-batch key column and
+    LOCAL top-{k} truncation under the shared total order
+    (round6(key) DESC, doc_id), so the driver merges n_blocks x {k}
+    candidate rows — never the scored table.""".format(k=DSIR_SAMPLE_K)
+
+    def topk(b: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import md5_prefix_ints
+
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dsir_logratio": pa.array([], pa.float64()),
+                             "sample_key": pa.array([], pa.float64())})
+        ids = b["doc_id"].to_numpy()
+        score = b["dsir_logratio"].to_numpy()
+        sid = np.array([str(int(i)) for i in ids], dtype=object)
+        h = md5_prefix_ints(sid, 11).astype(np.float64)
+        u = (h + 0.5) / float(1 << 44)
+        key = round6(score + (-np.log(-np.log(u))))
+        order = np.lexsort((ids, -key))[:DSIR_SAMPLE_K]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "dsir_logratio": pa.array(score[order], pa.float64()),
+            "sample_key": pa.array(key[order], pa.float64())})
+
+    cand = pa.concat_tables(
+        _score_ds(sf_dir)
+        .map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    cand = cand.sort_values(["sample_key", "doc_id"],
+                            ascending=[False, True],
+                            ignore_index=True).head(DSIR_SAMPLE_K)
+    return pa.table({
+        "doc_id": pa.array(cand.doc_id.to_numpy(np.int64), pa.int64()),
+        "dsir_logratio": pa.array(
+            cand.dsir_logratio.to_numpy(np.float64), pa.float64()),
+        "sample_key": pa.array(cand.sample_key.to_numpy(np.float64),
+                               pa.float64()),
+    })
 
 
 def sql_dsir_weights() -> str:
@@ -182,5 +242,42 @@ FROM s
 """
 
 
-QUERIES = {"dsir_weights": dsir_weights}
-ORACLE_SQL = {"dsir_weights": sql_dsir_weights()}
+def sql_dsir_resample() -> str:
+    b = DSIR_BUCKETS
+    return rf"""
+WITH t AS (SELECT doc_id, lang,
+                  regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(unnest(list_transform(
+        range(1, greatest(len(toks), 1)),
+        i -> toks[i] || ' ' || toks[i + 1]))), 1, {DSIR_HASH_HEX})
+    )::BIGINT % {b} AS bucket
+  FROM t
+),
+cnt AS (SELECT bucket,
+               count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS n_t,
+               count(*) AS n_r
+        FROM bg GROUP BY bucket),
+tot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM cnt),
+llr AS (SELECT bucket,
+               ln((n_t + 1.0) / (tot_t + {b}.0))
+             - ln((n_r + 1.0) / (tot_r + {b}.0)) AS v
+        FROM cnt CROSS JOIN tot),
+s AS (SELECT bg.doc_id, round(sum(llr.v), 6) AS score
+      FROM bg JOIN llr USING (bucket) GROUP BY bg.doc_id),
+g AS (SELECT doc_id, score,
+             round(score
+                   - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR),
+                                             1, 11))::BIGINT + 0.5)
+                            / 17592186044416.0)), 6) AS sample_key
+      FROM s)
+SELECT doc_id, score AS dsir_logratio, sample_key
+FROM g ORDER BY sample_key DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+QUERIES = {"dsir_weights": dsir_weights, "dsir_resample": dsir_resample}
+ORACLE_SQL = {"dsir_weights": sql_dsir_weights(),
+              "dsir_resample": sql_dsir_resample()}

@@ -73,3 +73,32 @@ def test_dsir_discriminates(ray_session, tmp_path):
     en_mean = per.loc[[0, 1, 2, 9]].mean()
     off_mean = per.loc[[3, 4, 5]].mean()
     assert en_mean > off_mean
+
+
+def test_dsir_resample_parity_and_bias(ray_session, tmp_path):
+    from raysearch.pipelines.dsir import (dsir_resample,
+                                          sql_dsir_resample)
+
+    d = _write_docs(tmp_path, ROWS * 3)  # enough docs to sample from
+    # NOTE: doc_ids must be unique — rebuild with fresh ids
+    import pyarrow.parquet as pq2
+    t = pq2.read_table(os.path.join(d, "documents.parquet"))
+    t = t.set_column(0, "doc_id",
+                     pa.array(range(t.num_rows), pa.int64()))
+    pq2.write_table(t, os.path.join(d, "documents.parquet"))
+    eng = dsir_resample(d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    ora = con.execute(sql_dsir_resample()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    # deterministic across runs
+    again = dsir_resample(d).to_pandas()
+    pd.testing.assert_frame_equal(eng, again)
+    # ranked by sample_key descending
+    assert (eng.sample_key.to_numpy()[:-1]
+            >= eng.sample_key.to_numpy()[1:]).all()
