@@ -450,9 +450,11 @@ def top_unshipped_orders(sf_dir: str) -> pa.Table:
     Shape: both fact sides are FILTERED AT THE READ (date predicates
     push into parquet row groups; only 3 columns of lineitem leave
     storage). The segment's custkeys broadcast once via ray.put as a
-    sorted array (customer/5 rows — beyond JOIN_BROADCAST_CAP the
-    membership side takes revenue_by_nation's bucketed-shuffle path
-    instead); orders batches membership-filter by searchsorted and
+    sorted array (customer/5 rows; beyond JOIN_BROADCAST_CAP this
+    raises rather than silently degrading — the >cap implementation
+    is revenue_by_nation's bucketed-shuffle membership join, the same
+    two-sided exchange with the segment filter pushed into the
+    customer read); orders batches membership-filter by searchsorted and
     emit (orderkey, date) rows; lineitem batches pre-aggregate revenue
     per orderkey map-side. ONE orderkey-bucketed exchange joins them;
     each group emits only its local top-{k}, so the driver merges
