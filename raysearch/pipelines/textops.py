@@ -376,6 +376,131 @@ def decontaminate(sf_dir: str) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
+# ---- Bloom-filter decontamination (the unbounded-benchmark path) ----
+#
+# `decontaminate` broadcasts the benchmark's distinct gram hashes —
+# bounded by the BENCHMARK size (8 B/gram). When the held-out side is
+# itself huge, the scalable variant is a FIXED-size Bloom filter:
+# 2^BLOOM_BITS_LOG2 bits regardless of benchmark size, OR-mergeable
+# (associative+commutative, like the HLL registers), with a superset
+# guarantee — never a false negative, false positives at the standard
+# (1 - e^(-kn/m))^k rate. Approximate by construction -> rows-only
+# driver check; pytest asserts the superset property (including under
+# a deliberately undersized filter) and exactness at the default size.
+
+BLOOM_BITS_LOG2 = 20      # 2^20 bits = 128 KiB filter
+BLOOM_K = 4               # probes per gram
+_BLOOM_M = np.uint64(1 << BLOOM_BITS_LOG2)
+_BLOOM_WORDS = (1 << BLOOM_BITS_LOG2) >> 6
+
+
+def _bloom_positions(h: np.ndarray, m: np.uint64) -> np.ndarray:
+    """(k, n) probe bit positions via double hashing — deterministic
+    across processes (splitmix64-derived second hash, forced odd).
+    The filter size is a PARAMETER (not a module-global read) so the
+    value the driver chose is captured by value into task closures —
+    module-level globals are re-imported fresh by Ray workers."""
+    from raysearch.hashing import splitmix64
+
+    h1 = h % m
+    h2 = (splitmix64(h) | np.uint64(1)) % m
+    with np.errstate(over="ignore"):
+        return np.stack([(h1 + np.uint64(i) * h2) % m
+                         for i in range(BLOOM_K)])
+
+
+def decontaminate_bloom(sf_dir: str) -> pa.Table:
+    """Same contract as `decontaminate` but the benchmark side is a
+    constant-size Bloom filter: pass 1 emits SPARSE (word_idx, bits)
+    rows per batch, one coarse groupby OR-merges them (64 groups, ≤
+    {w} word rows total), the driver assembles the final {kb} KiB
+    word array and broadcasts it once; pass 2 probes membership with
+    {k} vectorized bit tests per gram. `contaminated` is a SUPERSET
+    of the exact operator's (no false negatives).""".format(
+        w=_BLOOM_WORDS, kb=(_BLOOM_WORDS * 8) // 1024, k=BLOOM_K)
+    import ray
+
+    m, n_words = _BLOOM_M, _BLOOM_WORDS  # captured by value below
+
+    def bench_bits(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = (ids % BENCH_MOD) == 0
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "widx": pa.array([], pa.int64()),
+                          "bits": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        sub = batch.filter(pa.array(keep))
+        _, flat, _ = doc_shingles_flat(sub, ngram=CONTAM_NGRAM)
+        if not len(flat):
+            return empty
+        pos = _bloom_positions(md5_prefix_ints(flat, 16), m).ravel()
+        widx = (pos >> np.uint64(6)).astype(np.int64)
+        mask = (np.uint64(1) << (pos & np.uint64(63))).view(np.int64)
+        order = np.argsort(widx, kind="stable")
+        widx, mask = widx[order], mask[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], widx[1:] != widx[:-1])))
+        words = np.bitwise_or.reduceat(mask, starts)
+        uw = widx[starts]
+        return pa.table({
+            "bucket": pa.array(uw >> 8, pa.int64()),
+            "widx": pa.array(uw, pa.int64()),
+            "bits": pa.array(words, pa.int64())})
+
+    def or_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("widx", as_index=False)
+               .agg(bits=("bits", lambda s: np.bitwise_or.reduce(
+                   s.to_numpy(np.int64)))))
+        return out
+
+    sparse = (_read_docs(sf_dir)
+              .map_batches(bench_bits, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket").map_groups(or_merge,
+                                            batch_format="pandas")
+              .to_pandas())
+    words = np.zeros(n_words, dtype=np.int64)
+    if len(sparse) and "widx" in sparse.columns:
+        words[sparse["widx"].to_numpy(np.int64)] = \
+            sparse["bits"].to_numpy(np.int64)
+    words_ref = ray.put(words.view(np.uint64))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)  # zero-copy numpy view
+        ids = batch["doc_id"].to_numpy()
+        n = len(ids)
+        kept, flat, starts = doc_shingles_flat(batch,
+                                               ngram=CONTAM_NGRAM)
+        n_grams = np.zeros(n, dtype=np.int64)
+        n_maybe = np.zeros(n, dtype=np.int64)
+        if len(kept) and len(flat):
+            pos = _bloom_positions(md5_prefix_ints(flat, 16), m)
+            hit = np.ones(pos.shape[1], dtype=bool)
+            for i in range(BLOOM_K):
+                p = pos[i]
+                hit &= ((w[(p >> np.uint64(6)).astype(np.int64)]
+                         >> (p & np.uint64(63))) & np.uint64(1)) == 1
+            bounds = np.append(starts, len(flat))
+            per_doc = np.add.reduceat(hit.astype(np.int64), starts)
+            rows = np.flatnonzero(np.isin(ids, kept))
+            n_grams[rows] = np.diff(bounds)
+            n_maybe[rows] = per_doc
+        is_bench = ((ids % BENCH_MOD) == 0).astype(np.int64)
+        contaminated = ((n_maybe > 0) & (is_bench == 0)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_maybe_contam": pa.array(n_maybe, pa.int64()),
+            "is_benchmark": pa.array(is_bench, pa.int64()),
+            "contaminated": pa.array(contaminated, pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(scan, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
 def _list_parents(arr: pa.ListArray) -> np.ndarray:
     """Parent row index per flattened list element."""
     offs = arr.offsets.to_numpy()
@@ -666,6 +791,7 @@ QUERIES = {
     "normalize_text": normalize_text,
     "rep_signals": rep_signals,
     "decontaminate": decontaminate,
+    "decontaminate_bloom": decontaminate_bloom,
 }
 
 ORACLE_SQL = {

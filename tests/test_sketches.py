@@ -286,3 +286,49 @@ def test_rolling_active_users_adversarial(ray_session, tmp_path):
     assert by_w.loc[107] == 2          # user 7 via day 107, user 8 via 103
     assert by_w.loc[110] == 1          # only user 7's day-107 remains
     assert 113 in by_w.index and 114 not in by_w.index
+
+
+def test_decontaminate_bloom_superset(ray_session, tmp_path, monkeypatch):
+    """Bloom decontamination NEVER false-negatives: flags a superset
+    of the exact operator — asserted at the default filter size (where
+    it should match exactly on this load factor) AND under a
+    deliberately undersized 256-bit filter that forces false
+    positives."""
+    import numpy as np
+
+    from raysearch.pipelines import textops as T
+
+    # corpus with real contamination: doc 0 is benchmark (0 % 101 == 0),
+    # doc 7 embeds one of its 5-grams, others are clean
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        7: "prefix words alpha beta gamma delta epsilon more",
+        3: "totally different tokens here one two three",
+        5: "yet another clean document body with words",
+    }
+    ids = sorted(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["t"] * len(ids)),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+
+    ex = T.decontaminate(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    bl = T.decontaminate_bloom(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert (bl.n_maybe_contam >= ex.n_contam).all()
+    pd.testing.assert_series_equal(bl.contaminated, ex.contaminated)
+    assert ex.set_index("doc_id").contaminated.loc[7] == 1
+
+    # undersized filter: everything the exact op flags MUST stay
+    # flagged; extra flags (false positives) are allowed
+    monkeypatch.setattr(T, "_BLOOM_M", np.uint64(256))
+    monkeypatch.setattr(T, "_BLOOM_WORDS", 4)
+    tiny = T.decontaminate_bloom(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert (tiny.n_maybe_contam >= ex.n_contam).all()
+    assert (tiny.contaminated >= ex.contaminated).all()
