@@ -53,7 +53,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "mix_weights", "dsir_weights", "top_unshipped_orders",
           "rolling_active_users", "blocklist_docs", "pmi_top_bigrams",
           "pack_offsets", "value_histogram", "doclen_histogram",
-          "session_funnel", "dsir_resample", "decontaminate_bloom"]
+          "session_funnel", "dsir_resample", "decontaminate_bloom",
+          "mix_sample"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -98,5 +98,87 @@ FROM per CROSS JOIN tot
 """
 
 
-QUERIES = {"mix_weights": mix_weights}
-ORACLE_SQL = {"mix_weights": sql_mix_weights()}
+# ---- applying the mix: deterministic token-budget-matched sampler ----
+
+MIX_SAMPLE_FRAC = 0.5  # target token budget as a fraction of corpus
+
+
+def mix_sample(sf_dir: str) -> pa.Table:
+    """EXECUTE the mix_weights plan: sample documents so the output's
+    language composition follows the alpha-smoothed weights under a
+    token budget of MIX_SAMPLE_FRAC x total tokens. Per-language keep
+    rate r_l = min(1, weight_l * total_tokens * FRAC / tokens_l)
+    (capped at 1 — upsampling needs replication, out of scope);
+    membership = (md5(doc_id) fraction) < r_l, reproducible from the
+    doc_id alone on any engine (same contract as sample_split).
+
+    Scale shape: the rate table is lang-cardinality (computed from
+    the same combiner pass as mix_weights, driver-side); the sampling
+    pass is MAP-ONLY. Rates are round6'd on both sides so the float
+    threshold compare is bit-identical."""
+    per = mix_weights(sf_dir).to_pandas()
+    total = float(per.n_tokens.sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(
+            per.n_tokens.to_numpy(np.int64) > 0,
+            np.minimum(1.0, per.weight.to_numpy(np.float64) * total
+                       * MIX_SAMPLE_FRAC
+                       / np.where(per.n_tokens.to_numpy(np.int64) > 0,
+                                  per.n_tokens.to_numpy(np.float64),
+                                  1.0)),
+            0.0)
+    rates = dict(zip(per.lang, round6(r)))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["doc_id"].to_numpy()
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:11], 16)
+             for i in ids), dtype=np.uint64, count=len(ids))
+        frac = (h.astype(np.float64) + 0.5) / float(1 << 44)
+        thr = np.array([rates.get(l, 0.0) for l in langs])
+        keep = frac < thr
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lang": pa.array(langs[keep].tolist(), pa.string()),
+        })
+
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+def sql_mix_sample() -> str:
+    return rf"""
+WITH per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(pow(n_tokens::DOUBLE, {MIX_ALPHA})) AS denom,
+               sum(n_tokens)::DOUBLE AS total FROM per),
+rates AS (
+  SELECT lang,
+         CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE round(least(1.0,
+                   round(pow(n_tokens::DOUBLE, {MIX_ALPHA}) / tot.denom,
+                         6) * tot.total * {MIX_SAMPLE_FRAC} / n_tokens),
+                   6)
+         END AS r
+  FROM per CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates USING (lang)
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 11))::BIGINT + 0.5)
+      / 17592186044416.0 < rates.r
+"""
+
+
+QUERIES = {"mix_weights": mix_weights, "mix_sample": mix_sample}
+ORACLE_SQL = {"mix_weights": sql_mix_weights(),
+              "mix_sample": sql_mix_sample()}

@@ -113,3 +113,33 @@ def test_pmi_top_bigrams_adversarial(ray_session, tmp_path):
     pairs = set(zip(eng.w1, eng.w2))
     assert ("aa", "bb") in pairs
     assert ("cc", "dd") not in pairs
+
+
+def test_mix_sample_rebalances(ray_session, tmp_path):
+    """The sampler executes the alpha-smoothed plan: the dominant
+    language's realized keep-rate is strictly below a small
+    language's; zero-token languages are excluded; membership is
+    deterministic; full oracle parity."""
+    from raysearch.pipelines.mixing import ORACLE_SQL, mix_sample
+
+    rows = ([("en", "many english tokens appear in this document "
+              * 4)] * 40
+            + [("de", "wenige deutsche worte hier")] * 8
+            + [("xx", "")] * 3)
+    d = _write_docs(tmp_path, rows)
+    eng = mix_sample(d).to_pandas()
+    ora = _oracle(d, ORACLE_SQL["mix_sample"])
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    assert "xx" not in set(eng.lang)
+    kept = eng.lang.value_counts()
+    en_rate = kept.get("en", 0) / 40
+    de_rate = kept.get("de", 0) / 8
+    assert en_rate < de_rate
+    again = mix_sample(d).to_pandas()
+    pd.testing.assert_frame_equal(
+        eng.sort_values(cols, ignore_index=True),
+        again.sort_values(cols, ignore_index=True))
