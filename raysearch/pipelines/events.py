@@ -79,6 +79,35 @@ def _n_events(sf_dir: str) -> int:
     return parquet_rows(os.path.join(sf_dir, _EVENTS))
 
 
+def _user_bucket_mapper(n_upart: int):
+    """map_batches fn appending the coarse user-hash partition column
+    (bitmask of the power-of-two bucket count)."""
+    def add_upart(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        upart = pc.cast(
+            pc.bit_wise_and(b["user_id"], n_upart - 1), pa.int64())
+        return b.append_column("upart", upart)
+    return add_upart
+
+
+def _session_sorted(g: pd.DataFrame):
+    """Sort one coarse user-bucket group by (user_id, ts_us,
+    event_id) — the deterministic total order the SQL oracles share —
+    and assign gap-based session ids. The ONE place the session
+    contract lives (user_sessions and session_funnel both call it)."""
+    tus = _epoch_us(g["ts"])
+    uid = g["user_id"].to_numpy()
+    eid = g["event_id"].to_numpy()
+    order = np.lexsort((eid, tus, uid))
+    uid, tus = uid[order], tus[order]
+    brk = np.ones(len(g), dtype=np.int64)
+    if len(g) > 1:
+        brk[1:] = ((uid[1:] != uid[:-1])
+                   | (np.diff(tus) > SESSION_GAP_US)).astype(np.int64)
+    return order, uid, tus, np.cumsum(brk)
+
+
 def user_sessions(sf_dir: str) -> pa.Table:
     """Session windows per user (gap > 30 min splits). Events are
     ordered by (ts, event_id) inside each user — the deterministic
@@ -98,25 +127,10 @@ def user_sessions(sf_dir: str) -> pa.Table:
     from raysearch.hashing import auto_buckets
 
     n_upart = auto_buckets(_n_events(sf_dir))
-
-    def add_upart(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        upart = pc.cast(
-            pc.bit_wise_and(b["user_id"], n_upart - 1), pa.int64())
-        return b.append_column("upart", upart)
+    add_upart = _user_bucket_mapper(n_upart)
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        tus = _epoch_us(g["ts"])
-        uid = g["user_id"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        order = np.lexsort((eid, tus, uid))
-        uid, tus = uid[order], tus[order]
-        brk = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = ((uid[1:] != uid[:-1])
-                       | (np.diff(tus) > SESSION_GAP_US)).astype(np.int64)
-        sid = np.cumsum(brk)  # globally increasing -> unique per session
+        _, uid, tus, sid = _session_sorted(g)
         out = (pd.DataFrame({"user_id": uid, "sid": sid, "tus": tus})
                .groupby(["user_id", "sid"], as_index=False)
                .agg(session_start_us=("tus", "min"),
@@ -160,26 +174,11 @@ def session_funnel(sf_dir: str) -> pa.Table:
     from raysearch.hashing import auto_buckets
 
     n_upart = auto_buckets(_n_events(sf_dir))
-
-    def add_upart(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        upart = pc.cast(
-            pc.bit_wise_and(b["user_id"], n_upart - 1), pa.int64())
-        return b.append_column("upart", upart)
+    add_upart = _user_bucket_mapper(n_upart)
 
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
-        tus = _epoch_us(g["ts"])
-        uid = g["user_id"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        et = g["event_type"].to_numpy()
-        order = np.lexsort((eid, tus, uid))
-        uid, tus, et = uid[order], tus[order], et[order]
-        brk = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = ((uid[1:] != uid[:-1])
-                       | (np.diff(tus) > SESSION_GAP_US)).astype(np.int64)
-        sid = np.cumsum(brk)
+        order, uid, tus, sid = _session_sorted(g)
+        et = g["event_type"].to_numpy()[order]
         d = pd.DataFrame({
             "user_id": uid, "sid": sid, "tus": tus,
             "is_from": (et == FUNNEL_FROM),

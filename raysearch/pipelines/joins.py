@@ -461,24 +461,32 @@ def top_unshipped_orders(sf_dir: str) -> pa.Table:
     n_buckets x {k} rows — never the joined table. The global sort
     this replaces is the most expensive all-to-all at scale.""".format(
         k=Q3_K, seg=Q3_SEGMENT, cut=Q3_CUTOFF.date())
-    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray
 
     from raysearch.hashing import auto_buckets
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    mask = pc.equal(cust["c_mktsegment"], Q3_SEGMENT)
-    ck = np.sort(cust.filter(mask)["c_custkey"].to_numpy()
-                 .astype(np.int64))
-    assert len(ck) <= JOIN_BROADCAST_CAP, \
-        "segment membership exceeds broadcast cap: use the bucketed " \
-        "shuffle path (revenue_by_nation)"
+    # gate on the UNFILTERED dimension size BEFORE any driver read
+    # (same budget rule as revenue_by_nation); a hard raise, not an
+    # assert, so python -O cannot strip it
+    n_cust = _n_rows(sf_dir, "customer.parquet")
+    if n_cust > JOIN_BROADCAST_CAP:
+        raise ValueError(
+            f"customer side ({n_cust} rows) exceeds the broadcast cap; "
+            "use the bucketed-shuffle membership join "
+            "(revenue_by_nation's >cap path) with the segment filter "
+            "pushed into the customer read")
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "==", Q3_SEGMENT)])
+    ck = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
     ck_ref = ray.put(ck)
     nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
 
+    # side flag (0 = order row, 1 = lineitem partial) — NOT a date
+    # sentinel, so pre-1970 (negative-epoch) order dates stay valid
     def o_rows(df: pd.DataFrame) -> pd.DataFrame:
         cks = ray.get(ck_ref)  # zero-copy numpy view
         keys = df["o_custkey"].to_numpy(np.int64)
@@ -489,7 +497,7 @@ def top_unshipped_orders(sf_dir: str) -> pa.Table:
         ok = df["o_orderkey"].to_numpy(np.int64)[hit]
         dus = _epoch_us(df["o_orderdate"])[hit]
         return pd.DataFrame({
-            "bucket": ok & (nb - 1), "orderkey": ok,
+            "bucket": ok & (nb - 1), "orderkey": ok, "side": np.int64(0),
             "date_us": dus, "c4": np.int64(0)})
 
     def l_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -500,12 +508,12 @@ def top_unshipped_orders(sf_dir: str) -> pa.Table:
                 "c4": cents * (100 - disc)})
              .groupby("orderkey", as_index=False).agg(c4=("c4", "sum")))
         return g.assign(bucket=g.orderkey.to_numpy() & (nb - 1),
-                        date_us=np.int64(-1))[
-            ["bucket", "orderkey", "date_us", "c4"]]
+                        side=np.int64(1), date_us=np.int64(0))[
+            ["bucket", "orderkey", "side", "date_us", "c4"]]
 
     def topk_kern(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g.date_us >= 0][["orderkey", "date_us"]]
-        li = (g[g.date_us < 0]
+        o = g[g.side == 0][["orderkey", "date_us"]]
+        li = (g[g.side == 1]
               .groupby("orderkey", as_index=False).agg(c4=("c4", "sum")))
         j = o.merge(li, on="orderkey", how="inner")
         return j.sort_values(["c4", "date_us", "orderkey"],

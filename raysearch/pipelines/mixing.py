@@ -130,13 +130,14 @@ def mix_sample(sf_dir: str) -> pa.Table:
     rates = dict(zip(per.lang, round6(r)))
 
     def pick(batch: pa.Table) -> pa.Table:
-        import hashlib
+        # the membership-hash contract is shared with dsir_resample
+        # and the SQL oracles: 44-bit md5 prefix of str(doc_id)
+        from raysearch.pipelines.textops import md5_prefix_ints
 
         ids = batch["doc_id"].to_numpy()
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        h = np.fromiter(
-            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:11], 16)
-             for i in ids), dtype=np.uint64, count=len(ids))
+        sid = np.array([str(int(i)) for i in ids], dtype=object)
+        h = md5_prefix_ints(sid, 11)
         frac = (h.astype(np.float64) + 0.5) / float(1 << 44)
         thr = np.array([rates.get(l, 0.0) for l in langs])
         keep = frac < thr

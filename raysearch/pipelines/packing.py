@@ -80,7 +80,12 @@ def pack_offsets(sf_dir: str) -> pa.Table:
     from raysearch.hashing import auto_buckets, parquet_rows
 
     path = os.path.join(sf_dir, _DOCS)
-    nb = auto_buckets(parquet_rows(path))
+    empty = pa.table({c: pa.array([], pa.int64()) for c in
+                      ("doc_id", "dl", "start_tok", "n_blocks")})
+    n_rows = parquet_rows(path)
+    if n_rows == 0:
+        return empty
+    nb = auto_buckets(n_rows)
     lo, hi = _doc_id_bounds(path)
     span = max(hi - lo + 1, 1)
 

@@ -87,3 +87,21 @@ def test_pack_offsets_bucket_invariance(ray_session, monkeypatch):
         results[nb] = packing.pack_offsets(
             "/root/testdata/sf0.001").to_pandas()
     pd.testing.assert_frame_equal(results[1], results[16])
+
+
+def test_pack_offsets_empty_input(ray_session, tmp_path):
+    # an EMPTY documents table returns the documented empty schema
+    # (not a crash in the footer-stats scan)
+    from raysearch.pipelines.packing import pack_offsets
+
+    tbl = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    out = pack_offsets(str(tmp_path)).to_pandas()
+    assert list(out.columns) == ["doc_id", "dl", "start_tok", "n_blocks"]
+    assert len(out) == 0
