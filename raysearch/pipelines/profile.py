@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raysearch.numutil import round6
+
 _EVENTS = "events.parquet"
 _DOCS = "documents.parquet"
 
@@ -129,11 +131,122 @@ FROM b GROUP BY lang, bin
 """
 
 
+# ---- per-type z-score anomaly flags (exact-integer moments) ----
+
+Z_THRESHOLD = 3.0
+
+
+def event_anomalies(sf_dir: str) -> pa.Table:
+    """Per-event z-score against its type's global mean/std, flagging
+    |z| > {t} — the classic streaming anomaly screen, two passes:
+
+    1. MOMENTS: per-batch (type, n, sum, sumsq) partials in EXACT
+       int64 cents (the value column is 2-decimal, so both moments
+       are integers and the groupby sum is order-independent — float
+       moment accumulation would drift with summation order and
+       could flip a flag at the threshold).
+    2. FLAG: the type-cardinality moment table broadcasts via
+       ray.put; each batch computes z vectorized from the SAME
+       integer-derived float64s the oracle uses.
+
+    Types with fewer than 2 events or zero variance emit z = 0.
+    """.format(t=Z_THRESHOLD)
+    import ray
+    from ray.data.aggregate import Sum
+
+    from raysearch.pipelines.joins import _cents
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["value"].to_numpy(np.float64))
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "n": np.int64(1), "s": c, "ss": c * c})
+        return g.groupby("event_type", as_index=False).sum()
+
+    mom = (_read_events_cols(sf_dir, ["event_type", "value"])
+           .map_batches(moments, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))).to_pandas()
+    mom = mom.sort_values("event_type", ignore_index=True)
+    types = mom["event_type"].to_numpy(object)
+    n = mom["n"].to_numpy(np.int64)
+    s = mom["s"].to_numpy(np.int64)
+    ss = mom["ss"].to_numpy(np.int64)
+    mom_ref = ray.put((types, n, s, ss))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        ts, nn, sv, ssv = ray.get(mom_ref)
+        idx = np.searchsorted(ts, df["event_type"].to_numpy(object))
+        c = _cents(df["value"].to_numpy(np.float64)).astype(np.float64)
+        ni = nn[idx].astype(np.float64)
+        mean = sv[idx] / ni
+        var = (ssv[idx] - sv[idx].astype(np.float64) ** 2 / ni) / ni
+        std = np.sqrt(np.maximum(var, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where((nn[idx] >= 2) & (std > 0),
+                         (c - mean) / std, 0.0)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "z": round6(z),
+            "is_anomaly": (np.abs(z) > Z_THRESHOLD).astype(np.int64),
+        })
+
+    out = (_read_events_cols(sf_dir, ["event_id", "event_type", "value"])
+           .map_batches(flag, batch_format="pandas")).to_pandas()
+    out = out.sort_values("event_id", ignore_index=True)
+    return pa.table({
+        "event_id": pa.array(out.event_id.to_numpy(np.int64),
+                             pa.int64()),
+        "z": pa.array(out.z.to_numpy(np.float64), pa.float64()),
+        "is_anomaly": pa.array(out.is_anomaly.to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def _read_events_cols(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, _EVENTS),
+                                 columns=columns)
+
+
+def sql_event_anomalies() -> str:
+    return f"""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(cents)::BIGINT AS s,
+         sum(cents * cents)::BIGINT AS ss
+  FROM c GROUP BY event_type
+),
+z AS (
+  SELECT c.event_id,
+         CASE WHEN m.n >= 2
+                   AND (m.ss - m.s::DOUBLE * m.s / m.n) / m.n > 0
+              THEN (c.cents - m.s / (m.n::DOUBLE))
+                   / sqrt((m.ss - m.s::DOUBLE * m.s / m.n)
+                          / m.n)
+              ELSE 0.0 END AS zv
+  FROM c JOIN m USING (event_type)
+)
+SELECT event_id, round(zv, 6) AS z,
+       (abs(zv) > {Z_THRESHOLD})::BIGINT AS is_anomaly
+FROM z
+"""
+
+
 QUERIES = {
     "value_histogram": value_histogram,
     "doclen_histogram": doclen_histogram,
+    "event_anomalies": event_anomalies,
 }
 ORACLE_SQL = {
     "value_histogram": sql_value_histogram(),
     "doclen_histogram": sql_doclen_histogram(),
+    "event_anomalies": sql_event_anomalies(),
 }

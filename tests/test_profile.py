@@ -64,3 +64,45 @@ def test_doclen_histogram_parity_sf001(ray_session):
         ora[cols].sort_values(cols, ignore_index=True)
         .astype(eng[cols].dtypes.to_dict()), check_exact=True)
     assert eng.n_docs.sum() == 500
+
+
+def test_event_anomalies_adversarial(ray_session, tmp_path):
+    """Planted outlier flagged; constant-value and single-event types
+    emit z = 0; exact parity (integer moments make the std
+    order-independent)."""
+    from raysearch.pipelines.profile import (event_anomalies,
+                                             sql_event_anomalies)
+
+    rows = []
+    # type A: 40 values at ~10.00 plus one wild outlier
+    for i in range(40):
+        rows.append((i, "a", 10.0 + (i % 5) * 0.01))
+    rows.append((40, "a", 500.0))
+    # type B: constant values -> zero variance -> z = 0
+    rows += [(41, "b", 7.77), (42, "b", 7.77), (43, "b", 7.77)]
+    # type C: single event -> z = 0
+    rows.append((44, "c", 123.45))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": pa.array([""] * len(rows)),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    eng = event_anomalies(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    ora = con.execute(sql_event_anomalies()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    by = eng.set_index("event_id")
+    assert by.loc[40, "is_anomaly"] == 1
+    assert by.loc[[41, 42, 43], "z"].eq(0.0).all()
+    assert by.loc[44, "z"] == 0.0 and by.loc[44, "is_anomaly"] == 0
+    assert by.loc[range(40), "is_anomaly"].eq(0).all()
