@@ -414,12 +414,87 @@ FROM e GROUP BY w
 """
 
 
+# ---- cohort retention (first-activity cohorts x day offsets) ----
+
+RETENTION_MAX_K = 7  # day offsets 0..K reported per cohort
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """(cohort_day, k, n_users): of the users whose FIRST activity
+    fell on cohort_day, how many were active again exactly k days
+    later (k = 0..{K}; k=0 is the cohort size). The classic retention
+    matrix.
+
+    Scale shape: same skeleton as rolling_active_users — raw events
+    collapse to distinct (user, day) pairs map-side; ONE user-bucketed
+    exchange computes each user's cohort (min day) and emits the
+    deduped (cohort, k) memberships IN THE GROUP (exact, since a
+    user's whole history co-locates); the final exchange carries one
+    partial count per (cohort, k, bucket), additive because buckets
+    partition users.""".format(K=RETENTION_MAX_K)
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets, splitmix64
+
+    nb = auto_buckets(_n_events(sf_dir))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // _DAY_US).to_numpy(np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": day}).drop_duplicates()
+        ub = (splitmix64(d["user_id"].to_numpy(np.int64).astype(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return d.assign(ubucket=ub)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day"])
+        cohort = d.groupby("user_id")["day"].transform("min")
+        k = (d["day"] - cohort).to_numpy(np.int64)
+        keep = k <= RETENTION_MAX_K
+        out = pd.DataFrame({"cohort_day": cohort.to_numpy(np.int64)[keep],
+                            "k": k[keep]})
+        # (user, day) pairs are unique after the dedup, so each row is
+        # one distinct user's membership in (cohort, k)
+        return (out.groupby(["cohort_day", "k"], as_index=False)
+                .agg(n_users=("k", "size")))
+
+    ds = _read(sf_dir, _EVENTS, ["ts", "user_id"]).map_batches(
+        pairs, batch_format="pandas")
+    agg = (ds.groupby("ubucket").map_groups(expand, batch_format="pandas")
+           .groupby(["cohort_day", "k"]).aggregate(
+               Sum("n_users", alias_name="n_users")))
+    df = agg.to_pandas().sort_values(["cohort_day", "k"],
+                                     ignore_index=True)
+    return pa.table({
+        "cohort_day": pa.array(df.cohort_day.to_numpy(np.int64),
+                               pa.int64()),
+        "k": pa.array(df.k.to_numpy(np.int64), pa.int64()),
+        "n_users": pa.array(df.n_users.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_cohort_retention() -> str:
+    return f"""
+WITH du AS (SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS d, user_id
+            FROM events),
+c AS (SELECT user_id, min(d) AS cohort_day FROM du GROUP BY user_id)
+SELECT c.cohort_day::BIGINT AS cohort_day,
+       (du.d - c.cohort_day)::BIGINT AS k,
+       count(*)::BIGINT AS n_users
+FROM du JOIN c USING (user_id)
+WHERE du.d - c.cohort_day <= {RETENTION_MAX_K}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "distinct_users": distinct_users,
     "hll_distinct_users": hll_distinct_users,
     "heavy_hitters": heavy_hitters,
     "grouped_topk": grouped_topk,
     "rolling_active_users": rolling_active_users,
+    "cohort_retention": cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -427,5 +502,6 @@ ORACLE_SQL = {
     "heavy_hitters": sql_heavy_hitters(),
     "grouped_topk": sql_grouped_topk(),
     "rolling_active_users": sql_rolling_active_users(),
+    "cohort_retention": sql_cohort_retention(),
     # hll_distinct_users: approximate by construction -> rows-only
 }

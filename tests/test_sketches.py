@@ -332,3 +332,57 @@ def test_decontaminate_bloom_superset(ray_session, tmp_path, monkeypatch):
         .sort_values("doc_id", ignore_index=True)
     assert (tiny.n_maybe_contam >= ex.n_contam).all()
     assert (tiny.contaminated >= ex.contaminated).all()
+
+
+def test_cohort_retention_adversarial(ray_session, tmp_path):
+    """Cohort edges: k is the exact day offset from a user's FIRST
+    activity day (k=0 rows are cohort sizes); offsets past
+    RETENTION_MAX_K are dropped; duplicate (user, day) pairs across
+    files count once; a later-joining user lands in its own cohort.
+    Engine vs DuckDB oracle + semantic spots."""
+    import duckdb
+    from raysearch.pipelines.sketches import (RETENTION_MAX_K, _DAY_US,
+                                              cohort_retention,
+                                              sql_cohort_retention)
+
+    def ev(eid, day, frac_us, uid):
+        return (eid, day * _DAY_US + frac_us, uid)
+
+    rows_a = [ev(1, 100, 10, 7), ev(2, 100, 20, 7),    # same user+day
+              ev(3, 103, 30, 7),                       # k=3
+              ev(4, 100 + RETENTION_MAX_K, 40, 7),     # k=K kept
+              ev(5, 100 + RETENTION_MAX_K + 1, 50, 7),  # k=K+1 dropped
+              ev(6, 100, 60, 8)]                       # same cohort
+    rows_b = [ev(7, 103, 70, 7),                       # dup across files
+              ev(8, 105, 80, 9),                       # later cohort
+              ev(9, 106, 90, 9)]                       # its k=1
+    for i, rows in enumerate((rows_a, rows_b)):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        })
+        os.makedirs(os.path.join(tmp_path, "events.parquet"),
+                    exist_ok=True)
+        pq.write_table(tbl, os.path.join(tmp_path, "events.parquet",
+                                         f"part-{i}.parquet"))
+
+    eng = cohort_retention(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet/*.parquet')")
+    ora = con.execute(sql_cohort_retention()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()), check_exact=True)
+    m = eng.set_index(["cohort_day", "k"]).n_users
+    assert m.loc[(100, 0)] == 2                       # users 7 and 8
+    assert m.loc[(100, 3)] == 1                       # day-103 once
+    assert m.loc[(100, RETENTION_MAX_K)] == 1         # boundary kept
+    assert (100, RETENTION_MAX_K + 1) not in m.index  # boundary drop
+    assert m.loc[(105, 0)] == 1 and m.loc[(105, 1)] == 1  # user 9
