@@ -54,7 +54,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "rolling_active_users", "blocklist_docs", "pmi_top_bigrams",
           "pack_offsets", "value_histogram", "doclen_histogram",
           "session_funnel", "dsir_resample", "decontaminate_bloom",
-          "mix_sample", "event_anomalies"]
+          "mix_sample", "event_anomalies", "cohort_retention"]
 
 
 def run_quality(sf_dir: str) -> dict:
