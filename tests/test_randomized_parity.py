@@ -1,0 +1,167 @@
+"""Randomized operator parity: seeded-random documents/events tables
+(written as MULTI-FILE parquet so cross-batch dedup/merge paths are
+exercised) run through the oracle-checked pipeline operators and
+compared against their DuckDB oracles. Breadth armor beyond the fixed
+sf fixtures — different seeds shift key skew, tie patterns, window
+alignment, language balance, and text shape; the generators plant the
+edges the ops care about (duplicate timestamps, exact window
+boundaries, empty/whitespace/unicode docs, cross-file duplicate rows,
+PII strings, duplicate lines)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# --- generators -----------------------------------------------------
+
+_WORDS = ("data ray engine index search query batch shuffle stream "
+          "block actor arrow table group sort merge spill token term "
+          "the a of and to in Deduplicate Pipeline CLUSTER muster").split()
+_EXTRA = ["naïve", "café", "日本語テスト", "🎉party", "x1,y2;z3!", "3.14",
+          "user@example.com", "call 555-123-4567 now", "ip 10.0.0.1 here"]
+
+
+def _gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+    vocab = _WORDS + _EXTRA
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(0, 40))
+        toks = list(rng.choice(vocab, size=k))
+        if k and rng.random() < 0.3:          # duplicate lines (rep_signals)
+            line = " ".join(toks[: max(1, k // 3)])
+            t = line + "\n" + " ".join(toks) + "\n" + line
+        else:
+            t = " ".join(toks)
+        if rng.random() < 0.05:
+            t = "  " + t.replace(" ", "  ", 1)   # edge/double whitespace
+        if rng.random() < 0.03:
+            t = ""                               # empty docs
+        texts.append(t)
+    # cross-row exact duplicates for the dedup family
+    for _ in range(n // 20):
+        a, b = rng.integers(0, n, size=2)
+        texts[int(a)] = texts[int(b)]
+    langs = rng.choice(["en", "de", "fr", "ja"], size=n,
+                       p=[0.55, 0.25, 0.15, 0.05])
+    srcs = rng.choice([f"https://s{i}.example/x" for i in range(7)], size=n)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(langs.tolist()),
+        "source": pa.array(srcs.tolist()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def _gen_events(rng: np.random.Generator, n: int) -> pa.Table:
+    half_hour_us = 1_800_000_000
+    base = 1_700_000_000_000_000
+    users = (rng.pareto(1.1, size=n) * 40).astype(np.int64) % 150
+    ts = base + rng.integers(0, 60 * 48, size=n) * half_hour_us \
+        + rng.integers(0, half_hour_us, size=n)
+    snap = rng.random(n) < 0.15               # exact window boundaries
+    ts[snap] = base + (ts[snap] - base) // half_hour_us * half_hour_us
+    dup = rng.random(n) < 0.08                # duplicate timestamps (ties)
+    ts[dup] = ts[(np.nonzero(dup)[0] * 7) % n]
+    types = rng.choice(["click", "view", "purchase", "scroll"], size=n,
+                       p=[0.45, 0.35, 0.1, 0.1])
+    value = rng.integers(0, 100_000, size=n) / 100.0   # exact 2-decimal
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(types.tolist()),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+
+
+def _write_sharded(tbl: pa.Table, out_dir: str, n_files: int,
+                   rng: np.random.Generator) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    # shuffle rows so files are NOT key-ranged (unsorted-input armor),
+    # then duplicate a slice across two files (cross-file dup armor)
+    perm = rng.permutation(tbl.num_rows)
+    tbl = tbl.take(pa.array(perm))
+    cuts = np.linspace(0, tbl.num_rows, n_files + 1).astype(int)
+    for i in range(n_files):
+        part = tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+        pq.write_table(part, os.path.join(out_dir, f"part-{i}.parquet"))
+
+
+_DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
+            "rep_signals", "dedup_exact", "fingerprint", "dedup_simhash",
+            "source_stats", "mix_weights", "doclen_histogram",
+            "normalize_text", "pii_scrub", "stratified_sample",
+            "heavy_hitters", "grouped_topk", "sample_split", "mix_sample"]
+_EVT_OPS = ["events_window", "events_hopping", "user_sessions",
+            "session_funnel", "rolling_active_users", "cohort_retention",
+            "event_quantiles", "value_histogram", "event_anomalies",
+            "distinct_users", "window_top_events", "asof_join",
+            "range_join_events"]
+_SEEDS = [1117, 2223]
+
+
+@pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"seed{s}")
+def rand_dir(request, tmp_path_factory):
+    seed = request.param
+    rng = np.random.default_rng(seed)
+    d = tmp_path_factory.mktemp(f"rand{seed}")
+    _write_sharded(_gen_documents(rng, 1500),
+                   str(d / "documents.parquet"), 3, rng)
+    _write_sharded(_gen_events(rng, 6000),
+                   str(d / "events.parquet"), 3, rng)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def rand_con(rand_dir):
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{rand_dir}/{t}.parquet/*.parquet')")
+    yield c
+    c.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import ray.data
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+@pytest.mark.parametrize("name", _DOC_OPS + _EVT_OPS)
+def test_random_table_parity(ray_session, rand_dir, rand_con, name):
+    import __ray_entry__ as entry
+    q = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    engine = _normalize(_to_pandas(q(rand_dir)))
+    oracle = _normalize(rand_con.execute(sql).df())
+    assert list(engine.columns) == list(oracle.columns), \
+        f"{name}: columns {list(engine.columns)} != {list(oracle.columns)}"
+    assert len(engine) == len(oracle), \
+        f"{name}: rows {len(engine)} != {len(oracle)}"
+    pd.testing.assert_frame_equal(engine, oracle, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1.0e-6)
