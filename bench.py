@@ -54,7 +54,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "rolling_active_users", "blocklist_docs", "pmi_top_bigrams",
           "pack_offsets", "value_histogram", "doclen_histogram",
           "session_funnel", "dsir_resample", "decontaminate_bloom",
-          "mix_sample", "event_anomalies", "cohort_retention"]
+          "mix_sample", "event_anomalies", "cohort_retention",
+          "rep_ngram_signals", "gopher_filters"]
 
 
 def run_quality(sf_dir: str) -> dict:

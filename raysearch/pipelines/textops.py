@@ -586,6 +586,174 @@ def rep_signals(sf_dir: str) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
+def rep_ngram_signals(sf_dir: str) -> pa.Table:
+    """Gopher repetition signals over word n-grams (Rae et al. 2021
+    appendix A1, the n-gram companions to ``rep_signals``): the share
+    of bigram slots taken by the single most frequent bigram
+    (top_bigram_frac) and the fraction of trigram slots that repeat an
+    earlier identical trigram (dup_trigram_frac). Token-SLOT
+    accounting (not Gopher's character spans) keeps the contract exact
+    and SQL-expressible. Map-only, one corpus pass, vectorized across
+    all docs in a batch (factorize + int64 gram keys + unique/bincount
+    — no per-doc Python)."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = len(batch["doc_id"])
+        toks = _tokens(batch)
+        parent = _list_parents(toks)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        v = np.int64(max(len(uniq), 1))
+
+        n_big = np.zeros(n, dtype=np.int64)
+        mx2 = np.zeros(n, dtype=np.int64)
+        n_tri = np.zeros(n, dtype=np.int64)
+        nd_tri = np.zeros(n, dtype=np.int64)
+        if len(codes) > 1:
+            same2 = parent[:-1] == parent[1:]
+            p2 = parent[:-1][same2]
+            # (parent, w_i, w_i+1) packed per-slot key; max value
+            # ~ n_rows * V^2 with batch-local V — fits int64 for any
+            # batch this engine emits (rows ≤ 4k, V ≤ total tokens)
+            key2 = (p2 * v + codes[:-1][same2]) * v + codes[1:][same2]
+            n_big = np.bincount(p2, minlength=n)
+            _, first2, cnt2 = np.unique(key2, return_index=True,
+                                        return_counts=True)
+            np.maximum.at(mx2, p2[first2], cnt2)
+
+            if len(codes) > 2:
+                same3 = same2[:-1] & same2[1:]
+                if same3.any():
+                    # trigram key = factorized bigram code (parent
+                    # already embedded) x V + third token
+                    f2, _ = pd.factorize(key2)
+                    idx2 = np.cumsum(same2) - 1
+                    pos3 = np.nonzero(same3)[0]
+                    key3 = f2[idx2[pos3]].astype(np.int64) * v \
+                        + codes[pos3 + 2]
+                    p3 = parent[pos3]
+                    n_tri = np.bincount(p3, minlength=n)
+                    _, first3 = np.unique(key3, return_index=True)
+                    nd_tri = np.bincount(p3[first3], minlength=n)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            top2 = np.where(n_big > 0, mx2 / n_big.astype(np.float64),
+                            0.0)
+            dup3 = np.where(n_tri > 0,
+                            (n_tri - nd_tri) / n_tri.astype(np.float64),
+                            0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "top_bigram_frac": pa.array(round6(top2), pa.float64()),
+            "dup_trigram_frac": pa.array(round6(dup3), pa.float64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(sig, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_filters(sf_dir: str) -> pa.Table:
+    """Gopher document-level quality filter rules (Rae et al. 2021,
+    appendix A1 "quality filtering" — the word-based subset; the
+    line-based C4 rules are degenerate on single-line corpora): word
+    count in [50, 100k], mean word length in [3, 10], fraction of
+    words containing an alphabetic character >= 0.8, and at least 2
+    distinct common-English stopwords present. Emits each signal plus
+    the combined ``kept`` flag. Thresholds are exact on round6'd
+    signals so the engine and the SQL oracle take identical branches.
+    Map-only, one corpus pass, vectorized (Arrow kernels + bincount;
+    the only loop is over the 8 stopwords, not over docs)."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        n = len(batch["doc_id"])
+        toks = _tokens(batch)
+        parent = _list_parents(toks)
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        tot_len = np.bincount(parent, weights=lens, minlength=n)
+        alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
+            zero_copy_only=False)
+        n_alpha = np.bincount(parent, weights=alpha, minlength=n)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        for w in GOPHER_STOPS:
+            hit = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            present = np.bincount(parent, weights=hit, minlength=n) > 0
+            stop_hits += present.astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mwl = round6(np.where(n_words > 0,
+                                  tot_len / np.maximum(n_words, 1),
+                                  0.0))
+            af = round6(np.where(n_words > 0,
+                                 n_alpha / np.maximum(n_words, 1),
+                                 0.0))
+        kept = ((n_words >= GOPHER_MIN_WORDS)
+                & (n_words <= GOPHER_MAX_WORDS)
+                & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+                & (af >= GOPHER_MIN_ALPHA)
+                & (stop_hits >= GOPHER_MIN_STOPS)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mwl, pa.float64()),
+            "alpha_word_frac": pa.array(af, pa.float64()),
+            "stopword_hits": pa.array(stop_hits, pa.int64()),
+            "kept": pa.array(kept, pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(sig, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def sql_gopher_filters() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         round(sum(length(w))::DOUBLE / count(*), 6) AS mwl,
+         round(sum(CASE WHEN regexp_matches(w, '[a-z]')
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS af,
+         count(DISTINCT CASE WHEN w IN ({stops}) THEN w END)::BIGINT
+           AS stop_hits
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_words, 0)::BIGINT AS n_words,
+  coalesce(a.mwl, 0)::DOUBLE AS mean_word_len,
+  coalesce(a.af, 0)::DOUBLE AS alpha_word_frac,
+  coalesce(a.stop_hits, 0)::BIGINT AS stopword_hits,
+  (CASE WHEN coalesce(a.n_words, 0) BETWEEN {GOPHER_MIN_WORDS}
+          AND {GOPHER_MAX_WORDS}
+        AND a.mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+        AND a.af >= {GOPHER_MIN_ALPHA}
+        AND a.stop_hits >= {GOPHER_MIN_STOPS}
+   THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---- oracle SQL ----
 
 def _stop_in(lang: str) -> str:
@@ -751,6 +919,42 @@ LEFT JOIN ld USING (doc_id) LEFT JOIN tt USING (doc_id)
 """
 
 
+def sql_rep_ngram_signals() -> str:
+    return r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+b AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT doc_id, g, count(*)::BIGINT AS c
+       FROM b GROUP BY doc_id, g),
+bt AS (SELECT doc_id, max(c)::DOUBLE AS mx, sum(c)::BIGINT AS n
+       FROM bc GROUP BY doc_id),
+tr AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      AS g
+  FROM t WHERE len(toks) >= 3
+),
+ts AS (SELECT doc_id, count(*)::BIGINT AS n,
+              count(DISTINCT g)::BIGINT AS nd
+       FROM tr GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(bt.n, 0)::BIGINT AS n_bigrams,
+  round(CASE WHEN coalesce(bt.n, 0) > 0 THEN bt.mx / bt.n
+    ELSE 0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN coalesce(ts.n, 0) > 0
+    THEN (ts.n - ts.nd)::DOUBLE / ts.n
+    ELSE 0 END, 6) AS dup_trigram_frac
+FROM documents d
+LEFT JOIN bt USING (doc_id) LEFT JOIN ts USING (doc_id)
+"""
+
+
 def sql_decontaminate() -> str:
     return rf"""
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
@@ -790,6 +994,8 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "normalize_text": normalize_text,
     "rep_signals": rep_signals,
+    "rep_ngram_signals": rep_ngram_signals,
+    "gopher_filters": gopher_filters,
     "decontaminate": decontaminate,
     "decontaminate_bloom": decontaminate_bloom,
 }
@@ -802,5 +1008,7 @@ ORACLE_SQL = {
     "pii_scrub": sql_pii_scrub(),
     "normalize_text": sql_normalize_text(),
     "rep_signals": sql_rep_signals(),
+    "rep_ngram_signals": sql_rep_ngram_signals(),
+    "gopher_filters": sql_gopher_filters(),
     "decontaminate": sql_decontaminate(),
 }

@@ -202,6 +202,63 @@ def test_rep_signals_adversarial(ray_session, tmp_path):
     assert byid.loc[4, "n_lines"] == 0
 
 
+def test_rep_ngram_signals_adversarial(ray_session, tmp_path):
+    """N-gram repetition signals vs oracle on boundary inputs: empty
+    doc, single token (no bigrams), two tokens (no trigrams),
+    all-identical tokens, a repeated 3-token phrase, case folding +
+    multiple spaces."""
+    from raysearch.pipelines import textops as T
+
+    sf = _write_docs(tmp_path, [
+        "",
+        "hello",
+        "a b",
+        "x x x x x",
+        "the cat sat the cat sat the cat sat",
+        "The  THE\tthe",
+    ])
+    got = _norm(T.rep_ngram_signals(sf).to_pandas())
+    want = _norm(_oracle(sf, T.sql_rep_ngram_signals()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id")
+    assert byid.loc[0, "n_bigrams"] == 0
+    assert byid.loc[1, "n_bigrams"] == 0
+    assert byid.loc[2, "n_bigrams"] == 1
+    assert byid.loc[2, "dup_trigram_frac"] == 0.0
+    assert byid.loc[3, "top_bigram_frac"] == 1.0
+    assert abs(byid.loc[3, "dup_trigram_frac"] - 2 / 3) < 1e-6
+    assert byid.loc[4, "top_bigram_frac"] == 0.375
+    assert abs(byid.loc[4, "dup_trigram_frac"] - 4 / 7) < 1e-6
+    assert byid.loc[5, "top_bigram_frac"] == 1.0
+
+
+def test_gopher_filters_adversarial(ray_session, tmp_path):
+    """Gopher quality rules vs oracle on threshold-straddling inputs:
+    empty doc, 49 vs 50 words, mean-word-length just over 10,
+    non-alpha-heavy doc, exactly-2 vs 1 distinct stopwords, case
+    folding."""
+    from raysearch.pipelines import textops as T
+
+    base = "the be word" + " word" * 47          # 50 words, 2 stops
+    sf = _write_docs(tmp_path, [
+        "",
+        "the be" + " word" * 47,                 # 49 words
+        base,                                    # kept
+        "the be " + " ".join(["x" * 11] * 48),   # mwl > 10
+        "the be " + " ".join(["123"] * 48),      # alpha frac 2/50
+        "the the" + " word" * 48,                # 1 distinct stopword
+        "THE BE word" + " Word" * 47,            # folds to kept
+    ])
+    got = _norm(T.gopher_filters(sf).to_pandas())
+    want = _norm(_oracle(sf, T.sql_gopher_filters()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id").sort_index()
+    assert list(byid["kept"]) == [0, 0, 1, 0, 0, 0, 1]
+    assert byid.loc[1, "n_words"] == 49
+    assert byid.loc[4, "alpha_word_frac"] == 0.04
+    assert byid.loc[5, "stopword_hits"] == 1
+
+
 def test_decontaminate_adversarial(ray_session, tmp_path):
     """Benchmark decontamination: a doc embedding a benchmark doc's
     text is flagged; benchmark self-hits are not; <5-token docs have
