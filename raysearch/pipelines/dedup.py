@@ -1068,8 +1068,125 @@ FROM tot t LEFT JOIN kept k USING (lang)
 """
 
 
+def para_dedup(sf_dir: str) -> pa.Table:
+    """Paragraph-level corpus dedup signals (the RefinedWeb /
+    MassiveText repetition-removal granularity): per doc, the number
+    of nonempty '\\n'-separated lines and the fraction of those line
+    SLOTS whose exact text also occurs in at least one OTHER document.
+    Within-doc repeats alone do not count as duplicated.
+
+    Scale shape: lines collapse map-side to (line-hash, doc, count)
+    rows (the text itself never shuffles; identity is a 60-bit md5
+    prefix, same collision budget as the shingle family); ONE
+    hash-bucketed exchange counts distinct docs per line in-group and
+    emits per-(doc, bucket) additive partials; the final
+    groupby(doc_id) sums them. A zero-count sentinel row per doc
+    (keyed by the doc's own hash, so sentinels spread evenly) keeps
+    line-less docs in the result without a join back to the corpus."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import splitmix64
+
+    nb = auto_buckets(_n_docs(sf_dir))
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pa.concat_arrays([text])
+        ids = batch["doc_id"].to_numpy()
+        lines = pc.split_pattern(text, "\n")
+        offs = lines.offsets.to_numpy()
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64),
+                           np.diff(offs))
+        flat = lines.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = parent[keep]
+        flat_np = flat.filter(pa.array(keep)).to_numpy(
+            zero_copy_only=False)
+        h = md5_prefix_ints(flat_np, 15).astype(np.int64)  # 60 bits
+        key = pd.DataFrame({"h": h, "doc_id": ids[parent]})
+        g = key.groupby(["h", "doc_id"], as_index=False).agg(
+            cnt=("h", "size"))
+        sent = pd.DataFrame({
+            "h": (splitmix64(ids.astype(np.uint64))
+                  >> np.uint64(4)).astype(np.int64),
+            "doc_id": ids, "cnt": np.int64(0)})
+        out = pd.concat([g.assign(real=np.int64(1)),
+                         sent.assign(real=np.int64(0))],
+                        ignore_index=True)
+        hcol = out["h"].to_numpy(np.int64)
+        return pa.table({
+            "h": pa.array(hcol, pa.int64()),
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "cnt": pa.array(out["cnt"].to_numpy(np.int64), pa.int64()),
+            "real": pa.array(out["real"].to_numpy(np.int64),
+                             pa.int64()),
+            "hbucket": pa.array(hcol % np.int64(nb), pa.int64()),
+        })
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"] == 1]
+        ndocs = real.groupby("h")["doc_id"].transform("nunique")
+        dup_cnt = real["cnt"].to_numpy(np.int64) * (
+            ndocs.to_numpy(np.int64) >= 2)
+        per = pd.DataFrame({"doc_id": g["doc_id"],
+                            "n_paras_part": g["cnt"],
+                            "n_dup_part": np.int64(0)})
+        per.loc[real.index, "n_dup_part"] = dup_cnt
+        return per.groupby("doc_id", as_index=False).agg(
+            n_paras_part=("n_paras_part", "sum"),
+            n_dup_part=("n_dup_part", "sum"))
+
+    ds = _read_docs(sf_dir).map_batches(line_rows, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    agg = (ds.groupby("hbucket").map_groups(mark, batch_format="pandas")
+           .groupby("doc_id").aggregate(
+               Sum("n_paras_part", alias_name="n_paras"),
+               Sum("n_dup_part", alias_name="n_dup_paras")))
+    df = agg.to_pandas().sort_values("doc_id", ignore_index=True)
+    n = df.n_paras.to_numpy(np.int64)
+    d = df.n_dup_paras.to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = round6(np.where(n > 0, d / np.maximum(n, 1), 0.0))
+    return pa.table({
+        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
+        "n_paras": pa.array(n, pa.int64()),
+        "n_dup_paras": pa.array(d, pa.int64()),
+        "dup_para_frac": pa.array(frac, pa.float64()),
+    })
+
+
+def sql_para_dedup() -> str:
+    return r"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+l AS (SELECT doc_id, line, count(*)::BIGINT AS cnt
+      FROM raw WHERE length(line) > 0 GROUP BY doc_id, line),
+nd AS (SELECT line, count(DISTINCT doc_id)::BIGINT AS ndocs
+       FROM l GROUP BY line),
+per AS (SELECT doc_id, sum(cnt)::BIGINT AS n_paras,
+               sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END)::BIGINT
+                 AS n_dup
+        FROM l JOIN nd USING (line) GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(per.n_paras, 0)::BIGINT AS n_paras,
+  coalesce(per.n_dup, 0)::BIGINT AS n_dup_paras,
+  round(CASE WHEN coalesce(per.n_paras, 0) > 0
+    THEN per.n_dup::DOUBLE / per.n_paras ELSE 0 END, 6)
+    AS dup_para_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "para_dedup": para_dedup,
     "clean_pipeline": clean_pipeline,
     "clean_corpus": clean_corpus,
     "dedup_minhash": dedup_minhash,
@@ -1081,6 +1198,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": sql_dedup_exact(),
+    "para_dedup": sql_para_dedup(),
     "clean_pipeline": sql_clean_pipeline(),
     "clean_corpus": sql_clean_corpus(),
     "dedup_minhash": sql_dedup_minhash(),

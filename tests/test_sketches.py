@@ -259,6 +259,31 @@ def test_gopher_filters_adversarial(ray_session, tmp_path):
     assert byid.loc[5, "stopword_hits"] == 1
 
 
+def test_para_dedup_adversarial(ray_session, tmp_path):
+    """Paragraph dedup vs oracle: cross-doc dup lines, within-doc-only
+    repeats (must NOT count), empty docs, blank-line-only docs,
+    trailing newline, whitespace-only lines."""
+    from raysearch.pipelines import dedup as D
+
+    sf = _write_docs(tmp_path, [
+        "shared line\nunique one",
+        "shared line\nshared line\nother",
+        "",
+        "\n\n",
+        "only here\nonly here",
+        "shared line",
+        "tail\n",
+        "  \n x",
+    ])
+    got = _norm(D.para_dedup(sf).to_pandas())
+    want = _norm(_oracle(sf, D.sql_para_dedup()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id").sort_index()
+    assert list(byid["n_dup_paras"]) == [1, 2, 0, 0, 0, 1, 0, 0]
+    assert byid.loc[4, "dup_para_frac"] == 0.0   # within-doc only
+    assert byid.loc[2, "n_paras"] == 0
+
+
 def test_decontaminate_adversarial(ray_session, tmp_path):
     """Benchmark decontamination: a doc embedding a benchmark doc's
     text is flagged; benchmark self-hits are not; <5-token docs have
