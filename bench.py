@@ -55,7 +55,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "pack_offsets", "value_histogram", "doclen_histogram",
           "session_funnel", "dsir_resample", "decontaminate_bloom",
           "mix_sample", "event_anomalies", "cohort_retention",
-          "rep_ngram_signals", "gopher_filters", "para_dedup"]
+          "rep_ngram_signals", "gopher_filters", "para_dedup",
+          "lang_source_rollup"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -452,8 +452,79 @@ LIMIT {PMI_TOPK}
 """
 
 
+ROLLUP_ALL = "<all>"
+
+
+def lang_source_rollup(sf_dir: str) -> pa.Table:
+    """Multi-level aggregate (SQL ROLLUP over (lang, source)): doc /
+    token / char totals at (lang, source), (lang) and grand-total
+    grouping levels, absent dimensions labelled '<all>'.
+
+    Scale shape: ONE exchange at the finest (lang, source) grain with
+    map-side per-batch partials (combiner pattern — the shuffle
+    carries one row per key per batch); the coarser levels are rolled
+    up from the finest aggregate, which is dimension-cardinality-sized
+    (langs x sources), never data-sized, so the driver rollup is O(keys)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        dl = pc.list_value_length(_tokens(b)).to_numpy().astype(np.int64)
+        nc = b["n_chars"].to_numpy()
+        df = pd.DataFrame({"lang": b["lang"].to_pylist(),
+                           "source": b["source"].to_pylist(),
+                           "dl": dl, "nc": nc})
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("dl", "size"), n_tokens=("dl", "sum"),
+            n_chars=("nc", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read_docs(sf_dir, ["lang", "source", "text", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    fine = (ds.groupby(["lang", "source"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_chars", alias_name="n_chars")).to_pandas())
+    cols = ["n_docs", "n_tokens", "n_chars"]
+    by_lang = fine.groupby("lang", as_index=False)[cols].sum()
+    by_lang["source"] = ROLLUP_ALL
+    total = fine[cols].sum().to_frame().T
+    total["lang"] = ROLLUP_ALL
+    total["source"] = ROLLUP_ALL
+    out = pd.concat([fine, by_lang, total], ignore_index=True) \
+        .sort_values(["lang", "source"], ignore_index=True)
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str), pa.string()),
+        "source": pa.array(out["source"].astype(str), pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy(np.int64), pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64),
+                             pa.int64()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(np.int64),
+                            pa.int64()),
+    })
+
+
+def sql_lang_source_rollup() -> str:
+    return rf"""
+WITH t AS (
+  SELECT lang, source,
+         len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS dl,
+         n_chars
+  FROM documents
+)
+SELECT coalesce(lang, '{ROLLUP_ALL}') AS lang,
+       coalesce(source, '{ROLLUP_ALL}') AS source,
+       count(*)::BIGINT AS n_docs,
+       coalesce(sum(dl), 0)::BIGINT AS n_tokens,
+       coalesce(sum(n_chars), 0)::BIGINT AS n_chars
+FROM t
+GROUP BY ROLLUP (lang, source)
+"""
+
+
 QUERIES = {
     "source_stats": source_stats,
+    "lang_source_rollup": lang_source_rollup,
     "top_terms_tfidf": top_terms_tfidf,
     "window_top_events": window_top_events,
     "phrase_counts": phrase_counts,
@@ -462,6 +533,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "source_stats": sql_source_stats(),
+    "lang_source_rollup": sql_lang_source_rollup(),
     "top_terms_tfidf": sql_top_terms_tfidf(),
     "window_top_events": sql_window_top_events(),
     "phrase_counts": sql_phrase_counts(),

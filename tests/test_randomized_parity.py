@@ -98,7 +98,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "rep_signals", "rep_ngram_signals", "gopher_filters", "para_dedup",
             "dedup_exact",
             "fingerprint", "dedup_simhash",
-            "source_stats", "mix_weights", "doclen_histogram",
+            "source_stats", "lang_source_rollup", "mix_weights", "doclen_histogram",
             "normalize_text", "pii_scrub", "stratified_sample",
             "heavy_hitters", "grouped_topk", "sample_split", "mix_sample"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
