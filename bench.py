@@ -56,7 +56,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "session_funnel", "dsir_resample", "decontaminate_bloom",
           "mix_sample", "event_anomalies", "cohort_retention",
           "rep_ngram_signals", "gopher_filters", "para_dedup",
-          "lang_source_rollup"]
+          "lang_source_rollup", "semdedup"]
 
 
 def run_quality(sf_dir: str) -> dict:
@@ -103,6 +103,16 @@ def run_quality(sf_dir: str) -> dict:
         hs = set(zip(hot.vec_a, hot.vec_b))
         out["embedding_dups_lsh_recall_cos90"] = round(
             len(hs & ap) / len(hs), 3)
+
+    sd = S.semdedup(sf_dir).to_pandas()
+    sd_flagged = set(sd[sd.is_dup == 1].vec_id)
+    sd_exact = set(ex_pairs.vec_b)
+    out["semdedup_recall"] = round(
+        len(sd_flagged & sd_exact) / max(len(sd_exact), 1), 3)
+    out["semdedup_precision"] = round(
+        len(sd_flagged & sd_exact) / max(len(sd_flagged), 1), 3)
+    out["semdedup_flagged_frac"] = round(
+        len(sd_flagged) / max(len(sd), 1), 4)
 
     st = C.chunk_dedup_stats(sf_dir).to_pandas().iloc[0]
     out["cdc_distinct_chunk_ratio"] = round(

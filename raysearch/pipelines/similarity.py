@@ -519,8 +519,86 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
 """
 
 
+SEMDEDUP_COS = DUP_COS_THRESHOLD
+SEMDEDUP_BLOCK = 1024
+
+
+def semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding table with the deterministic distributed k-means
+    (_ivf_train), then WITHIN each cluster flag every vector that has
+    a smaller-vec_id neighbor at cosine >= SEMDEDUP_COS (the
+    smallest-id representative of each near-dup set survives — the
+    same first-wins contract as the text dedup family). Approximate
+    relative to the exact all-pairs contract only through the cluster
+    partition (a dup pair split across clusters is missed):
+    precision is 1.0 by construction, recall is measured in pytest
+    and reported in the bench quality block.
+
+    Scale shape: assignment is map-side against broadcast centroids;
+    the ONE exchange is groupby(cluster) — the sub-quadratic point of
+    SemDeDup is that pairwise compare cost drops from O(N^2) to
+    O(sum |cluster|^2), controlled by scaling K ~ N/target_cluster
+    (here K = IVF_CENTROIDS at test scale). In-group compare runs in
+    SEMDEDUP_BLOCK row blocks against the vec_id-sorted prefix, so
+    task memory is block x cluster, never cluster x cluster."""
+    import ray
+    import ray.data
+
+    cents = _ivf_train(sf_dir)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _emb_matrix(batch)
+        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        a = np.argmax(bn @ c.T, axis=1).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster_id": pa.array(a, pa.int64()),
+                         "embedding": col})
+
+    def in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", ignore_index=True)
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(ids)
+        dup = np.zeros(n, dtype=np.int64)
+        best = np.zeros(n, dtype=np.float64)
+        for s in range(1, n, SEMDEDUP_BLOCK):
+            e = min(s + SEMDEDUP_BLOCK, n)
+            sims = bn[s:e] @ bn[:e].T           # rows s..e vs prefix
+            prior = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            sims = np.where(prior, sims, -np.inf)
+            mx = sims.max(axis=1)
+            best[s:e] = mx
+            dup[s:e] = (round6(mx) >= SEMDEDUP_COS).astype(np.int64)
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster_id": g["cluster_id"],
+                             "is_dup": dup,
+                             "max_prior_cos": round6(best)})
+
+    ds = _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    out = ds.groupby("cluster_id").map_groups(in_cluster,
+                                              batch_format="pandas")
+    df = out.to_pandas().sort_values("vec_id", ignore_index=True)
+    return pa.table({
+        "vec_id": pa.array(df.vec_id.to_numpy(np.int64), pa.int64()),
+        "cluster_id": pa.array(df.cluster_id.to_numpy(np.int64),
+                               pa.int64()),
+        "is_dup": pa.array(df.is_dup.to_numpy(np.int64), pa.int64()),
+        "max_prior_cos": pa.array(df.max_prior_cos.to_numpy(np.float64),
+                                  pa.float64()),
+    })
+
+
 QUERIES = {
     "ann_topk": ann_topk,
+    "semdedup": semdedup,
     "embedding_dups": embedding_dups,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,

@@ -167,3 +167,53 @@ def test_embedding_dups_lsh_planted_near_dups(ray_session, tmp_path):
     for _, r in got.iterrows():
         assert r.cos == round6(np.array(
             [bn[int(r.vec_a)] @ bn[int(r.vec_b)]]))[0]
+
+
+def test_semdedup_precision_recall_determinism(ray_session):
+    """SemDeDup: precision vs the exact pair table is 1.0 by
+    construction (a flagged vector always has a real smaller-id
+    neighbor at cos >= threshold inside its cluster); recall is
+    bounded only by the cluster partition; fully deterministic."""
+    got = S.semdedup(SF).to_pandas()
+    again = S.semdedup(SF).to_pandas()
+    assert again.equals(got)
+    assert set(got.columns) == {"vec_id", "cluster_id", "is_dup",
+                                "max_prior_cos"}
+    exact = S.embedding_dups(SF).to_pandas()
+    exact_dups = set(exact.vec_b)
+    flagged = set(got[got.is_dup == 1].vec_id)
+    assert flagged <= exact_dups                  # precision 1.0
+    rec = len(flagged & exact_dups) / max(1, len(exact_dups))
+    assert rec >= 0.3, rec                        # measured 0.37
+    # flagged vectors' reported prior-cos clears the threshold
+    f = got[got.is_dup == 1]
+    assert (f.max_prior_cos >= S.SEMDEDUP_COS).all()
+
+
+def test_semdedup_planted_identical(ray_session, tmp_path):
+    """Exactly-identical vectors assign to the same cluster no matter
+    what the centroids are, so byte-identical dups are ALWAYS caught
+    (the property the cluster partition cannot break). Smallest id of
+    each set survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n, dim = 200, 8
+    mat = rng.standard_normal((n, dim))
+    twins = [(3, 150), (20, 199), (77, 130), (8, 9)]
+    for a, b in twins:
+        mat[b] = mat[a]
+    tbl = pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(mat.astype(np.float64)),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = S.semdedup(str(tmp_path)).to_pandas().set_index("vec_id")
+    for a, b in twins:
+        assert got.loc[b, "is_dup"] == 1, (a, b)
+        assert got.loc[b, "max_prior_cos"] == 1.0
+        assert got.loc[a, "cluster_id"] == got.loc[b, "cluster_id"]
+    # every vector appears exactly once
+    assert len(got) == n
