@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(profile.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import bpe
+        out.update(bpe.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -120,7 +125,7 @@ def oracle_sql() -> dict[str, str]:
     for mod_name in ("textops", "dedup", "similarity", "events",
                      "multimodal", "extras", "chunking", "lm", "joins",
                      "sketches", "winnow", "mixing", "dsir", "packing",
-                     "profile"):
+                     "profile", "bpe"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

@@ -1,0 +1,207 @@
+"""Distributed BPE merge training over the ``documents`` table: learn
+the first ``BPE_MERGES`` byte-pair-encoding merges (Sennrich et al.
+2016) from word-level symbol sequences, exactly.
+
+Contract (pinned so a SQL oracle can replay it): symbols start as the
+codepoints of each lowered whitespace token; one training step counts,
+for every adjacent symbol pair, the number of GREEDY NON-OVERLAPPING
+left-to-right occurrences in each word (that is exactly how many
+merges would be applied), weighted by the word's corpus frequency,
+then merges the winning pair everywhere (ties: highest count, then
+lexicographically smallest left, then right symbol).
+
+The exact-parity device: a word's symbol sequence is encoded as the
+string ``' ' + '  '.join(symbols) + ' '`` (double space BETWEEN
+symbols, single at the ends; symbols never contain spaces). The pair
+(a, b) then appears as the pattern ``' a  b '``, whose non-overlapping
+occurrence count and left-to-right replacement with ``' ab '`` — which
+preserves the encoding invariant, because the pattern consumes one
+space from each side and the replacement restores both — have
+IDENTICAL semantics in Python ``str.count``/``str.replace`` and SQL
+``replace``/length-difference. Engine and oracle therefore agree
+bit-for-bit with no epsilon.
+
+Scale shape: ONE corpus pass builds the (word, count) vocabulary — the
+classic BPE working set, tiny relative to the corpus (the shuffle
+carries per-batch word partials, the combiner pattern). Each of the
+K = BPE_MERGES training steps runs over the VOCABULARY dataset only:
+merges-so-far (<= K strings, driver-broadcast via closure) are
+re-applied map-side, per-batch pair partials aggregate through a
+(left, right) groupby, and the driver reduces block-local top-1 rows
+(k-bounded, never the full pair table). Per-unique-word Python in the
+map stage is the standard trainer shape (the vocab is frequency-
+collapsed); the corpus itself is touched exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raysearch.pipelines.textops import _tokens
+
+_DOCS = "documents.parquet"
+BPE_MERGES = 6
+
+
+def _sym(word: str) -> str:
+    return " " + "  ".join(word) + " "
+
+
+def _pat(a: str, b: str) -> str:
+    return f" {a}  {b} "
+
+
+def _vocab(sf_dir: str):
+    """(word, cnt) vocabulary Dataset: one corpus pass, map-side
+    per-batch partial counts, one word groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat = _tokens(b).flatten().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({
+            "word": pa.array(uniq.astype(str), pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def bpe_merges(sf_dir: str) -> pa.Table:
+    """(step, left, right, merged, pair_count) for the first
+    BPE_MERGES training steps (fewer rows if the vocabulary runs out
+    of adjacent pairs)."""
+    from ray.data.aggregate import Sum
+
+    vocab = _vocab(sf_dir).materialize()
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+
+    for step in range(1, BPE_MERGES + 1):
+        done = list(merges)  # rebroadcast per step via closure capture
+
+        def pair_partials(b: pa.Table) -> pa.Table:
+            words = b["word"].to_pylist()
+            cnts = b["cnt"].to_numpy()
+            acc: dict[tuple[str, str], int] = {}
+            for w, c in zip(words, cnts):
+                s = _sym(w)
+                for a_, b_ in done:
+                    s = s.replace(_pat(a_, b_), f" {a_}{b_} ")
+                syms = s.strip(" ").split("  ") if len(s) > 2 else []
+                for p in set(zip(syms, syms[1:])):
+                    n = s.count(_pat(*p))
+                    if n:
+                        acc[p] = acc.get(p, 0) + n * int(c)
+            if not acc:
+                return pa.table({"left": pa.array([], pa.string()),
+                                 "right": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            ks = sorted(acc)
+            return pa.table({
+                "left": pa.array([k[0] for k in ks], pa.string()),
+                "right": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([acc[k] for k in ks], pa.int64()),
+            })
+
+        def block_top1(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            df = b.to_pandas().sort_values(
+                ["n", "left", "right"],
+                ascending=[False, True, True]).head(1)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = (vocab.map_batches(pair_partials, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby(["left", "right"]).aggregate(
+                   Sum("n", alias_name="n"))
+               .map_batches(block_top1, batch_format="pyarrow"))
+        blocks = list(agg.iter_batches(batch_format="pyarrow"))
+        if not blocks:
+            break
+        tops = pa.concat_tables(blocks).to_pandas()
+        if len(tops) == 0:
+            break
+        best = tops.sort_values(["n", "left", "right"],
+                                ascending=[False, True, True]).iloc[0]
+        merges.append((str(best.left), str(best.right)))
+        out_rows.append((step, str(best.left), str(best.right),
+                         str(best.left) + str(best.right),
+                         int(best.n)))
+
+    return pa.table({
+        "step": pa.array([r[0] for r in out_rows], pa.int64()),
+        "left": pa.array([r[1] for r in out_rows], pa.string()),
+        "right": pa.array([r[2] for r in out_rows], pa.string()),
+        "merged": pa.array([r[3] for r in out_rows], pa.string()),
+        "pair_count": pa.array([r[4] for r in out_rows], pa.int64()),
+    })
+
+
+def sql_bpe_merges() -> str:
+    """Unrolled K-step oracle: each step's CTEs re-derive candidate
+    pairs from the previous vocabulary encoding, count non-overlapping
+    occurrences via length difference under replace, pick the winner
+    with the same total order, and rewrite the vocabulary."""
+    parts = [r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+),
+v0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+         || ' ' AS ws,
+         count(*)::BIGINT AS cnt
+  FROM tok GROUP BY 1
+)"""]
+    for i in range(1, BPE_MERGES + 1):
+        p = i - 1
+        parts.append(f""",
+cand{i} AS (
+  SELECT DISTINCT ws, cnt,
+    unnest(list_transform(range(1, len(sy)),
+           j -> [sy[j], sy[j + 1]])) AS pr
+  FROM (SELECT ws, cnt,
+               string_split(trim(ws, ' '), '  ') AS sy FROM v{p})
+),
+cnts{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b,
+    sum(cnt * (length(ws)
+        - length(replace(ws, ' ' || pr[1] || '  ' || pr[2] || ' ',
+                         '')))
+        // length(' ' || pr[1] || '  ' || pr[2] || ' '))::BIGINT AS n
+  FROM cand{i} GROUP BY 1, 2 HAVING n > 0
+),
+best{i} AS (
+  SELECT a, b, n FROM cnts{i}
+  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+),
+v{i} AS (
+  SELECT replace(v.ws, ' ' || t.a || '  ' || t.b || ' ',
+                 ' ' || t.a || t.b || ' ') AS ws, v.cnt
+  FROM v{p} v CROSS JOIN best{i} t
+)""")
+    unions = "\nUNION ALL\n".join(
+        f'SELECT {i}::BIGINT AS step, a AS "left", b AS "right",'
+        f" a || b AS merged, n::BIGINT AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1))
+    parts.append("\n" + unions + "\nORDER BY step")
+    return "".join(parts)
+
+
+QUERIES = {
+    "bpe_merges": bpe_merges,
+}
+
+ORACLE_SQL = {
+    "bpe_merges": sql_bpe_merges(),
+}

@@ -100,7 +100,8 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "fingerprint", "dedup_simhash",
             "source_stats", "lang_source_rollup", "mix_weights", "doclen_histogram",
             "normalize_text", "pii_scrub", "stratified_sample",
-            "heavy_hitters", "grouped_topk", "sample_split", "mix_sample"]
+            "heavy_hitters", "grouped_topk", "sample_split", "mix_sample",
+            "bpe_merges"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",

@@ -468,3 +468,32 @@ def test_cohort_retention_adversarial(ray_session, tmp_path):
     assert m.loc[(100, RETENTION_MAX_K)] == 1         # boundary kept
     assert (100, RETENTION_MAX_K + 1) not in m.index  # boundary drop
     assert m.loc[(105, 0)] == 1 and m.loc[(105, 1)] == 1  # user 9
+
+
+def test_bpe_merges_adversarial(ray_session, tmp_path):
+    """BPE trainer vs the unrolled SQL oracle on the semantics that
+    matter: greedy non-overlapping counts ('aaaa' has TWO (a,a)
+    applications, 'aaa' has one), merged-symbol cascades ('abab' ->
+    (a,b) then (ab,ab)), and the deterministic tie order."""
+    from raysearch.pipelines import bpe as B
+
+    sf = _write_docs(tmp_path, [
+        "aaaa aaaa aaaa",          # (a,a) x2 per word
+        "abab abab",               # cascade: ab then abab
+        "xy xy xy",                # tie fodder
+        "q",                       # single-symbol word: no pairs
+    ])
+    got = B.bpe_merges(sf).to_pandas()
+    want = _oracle(sf, B.sql_bpe_merges())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"step": "int64", "pair_count": "int64"}),
+        check_dtype=False)
+    # step 1 must be (a,a) with greedy count 2*3 words = 6
+    assert (got.iloc[0]["left"], got.iloc[0]["right"]) == ("a", "a")
+    assert got.iloc[0]["pair_count"] == 6
+    # the cascade merge (aa,aa) or (ab/xy families) must appear with
+    # a MERGED multi-char symbol on one side within the first steps
+    assert any(len(l) > 1 or len(r) > 1
+               for l, r in zip(got["left"], got["right"]))
+    # steps are 1..n with no gaps
+    assert list(got["step"]) == list(range(1, len(got) + 1))
