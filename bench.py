@@ -56,7 +56,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "session_funnel", "dsir_resample", "decontaminate_bloom",
           "mix_sample", "event_anomalies", "cohort_retention",
           "rep_ngram_signals", "gopher_filters", "para_dedup",
-          "lang_source_rollup", "semdedup", "bpe_merges"]
+          "lang_source_rollup", "semdedup", "bpe_merges",
+          "order_priority_counts"]
 
 
 def run_quality(sf_dir: str) -> dict:

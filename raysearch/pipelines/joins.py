@@ -729,8 +729,101 @@ LIMIT {Q3_K}
 """
 
 
+Q4_D1 = __import__("datetime").datetime(1996, 1, 1)
+Q4_D2 = __import__("datetime").datetime(1997, 1, 1)
+Q4_LATE_US = 60 * 86_400_000_000  # late = shipped > 60 days after order
+
+
+def order_priority_counts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q4-shaped order-priority check, adapted to this schema's
+    columns: count 1996 orders per o_orderpriority where EXISTS a
+    lineitem shipped more than 60 days after the order date. The
+    distributed EXISTS semi-join: the predicate needs columns from
+    BOTH sides (l_shipdate vs o_orderdate), so lineitem collapses
+    map-side to per-orderkey MAX(l_shipdate) partials (exists late
+    line <=> max_ship > odate + 60d — the semi-join never ships a raw
+    lineitem row), both sides bucket by orderkey hash-mask, the
+    per-bucket kernel resolves the EXISTS with one searchsorted-free
+    pandas merge, and per-priority partial counts roll up through a
+    priority-cardinality groupby. Order rows outside the date window
+    are dropped AT THE READ (parquet predicate pushdown)."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+                "okey": df["l_orderkey"].to_numpy(np.int64),
+                "v": _epoch_us(df["l_shipdate"])})
+             .groupby("okey", as_index=False).agg(v=("v", "max")))
+        g["bucket"] = g.okey.to_numpy() & (nb - 1)
+        g["prio"] = ""
+        g["side"] = np.int64(0)
+        return g[["bucket", "okey", "v", "prio", "side"]]
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1),
+            "okey": ok,
+            "v": _epoch_us(df["o_orderdate"]),
+            "prio": df["o_orderpriority"].astype(str),
+            "side": np.int64(1)})
+
+    def exists_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 1]
+        li = (g[g.side == 0].groupby("okey", as_index=False)
+              .agg(ms=("v", "max")))
+        j = o.merge(li, on="okey", how="inner")
+        late = j[j.ms > j.v + Q4_LATE_US]
+        return (late.groupby("prio", as_index=False)
+                .agg(n_orders=("okey", "size")))
+
+    lines = _read(sf_dir, "lineitem.parquet",
+                  columns=["l_orderkey", "l_shipdate"]).map_batches(
+        l_partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"],
+                   filter=(
+                       (__import__("pyarrow").dataset.field("o_orderdate")
+                        >= Q4_D1)
+                       & (__import__("pyarrow").dataset.field("o_orderdate")
+                          < Q4_D2))).map_batches(
+        o_rows, batch_format="pandas")
+    agg = (lines.union(orders)
+           .groupby("bucket").map_groups(exists_kern,
+                                         batch_format="pandas")
+           .groupby("prio").aggregate(Sum("n_orders",
+                                          alias_name="n_orders")))
+    df = agg.to_pandas().sort_values("prio", ignore_index=True)
+    return pa.table({
+        "o_orderpriority": pa.array(df.prio.tolist(), pa.string()),
+        "n_orders": pa.array(df.n_orders.to_numpy(np.int64),
+                             pa.int64()),
+    })
+
+
+def sql_order_priority_counts() -> str:
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate)
+                    > epoch_us(o.o_orderdate) + {Q4_LATE_US})
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "asof_join": asof_join,
+    "order_priority_counts": order_priority_counts,
     "range_join_events": range_join_events,
     "sample_split": sample_split,
     "stratified_sample": stratified_sample,
@@ -741,6 +834,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "asof_join": sql_asof_join(),
+    "order_priority_counts": sql_order_priority_counts(),
     "range_join_events": sql_range_join_events(),
     "sample_split": sql_sample_split(),
     "stratified_sample": sql_stratified_sample(),

@@ -280,3 +280,67 @@ def test_session_funnel_adversarial(ray_session, tmp_path):
     assert by.loc[(2, 100), "converted"] == 1    # same-ts purchase counts
     assert by.loc[(3, 50), "converted"] == 0     # no click
     assert by.loc[(4, 60), "converted"] == 0
+
+
+def _write_q4_tables(tmp_path):
+    """Adversarial Q4 fixture: a lineitem shipped EXACTLY 60 days
+    after the order (strict > excludes it), one at 60 days + 1 us
+    (included), an order with no lineitems at all, an order outside
+    the 1996 window with a very late line, and an in-window order
+    whose lines are all early."""
+    d1 = np.datetime64(joins.Q4_D1)
+    inside = d1 + np.timedelta64(30, "D")
+    outside = d1 - np.timedelta64(300, "D")
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([0] * 5, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([0.0] * 5),
+        # 4 is outside the date window
+        "o_orderdate": pa.array([inside, inside, inside, outside,
+                                 inside], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "2-HIGH",
+                                     "1-URGENT", "5-LOW"]),
+    })
+    at60 = inside + np.timedelta64(60, "D")
+    li_rows = [
+        (1, at60),                                   # exactly 60 d: out
+        (2, np.datetime64(at60 + np.timedelta64(1, "us"), "us")),  # in
+        (2, inside),                                 # early line too
+        (4, at60 + np.timedelta64(100, "D")),        # late but order out
+        (5, inside),                                 # all-early order
+    ]   # order 3 has NO lineitems
+    li = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_partkey": pa.array([0] * len(li_rows), pa.int64()),
+        "l_suppkey": pa.array([0] * len(li_rows), pa.int64()),
+        "l_linenumber": pa.array(range(len(li_rows)), pa.int32()),
+        "l_quantity": pa.array([1.0] * len(li_rows)),
+        "l_extendedprice": pa.array([1.0] * len(li_rows)),
+        "l_discount": pa.array([0.0] * len(li_rows)),
+        "l_tax": pa.array([0.0] * len(li_rows)),
+        "l_returnflag": pa.array(["N"] * len(li_rows)),
+        "l_linestatus": pa.array(["O"] * len(li_rows)),
+        "l_shipdate": pa.array(
+            [np.datetime64(r[1], "us") for r in li_rows],
+            pa.timestamp("us")),
+    })
+    for name, tbl in (("orders", orders), ("lineitem", li)):
+        pq.write_table(tbl, os.path.join(tmp_path, f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def test_order_priority_counts_adversarial(ray_session, tmp_path):
+    sf = _write_q4_tables(tmp_path)
+    got = joins.order_priority_counts(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(joins.sql_order_priority_counts()).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+    # only order 2 qualifies: exactly-60d excluded, no-lineitem order
+    # excluded, out-of-window order excluded, all-early excluded
+    assert got.o_orderpriority.tolist() == ["2-HIGH"]
+    assert got.n_orders.tolist() == [1]
