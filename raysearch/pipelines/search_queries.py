@@ -637,8 +637,83 @@ FROM t WHERE tok IN ({terms}) GROUP BY doc_id
 """
 
 
+RRF_K = 60
+
+
+def hybrid_topk(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the exact BM25 top-10 and the exact embedding-cosine top-10.
+    Contract: query i pairs text query DOC_QUERIES[i] with query
+    vector vec_id=i, and a vec_id IS the doc_id of the document it
+    embeds; rrf(d) = sum over the systems whose top-10 contains d of
+    1/(RRF_K + rank_sys(d)); final top-10 by (rrf desc, doc_id).
+
+    Shape: both component rankings are the existing distributed
+    pipelines (segment-index BM25 scorers; brute-force cosine over
+    streamed batches against the broadcast query matrix); fusion is
+    driver-side over 2 x queries x 10 candidate rows — k-bounded,
+    never data-sized."""
+    from raysearch.pipelines.similarity import N_QUERY_VECS, ann_topk
+
+    bm = bm25_topk(sf_dir).to_pandas()
+    an = ann_topk(sf_dir).to_pandas()
+    bm = bm[bm.query_id < N_QUERY_VECS]
+    cand = pd.concat([
+        pd.DataFrame({"query_id": bm.query_id.to_numpy(np.int64),
+                      "doc_id": bm.doc_id.to_numpy(np.int64),
+                      "c": 1.0 / (RRF_K + bm["rank"].to_numpy(np.int64))}),
+        pd.DataFrame({"query_id": an.query_vec_id.to_numpy(np.int64),
+                      "doc_id": an.vec_id.to_numpy(np.int64),
+                      "c": 1.0 / (RRF_K + an["rank"].to_numpy(np.int64))}),
+    ], ignore_index=True)
+    f = cand.groupby(["query_id", "doc_id"], as_index=False).agg(
+        rrf_score=("c", "sum"))
+    f["rrf_score"] = round6(f.rrf_score.to_numpy(np.float64))
+    f = f.sort_values(["query_id", "rrf_score", "doc_id"],
+                      ascending=[True, False, True], ignore_index=True)
+    f["rank"] = f.groupby("query_id").cumcount() + 1
+    f = f[f["rank"] <= TOPK]
+    return pa.table({
+        "query_id": pa.array(f.query_id.to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(f.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(f["rank"].to_numpy(np.int64), pa.int64()),
+        "rrf_score": pa.array(f.rrf_score.to_numpy(np.float64),
+                              pa.float64()),
+    })
+
+
+def sql_hybrid_topk() -> str:
+    from raysearch.pipelines.similarity import N_QUERY_VECS, sql_ann_topk
+
+    return f"""
+WITH b AS ({sql_bm25_topk()}),
+a AS ({sql_ann_topk()}),
+cand AS (
+  SELECT query_id, doc_id, 1.0 / ({RRF_K} + rank) AS c
+  FROM b WHERE query_id < {N_QUERY_VECS}
+  UNION ALL
+  SELECT query_vec_id AS query_id, vec_id AS doc_id,
+         1.0 / ({RRF_K} + rank) AS c
+  FROM a
+),
+f AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+  FROM cand GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM f
+)
+SELECT query_id, doc_id, rank, rrf_score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "doc_lengths": doc_lengths,
+    "hybrid_topk": hybrid_topk,
     "collection_stats": collection_stats,
     "term_stats": term_stats,
     "postings": postings,
@@ -652,6 +727,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "doc_lengths": sql_doc_lengths(),
+    "hybrid_topk": sql_hybrid_topk(),
     "collection_stats": sql_collection_stats(),
     "term_stats": sql_term_stats(),
     "postings": sql_postings(),

@@ -1,0 +1,44 @@
+"""Hybrid retrieval (RRF fusion): the fused ranking must be exactly
+reconstructible from its two component rankings, self-retrieval must
+benefit from the vector side, and the tie order is deterministic."""
+
+import numpy as np
+import pandas as pd
+
+from raysearch.numutil import round6
+from raysearch.pipelines import search_queries as Q
+from raysearch.pipelines.similarity import N_QUERY_VECS, ann_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hybrid_reconstructs_from_components(ray_session):
+    bm = Q.bm25_topk(SF).to_pandas()
+    an = ann_topk(SF).to_pandas()
+    hy = Q.hybrid_topk(SF).to_pandas()
+    assert set(hy.query_id) == set(range(N_QUERY_VECS))
+    for qid in range(N_QUERY_VECS):
+        scores: dict[int, float] = {}
+        for _, r in bm[bm.query_id == qid].iterrows():
+            scores[int(r.doc_id)] = scores.get(int(r.doc_id), 0.0) \
+                + 1.0 / (Q.RRF_K + int(r["rank"]))
+        for _, r in an[an.query_vec_id == qid].iterrows():
+            scores[int(r.vec_id)] = scores.get(int(r.vec_id), 0.0) \
+                + 1.0 / (Q.RRF_K + int(r["rank"]))
+        want = sorted(((round6(np.array([s]))[0], d)
+                       for d, s in scores.items()),
+                      key=lambda t: (-t[0], t[1]))[:Q.TOPK]
+        got = hy[hy.query_id == qid].sort_values("rank")
+        assert got.doc_id.tolist() == [d for _, d in want]
+        assert got.rrf_score.tolist() == [s for s, _ in want]
+        # ranks are 1..10 with no gaps
+        assert got["rank"].tolist() == list(range(1, Q.TOPK + 1))
+
+
+def test_hybrid_vector_side_lifts_self_doc(ray_session):
+    """vec_id == query id has cosine 1.0 (rank 1 on the vector side),
+    so the query's own document must appear in the fused top-10 even
+    when BM25 alone would not rank it first."""
+    hy = Q.hybrid_topk(SF).to_pandas()
+    for qid in range(N_QUERY_VECS):
+        assert qid in set(hy[hy.query_id == qid].doc_id), qid
