@@ -754,6 +754,114 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 3
+C4_BAD_PHRASE = "lorem ipsum"
+
+
+def c4_filters(sf_dir: str) -> pa.Table:
+    """C4-style line/punctuation quality rules (Raffel et al. 2020,
+    §2.2 — the line-based complement to the word-based
+    ``gopher_filters``): per doc, the fraction of nonempty lines
+    ending in terminal punctuation (. ! ? or a closing double quote),
+    the fraction of nonempty lines with fewer than 3 whitespace
+    tokens, sentence-ender count, curly-brace and 'lorem ipsum'
+    flags, and the combined ``kept`` decision
+    (>= 3 sentence enders, no brace, no bad phrase). Map-only, one
+    pass, Arrow regex kernels + bincount — no per-doc Python."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pa.concat_arrays([text])
+        n = len(text)
+
+        lines = pc.split_pattern(text, "\n")
+        parent = _list_parents(lines)
+        flat = lines.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = parent[keep]
+        flat = flat.filter(pa.array(keep))
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        term = pc.match_substring_regex(
+            flat, '[.!?"]$').to_numpy(zero_copy_only=False)
+        n_term = np.bincount(parent, weights=term, minlength=n)
+        words = pc.count_substring_regex(flat, r"\S+").to_numpy(
+            zero_copy_only=False)
+        short = words < C4_MIN_WORDS_PER_LINE
+        n_short = np.bincount(parent, weights=short, minlength=n)
+
+        n_sent = pc.count_substring_regex(text, "[.!?]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        brace = pc.match_substring(text, "{").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lorem = pc.match_substring(
+            pc.utf8_lower(text), C4_BAD_PHRASE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tf = round6(np.where(n_lines > 0,
+                                 n_term / np.maximum(n_lines, 1), 0.0))
+            sf_ = round6(np.where(n_lines > 0,
+                                  n_short / np.maximum(n_lines, 1), 0.0))
+        kept = ((n_sent >= C4_MIN_SENTENCES) & (brace == 0)
+                & (lorem == 0)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "term_punct_frac": pa.array(tf, pa.float64()),
+            "short_line_frac": pa.array(sf_, pa.float64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "has_brace": pa.array(brace, pa.int64()),
+            "has_bad_phrase": pa.array(lorem, pa.int64()),
+            "kept": pa.array(kept, pa.int64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(sig, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def sql_c4_filters() -> str:
+    return rf"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN regexp_matches(line, '[.!?"]$')
+             THEN 1 ELSE 0 END)::BIGINT AS n_term,
+         sum(CASE WHEN len(regexp_extract_all(line, '\S+'))
+                  < {C4_MIN_WORDS_PER_LINE}
+             THEN 1 ELSE 0 END)::BIGINT AS n_short
+  FROM raw WHERE length(line) > 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+  round(CASE WHEN coalesce(l.n_lines, 0) > 0
+    THEN l.n_term::DOUBLE / l.n_lines ELSE 0 END, 6)
+    AS term_punct_frac,
+  round(CASE WHEN coalesce(l.n_lines, 0) > 0
+    THEN l.n_short::DOUBLE / l.n_lines ELSE 0 END, 6)
+    AS short_line_frac,
+  len(regexp_extract_all(d.text, '[.!?]'))::BIGINT AS n_sentences,
+  (CASE WHEN contains(d.text, '{{') THEN 1 ELSE 0 END)::BIGINT
+    AS has_brace,
+  (CASE WHEN contains(lower(d.text), '{C4_BAD_PHRASE}')
+   THEN 1 ELSE 0 END)::BIGINT AS has_bad_phrase,
+  (CASE WHEN len(regexp_extract_all(d.text, '[.!?]'))
+          >= {C4_MIN_SENTENCES}
+        AND NOT contains(d.text, '{{')
+        AND NOT contains(lower(d.text), '{C4_BAD_PHRASE}')
+   THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM documents d LEFT JOIN l USING (doc_id)
+"""
+
+
 # ---- oracle SQL ----
 
 def _stop_in(lang: str) -> str:
@@ -996,6 +1104,7 @@ QUERIES = {
     "rep_signals": rep_signals,
     "rep_ngram_signals": rep_ngram_signals,
     "gopher_filters": gopher_filters,
+    "c4_filters": c4_filters,
     "decontaminate": decontaminate,
     "decontaminate_bloom": decontaminate_bloom,
 }
@@ -1010,5 +1119,6 @@ ORACLE_SQL = {
     "rep_signals": sql_rep_signals(),
     "rep_ngram_signals": sql_rep_ngram_signals(),
     "gopher_filters": sql_gopher_filters(),
+    "c4_filters": sql_c4_filters(),
     "decontaminate": sql_decontaminate(),
 }

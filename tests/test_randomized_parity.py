@@ -95,7 +95,8 @@ def _write_sharded(tbl: pa.Table, out_dir: str, n_files: int,
 
 
 _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
-            "rep_signals", "rep_ngram_signals", "gopher_filters", "para_dedup",
+            "rep_signals", "rep_ngram_signals", "gopher_filters", "c4_filters",
+            "para_dedup",
             "dedup_exact",
             "fingerprint", "dedup_simhash",
             "source_stats", "lang_source_rollup", "mix_weights", "doclen_histogram",

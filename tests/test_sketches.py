@@ -497,3 +497,31 @@ def test_bpe_merges_adversarial(ray_session, tmp_path):
                for l, r in zip(got["left"], got["right"]))
     # steps are 1..n with no gaps
     assert list(got["step"]) == list(range(1, len(got) + 1))
+
+
+def test_c4_filters_adversarial(ray_session, tmp_path):
+    """C4 line/punctuation rules vs oracle: terminal-punct detection
+    incl. closing quote, short-line counting, sentence threshold at
+    exactly 3, brace and lorem-ipsum flags, empty docs."""
+    from raysearch.pipelines import textops as T
+
+    sf = _write_docs(tmp_path, [
+        "A good sentence here.\nAnother one!\nIs this real?",   # kept
+        'He said "stop."\nshort\nok line here.',
+        "code { return 1; } with. three. dots.",                # brace
+        "Lorem Ipsum dolor sit. amet. consectetur.",            # phrase
+        "only two. enders!",                                    # < 3
+        "",
+        "no punctuation at all just words",
+    ])
+    got = _norm(T.c4_filters(sf).to_pandas())
+    want = _norm(_oracle(sf, T.sql_c4_filters()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id").sort_index()
+    assert byid.loc[0, "kept"] == 1
+    assert byid.loc[0, "term_punct_frac"] == 1.0
+    assert byid.loc[1, "short_line_frac"] == round(1 / 3, 6)
+    assert byid.loc[2, "has_brace"] == 1 and byid.loc[2, "kept"] == 0
+    assert byid.loc[3, "has_bad_phrase"] == 1 and byid.loc[3, "kept"] == 0
+    assert byid.loc[4, "n_sentences"] == 2 and byid.loc[4, "kept"] == 0
+    assert byid.loc[5, "n_lines"] == 0
