@@ -57,7 +57,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "mix_sample", "event_anomalies", "cohort_retention",
           "rep_ngram_signals", "gopher_filters", "para_dedup",
           "lang_source_rollup", "semdedup", "bpe_merges",
-          "order_priority_counts", "hybrid_topk", "c4_filters"]
+          "order_priority_counts", "hybrid_topk", "c4_filters",
+          "embedding_pc1"]
 
 
 def run_quality(sf_dir: str) -> dict:

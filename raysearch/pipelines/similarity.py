@@ -596,9 +596,82 @@ def semdedup(sf_dir: str) -> pa.Table:
     })
 
 
+def embedding_pc1(sf_dir: str) -> pa.Table:
+    """Top principal component of the (mean-centered) embedding table,
+    exactly, plus every vector's projection onto it.
+
+    Shape: dim is a model constant (64) while N is unbounded, so the
+    right distributed factorization is the GRAM-MATRIX one: ONE
+    corpus pass emits per-batch partials (count, coordinate sums,
+    flattened A_b^T A_b — dim + dim^2 doubles per batch, data-size
+    independent), the driver fsum-reduces them (order-independent,
+    exactly rounded) and eigendecomposes the dim x dim covariance
+    C = A^T A - n mu mu^T locally — O(dim^3), never O(N). The
+    projection pass is map-only against the broadcast (mean, pc1).
+    Sign fixed so the largest-|.| component is positive. Not
+    SQL-expressible (eigendecomposition) -> rows-only driver check;
+    pytest pins projections against a single-process numpy eigh and
+    asserts end-to-end determinism."""
+    import math
+
+    import ray
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        return pa.table({
+            "n": pa.array([len(ids)], pa.int64()),
+            "s": pa.array([mat.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "g": pa.array([(mat.T @ mat).ravel().tolist()],
+                          pa.list_(pa.float64())),
+        })
+
+    parts = pa.concat_tables(
+        _read_emb(sf_dir).map_batches(
+            gram_partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+    n = int(np.sum(parts["n"].to_numpy())) if parts.num_rows else 0
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "pc1_proj": pa.array([], pa.float64())})
+    srows = np.array(parts["s"].to_pylist())
+    grows = np.array(parts["g"].to_pylist())
+    dim = srows.shape[1]
+    ssum = np.array([math.fsum(srows[:, d]) for d in range(dim)])
+    gsum = np.array([math.fsum(grows[:, d]) for d in range(dim * dim)])
+    mu = ssum / n
+    cov = gsum.reshape(dim, dim) - n * np.outer(mu, mu)
+    _, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+
+    fref = ray.put((mu, v))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, vv = ray.get(fref)
+        ids, mat = _emb_matrix(batch)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "pc1_proj": pa.array(round6((mat - m) @ vv), pa.float64()),
+        })
+
+    out = _read_emb(sf_dir).map_batches(project, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    df = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")).to_pandas()
+    df = df.sort_values("vec_id", ignore_index=True)
+    return pa.table({
+        "vec_id": pa.array(df.vec_id.to_numpy(np.int64), pa.int64()),
+        "pc1_proj": pa.array(df.pc1_proj.to_numpy(np.float64),
+                             pa.float64()),
+    })
+
+
 QUERIES = {
     "ann_topk": ann_topk,
     "semdedup": semdedup,
+    "embedding_pc1": embedding_pc1,
     "embedding_dups": embedding_dups,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,

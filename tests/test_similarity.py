@@ -217,3 +217,33 @@ def test_semdedup_planted_identical(ray_session, tmp_path):
         assert got.loc[a, "cluster_id"] == got.loc[b, "cluster_id"]
     # every vector appears exactly once
     assert len(got) == n
+
+
+def test_embedding_pc1_matches_eigh(ray_session):
+    """Distributed Gram-matrix PCA must match a single-process numpy
+    eigendecomposition to the output rounding quantum, be end-to-end
+    deterministic, and actually capture the top component (projection
+    variance == top eigenvalue / n)."""
+    import pyarrow.parquet as pq
+
+    got = S.embedding_pc1(SF).to_pandas()
+    again = S.embedding_pc1(SF).to_pandas()
+    assert again.equals(got)
+
+    tbl = pq.read_table(SF + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    c = mat - mat.mean(axis=0)
+    w, V = np.linalg.eigh(c.T @ c)
+    pc1 = V[:, -1]
+    if pc1[int(np.argmax(np.abs(pc1)))] < 0:
+        pc1 = -pc1
+    import pandas as pd
+    ref = pd.DataFrame({"vec_id": ids, "p": c @ pc1}).sort_values(
+        "vec_id", ignore_index=True)
+    err = np.abs(got.pc1_proj.to_numpy() - ref.p.to_numpy()).max()
+    assert err < 1.0e-5, err
+    # projections carry the top-eigenvalue variance
+    var = got.pc1_proj.to_numpy().var() * len(got)
+    assert abs(var - w[-1]) / w[-1] < 1.0e-3
