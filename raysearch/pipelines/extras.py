@@ -522,9 +522,56 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def export_by_lang(sf_dir: str, out_dir: str | None = None) -> pa.Table:
+    """Partitioned-sink operator: stream the documents table into
+    hive-partitioned parquet (one ``lang=<x>/`` directory per
+    language — the brief's resumable-output layout: a re-run can skip
+    finished partitions; no single giant file), then report per-lang
+    row counts read back FROM THE WRITTEN FOOTERS, so the result row
+    only hashes green if the sink actually persisted every row.
+
+    ``out_dir=None`` (the gate path) writes to a per-run unique temp
+    dir and removes it after the footer scan; passing ``out_dir``
+    makes it a real sink (files are kept)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    keep = out_dir is not None
+    dest = out_dir or tempfile.mkdtemp(prefix="raysearch_export_")
+    try:
+        _read_docs(sf_dir, ["doc_id", "text", "lang", "source",
+                            "n_chars"]).write_parquet(
+            dest, partition_cols=["lang"])
+        rows = []
+        for part in sorted(os.listdir(dest)):
+            if not part.startswith("lang="):
+                continue
+            pdir = os.path.join(dest, part)
+            n = sum(pq.read_metadata(os.path.join(pdir, f)).num_rows
+                    for f in os.listdir(pdir) if f.endswith(".parquet"))
+            rows.append((part.split("=", 1)[1], n))
+    finally:
+        if not keep:
+            shutil.rmtree(dest, ignore_errors=True)
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def sql_export_by_lang() -> str:
+    return """
+SELECT lang, count(*)::BIGINT AS n_rows
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "source_stats": source_stats,
     "lang_source_rollup": lang_source_rollup,
+    "export_by_lang": export_by_lang,
     "top_terms_tfidf": top_terms_tfidf,
     "window_top_events": window_top_events,
     "phrase_counts": phrase_counts,
@@ -534,6 +581,7 @@ QUERIES = {
 ORACLE_SQL = {
     "source_stats": sql_source_stats(),
     "lang_source_rollup": sql_lang_source_rollup(),
+    "export_by_lang": sql_export_by_lang(),
     "top_terms_tfidf": sql_top_terms_tfidf(),
     "window_top_events": sql_window_top_events(),
     "phrase_counts": sql_phrase_counts(),

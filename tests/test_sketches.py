@@ -525,3 +525,34 @@ def test_c4_filters_adversarial(ray_session, tmp_path):
     assert byid.loc[3, "has_bad_phrase"] == 1 and byid.loc[3, "kept"] == 0
     assert byid.loc[4, "n_sentences"] == 2 and byid.loc[4, "kept"] == 0
     assert byid.loc[5, "n_lines"] == 0
+
+
+def test_export_by_lang_sink(ray_session, tmp_path):
+    """Partitioned sink: summary counts come from written footers and
+    must equal both the oracle and a full read-back; kept-dir mode
+    leaves hive-partitioned files on disk."""
+    import duckdb as _dd
+
+    from raysearch.pipelines import extras as E
+
+    (tmp_path / "in").mkdir()
+    sf = _write_docs(tmp_path / "in",
+                     ["one doc", "zwei", "drei", "vier", "cinq"])
+    # vary langs: rewrite with a lang column mix
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(sf, "documents.parquet"))
+    t = t.set_column(t.schema.get_field_index("lang"), "lang",
+                     pa.array(["en", "de", "de", "de", "fr"]))
+    _pq.write_table(t, os.path.join(sf, "documents.parquet"))
+
+    out = tmp_path / "sink"
+    got = E.export_by_lang(sf, out_dir=str(out)).to_pandas()
+    assert dict(zip(got.lang, got.n_rows)) == {"en": 1, "de": 3, "fr": 1}
+    back = _dd.connect().execute(
+        f"SELECT lang, count(*) FROM read_parquet('{out}/lang=*/*.parquet',"
+        f" hive_partitioning=1) GROUP BY lang").df()
+    assert dict(zip(back.iloc[:, 0], back.iloc[:, 1])) == \
+        {"en": 1, "de": 3, "fr": 1}
+    # gate path cleans up its temp dir
+    got2 = E.export_by_lang(sf).to_pandas()
+    assert got2.n_rows.sum() == 5
