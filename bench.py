@@ -58,7 +58,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "rep_ngram_signals", "gopher_filters", "para_dedup",
           "lang_source_rollup", "semdedup", "bpe_merges",
           "order_priority_counts", "hybrid_topk", "c4_filters",
-          "embedding_pc1", "export_by_lang"]
+          "embedding_pc1", "export_by_lang", "bool_and_docs"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -637,6 +637,89 @@ FROM t WHERE tok IN ({terms}) GROUP BY doc_id
 """
 
 
+def bool_and_docs(sf_dir: str) -> pa.Table:
+    """Index-backed conjunctive (boolean AND) retrieval: for every
+    query, ALL documents containing EVERY distinct query term —
+    computed purely by posting-list intersection (term-filtered,
+    row-group-pruned segment reads), never a corpus scan.
+
+    Scale contract: per-part work is bounded by the rarest query
+    term's df (intersection shrinks monotonically and early-exits on
+    empty); segments partition documents disjointly, so per-part
+    intersections are FINAL — zero exchanges, results stream from the
+    parts fan-out exactly like ``blocklist_docs``."""
+    import ray.data
+
+    from raysearch.score import query_term_weights
+    from raysearch.segments import (decode_posting_row, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    parts = load_stats(idx)["parts"]
+    qterms = [sorted({t for t, _ in query_term_weights(q)})
+              for q in DOC_QUERIES]
+    all_terms = sorted({t for ts in qterms for t in ts})
+
+    def hits(batch: pa.Table) -> pa.Table:
+        out_q: list[int] = []
+        out_d: list[int] = []
+        for part in batch["part"].to_pylist():
+            tbl = read_postings(part_dirname(idx, int(part)), all_terms)
+            docs = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)[0]
+                    for i in range(tbl.num_rows)}
+            for qid, ts in enumerate(qterms):
+                if any(t not in docs for t in ts):
+                    continue
+                cur = docs[ts[0]]
+                for t in ts[1:]:
+                    cur = np.intersect1d(cur, docs[t],
+                                         assume_unique=True)
+                    if len(cur) == 0:
+                        break
+                out_q.extend([qid] * len(cur))
+                out_d.extend(int(x) for x in cur)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        })
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    out = pa.concat_tables(
+        parts_ds.map_batches(hits, batch_format="pyarrow",
+                             batch_size=max(1, len(parts) // 16))
+        .iter_batches(batch_format="pyarrow"))
+    return out.sort_by([("query_id", "ascending"),
+                        ("doc_id", "ascending")])
+
+
+def _bool_qterms_values() -> str:
+    from raysearch.score import query_term_weights
+
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for term in sorted({t for t, _ in query_term_weights(q)}):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+def sql_bool_and_docs() -> str:
+    return rf"""
+WITH t AS (SELECT DISTINCT doc_id,
+                  unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+           FROM documents),
+q(query_id, term) AS (VALUES {_bool_qterms_values()}),
+need AS (SELECT query_id, count(*)::BIGINT AS k FROM q GROUP BY 1),
+hit AS (
+  SELECT q.query_id, t.doc_id, count(*)::BIGINT AS k
+  FROM q JOIN t ON q.term = t.tok GROUP BY 1, 2
+)
+SELECT h.query_id, h.doc_id
+FROM hit h JOIN need n ON h.query_id = n.query_id AND h.k = n.k
+ORDER BY h.query_id, h.doc_id
+"""
+
+
 RRF_K = 60
 
 
@@ -723,6 +806,7 @@ QUERIES = {
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
     "blocklist_docs": blocklist_docs,
+    "bool_and_docs": bool_and_docs,
 }
 
 ORACLE_SQL = {
@@ -737,4 +821,5 @@ ORACLE_SQL = {
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),
     "blocklist_docs": sql_blocklist_docs(),
+    "bool_and_docs": sql_bool_and_docs(),
 }

@@ -42,3 +42,30 @@ def test_hybrid_vector_side_lifts_self_doc(ray_session):
     hy = Q.hybrid_topk(SF).to_pandas()
     for qid in range(N_QUERY_VECS):
         assert qid in set(hy[hy.query_id == qid].doc_id), qid
+
+
+def test_bool_and_docs_properties(ray_session):
+    """Conjunctive retrieval: every returned doc contains every
+    distinct query term under the index tokenizer; queries whose term
+    set includes a token absent from the corpus return nothing."""
+    import pyarrow.parquet as pq
+
+    from raysearch.score import query_term_weights
+
+    got = Q.bool_and_docs(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toksets = {int(r.doc_id): set(str(r.text).lower().split())
+               for r in docs.itertuples()}
+    corpus_vocab = set().union(*toksets.values())
+    for qid, qtext in enumerate(Q.DOC_QUERIES):
+        terms = {t for t, _ in query_term_weights(qtext)}
+        hits = set(got[got.query_id == qid].doc_id)
+        if not terms <= corpus_vocab:
+            assert not hits, (qid, terms - corpus_vocab)
+            continue
+        for d in hits:
+            assert terms <= toksets[d], (qid, d)
+        # completeness: any doc containing all terms IS returned
+        want = {d for d, ts in toksets.items() if terms <= ts}
+        assert hits == want, qid
