@@ -821,9 +821,69 @@ ORDER BY o_orderpriority
 """
 
 
+def running_user_value(sf_dir: str) -> pa.Table:
+    """The SQL running-window workhorse, distributed: each event's
+    cumulative value over the SAME USER's history in (ts, event_id)
+    order — sum(value) OVER (PARTITION BY user ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING), in exact int64 cents so the prefix sum
+    is bit-identical under any execution order.
+
+    Shape: ONE coarse user-hash exchange (a user's whole history
+    co-locates); the in-group kernel is vectorized ACROSS users — one
+    global lexsort + one global cumsum, per-user reset via the
+    segment-start base trick (running = cum - (cum[start] -
+    cents[start])), no per-user dispatch."""
+    import pyarrow.compute as pc
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
+
+    def add_upart(b: pa.Table) -> pa.Table:
+        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
+        return b.append_column("upart", upart)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        uid, eid, tus, order, start, n = _user_sorted(g)
+        cents = _cents(g["value"].to_numpy(np.float64))[order]
+        cum = np.cumsum(cents)
+        base = cum[start] - cents[start]
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": uid,
+            "ts_us": tus,
+            "run_cents": cum - base,
+        })
+
+    ds = _read(sf_dir, _EVENTS,
+               columns=["event_id", "ts", "user_id", "value"])
+    out = (ds.map_batches(add_upart, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("upart").map_groups(kern, batch_format="pandas"))
+    df = out.to_pandas().sort_values("event_id", ignore_index=True)
+    return pa.table({
+        "event_id": pa.array(df.event_id.to_numpy(np.int64), pa.int64()),
+        "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
+        "ts_us": pa.array(df.ts_us.to_numpy(np.int64), pa.int64()),
+        "run_cents": pa.array(df.run_cents.to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def sql_running_user_value() -> str:
+    return """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS run_cents
+FROM events ORDER BY event_id
+"""
+
+
 QUERIES = {
     "asof_join": asof_join,
     "order_priority_counts": order_priority_counts,
+    "running_user_value": running_user_value,
     "range_join_events": range_join_events,
     "sample_split": sample_split,
     "stratified_sample": stratified_sample,
@@ -835,6 +895,7 @@ QUERIES = {
 ORACLE_SQL = {
     "asof_join": sql_asof_join(),
     "order_priority_counts": sql_order_priority_counts(),
+    "running_user_value": sql_running_user_value(),
     "range_join_events": sql_range_join_events(),
     "sample_split": sql_sample_split(),
     "stratified_sample": sql_stratified_sample(),
