@@ -525,14 +525,19 @@ GROUP BY ROLLUP (lang, source)
 def export_by_lang(sf_dir: str, out_dir: str | None = None) -> pa.Table:
     """Partitioned-sink operator: stream the documents table into
     hive-partitioned parquet (one ``lang=<x>/`` directory per
-    language — the brief's resumable-output layout: a re-run can skip
-    finished partitions; no single giant file), then report per-lang
-    row counts read back FROM THE WRITTEN FOOTERS, so the result row
-    only hashes green if the sink actually persisted every row.
+    language, many files — the layout a resuming ORCHESTRATOR needs to
+    skip finished partitions; never one giant file), then report
+    per-lang row counts read back FROM THE WRITTEN FOOTERS, so the
+    result row only hashes green if the sink actually persisted every
+    row.
 
     ``out_dir=None`` (the gate path) writes to a per-run unique temp
     dir and removes it after the footer scan; passing ``out_dir``
-    makes it a real sink (files are kept)."""
+    makes it a real sink (files are kept). A re-run into the same
+    ``out_dir`` OVERWRITES: stale ``lang=*`` partition dirs are
+    removed first, because Ray's write appends uuid-named files and
+    would otherwise double-count every surviving row — per-partition
+    skip logic belongs to the caller that tracks completion."""
     import shutil
     import tempfile
 
@@ -540,6 +545,11 @@ def export_by_lang(sf_dir: str, out_dir: str | None = None) -> pa.Table:
 
     keep = out_dir is not None
     dest = out_dir or tempfile.mkdtemp(prefix="raysearch_export_")
+    if keep and os.path.isdir(dest):
+        for part in os.listdir(dest):
+            if part.startswith("lang="):
+                shutil.rmtree(os.path.join(dest, part),
+                              ignore_errors=True)
     try:
         _read_docs(sf_dir, ["doc_id", "text", "lang", "source",
                             "n_chars"]).write_parquet(

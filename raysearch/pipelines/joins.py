@@ -784,15 +784,14 @@ def order_priority_counts(sf_dir: str) -> pa.Table:
     lines = _read(sf_dir, "lineitem.parquet",
                   columns=["l_orderkey", "l_shipdate"]).map_batches(
         l_partial, batch_format="pandas")
+    import pyarrow.dataset as pads
+
     orders = _read(sf_dir, "orders.parquet",
                    columns=["o_orderkey", "o_orderdate",
                             "o_orderpriority"],
-                   filter=(
-                       (__import__("pyarrow").dataset.field("o_orderdate")
-                        >= Q4_D1)
-                       & (__import__("pyarrow").dataset.field("o_orderdate")
-                          < Q4_D2))).map_batches(
-        o_rows, batch_format="pandas")
+                   filter=((pads.field("o_orderdate") >= Q4_D1)
+                           & (pads.field("o_orderdate") < Q4_D2))
+                   ).map_batches(o_rows, batch_format="pandas")
     agg = (lines.union(orders)
            .groupby("bucket").map_groups(exists_kern,
                                          batch_format="pandas")

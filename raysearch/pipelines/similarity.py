@@ -536,15 +536,23 @@ def semdedup(sf_dir: str) -> pa.Table:
     and reported in the bench quality block.
 
     Scale shape: assignment is map-side against broadcast centroids;
-    the ONE exchange is groupby(cluster) — the sub-quadratic point of
-    SemDeDup is that pairwise compare cost drops from O(N^2) to
-    O(sum |cluster|^2), controlled by scaling K ~ N/target_cluster
-    (here K = IVF_CENTROIDS at test scale). In-group compare runs in
+    the ONE exchange is a groupby on a COARSE bucket of the cluster id
+    (cluster_id & (auto_buckets-1)): whole clusters still co-locate,
+    but the number of map_groups dispatches is bounded by the bucket
+    cardinality, not by K — K scales ~N/target_cluster, i.e. is
+    data-sized, and a per-cluster Python dispatch would be the
+    documented high-cardinality map_groups anti-pattern. Inside the
+    group a numpy slice loop walks the (cluster-sorted) cluster
+    segments. The sub-quadratic point of SemDeDup is pairwise cost
+    O(sum |cluster|^2) instead of O(N^2); per-cluster compare runs in
     SEMDEDUP_BLOCK row blocks against the vec_id-sorted prefix, so
     task memory is block x cluster, never cluster x cluster."""
     import ray
     import ray.data
 
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_emb(sf_dir))
     cents = _ivf_train(sf_dir)
     cref = ray.put(cents)
 
@@ -558,13 +566,11 @@ def semdedup(sf_dir: str) -> pa.Table:
             col = col.combine_chunks()
         return pa.table({"vec_id": batch["vec_id"],
                          "cluster_id": pa.array(a, pa.int64()),
+                         "cbucket": pa.array(a & np.int64(nb - 1),
+                                             pa.int64()),
                          "embedding": col})
 
-    def in_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id", ignore_index=True)
-        ids = g["vec_id"].to_numpy(np.int64)
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    def _prefix_flags(ids, bn):
         n = len(ids)
         dup = np.zeros(n, dtype=np.int64)
         best = np.zeros(n, dtype=np.float64)
@@ -576,15 +582,31 @@ def semdedup(sf_dir: str) -> pa.Table:
             mx = sims.max(axis=1)
             best[s:e] = mx
             dup[s:e] = (round6(mx) >= SEMDEDUP_COS).astype(np.int64)
+        return dup, best
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "vec_id"], ignore_index=True)
+        ids = g["vec_id"].to_numpy(np.int64)
+        cl = g["cluster_id"].to_numpy(np.int64)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        bn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        dup = np.zeros(len(ids), dtype=np.int64)
+        best = np.zeros(len(ids), dtype=np.float64)
+        bounds = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1],
+                                      True])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            d, bs = _prefix_flags(ids[a:b], bn[a:b])
+            dup[a:b] = d
+            best[a:b] = bs
         return pd.DataFrame({"vec_id": ids,
-                             "cluster_id": g["cluster_id"],
+                             "cluster_id": cl,
                              "is_dup": dup,
                              "max_prior_cos": round6(best)})
 
     ds = _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow",
                                        zero_copy_batch=True)
-    out = ds.groupby("cluster_id").map_groups(in_cluster,
-                                              batch_format="pandas")
+    out = ds.groupby("cbucket").map_groups(in_bucket,
+                                           batch_format="pandas")
     df = out.to_pandas().sort_values("vec_id", ignore_index=True)
     return pa.table({
         "vec_id": pa.array(df.vec_id.to_numpy(np.int64), pa.int64()),

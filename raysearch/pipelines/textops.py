@@ -615,10 +615,14 @@ def rep_ngram_signals(sf_dir: str) -> pa.Table:
         if len(codes) > 1:
             same2 = parent[:-1] == parent[1:]
             p2 = parent[:-1][same2]
-            # (parent, w_i, w_i+1) packed per-slot key; max value
-            # ~ n_rows * V^2 with batch-local V — fits int64 for any
-            # batch this engine emits (rows ≤ 4k, V ≤ total tokens)
-            key2 = (p2 * v + codes[:-1][same2]) * v + codes[1:][same2]
+            # overflow-safe packing: factorize the pair code FIRST so
+            # the (parent, pair) key is bounded by n_rows * n_pairs
+            # (<= ~1e15 for any physical batch) instead of
+            # n_rows * V^2, which can exceed int64 on large blocks
+            pair_code = codes[:-1][same2] * v + codes[1:][same2]
+            f_pair, pair_uniq = pd.factorize(pair_code)
+            np_pairs = np.int64(max(len(pair_uniq), 1))
+            key2 = p2 * np_pairs + f_pair.astype(np.int64)
             n_big = np.bincount(p2, minlength=n)
             _, first2, cnt2 = np.unique(key2, return_index=True,
                                         return_counts=True)

@@ -553,6 +553,9 @@ def test_export_by_lang_sink(ray_session, tmp_path):
         f" hive_partitioning=1) GROUP BY lang").df()
     assert dict(zip(back.iloc[:, 0], back.iloc[:, 1])) == \
         {"en": 1, "de": 3, "fr": 1}
+    # a re-run into the same out_dir overwrites (no double counting)
+    rerun = E.export_by_lang(sf, out_dir=str(out)).to_pandas()
+    assert rerun.equals(got)
     # gate path cleans up its temp dir
     got2 = E.export_by_lang(sf).to_pandas()
     assert got2.n_rows.sum() == 5
