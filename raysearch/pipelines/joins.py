@@ -879,10 +879,77 @@ FROM events ORDER BY event_id
 """
 
 
+def event_transitions(sf_dir: str) -> pa.Table:
+    """Markov transition counts over per-user event sequences: for
+    every (prev_type, next_type) pair, how many adjacent steps in some
+    user's (ts, event_id)-ordered history make that transition — the
+    sequence-mining bigram (oracle = SQL lag() window).
+
+    Shape: ONE coarse user-hash exchange; in-group the kernel is the
+    shared _user_sorted lexsort, a shift-compare for segment interiors
+    (vectorized across users), and a type-pair groupby producing
+    per-(pair, bucket) additive partials that roll up through a
+    type^2-cardinality groupby."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
+
+    def add_upart(b: pa.Table) -> pa.Table:
+        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
+        return b.append_column("upart", upart)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        uid, eid, tus, order, start, n = _user_sorted(g)
+        types = g["event_type"].to_numpy()[order]
+        if n < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [],
+                                 "n": []})
+        interior = uid[1:] == uid[:-1]   # same-user adjacent steps
+        d = pd.DataFrame({"prev_type": types[:-1][interior],
+                          "next_type": types[1:][interior]})
+        return d.groupby(["prev_type", "next_type"],
+                         as_index=False).agg(n=("prev_type", "size"))
+
+    ds = _read(sf_dir, _EVENTS,
+               columns=["event_id", "ts", "user_id", "event_type"])
+    agg = (ds.map_batches(add_upart, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("upart").map_groups(kern, batch_format="pandas")
+           .groupby(["prev_type", "next_type"]).aggregate(
+               Sum("n", alias_name="n")))
+    df = agg.to_pandas().sort_values(["prev_type", "next_type"],
+                                     ignore_index=True)
+    return pa.table({
+        "prev_type": pa.array(df.prev_type.tolist(), pa.string()),
+        "next_type": pa.array(df.next_type.tolist(), pa.string()),
+        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_event_transitions() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
 QUERIES = {
     "asof_join": asof_join,
     "order_priority_counts": order_priority_counts,
     "running_user_value": running_user_value,
+    "event_transitions": event_transitions,
     "range_join_events": range_join_events,
     "sample_split": sample_split,
     "stratified_sample": stratified_sample,
@@ -895,6 +962,7 @@ ORACLE_SQL = {
     "asof_join": sql_asof_join(),
     "order_priority_counts": sql_order_priority_counts(),
     "running_user_value": sql_running_user_value(),
+    "event_transitions": sql_event_transitions(),
     "range_join_events": sql_range_join_events(),
     "sample_split": sql_sample_split(),
     "stratified_sample": sql_stratified_sample(),

@@ -107,7 +107,7 @@ _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
             "distinct_users", "window_top_events", "asof_join",
-            "running_user_value",
+            "running_user_value", "event_transitions",
             "range_join_events"]
 _SEEDS = [1117, 2223]
 
