@@ -758,6 +758,60 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def lang_confusion(sf_dir: str) -> pa.Table:
+    """Model-evaluation aggregate: the confusion matrix of the
+    stopword-overlap language classifier against the labeled ``lang``
+    column — (true_lang, pred_lang, n). One map pass emits per-batch
+    (true, pred) partial counts (the classifier runs in the same
+    batch, nothing per-doc leaves the task); a lang^2-cardinality
+    groupby sums them. The oracle COMPOSES sql_lang_id as a CTE, so
+    the classifier contract is pinned in exactly one place."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    stats = TextStats()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = stats(batch)["pred_lang"].to_numpy(zero_copy_only=False)
+        true = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        df = (pd.DataFrame({"true_lang": true, "pred_lang": pred})
+              .groupby(["true_lang", "pred_lang"], as_index=False)
+              .agg(n=("true_lang", "size")))
+        return pa.table({
+            "true_lang": pa.array(df.true_lang.tolist(), pa.string()),
+            "pred_lang": pa.array(df.pred_lang.tolist(), pa.string()),
+            "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+        })
+
+    ds = ray_read_docs_with_lang(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["true_lang", "pred_lang"]).aggregate(
+        Sum("n", alias_name="n"))
+    df = agg.to_pandas().sort_values(["true_lang", "pred_lang"],
+                                     ignore_index=True)
+    return pa.table({
+        "true_lang": pa.array(df.true_lang.tolist(), pa.string()),
+        "pred_lang": pa.array(df.pred_lang.tolist(), pa.string()),
+        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def ray_read_docs_with_lang(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                                 columns=["doc_id", "text", "lang"])
+
+
+def sql_lang_confusion() -> str:
+    return f"""
+WITH pred AS ({sql_lang_id()})
+SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 C4_MIN_WORDS_PER_LINE = 3
 C4_MIN_SENTENCES = 3
 C4_BAD_PHRASE = "lorem ipsum"
@@ -1109,6 +1163,7 @@ QUERIES = {
     "rep_ngram_signals": rep_ngram_signals,
     "gopher_filters": gopher_filters,
     "c4_filters": c4_filters,
+    "lang_confusion": lang_confusion,
     "decontaminate": decontaminate,
     "decontaminate_bloom": decontaminate_bloom,
 }
@@ -1124,5 +1179,6 @@ ORACLE_SQL = {
     "rep_ngram_signals": sql_rep_ngram_signals(),
     "gopher_filters": sql_gopher_filters(),
     "c4_filters": sql_c4_filters(),
+    "lang_confusion": sql_lang_confusion(),
     "decontaminate": sql_decontaminate(),
 }
