@@ -59,7 +59,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "lang_source_rollup", "semdedup", "bpe_merges",
           "order_priority_counts", "hybrid_topk", "c4_filters",
           "embedding_pc1", "export_by_lang", "bool_and_docs",
-          "running_user_value", "event_transitions", "lang_confusion"]
+          "running_user_value", "event_transitions", "lang_confusion",
+          "doclen_ntile"]
 
 
 def run_quality(sf_dir: str) -> dict:

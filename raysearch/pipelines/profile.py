@@ -240,13 +240,118 @@ FROM z
 """
 
 
+NTILE_K = 10
+
+
+def doclen_ntile(sf_dir: str) -> pa.Table:
+    """Exact global NTILE({K}) by token length — per doc, its decile
+    under the (dl, doc_id) total order, matching SQL ntile semantics
+    (first n%k tiles get the extra row). The distributed GLOBAL RANK:
+
+    1. ONE corpus pass emits narrow (doc_id, dl, dl-hash bucket) rows
+       (text never read again; the table is 24 B/doc, materialized).
+    2. A groupby(dl) count gives the distinct-length histogram —
+       length-cardinality-sized, never doc-sized; the driver
+       exclusive-cumsums it in dl order into a BASE RANK per distinct
+       length and broadcasts (sorted dls, bases) via ray.put.
+    3. One groupby on the dl-hash bucket co-locates every row of each
+       length; the kernel lexsorts by (dl, doc_id) and adds each
+       row's position within its length segment to the broadcast base
+       — global rank with NO global sort. A pathologically hot single
+       length bounds one group (same caveat class as the user-bucket
+       ops).
+
+    Tile from 1-based rank r with n%k big tiles of size n//k + 1:
+    r <= big*size_big -> (r-1)//size_big + 1, else
+    big + (r - big*size_big - 1)//(n//k) + 1.""".format(K=NTILE_K)
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from raysearch.hashing import auto_buckets, parquet_rows, splitmix64
+    from raysearch.pipelines.textops import _tokens
+
+    path = os.path.join(sf_dir, _DOCS)
+    n_rows = parquet_rows(path)
+    empty = pa.table({c: pa.array([], pa.int64()) for c in
+                      ("doc_id", "dl", "tile")})
+    if n_rows == 0:
+        return empty
+    nb = auto_buckets(n_rows)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        dl = pc.list_value_length(_tokens(batch)).to_numpy().astype(
+            np.int64)
+        dlb = (splitmix64(dl.astype(np.uint64))
+               % np.uint64(nb)).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "dl": pa.array(dl, pa.int64()),
+                         "dlb": pa.array(dlb, pa.int64())})
+
+    rows = ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(narrow, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    hist = rows.groupby("dl").aggregate(Count(alias_name="n")) \
+        .to_pandas().sort_values("dl", ignore_index=True)
+    dls = hist["dl"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    bases = np.concatenate(([0], np.cumsum(cnts)[:-1]))  # exclusive
+    n = int(cnts.sum())
+    big = n % NTILE_K
+    size_small = n // NTILE_K
+    size_big = size_small + 1
+    side = ray.put((dls, bases))
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        sdls, sbases = ray.get(side)  # zero-copy numpy views
+        dl = g["dl"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, dl))
+        dl, ids = dl[order], ids[order]
+        m = len(dl)
+        seg_start = np.maximum.accumulate(np.where(
+            np.r_[True, dl[1:] != dl[:-1]], np.arange(m), -1))
+        pos = np.arange(m) - seg_start
+        rank = sbases[np.searchsorted(sdls, dl)] + pos + 1  # 1-based
+        cut = big * size_big
+        tile = np.where(
+            rank <= cut,
+            (rank - 1) // size_big + 1,
+            big + ((rank - cut - 1) // max(size_small, 1)) + 1)
+        return pd.DataFrame({"doc_id": ids, "dl": dl, "tile": tile})
+
+    out = rows.groupby("dlb").map_groups(kern, batch_format="pandas")
+    df = out.to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.table({
+        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
+        "dl": pa.array(df.dl.to_numpy(np.int64), pa.int64()),
+        "tile": pa.array(df.tile.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_doclen_ntile() -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS dl
+  FROM documents
+)
+SELECT doc_id, dl,
+       ntile({NTILE_K}) OVER (ORDER BY dl, doc_id)::BIGINT AS tile
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "value_histogram": value_histogram,
+    "doclen_ntile": doclen_ntile,
     "doclen_histogram": doclen_histogram,
     "event_anomalies": event_anomalies,
 }
 ORACLE_SQL = {
     "value_histogram": sql_value_histogram(),
+    "doclen_ntile": sql_doclen_ntile(),
     "doclen_histogram": sql_doclen_histogram(),
     "event_anomalies": sql_event_anomalies(),
 }

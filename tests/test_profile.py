@@ -106,3 +106,47 @@ def test_event_anomalies_adversarial(ray_session, tmp_path):
     assert by.loc[[41, 42, 43], "z"].eq(0.0).all()
     assert by.loc[44, "z"] == 0.0 and by.loc[44, "is_anomaly"] == 0
     assert by.loc[range(40), "is_anomaly"].eq(0).all()
+
+
+def test_doclen_ntile_adversarial(ray_session, tmp_path):
+    """Global ntile vs oracle where the edges bite: n not divisible by
+    k (first n%k tiles bigger), a hot duplicated length straddling a
+    tile boundary (doc_id breaks the tie), n < k (one row per tile)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysearch.pipelines import profile as P
+
+    def write(dirname, texts):
+        d = tmp_path / dirname
+        d.mkdir()
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    def check(sf):
+        got = P.doclen_ntile(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = con.execute(P.sql_doclen_ntile()).df()
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id", ignore_index=True),
+            want.sort_values("doc_id", ignore_index=True),
+            check_dtype=False)
+        return got
+
+    # 23 docs, heavy tie mass on length 2 (straddles tile edges)
+    texts = ["w"] * 5 + ["a b"] * 12 + ["a b c"] * 3 + ["a b c d"] * 3
+    got = check(write("ties", texts))
+    assert got.tile.value_counts().max() == 3   # 23 = 3x(2+1)+7x... DuckDB split
+    # n < k: one row per tile, tiles 1..n
+    got2 = check(write("tiny", ["x", "x y", "x y z"]))
+    assert sorted(got2.tile) == [1, 2, 3]

@@ -100,6 +100,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "dedup_exact",
             "fingerprint", "dedup_simhash",
             "source_stats", "lang_source_rollup", "mix_weights", "doclen_histogram",
+            "doclen_ntile",
             "normalize_text", "pii_scrub", "stratified_sample", "lang_confusion",
             "heavy_hitters", "grouped_topk", "sample_split", "mix_sample",
             "bpe_merges"]
