@@ -637,6 +637,119 @@ FROM t WHERE tok IN ({terms}) GROUP BY doc_id
 """
 
 
+MLT_DOCS = [0, 1, 2, 3, 4]
+MLT_TERMS = 3
+
+
+def more_like_this(sf_dir: str) -> pa.Table:
+    """Query-by-document ("related documents"): for each source doc,
+    take its top-{T} tf-idf terms (tf x ln(N/df), df from the global
+    lexicon, ties by term asc — the exact ``top_terms_tfidf``
+    contract), run them as a unit-weight BM25 query over the segment
+    index, drop the source doc itself, and return the top-10 under
+    the rounded (-score, doc_id) order.
+
+    Shape: the source docs are a predicate-pushdown read (row groups
+    containing MLT_DOCS only); term selection is driver-side over
+    {T} x |sources| rows; retrieval is the existing distributed
+    segment-scorer fan-out fed pre-tokenized term-weight lists. The
+    oracle composes the tf-idf CTE with the BM25 scorer CTE, so both
+    stages stay pinned to their standalone contracts.""".format(
+        T=MLT_TERMS)
+    import pyarrow.parquet as pq
+
+    from raysearch.query import lexicon_df, query_index
+    from raysearch.stats import load_stats
+    from raysearch.tokenize import tokenize_plain
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+
+    src = pq.read_table(_docs_path(sf_dir),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", MLT_DOCS)])
+    order = np.argsort(src["doc_id"].to_numpy())
+    ids = src["doc_id"].to_numpy()[order]
+    texts = [src["text"][int(i)].as_py() for i in order]
+
+    qweights = []
+    for text in texts:
+        toks = tokenize_plain(text)
+        terms, tf = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        dfs = lexicon_df(idx, [str(t) for t in terms])
+        score = round6(tf.astype(np.float64) * np.log(
+            float(st["n_docs"])
+            / np.array([float(dfs.get(str(t), 1.0)) for t in terms])))
+        pick = sorted(zip(-score, terms))[:MLT_TERMS]
+        qweights.append(sorted((str(t), 1) for _, t in pick))
+
+    raw = query_index(idx, qweights, k=_TOPK_BUFFER).to_pandas()
+    raw["score"] = round6(raw["score"].to_numpy(np.float64))
+    raw["src_doc_id"] = np.asarray(ids, dtype=np.int64)[
+        raw["query_id"].to_numpy(np.int64)]
+    raw = raw[raw.doc_id != raw.src_doc_id]
+    raw = raw.sort_values(["src_doc_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    raw["rank"] = raw.groupby("src_doc_id").cumcount() + 1
+    raw = raw[raw["rank"] <= TOPK]
+    return pa.table({
+        "src_doc_id": pa.array(raw.src_doc_id.to_numpy(np.int64),
+                               pa.int64()),
+        "doc_id": pa.array(raw.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(raw["rank"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(raw.score.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_more_like_this() -> str:
+    srcs = ", ".join(str(d) for d in MLT_DOCS)
+    return f"""
+WITH {_TOK_CTES},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+srcscore AS (
+  SELECT tf.doc_id AS src, tf.term,
+         round(tf.tf * ln(s.n_docs / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id IN ({srcs})
+),
+q AS (
+  SELECT src, term FROM (
+    SELECT src, term,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY tfidf DESC, term) AS r
+    FROM srcscore) WHERE r <= {MLT_TERMS}
+),
+scores AS (
+  SELECT q.src, tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+           AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfq ON q.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.src, tf.doc_id
+),
+ranked AS (
+  SELECT src AS src_doc_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY round(score, 6) DESC, doc_id)
+           AS rank
+  FROM scores WHERE doc_id <> src
+)
+SELECT src_doc_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def bool_and_docs(sf_dir: str) -> pa.Table:
     """Index-backed conjunctive (boolean AND) retrieval: for every
     query, ALL documents containing EVERY distinct query term —
@@ -807,6 +920,7 @@ QUERIES = {
     "phrase_topk": phrase_topk,
     "blocklist_docs": blocklist_docs,
     "bool_and_docs": bool_and_docs,
+    "more_like_this": more_like_this,
 }
 
 ORACLE_SQL = {
@@ -822,4 +936,5 @@ ORACLE_SQL = {
     "phrase_topk": sql_phrase_topk(),
     "blocklist_docs": sql_blocklist_docs(),
     "bool_and_docs": sql_bool_and_docs(),
+    "more_like_this": sql_more_like_this(),
 }

@@ -165,7 +165,11 @@ class SegmentScorer:
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
         self.k1, self.b = k1, b
         self.prune = prune
-        self.qweights = [query_term_weights(q) for q in queries]
+        # a query may be a raw string (tokenized here) or a
+        # pre-tokenized [(term, weight), ...] list in ascending term
+        # order (query-by-document callers build weights themselves)
+        self.qweights = [q if isinstance(q, list)
+                         else query_term_weights(q) for q in queries]
         self.all_terms = sorted({t for qw in self.qweights for t, _ in qw})
 
     def _score_part(self, part: int) -> pa.Table:
@@ -214,7 +218,9 @@ def query_index(
         from raysearch.segments import list_segment_parts
 
         parts = list_segment_parts(index_dir)
-    all_terms = sorted({t for q in queries for t, _ in query_term_weights(q)})
+    all_terms = sorted({t for q in queries for t, _ in
+                        (q if isinstance(q, list)
+                         else query_term_weights(q))})
     df = lexicon_df(index_dir, all_terms)
     if concurrency is None:
         concurrency = max(1, min(len(parts), 16))

@@ -69,3 +69,16 @@ def test_bool_and_docs_properties(ray_session):
         # completeness: any doc containing all terms IS returned
         want = {d for d, ts in toksets.items() if terms <= ts}
         assert hits == want, qid
+
+
+def test_more_like_this_properties(ray_session):
+    """Related-docs retrieval: the source doc never appears in its own
+    result list, ranks are gapless 1..10, and scores are positive and
+    non-increasing."""
+    mlt = Q.more_like_this(SF).to_pandas()
+    for src in Q.MLT_DOCS:
+        sub = mlt[mlt.src_doc_id == src].sort_values("rank")
+        assert src not in set(sub.doc_id)
+        assert sub["rank"].tolist() == list(range(1, Q.TOPK + 1))
+        s = sub.score.to_numpy()
+        assert (s > 0).all() and (np.diff(s) <= 0).all()
