@@ -548,8 +548,9 @@ def export_by_lang(sf_dir: str, out_dir: str | None = None) -> pa.Table:
     if keep and os.path.isdir(dest):
         for part in os.listdir(dest):
             if part.startswith("lang="):
-                shutil.rmtree(os.path.join(dest, part),
-                              ignore_errors=True)
+                # must succeed: a silently surviving stale partition
+                # would be double-counted by the footer scan
+                shutil.rmtree(os.path.join(dest, part))
     try:
         _read_docs(sf_dir, ["doc_id", "text", "lang", "source",
                             "n_chars"]).write_parquet(

@@ -84,6 +84,21 @@ def _user_sorted(g: pd.DataFrame):
     return uid, eid, tus, order, start, n
 
 
+def _user_bucketed(ds, nb: int):
+    """Append the coarse user-hash bucket column (upart = user_id &
+    (nb-1)) — the shared co-location key of every per-user operator in
+    this module; one definition so the bucketing contract lives in one
+    place."""
+    import pyarrow.compute as pc
+
+    def add_upart(b: pa.Table) -> pa.Table:
+        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
+        return b.append_column("upart", upart)
+
+    return ds.map_batches(add_upart, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def asof_join(sf_dir: str) -> pa.Table:
     """As-of join over events: for every '{left}' event, the same
     user's most recent PRIOR '{right}' event in (ts, event_id) order
@@ -96,23 +111,16 @@ def asof_join(sf_dir: str) -> pa.Table:
     one row; a candidate is valid iff it lies inside the row's own
     user segment. No per-user dispatch, no per-row Python.
     """.format(left=ASOF_LEFT, right=ASOF_RIGHT)
-    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from raysearch.hashing import auto_buckets
 
     nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
-
-    def add_upart(b: pa.Table) -> pa.Table:
-        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
-        return b.append_column("upart", upart)
-
     ds = _read(sf_dir, _EVENTS,
                columns=["event_id", "ts", "user_id", "event_type"],
                filter=pads.field("event_type").isin(
                    [ASOF_LEFT, ASOF_RIGHT]))
-    out = (ds.map_batches(add_upart, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    out = (_user_bucketed(ds, nb)
            .groupby("upart").map_groups(_asof_kern,
                                         batch_format="pandas"))
     df = out.to_pandas()
@@ -169,19 +177,11 @@ def range_join_events(sf_dir: str) -> pa.Table:
     match window and np.repeat/cumsum expand the pairs — fully
     vectorized across users, O(pairs) output work.
     """
-    import pyarrow.compute as pc
-
     from raysearch.hashing import auto_buckets
 
     nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
-
-    def add_upart(b: pa.Table) -> pa.Table:
-        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
-        return b.append_column("upart", upart)
-
     ds = _read(sf_dir, _EVENTS, columns=["event_id", "ts", "user_id"])
-    out = (ds.map_batches(add_upart, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    out = (_user_bucketed(ds, nb)
            .groupby("upart").map_groups(_range_kern,
                                         batch_format="pandas"))
     df = out.to_pandas()
@@ -832,15 +832,9 @@ def running_user_value(sf_dir: str) -> pa.Table:
     global lexsort + one global cumsum, per-user reset via the
     segment-start base trick (running = cum - (cum[start] -
     cents[start])), no per-user dispatch."""
-    import pyarrow.compute as pc
-
     from raysearch.hashing import auto_buckets
 
     nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
-
-    def add_upart(b: pa.Table) -> pa.Table:
-        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
-        return b.append_column("upart", upart)
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         uid, eid, tus, order, start, n = _user_sorted(g)
@@ -856,8 +850,7 @@ def running_user_value(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, _EVENTS,
                columns=["event_id", "ts", "user_id", "value"])
-    out = (ds.map_batches(add_upart, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    out = (_user_bucketed(ds, nb)
            .groupby("upart").map_groups(kern, batch_format="pandas"))
     df = out.to_pandas().sort_values("event_id", ignore_index=True)
     return pa.table({
@@ -890,17 +883,11 @@ def event_transitions(sf_dir: str) -> pa.Table:
     (vectorized across users), and a type-pair groupby producing
     per-(pair, bucket) additive partials that roll up through a
     type^2-cardinality groupby."""
-    import pyarrow.compute as pc
-
     from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets
 
     nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
-
-    def add_upart(b: pa.Table) -> pa.Table:
-        upart = pc.cast(pc.bit_wise_and(b["user_id"], nb - 1), pa.int64())
-        return b.append_column("upart", upart)
 
     def kern(g: pd.DataFrame) -> pd.DataFrame:
         uid, eid, tus, order, start, n = _user_sorted(g)
@@ -916,8 +903,7 @@ def event_transitions(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, _EVENTS,
                columns=["event_id", "ts", "user_id", "event_type"])
-    agg = (ds.map_batches(add_upart, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    agg = (_user_bucketed(ds, nb)
            .groupby("upart").map_groups(kern, batch_format="pandas")
            .groupby(["prev_type", "next_type"]).aggregate(
                Sum("n", alias_name="n")))

@@ -672,15 +672,23 @@ def more_like_this(sf_dir: str) -> pa.Table:
     ids = src["doc_id"].to_numpy()[order]
     texts = [src["text"][int(i)].as_py() for i in order]
 
-    qweights = []
+    per_doc = []
     for text in texts:
         toks = tokenize_plain(text)
         terms, tf = np.unique(np.asarray(toks, dtype=object),
                               return_counts=True)
-        dfs = lexicon_df(idx, [str(t) for t in terms])
+        per_doc.append((terms, tf))
+    # ONE filtered lexicon scan over the union of all sources' terms
+    dfs = lexicon_df(idx, sorted({str(t) for terms, _ in per_doc
+                                  for t in terms}))
+    qweights = []
+    for terms, tf in per_doc:
+        # every term of an indexed doc must be in the lexicon; a miss
+        # means tokenizer drift or a stale index — fail loudly rather
+        # than silently handing the phantom term maximal idf
         score = round6(tf.astype(np.float64) * np.log(
             float(st["n_docs"])
-            / np.array([float(dfs.get(str(t), 1.0)) for t in terms])))
+            / np.array([float(dfs[str(t)]) for t in terms])))
         pick = sorted(zip(-score, terms))[:MLT_TERMS]
         qweights.append(sorted((str(t), 1) for _, t in pick))
 

@@ -37,11 +37,11 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 NGRAM = 3
 
 
-def _read_docs(sf_dir: str):
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data
 
     return ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
-                                 columns=["doc_id", "text"])
+                                 columns=list(columns))
 
 
 def _tokens(batch: pa.Table) -> pa.ListArray:
@@ -783,7 +783,7 @@ def lang_confusion(sf_dir: str) -> pa.Table:
             "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
         })
 
-    ds = ray_read_docs_with_lang(sf_dir).map_batches(
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = ds.groupby(["true_lang", "pred_lang"]).aggregate(
         Sum("n", alias_name="n"))
@@ -794,13 +794,6 @@ def lang_confusion(sf_dir: str) -> pa.Table:
         "pred_lang": pa.array(df.pred_lang.tolist(), pa.string()),
         "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
     })
-
-
-def ray_read_docs_with_lang(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
-                                 columns=["doc_id", "text", "lang"])
 
 
 def sql_lang_confusion() -> str:

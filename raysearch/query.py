@@ -42,9 +42,9 @@ import pyarrow as pa
 
 from raysearch.score import (
     accumulate_scores,
+    as_qweights,
     bm25_contrib,
     bm25_idf,
-    query_term_weights,
     topk,
 )
 from raysearch.segments import decode_posting_row, part_dirname, read_postings
@@ -165,11 +165,9 @@ class SegmentScorer:
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
         self.k1, self.b = k1, b
         self.prune = prune
-        # a query may be a raw string (tokenized here) or a
-        # pre-tokenized [(term, weight), ...] list in ascending term
-        # order (query-by-document callers build weights themselves)
-        self.qweights = [q if isinstance(q, list)
-                         else query_term_weights(q) for q in queries]
+        # raw strings or pre-tokenized [(term, weight), ...] lists
+        # (query-by-document callers build weights themselves)
+        self.qweights = [as_qweights(q) for q in queries]
         self.all_terms = sorted({t for qw in self.qweights for t, _ in qw})
 
     def _score_part(self, part: int) -> pa.Table:
@@ -218,9 +216,8 @@ def query_index(
         from raysearch.segments import list_segment_parts
 
         parts = list_segment_parts(index_dir)
-    all_terms = sorted({t for q in queries for t, _ in
-                        (q if isinstance(q, list)
-                         else query_term_weights(q))})
+    all_terms = sorted({t for q in queries
+                        for t, _ in as_qweights(q)})
     df = lexicon_df(index_dir, all_terms)
     if concurrency is None:
         concurrency = max(1, min(len(parts), 16))

@@ -36,6 +36,15 @@ def query_term_weights(query: str) -> list[tuple[str, int]]:
     return sorted(counts.items())
 
 
+def as_qweights(q) -> list[tuple[str, int]]:
+    """Normalize a query to its [(term, weight), ...] form: raw
+    strings tokenize via query_term_weights; pre-tokenized lists (in
+    ascending term order — the accumulation contract) pass through.
+    The single normalization point for every scoring frontend
+    (query_index, SegmentScorer, the resident SegmentServer)."""
+    return q if isinstance(q, list) else query_term_weights(q)
+
+
 def bm25_idf(df: float, n_docs: float) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 

@@ -38,7 +38,7 @@ import pandas as pd
 from raysearch.query import (
     lexicon_df,
     merge_candidates,
-    query_term_weights,
+    as_qweights,
     score_queries_over_postings,
 )
 from raysearch.stats import load_stats
@@ -110,7 +110,7 @@ class _SegmentServerImpl:
 
     def query_batch(self, queries: list[str], k: int, mode: str,
                     df: dict[str, int], prune: bool = False) -> pd.DataFrame:
-        qweights = [query_term_weights(q) for q in queries]
+        qweights = [as_qweights(q) for q in queries]
         all_terms = sorted({t for qw in qweights for t, _ in qw})
         frames = []
         for part in self.parts:
@@ -188,7 +188,7 @@ class QuerySession:
         """Top-k per query: (query_id, rank, doc_id, score) pa.Table."""
         import ray
 
-        qweights = [query_term_weights(q) for q in queries]
+        qweights = [as_qweights(q) for q in queries]
         all_terms = sorted({t for qw in qweights for t, _ in qw})
         df = lexicon_df(self.index_dir, all_terms)
         refs = [a.query_batch.remote(queries, k, mode, df, prune)
