@@ -637,6 +637,54 @@ FROM t WHERE tok IN ({terms}) GROUP BY doc_id
 """
 
 
+def segment_stats(sf_dir: str) -> pa.Table:
+    """Index observability: one row per segment partition — doc /
+    term / posting counts, token mass, and on-disk bytes of each
+    compressed file — read from the durable partition MANIFESTS (the
+    same artifacts `cli monitor` and crash-resume validate), via the
+    parts fan-out (manifests are read where the segments live; no
+    driver loop over a 100k-part index). Partition layout is
+    engine-internal, so this is a rows-only entry; pytest asserts the
+    cross-partition invariants (doc/token totals match the corpus,
+    bytes match the files)."""
+    import ray.data
+
+    from raysearch.checkpoint import load_manifest
+    from raysearch.segments import part_dirname
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    parts = load_stats(idx)["parts"]
+
+    def rows(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("part", "n_docs", "n_terms",
+                                "n_postings", "sum_dl",
+                                "postings_bytes", "doclens_bytes")}
+        for part in batch["part"].to_pylist():
+            m = load_manifest(part_dirname(idx, int(part)))
+            if m is None:
+                continue
+            st, fl = m["stats"], m["files"]
+            cols["part"].append(int(part))
+            cols["n_docs"].append(int(st["n_docs"]))
+            cols["n_terms"].append(int(st["n_terms"]))
+            cols["n_postings"].append(int(st["n_postings"]))
+            cols["sum_dl"].append(int(st["sum_dl"]))
+            cols["postings_bytes"].append(
+                int(fl["postings.parquet"]["bytes"]))
+            cols["doclens_bytes"].append(
+                int(fl["doclens.parquet"]["bytes"]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    out = pa.concat_tables(
+        parts_ds.map_batches(rows, batch_format="pyarrow",
+                             batch_size=max(1, len(parts) // 16))
+        .iter_batches(batch_format="pyarrow"))
+    return out.sort_by("part")
+
+
 MLT_DOCS = [0, 1, 2, 3, 4]
 MLT_TERMS = 3
 
@@ -929,6 +977,7 @@ QUERIES = {
     "blocklist_docs": blocklist_docs,
     "bool_and_docs": bool_and_docs,
     "more_like_this": more_like_this,
+    "segment_stats": segment_stats,
 }
 
 ORACLE_SQL = {

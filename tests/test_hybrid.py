@@ -82,3 +82,27 @@ def test_more_like_this_properties(ray_session):
         assert sub["rank"].tolist() == list(range(1, Q.TOPK + 1))
         s = sub.score.to_numpy()
         assert (s > 0).all() and (np.diff(s) <= 0).all()
+
+
+def test_segment_stats_invariants(ray_session):
+    """Per-segment manifest stats must reconcile with the corpus and
+    the files on disk: doc and token totals match doc_lengths, byte
+    sizes match the actual segment files."""
+    import os
+
+    from raysearch.pipelines.search_queries import (cached_index,
+                                                    segment_stats)
+    from raysearch.segments import part_dirname
+
+    st = segment_stats(SF).to_pandas()
+    dl = Q.doc_lengths(SF).to_pandas()
+    assert st.n_docs.sum() == len(dl)
+    assert st.sum_dl.sum() == dl.dl.sum()
+    assert (st.n_postings >= st.n_terms).all()
+    idx = cached_index(SF)
+    for r in st.itertuples():
+        pd_ = part_dirname(idx, int(r.part))
+        assert os.path.getsize(
+            os.path.join(pd_, "postings.parquet")) == r.postings_bytes
+        assert os.path.getsize(
+            os.path.join(pd_, "doclens.parquet")) == r.doclens_bytes

@@ -138,3 +138,19 @@ def test_cli_monitor(idx):
     assert out[0]["parts_done"] == len(st["parts"])
     assert out[0]["n_docs"] == st["n_docs"]
     assert r.returncode == 0
+
+
+def test_term_weight_queries_all_frontends(ray_session, idx):
+    """Pre-tokenized [(term, weight)] queries must work identically on
+    every scoring frontend (query_index AND the resident session), and
+    must equal the equivalent raw-string query."""
+    tq = [[("fast", 1), ("hash", 1), ("join", 1)],
+          [("merge", 2), ("sort", 1)]]
+    want = query_index(idx, tq, k=10)
+    with QuerySession(idx, num_actors=2) as s:
+        got = s.query_batch(tq, k=10)
+    assert got.equals(want)
+    # unit-weight list == raw string through the same tokenizer
+    s1 = query_index(idx, ["fast hash join"], k=10)
+    assert s1["doc_id"].equals(want.filter(
+        __import__("pyarrow").compute.equal(want["query_id"], 0))["doc_id"])
