@@ -729,6 +729,87 @@ LIMIT {Q3_K}
 """
 
 
+def _q4_window_rows(sf_dir: str) -> int:
+    """Upper bound on window-filtered orders WITHOUT a data read:
+    parquet row-group o_orderdate min/max statistics prune groups
+    entirely outside [D1, D2); the bound is the sum of surviving
+    groups' row counts (exact enough for a strategy choice)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".parquet")]
+             if os.path.isdir(path) else [path])
+    total = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if (st is not None and st.has_min_max
+                    and (st.min >= Q4_D2 or st.max < Q4_D1)):
+                continue
+            total += md.row_group(rg).num_rows
+    return total
+
+
+def _order_priority_broadcast(sf_dir: str) -> pa.Table:
+    """Broadcast side of order_priority_counts: the window-filtered
+    (orderkey, date, priority) columns ship ONCE via ray.put as
+    sorted numpy arrays; each lineitem batch collapses to
+    per-orderkey MAX(shipdate), searchsorted-joins the order side,
+    and emits ONLY the okeys it saw a late line for. An order is late
+    iff ANY batch saw a late line, so the driver reduce is a plain
+    unique over the emitted keys — bounded by the (capped) window
+    order count, with no exchange at all."""
+    import pyarrow.parquet as pq
+    import ray
+
+    ords = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filters=[("o_orderdate", ">=", Q4_D1),
+                 ("o_orderdate", "<", Q4_D2)])
+    ok = ords["o_orderkey"].to_numpy().astype(np.int64)
+    odate = ords["o_orderdate"].cast(pa.timestamp("us")).to_numpy()         .astype("datetime64[us]").astype(np.int64)
+    prio = np.asarray(ords["o_orderpriority"].to_pylist(), dtype=object)
+    order = np.argsort(ok)
+    ok, odate, prio = ok[order], odate[order], prio[order]
+    side = ray.put((ok, odate))
+
+    def l_flags(df: pd.DataFrame) -> pd.DataFrame:
+        oks, odates = ray.get(side)  # zero-copy numpy views
+        g = (pd.DataFrame({
+                "okey": df["l_orderkey"].to_numpy(np.int64),
+                "ms": _epoch_us(df["l_shipdate"])})
+             .groupby("okey", as_index=False).agg(ms=("ms", "max")))
+        keys = g.okey.to_numpy()
+        pos = np.searchsorted(oks, keys)
+        pos_ok = pos < len(oks)
+        hit = np.zeros(len(keys), dtype=bool)
+        hit[pos_ok] = oks[pos[pos_ok]] == keys[pos_ok]
+        late = np.zeros(len(keys), dtype=bool)
+        late[hit] = (g.ms.to_numpy(np.int64)[hit]
+                     > odates[pos[hit]] + Q4_LATE_US)
+        return pd.DataFrame({"okey": keys[late]})
+
+    out = (_read(sf_dir, "lineitem.parquet",
+                 columns=["l_orderkey", "l_shipdate"])
+           .map_batches(l_flags, batch_format="pandas"))
+    chunks = [b["okey"].to_numpy()
+              for b in out.iter_batches(batch_format="pyarrow")
+              if len(b)]
+    late_keys = (np.unique(np.concatenate(chunks)).astype(np.int64)
+                 if chunks else np.array([], dtype=np.int64))
+    lp = prio[np.searchsorted(ok, late_keys)]
+    u, c = np.unique(lp.astype(str), return_counts=True)
+    order2 = np.argsort(u)
+    return pa.table({
+        "o_orderpriority": pa.array(u[order2].tolist(), pa.string()),
+        "n_orders": pa.array(c[order2].astype(np.int64), pa.int64()),
+    })
+
+
 Q4_D1 = __import__("datetime").datetime(1996, 1, 1)
 Q4_D2 = __import__("datetime").datetime(1997, 1, 1)
 Q4_LATE_US = 60 * 86_400_000_000  # late = shipped > 60 days after order
@@ -746,11 +827,22 @@ def order_priority_counts(sf_dir: str) -> pa.Table:
     per-bucket kernel resolves the EXISTS with one searchsorted-free
     pandas merge, and per-priority partial counts roll up through a
     priority-cardinality groupby. Order rows outside the date window
-    are dropped AT THE READ (parquet predicate pushdown)."""
+    are dropped AT THE READ (parquet predicate pushdown).
+
+    Auto-strategy (the revenue_by_nation pattern): when the
+    date-FILTERED orders side fits JOIN_BROADCAST_CAP, it broadcasts
+    as three sorted numpy arrays (zero-copy ray.get) and each
+    lineitem batch resolves EXISTS locally, emitting per-priority
+    partials — the only exchange is the 5-row priority groupby.
+    Above the cap, the bucketed shuffle path below. The strategy must
+    never change results (asserted in tests)."""
     from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets
 
+    n_win = _q4_window_rows(sf_dir)
+    if n_win <= JOIN_BROADCAST_CAP:
+        return _order_priority_broadcast(sf_dir)
     nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
 
     def l_partial(df: pd.DataFrame) -> pd.DataFrame:

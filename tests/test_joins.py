@@ -344,3 +344,15 @@ def test_order_priority_counts_adversarial(ray_session, tmp_path):
     # excluded, out-of-window order excluded, all-early excluded
     assert got.o_orderpriority.tolist() == ["2-HIGH"]
     assert got.n_orders.tolist() == [1]
+
+
+def test_order_priority_strategies_agree(ray_session, tmp_path,
+                                         monkeypatch):
+    """The broadcast/shuffle strategy choice must never change the
+    Q4 result (same contract as revenue_by_nation's auto-strategy)."""
+    sf = _write_q4_tables(tmp_path)
+    base = joins.order_priority_counts(sf).to_pandas()
+    monkeypatch.setattr(joins, "JOIN_BROADCAST_CAP", 0)
+    shuf = joins.order_priority_counts(sf).to_pandas()
+    pd.testing.assert_frame_equal(_norm(base), _norm(shuf))
+    assert base.o_orderpriority.tolist() == ["2-HIGH"]
