@@ -171,3 +171,119 @@ def test_random_table_parity(ray_session, rand_dir, rand_con, name):
         f"{name}: rows {len(engine)} != {len(oracle)}"
     pd.testing.assert_frame_equal(engine, oracle, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1.0e-6)
+
+
+# --- randomized TPC-H-shaped tables for the relational operators ----
+
+def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
+    from raysearch.pipelines import joins as J
+
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(5, dtype=np.int64)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(5)]),
+        "n_regionkey": pa.array(np.zeros(5, dtype=np.int64)),
+    })
+    n_cust = 60
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(
+            rng.integers(0, 5, n_cust).astype(np.int64)),
+        "c_acctbal": pa.array(np.zeros(n_cust)),
+        "c_mktsegment": pa.array(
+            rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE"],
+                       n_cust, p=[0.5, 0.3, 0.2]).tolist()),
+    })
+    d1 = np.datetime64(J.Q4_D1, "us")
+    span_days = 1200
+    odates = d1 + (rng.integers(-400, span_days, n_orders)
+                   * np.timedelta64(1, "D"))
+    # plant exact window boundaries
+    odates[0] = d1
+    odates[1] = np.datetime64(J.Q4_D2, "us")          # first day OUT
+    odates[2] = np.datetime64(J.Q4_D2, "us") - np.timedelta64(1, "us")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+        "o_custkey": pa.array(
+            rng.integers(0, n_cust, n_orders).astype(np.int64)),
+        "o_orderstatus": pa.array(["O"] * n_orders),
+        "o_totalprice": pa.array(
+            rng.integers(0, 10_000_000, n_orders) / 100.0),
+        "o_orderdate": pa.array(odates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"], n_orders).tolist()),
+    })
+    # lineitems: some orders have none (keys only up to n_orders-50),
+    # ship dates correlated to the order date with exact +60d plants
+    lkeys = rng.integers(0, n_orders - 50, n_lines).astype(np.int64)
+    offs = rng.integers(0, 120, n_lines) * np.timedelta64(1, "D")
+    sdates = odates[lkeys] + offs
+    exact60 = rng.random(n_lines) < 0.08
+    sdates[exact60] = odates[lkeys[exact60]] + np.timedelta64(60, "D")
+    plus1 = rng.random(n_lines) < 0.05
+    sdates[plus1] = (odates[lkeys[plus1]] + np.timedelta64(60, "D")
+                     + np.timedelta64(1, "us"))
+    lineitem = pa.table({
+        "l_orderkey": pa.array(lkeys),
+        "l_partkey": pa.array(np.zeros(n_lines, dtype=np.int64)),
+        "l_suppkey": pa.array(np.zeros(n_lines, dtype=np.int64)),
+        "l_linenumber": pa.array(np.arange(n_lines, dtype=np.int32)),
+        "l_quantity": pa.array(
+            rng.integers(1, 50, n_lines).astype(np.float64)),
+        "l_extendedprice": pa.array(
+            rng.integers(0, 1_000_000, n_lines) / 100.0),
+        "l_discount": pa.array(
+            rng.integers(0, 11, n_lines) / 100.0),
+        "l_tax": pa.array(rng.integers(0, 9, n_lines) / 100.0),
+        "l_returnflag": pa.array(
+            rng.choice(["A", "N", "R"], n_lines).tolist()),
+        "l_linestatus": pa.array(
+            rng.choice(["O", "F"], n_lines).tolist()),
+        "l_shipdate": pa.array(sdates, pa.timestamp("us")),
+    })
+    return {"nation": nation, "customer": customer, "orders": orders,
+            "lineitem": lineitem}
+
+
+_TPCH_OPS = ["order_priority_counts", "pricing_summary",
+             "revenue_by_nation", "top_unshipped_orders"]
+
+
+@pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")
+def tpch_dir(request, tmp_path_factory):
+    rng = np.random.default_rng(request.param + 31)
+    d = tmp_path_factory.mktemp(f"tpch{request.param}")
+    tables = _gen_tpch(rng, 800, 3000)
+    for name, tbl in tables.items():
+        if name in ("orders", "lineitem"):
+            _write_sharded(tbl, str(d / f"{name}.parquet"), 3, rng)
+        else:
+            pq.write_table(tbl, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tpch_con(tpch_dir):
+    c = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{tpch_dir}/{t}.parquet/*.parquet')")
+    for t in ("customer", "nation"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{tpch_dir}/{t}.parquet')")
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _TPCH_OPS)
+def test_random_tpch_parity(ray_session, tpch_dir, tpch_con, name):
+    import __ray_entry__ as entry
+    q = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    engine = _normalize(_to_pandas(q(tpch_dir)))
+    oracle = _normalize(tpch_con.execute(sql).df())
+    assert list(engine.columns) == list(oracle.columns), name
+    assert len(engine) == len(oracle), name
+    pd.testing.assert_frame_equal(engine, oracle, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1.0e-6)
