@@ -60,7 +60,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "order_priority_counts", "hybrid_topk", "c4_filters",
           "embedding_pc1", "export_by_lang", "bool_and_docs",
           "running_user_value", "event_transitions", "lang_confusion",
-          "doclen_ntile", "more_like_this", "segment_stats"]
+          "doclen_ntile", "more_like_this", "segment_stats",
+          "trigram_logprob"]
 
 
 def run_quality(sf_dir: str) -> dict:

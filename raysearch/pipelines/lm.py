@@ -195,5 +195,135 @@ FROM s
 """
 
 
-QUERIES = {"bigram_logprob": bigram_logprob}
-ORACLE_SQL = {"bigram_logprob": sql_bigram_logprob()}
+def _doc_trigrams(batch: pa.Table):
+    """(doc_idx, context-bigram, trigram) arrays for one batch —
+    contexts are the bigrams that START a trigram (positions
+    1..len-2), so ln(c3/c2ctx) is a proper conditional."""
+    toks = _tokens(batch)
+    dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) < 3:
+        e = np.zeros(0, dtype=np.int64)
+        return e, np.zeros(0, object), np.zeros(0, object)
+    doc_idx = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+    same = (doc_idx[:-2] == doc_idx[1:-1]) & (doc_idx[:-2] == doc_idx[2:])
+    ctx = (flat[:-2] + " " + flat[1:-1])[same]
+    tg = (flat[:-2] + " " + flat[1:-1] + " " + flat[2:])[same]
+    return doc_idx[:-2][same], ctx, tg
+
+
+def _train3(sf_dir: str):
+    """Global (trigram-context, trigram) counts — same transport as
+    _train: map-side partials, one groupby, four broadcast numpy
+    arrays."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, ctx, tg = _doc_trigrams(batch)
+        u1, n1 = np.unique(ctx, return_counts=True)
+        u2, n2 = np.unique(tg, return_counts=True)
+        return pa.table({
+            "gram": pa.array(np.concatenate([u1, u2]).tolist(),
+                             pa.string()),
+            "kind": pa.array([1] * len(u1) + [2] * len(u2), pa.int64()),
+            "n": pa.array(np.concatenate([n1, n2]), pa.int64()),
+        })
+
+    counts = (_read_docs(sf_dir)
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["kind", "gram"])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    one = counts[counts.kind == 1]
+    two = counts[counts.kind == 2]
+    h1, n1 = _hash_sorted(one["gram"].to_numpy(object),
+                          one["n"].to_numpy())
+    h2, n2 = _hash_sorted(two["gram"].to_numpy(object),
+                          two["n"].to_numpy())
+    return ray.put((h1, n1, h2, n2))
+
+
+class TrigramScorer:
+    """Actor-pool scoring stage for the trigram model: broadcast
+    model ray.get ONCE per actor (zero-copy numpy views)."""
+
+    def __init__(self, model_ref) -> None:
+        import ray
+
+        self.h1, self.n1, self.h2, self.n2 = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import md5_prefix_ints
+
+        doc_idx, ctx, tg = _doc_trigrams(batch)
+        n_docs = batch.num_rows
+        if len(tg) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_trigrams": pa.array([], pa.int64()),
+                             "logprob": pa.array([], pa.float64())})
+        lp = np.log(
+            _lookup(self.h2, self.n2, md5_prefix_ints(tg, _HASH_HEX))
+            / _lookup(self.h1, self.n1,
+                      md5_prefix_ints(ctx, _HASH_HEX)))
+        sums = np.zeros(n_docs)
+        np.add.at(sums, doc_idx, lp)
+        cnt = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(cnt, doc_idx, 1)
+        keep = cnt > 0
+        doc_ids = batch["doc_id"].to_numpy()[keep]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_trigrams": pa.array(cnt[keep], pa.int64()),
+            "logprob": pa.array(round6(sums[keep] / cnt[keep]),
+                                pa.float64()),
+        })
+
+
+def trigram_logprob(sf_dir: str) -> pa.Table:
+    """(doc_id, n_trigrams, logprob): mean ln c3(w1w2w3)/c2(w1w2 as
+    trigram context) per doc — the order-3 companion to
+    bigram_logprob (same two-pass shape, same zero-copy broadcast
+    transport, same no-smoothing exactness: the model is trained on
+    the corpus being scored, so every scored trigram was counted).
+    Docs with < 3 tokens are excluded on both sides."""
+    model_ref = _train3(sf_dir)
+
+    out = _read_docs(sf_dir).map_batches(
+        TrigramScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=1)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def sql_trigram_logprob() -> str:
+    return r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+b AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS ctx,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      AS tg
+  FROM t WHERE len(toks) >= 3
+),
+c3 AS (SELECT tg, count(*) AS c FROM b GROUP BY tg),
+cc AS (SELECT ctx AS w, count(*) AS c FROM b GROUP BY ctx),
+s AS (
+  SELECT b.doc_id, count(*) AS n,
+         sum(ln(c3.c::DOUBLE / cc.c)) AS lp
+  FROM b JOIN c3 USING (tg) JOIN cc ON cc.w = b.ctx
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n::BIGINT AS n_trigrams, round(lp / n, 6) AS logprob
+FROM s
+"""
+
+
+QUERIES = {"bigram_logprob": bigram_logprob,
+           "trigram_logprob": trigram_logprob}
+ORACLE_SQL = {"bigram_logprob": sql_bigram_logprob(),
+              "trigram_logprob": sql_trigram_logprob()}
