@@ -114,6 +114,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(bpe.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import relational
+        out.update(relational.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from raysearch.pipelines import knn
+        out.update(knn.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from raysearch.pipelines import semistructured
+        out.update(semistructured.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -125,7 +140,8 @@ def oracle_sql() -> dict[str, str]:
     for mod_name in ("textops", "dedup", "similarity", "events",
                      "multimodal", "extras", "chunking", "lm", "joins",
                      "sketches", "winnow", "mixing", "dsir", "packing",
-                     "profile", "bpe"):
+                     "profile", "bpe", "relational", "knn",
+                     "semistructured"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

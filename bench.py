@@ -61,7 +61,11 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "embedding_pc1", "export_by_lang", "bool_and_docs",
           "running_user_value", "event_transitions", "lang_confusion",
           "doclen_ntile", "more_like_this", "segment_stats",
-          "trigram_logprob"]
+          "trigram_logprob",
+          # round 3, fifth wave
+          "local_supplier_volume", "big_orders", "promo_revenue",
+          "churned_customers", "knn_graph", "knn_label_eval",
+          "props_stats"]
 
 
 def run_quality(sf_dir: str) -> dict:
