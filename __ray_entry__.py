@@ -129,6 +129,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(semistructured.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import wildcard
+        out.update(wildcard.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -141,7 +146,7 @@ def oracle_sql() -> dict[str, str]:
                      "multimodal", "extras", "chunking", "lm", "joins",
                      "sketches", "winnow", "mixing", "dsir", "packing",
                      "profile", "bpe", "relational", "knn",
-                     "semistructured"):
+                     "semistructured", "wildcard"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])
