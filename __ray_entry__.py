@@ -134,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(wildcard.QUERIES)
     except ImportError:
         pass
+    try:
+        from raysearch.pipelines import fuzzy
+        out.update(fuzzy.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -146,7 +151,7 @@ def oracle_sql() -> dict[str, str]:
                      "multimodal", "extras", "chunking", "lm", "joins",
                      "sketches", "winnow", "mixing", "dsir", "packing",
                      "profile", "bpe", "relational", "knn",
-                     "semistructured", "wildcard"):
+                     "semistructured", "wildcard", "fuzzy"):
         try:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=["ORACLE_SQL"])

@@ -65,7 +65,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 3, fifth wave
           "local_supplier_volume", "big_orders", "promo_revenue",
           "churned_customers", "knn_graph", "knn_label_eval",
-          "props_stats", "wildcard_docs", "term_suggest"]
+          "props_stats", "wildcard_docs", "term_suggest",
+          "fuzzy_name_pairs"]
 
 
 def run_quality(sf_dir: str) -> dict:
