@@ -178,21 +178,48 @@ def test_random_table_parity(ray_session, rand_dir, rand_con, name):
 def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
     from raysearch.pipelines import joins as J
 
+    region = pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int64)),
+        "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                            "MIDDLE EAST"]),
+    })
     nation = pa.table({
-        "n_nationkey": pa.array(np.arange(5, dtype=np.int64)),
-        "n_name": pa.array([f"NATION_{i}" for i in range(5)]),
-        "n_regionkey": pa.array(np.zeros(5, dtype=np.int64)),
+        "n_nationkey": pa.array(np.arange(10, dtype=np.int64)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(10)]),
+        "n_regionkey": pa.array(
+            (np.arange(10) % 5).astype(np.int64)),
     })
     n_cust = 60
     customer = pa.table({
         "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        # 'c<i>' names make dist-1 pairs dense (c1/c2, c10/c20, ...)
         "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
         "c_nationkey": pa.array(
-            rng.integers(0, 5, n_cust).astype(np.int64)),
-        "c_acctbal": pa.array(np.zeros(n_cust)),
+            rng.integers(0, 10, n_cust).astype(np.int64)),
+        # nonzero balances straddling the positive-mean threshold
+        "c_acctbal": pa.array(
+            rng.integers(-100_000, 1_000_000, n_cust) / 100.0),
         "c_mktsegment": pa.array(
             rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE"],
                        n_cust, p=[0.5, 0.3, 0.2]).tolist()),
+    })
+    n_supp, n_part = 20, 40
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+        "s_name": pa.array([f"s{i}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(
+            rng.integers(0, 10, n_supp).astype(np.int64)),
+        "s_acctbal": pa.array(np.zeros(n_supp)),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_name": pa.array([f"p{i}" for i in range(n_part)]),
+        "p_brand": pa.array(["Brand#1"] * n_part),
+        "p_type": pa.array(rng.choice(
+            ["PROMO", "STANDARD", "ECONOMY"], n_part,
+            p=[0.3, 0.4, 0.3]).tolist()),
+        "p_size": pa.array(np.ones(n_part, dtype=np.int32)),
+        "p_retailprice": pa.array(np.ones(n_part)),
     })
     d1 = np.datetime64(J.Q4_D1, "us")
     span_days = 1200
@@ -217,6 +244,9 @@ def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
     # lineitems: some orders have none (keys only up to n_orders-50),
     # ship dates correlated to the order date with exact +60d plants
     lkeys = rng.integers(0, n_orders - 50, n_lines).astype(np.int64)
+    # plant heavy orders so the Q18 HAVING (> 250 qty) is non-trivially
+    # satisfied on every seed: orders 0..9 get 30 lines each
+    lkeys[:300] = np.repeat(np.arange(10, dtype=np.int64), 30)
     offs = rng.integers(0, 120, n_lines) * np.timedelta64(1, "D")
     sdates = odates[lkeys] + offs
     exact60 = rng.random(n_lines) < 0.08
@@ -226,8 +256,10 @@ def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
                      + np.timedelta64(1, "us"))
     lineitem = pa.table({
         "l_orderkey": pa.array(lkeys),
-        "l_partkey": pa.array(np.zeros(n_lines, dtype=np.int64)),
-        "l_suppkey": pa.array(np.zeros(n_lines, dtype=np.int64)),
+        "l_partkey": pa.array(
+            rng.integers(0, n_part, n_lines).astype(np.int64)),
+        "l_suppkey": pa.array(
+            rng.integers(0, n_supp, n_lines).astype(np.int64)),
         "l_linenumber": pa.array(np.arange(n_lines, dtype=np.int32)),
         "l_quantity": pa.array(
             rng.integers(1, 50, n_lines).astype(np.float64)),
@@ -242,12 +274,16 @@ def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
             rng.choice(["O", "F"], n_lines).tolist()),
         "l_shipdate": pa.array(sdates, pa.timestamp("us")),
     })
-    return {"nation": nation, "customer": customer, "orders": orders,
+    return {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
             "lineitem": lineitem}
 
 
 _TPCH_OPS = ["order_priority_counts", "pricing_summary",
-             "revenue_by_nation", "top_unshipped_orders"]
+             "revenue_by_nation", "top_unshipped_orders",
+             # fifth wave
+             "local_supplier_volume", "big_orders", "promo_revenue",
+             "churned_customers", "fuzzy_name_pairs"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")
@@ -269,7 +305,7 @@ def tpch_con(tpch_dir):
     for t in ("orders", "lineitem"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{tpch_dir}/{t}.parquet/*.parquet')")
-    for t in ("customer", "nation"):
+    for t in ("customer", "nation", "region", "supplier", "part"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{tpch_dir}/{t}.parquet')")
     yield c
