@@ -715,7 +715,93 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _latest_per_user(df: pd.DataFrame) -> np.ndarray:
+    """Row indices of each user's LAST row under the shared
+    (ts_us, event_id) total order — one lexsort + segment-end pick,
+    vectorized across users. Works on both raw batches (ts column)
+    and partial rows (ts_us column)."""
+    tus = (df["ts_us"].to_numpy(np.int64) if "ts_us" in df.columns
+           else _epoch_us(df["ts"]))
+    uid = df["user_id"].to_numpy(np.int64)
+    eid = df["event_id"].to_numpy(np.int64)
+    order = np.lexsort((eid, tus, uid))
+    last = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        u_sorted = uid[order]
+        last[:-1] = u_sorted[1:] != u_sorted[:-1]
+    return order[last]
+
+
+def latest_events(sf_dir: str) -> pa.Table:
+    """Log compaction / upsert semantics: each user's LATEST event
+    (the last row under the (ts, event_id) total order) — the
+    keep-newest-value-per-key primitive of every CDC / state-store
+    pipeline.
+
+    Pure combiner shape: "latest" is a mergeable aggregate, so each
+    batch collapses map-side to one row per user it saw (the exchange
+    carries <= users-per-batch rows, never raw events), and ONE
+    coarse user-bucket groupby finishes the reduction with the same
+    kernel. Value is exact int64 cents."""
+    from raysearch.hashing import auto_buckets
+    from raysearch.pipelines.joins import _cents
+
+    n_upart = auto_buckets(_n_events(sf_dir))
+    cols = ["upart", "user_id", "ts_us", "event_id", "event_type",
+            "value_cents"]
+
+    def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
+        keep = _latest_per_user(df)
+        uid = df["user_id"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({
+            "upart": uid & (n_upart - 1),
+            "user_id": uid,
+            "ts_us": _epoch_us(df["ts"])[keep],
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "event_type": df["event_type"].to_numpy()[keep],
+            "value_cents": _cents(
+                df["value"].to_numpy(np.float64))[keep]})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[_latest_per_user(g)][cols[1:]]
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id",
+                               "event_type", "value"])
+    out = (ds.map_batches(batch_latest, batch_format="pandas")
+           .groupby("upart").map_groups(kern, batch_format="pandas"))
+    df = out.to_pandas()
+    if "user_id" not in df.columns:  # empty input
+        df = pd.DataFrame({"user_id": np.array([], np.int64),
+                           "ts_us": np.array([], np.int64),
+                           "event_id": np.array([], np.int64),
+                           "event_type": pd.Series([], dtype=object),
+                           "value_cents": np.array([], np.int64)})
+    df = df.sort_values("user_id", ignore_index=True)
+    return pa.table({
+        "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
+        "ts_us": pa.array(df.ts_us.to_numpy(np.int64), pa.int64()),
+        "event_id": pa.array(df.event_id.to_numpy(np.int64),
+                             pa.int64()),
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "value_cents": pa.array(df.value_cents.to_numpy(np.int64),
+                                pa.int64()),
+    })
+
+
+def sql_latest_events() -> str:
+    return """
+SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, event_type,
+       CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "latest_events": latest_events,
     "events_window": events_window,
     "user_sessions": user_sessions,
     "event_quantiles": event_quantiles,
@@ -725,6 +811,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "latest_events": sql_latest_events(),
     "events_hopping": sql_events_hopping(),
     "events_window": sql_events_window(),
     "user_sessions": sql_user_sessions(),
