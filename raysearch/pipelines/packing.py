@@ -160,5 +160,99 @@ FROM w
 """
 
 
-QUERIES = {"pack_offsets": pack_offsets}
-ORACLE_SQL = {"pack_offsets": sql_pack_offsets()}
+SHUF_HEX = 11  # 44-bit md5 prefix, the engine's shared order hash
+
+
+def shuffle_positions(sf_dir: str) -> pa.Table:
+    """Deterministic global-shuffle ordering for training epochs:
+    every document's 0-based position in the md5(doc_id)-permuted
+    order — reproducible from the key alone on any engine, so shards
+    built on different machines agree without a stored permutation.
+
+    The same distributed ordered-prefix-sum shape as pack_offsets,
+    but on the HASH domain: bucket = the top bits of the 44-bit md5
+    prefix, so buckets are RANGE-ordered in the shuffle key AND
+    uniformly balanced by construction (no footer statistics needed).
+    Pass 1 counts per bucket (combiner partials through one narrow
+    groupby; the driver exclusive-cumsums nb rows into broadcast base
+    ranks); pass 2 is one bucket groupby whose kernel sorts in-range
+    by (hash, doc_id) and adds the base — a global permutation with
+    NO global sort. Hash ties break by doc_id; lowercase fixed-width
+    hex compares identically as string (oracle) and integer (engine).
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets, parquet_rows
+
+    path = os.path.join(sf_dir, _DOCS)
+    n_rows = parquet_rows(path)
+    if n_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    nb = auto_buckets(n_rows)
+    shift = np.uint64(4 * SHUF_HEX - int(nb).bit_length() + 1)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode())
+                 .hexdigest()[:SHUF_HEX], 16) for i in ids),
+            dtype=np.uint64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+            "rng": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            "n": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+        })
+
+    rows = ray.data.read_parquet(path, columns=["doc_id"]) \
+        .map_batches(narrow, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    totals = (rows.groupby("rng").aggregate(Sum("n", alias_name="cnt"))
+              .to_pandas())
+    base = np.zeros(nb, dtype=np.int64)
+    base[totals["rng"].to_numpy(np.int64)] = totals["cnt"].to_numpy(
+        np.int64)
+    base = np.concatenate(([0], np.cumsum(base)[:-1]))  # exclusive
+    base_ref = ray.put(base)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)  # zero-copy numpy view
+        ids = g["doc_id"].to_numpy(np.int64)
+        h = g["h"].to_numpy(np.int64)
+        order = np.lexsort((ids, h))
+        pos = b[int(g["rng"].iloc[0])] + np.arange(len(ids),
+                                                   dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids[order], "pos": pos})
+
+    out = rows.groupby("rng").map_groups(kern, batch_format="pandas")
+    df = out.to_pandas()
+    if "pos" not in df.columns:  # empty input
+        df = pd.DataFrame({"doc_id": np.array([], np.int64),
+                           "pos": np.array([], np.int64)})
+    df = df.sort_values("doc_id", ignore_index=True)
+    return pa.table({
+        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
+        "pos": pa.array(df.pos.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_shuffle_positions() -> str:
+    return f"""
+SELECT doc_id,
+       (row_number() OVER (
+            ORDER BY substr(md5(doc_id::VARCHAR), 1, {SHUF_HEX}),
+                     doc_id) - 1)::BIGINT AS pos
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {"pack_offsets": pack_offsets,
+           "shuffle_positions": shuffle_positions}
+ORACLE_SQL = {"pack_offsets": sql_pack_offsets(),
+              "shuffle_positions": sql_shuffle_positions()}

@@ -105,3 +105,34 @@ def test_pack_offsets_empty_input(ray_session, tmp_path):
     out = pack_offsets(str(tmp_path)).to_pandas()
     assert list(out.columns) == ["doc_id", "dl", "start_tok", "n_blocks"]
     assert len(out) == 0
+
+
+def test_shuffle_positions_properties(ray_session, tmp_path):
+    # sparse, disk-shuffled ids: positions are an exact permutation
+    # 0..n-1 and match the SQL md5-order window
+    from raysearch.pipelines.packing import (shuffle_positions,
+                                             sql_shuffle_positions)
+
+    rows = [(1_000_000, "x"), (5, "y"), (900, ""), (17, "z"),
+            (40_000, "w"), (0, "v")]
+    sf = _write_docs(tmp_path, rows)
+    eng = shuffle_positions(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(sql_shuffle_positions()).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False,
+                                  check_exact=True)
+    assert sorted(eng.pos.tolist()) == list(range(len(rows)))
+
+
+def test_shuffle_positions_bucket_invariance(ray_session, monkeypatch):
+    from raysearch.pipelines import packing
+
+    results = {}
+    for nb in (1, 16):
+        monkeypatch.setattr("raysearch.hashing.auto_buckets",
+                            lambda *a, nb=nb, **k: nb)
+        results[nb] = packing.shuffle_positions(
+            "/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(results[1], results[16])
