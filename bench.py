@@ -66,7 +66,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "local_supplier_volume", "big_orders", "promo_revenue",
           "churned_customers", "knn_graph", "knn_label_eval",
           "props_stats", "wildcard_docs", "term_suggest",
-          "fuzzy_name_pairs", "latest_events", "shuffle_positions"]
+          "fuzzy_name_pairs", "latest_events", "shuffle_positions",
+          "spellfix_topk"]
 
 
 def run_quality(sf_dir: str) -> dict:

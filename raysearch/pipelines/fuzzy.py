@@ -110,25 +110,43 @@ def _variant_hashes(codes: np.ndarray, lens: np.ndarray):
 
 
 def _verify(names_a, names_b) -> np.ndarray:
-    """Exact Levenshtein<=1 for candidate pairs (|len diff| <= 1 by
-    construction): len-diff-1 candidates are true by the shared-
-    variant argument; equal-length pairs need mismatches <= 1.
-    Returns the distance (0/1) or -1 for rejected pairs."""
+    """Exact Levenshtein<=1 per pair, fully vectorized. Returns the
+    distance (0/1) or -1 for rejected pairs. Unlike a blocking-only
+    shortcut (a shared 1-deletion variant DOES prove a len-diff-1
+    pair), this accepts arbitrary pairs: equal length needs
+    mismatches <= 1; len diff 1 needs longest-common-prefix +
+    longest-common-suffix >= shorter length (the one-deletion test);
+    len diff >= 2 is always rejected."""
     ca, la = _name_codes(names_a)
     cb, lb = _name_codes(names_b)
     n = len(la)
+    w = max(ca.shape[1], cb.shape[1], 1)
+    A = np.zeros((n, w), np.uint64)
+    A[:, :ca.shape[1]] = ca
+    Bm = np.zeros((n, w), np.uint64)
+    Bm[:, :cb.shape[1]] = cb
     dist = np.full(n, -1, dtype=np.int64)
-    diff1 = np.abs(la - lb) == 1
-    dist[diff1] = 1
     same = la == lb
     if same.any():
-        # equal-length rows have len <= min(maxlen_a, maxlen_b) and
-        # zero padding beyond, so comparing the common width suffices
-        w = min(ca.shape[1], cb.shape[1])
-        mism = (ca[same, :w] != cb[same, :w]).sum(axis=1)
+        mism = (A[same] != Bm[same]).sum(axis=1)
         d = np.full(int(same.sum()), -1, dtype=np.int64)
         d[mism <= 1] = (mism[mism <= 1] > 0).astype(np.int64)
         dist[same] = d
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        short_is_a = (la < lb)[:, None]
+        S = np.where(short_is_a, A, Bm)[d1]
+        L = np.where(short_is_a, Bm, A)[d1]
+        ls = np.minimum(la, lb)[d1]
+        pre = np.minimum(
+            np.logical_and.accumulate(S == L, axis=1).sum(axis=1), ls)
+        # suffix of S vs L shifted one left; the zero padding past
+        # both strings' ends is always equal, so subtract the padding
+        # width from the trailing-equal run
+        eq2 = (S[:, : w - 1] == L[:, 1:])[:, ::-1]
+        run = np.logical_and.accumulate(eq2, axis=1).sum(axis=1)
+        suf = np.maximum(run - ((w - 1) - ls), 0)
+        dist[d1] = np.where(pre + suf >= ls, 1, -1)
     return dist
 
 
@@ -231,6 +249,174 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
     })
 
 
+# typo-tolerant search: misspelled queries over the sf vocabulary —
+# dist-1 deletions/insertions/substitutions, one exact term (dist 0
+# wins over any higher-df neighbor), one hopeless term (dropped), one
+# ambiguous corruption ('sart' -> part/sort, df tie-break), and two
+# terms collapsing onto one correction (weights add)
+SPELL_QUERIES = ["dta strem xqzzt", "hashh joinn", "window quer",
+                 "merge sortt", "sart value", "dta data"]
+
+
+def _correct_terms(idx: str, terms: list[str]) -> dict[str, str]:
+    """Map each query term to its best lexicon correction within
+    Levenshtein distance 1 (UTF-8 bytes), ranked (dist ASC, df DESC,
+    term ASC); terms with no candidate are absent from the map.
+
+    Scale shape: the query terms' variant hashes broadcast (tiny);
+    candidates come from ONE streaming pass over the lexicon that
+    variant-hashes each lexicon batch and membership-matches — never
+    a vocab cross join, and the driver sees only the matched
+    candidates (bounded by the queries' fuzzy neighborhoods)."""
+    import ray
+    import ray.data
+
+    codes, lens = _name_codes(terms)
+    _, qh = _variant_hashes(codes, lens)
+    qvar_ref = ray.put(np.unique(qh))
+
+    def scan(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qv = ray.get(qvar_ref)  # zero-copy numpy view
+        lex_terms = pc.cast(b["term"], pa.string()).to_pylist()
+        c2, l2 = _name_codes(lex_terms)
+        r2, h2 = _variant_hashes(c2, l2)
+        pos = np.searchsorted(qv, h2)
+        ok = pos < len(qv)
+        hit = np.zeros(len(h2), dtype=bool)
+        hit[ok] = qv[pos[ok]] == h2[ok]
+        sel = np.unique(r2[hit])
+        return pa.table({
+            "term": pa.array([lex_terms[i] for i in sel], pa.string()),
+            "df": pc.cast(b["df"], pa.int64()).take(
+                pa.array(sel, pa.int64())),
+        })
+
+    lex = ray.data.read_parquet(os.path.join(idx, "lexicon"),
+                                columns=["term", "df"])
+    cand = pa.concat_tables(
+        lex.map_batches(scan, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    cterms = np.asarray(cand["term"].to_pylist(), dtype=object)
+    cdfs = cand["df"].to_numpy().astype(np.int64)
+    best: dict[str, tuple] = {}
+    for t in terms:
+        if len(cterms) == 0:
+            continue
+        dist = _verify(np.full(len(cterms), t, dtype=object), cterms)
+        ok = dist >= 0
+        for d, df, c in zip(dist[ok], cdfs[ok], cterms[ok]):
+            key = (int(d), -int(df), str(c))
+            if t not in best or key < best[t]:
+                best[t] = key
+    return {t: k[2] for t, k in best.items()}
+
+
+def spellfix_topk(sf_dir: str) -> pa.Table:
+    """Typo-tolerant BM25 search: each misspelled query's terms are
+    corrected against the lexicon (distance <= 1, nearest first, then
+    highest df, then term order; uncorrectable terms drop; terms
+    collapsing onto one correction add their weights), then the
+    corrected term-weight lists run through the exact distributed
+    segment scorer — the composition of the SymSpell blocking, the
+    queryable lexicon, and the BM25 fan-out."""
+    from raysearch.numutil import round6
+    from raysearch.pipelines.search_queries import (_TOPK_BUFFER, TOPK,
+                                                    cached_index)
+    from raysearch.query import query_index
+    from raysearch.score import query_term_weights
+
+    idx = cached_index(sf_dir)
+    per_q = [query_term_weights(q) for q in SPELL_QUERIES]
+    uniq = sorted({t for qt in per_q for t, _ in qt})
+    fix = _correct_terms(idx, uniq)
+
+    qweights = []
+    for qt in per_q:
+        agg: dict[str, int] = {}
+        for t, w in qt:
+            c = fix.get(t)
+            if c is not None:
+                agg[c] = agg.get(c, 0) + int(w)
+        qweights.append(sorted(agg.items()))
+
+    raw = query_index(idx, qweights, k=_TOPK_BUFFER).to_pandas()
+    raw["score"] = round6(raw["score"].to_numpy(np.float64))
+    raw = raw.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    raw["rank"] = raw.groupby("query_id").cumcount() + 1
+    raw = raw[raw["rank"] <= TOPK]
+    return pa.table({
+        "query_id": pa.array(raw.query_id.to_numpy(np.int64),
+                             pa.int64()),
+        "doc_id": pa.array(raw.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(raw["rank"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(raw.score.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def _spell_values() -> str:
+    from raysearch.score import query_term_weights
+
+    rows = []
+    for qid, q in enumerate(SPELL_QUERIES):
+        for term, w in query_term_weights(q):
+            rows.append(f"({qid}, '{term}', {int(w)})")
+    return ", ".join(rows)
+
+
+def sql_spellfix_topk() -> str:
+    from raysearch.pipelines.search_queries import _TOK_CTES, B, K1, TOPK
+
+    return f"""
+WITH {_TOK_CTES},
+dfi AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+mq(query_id, mterm, w) AS (VALUES {_spell_values()}),
+cand AS (
+  SELECT mq.query_id, mq.mterm, mq.w, dfi.term, dfi.df,
+         levenshtein(mq.mterm, dfi.term) AS dist
+  FROM mq JOIN dfi ON levenshtein(mq.mterm, dfi.term) <= 1
+),
+best AS (
+  SELECT query_id, mterm, w, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, mterm
+                                 ORDER BY dist, df DESC, term) AS rn
+    FROM cand) WHERE rn = 1
+),
+q AS (SELECT query_id, term, sum(w)::DOUBLE AS w
+      FROM best GROUP BY query_id, term),
+dfd AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - dfd.df + 0.5) / (dfd.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+           AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfd ON q.term = dfd.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id)
+           AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def sql_fuzzy_name_pairs() -> str:
     return """
 SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
@@ -244,8 +430,10 @@ ORDER BY custkey_a, custkey_b
 
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "spellfix_topk": spellfix_topk,
 }
 
 ORACLE_SQL = {
     "fuzzy_name_pairs": sql_fuzzy_name_pairs(),
+    "spellfix_topk": sql_spellfix_topk(),
 }

@@ -91,3 +91,47 @@ def test_fuzzy_bucket_invariance(ray_session, tmp_path, monkeypatch):
                             lambda n, _nb=nb, **kw: _nb)
         results[nb] = F.fuzzy_name_pairs(sf).to_pandas()
     pd.testing.assert_frame_equal(results[2], results[64])
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_spellfix_adversarial(ray_session, tmp_path, monkeypatch):
+    # vocabulary: 'cat' (df 1), 'car' (df 4), 'bat'/'bag' (equal df 2)
+    monkeypatch.setattr(F, "SPELL_QUERIES", [
+        "cat",        # exact match must WIN over higher-df 'car'
+        "caf",        # dist-1 of both cat and car -> df picks 'car'
+        "ba",         # dist-1 of bat and bag, equal df -> 'bag' (asc)
+        "zzz car",    # 'zzz' has no candidate -> dropped
+        "caf cat",    # weights: caf->car, cat stays
+    ])
+    d = _write_docs(tmp_path, [
+        "cat car bat bag",
+        "car bat bag",
+        "car other words",
+        "car again",
+    ])
+    eng = F.spellfix_topk(d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    ora = con.execute(F.sql_spellfix_topk()).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True),
+        check_dtype=False)
+    # query 0 ('cat'): only doc 0 contains cat -> single result
+    q0 = eng[eng.query_id == 0]
+    assert q0.doc_id.tolist() == [0]
+    # query 3: 'zzz' dropped, results = the 'car' docs (all 4)
+    assert set(eng[eng.query_id == 3].doc_id) == {0, 1, 2, 3}
