@@ -508,11 +508,167 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---- Q13 shape: customer order-count distribution ----
+
+def cust_order_dist(sf_dir: str) -> pa.Table:
+    """TPC-H-Q13-shaped distribution: for each order count c, how many
+    customers placed exactly c orders — INCLUDING zero-order customers
+    (the LEFT OUTER join semantics most naive distributed joins drop).
+
+    Shape: orders collapse map-side to per-custkey count partials;
+    customers emit zero rows on the same custkey-bucket key, so the
+    per-bucket kernel resolves the outer join locally (sum counts per
+    custkey over the union — a customer with no order rows keeps its
+    0). The second exchange is the count-cardinality histogram
+    groupby of per-bucket partials. Raw orders never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "customer.parquet"))
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"custkey": df["o_custkey"].to_numpy(np.int64)})
+             .groupby("custkey", as_index=False)
+             .agg(cnt=("custkey", "size")))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g.assign(bucket=g.custkey.to_numpy() & (nb - 1),
+                        side=np.int64(1))[
+            ["bucket", "custkey", "cnt", "side"]]
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": ck & (nb - 1), "custkey": ck,
+            "cnt": np.zeros(len(ck), np.int64), "side": np.int64(0)})
+
+    def outer_kern(g: pd.DataFrame) -> pd.DataFrame:
+        # keep only custkeys present on the CUSTOMER side (orders with
+        # a dangling custkey don't mint a customer), then sum counts
+        cust_keys = g[g.side == 0].custkey.to_numpy()
+        tot = (g[np.isin(g.custkey.to_numpy(), cust_keys)]
+               .groupby("custkey", as_index=False)
+               .agg(c_count=("cnt", "sum")))
+        return (tot.groupby("c_count", as_index=False)
+                .agg(custdist=("custkey", "size")))
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_custkey"]).map_batches(
+        o_partial, batch_format="pandas")
+    cust = _read(sf_dir, "customer.parquet",
+                 columns=["c_custkey"]).map_batches(
+        c_rows, batch_format="pandas")
+    agg = (orders.union(cust)
+           .groupby("bucket").map_groups(outer_kern,
+                                         batch_format="pandas")
+           .groupby("c_count").aggregate(
+               Sum("custdist", alias_name="custdist")))
+    df = agg.to_pandas()
+    if "c_count" not in df.columns:  # empty input
+        df = pd.DataFrame({"c_count": np.array([], np.int64),
+                           "custdist": np.array([], np.int64)})
+    df = df.sort_values(["custdist", "c_count"],
+                        ascending=[False, False], ignore_index=True)
+    return pa.table({
+        "c_count": pa.array(df.c_count.to_numpy(np.int64), pa.int64()),
+        "custdist": pa.array(df.custdist.to_numpy(np.int64),
+                             pa.int64()),
+    })
+
+
+def sql_cust_order_dist() -> str:
+    return """
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---- Q15 shape: top supplier(s) by quarterly revenue ----
+
+Q15_D1 = datetime.datetime(1996, 1, 1)
+Q15_D2 = datetime.datetime(1996, 4, 1)
+
+
+def top_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) whose
+    {d1:%Y-%m}–{d2:%Y-%m} shipped revenue equals the maximum — the
+    argmax-with-ties pattern (every tied supplier is returned, exactly
+    like the reference query's revenue = max(total_revenue) subquery).
+
+    Shape: lineitem window-filtered AT THE READ collapses map-side to
+    per-suppkey c4 partials; one supplier-cardinality groupby sums
+    exactly (int64 c4, so the max compare can never be perturbed by
+    float summation order); the driver takes max + ties over the
+    supplier-cardinality table and name-joins the (tiny) supplier
+    dimension.""".format(d1=Q15_D1, d2=Q15_D2)
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        return (pd.DataFrame({
+                    "suppkey": df["l_suppkey"].to_numpy(np.int64),
+                    "c4": cents * (100 - disc)})
+                .groupby("suppkey", as_index=False)
+                .agg(c4=("c4", "sum")))
+
+    agg = (_read(sf_dir, "lineitem.parquet",
+                 columns=["l_suppkey", "l_extendedprice", "l_discount"],
+                 filter=((pads.field("l_shipdate") >= Q15_D1)
+                         & (pads.field("l_shipdate") < Q15_D2)))
+           .map_batches(l_partial, batch_format="pandas")
+           .groupby("suppkey").aggregate(
+               Sum("c4", alias_name="revenue_c4")))
+    df = agg.to_pandas()
+    if "suppkey" not in df.columns or not len(df):
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "revenue_c4": pa.array([], pa.int64())})
+    top = df[df.revenue_c4 == df.revenue_c4.max()]
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    j = (top.merge(supp, left_on="suppkey", right_on="s_suppkey")
+         .sort_values("s_suppkey", ignore_index=True))
+    return pa.table({
+        "s_suppkey": pa.array(j.s_suppkey.to_numpy(np.int64),
+                              pa.int64()),
+        "s_name": pa.array(j.s_name.tolist(), pa.string()),
+        "revenue_c4": pa.array(j.revenue_c4.to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def sql_top_suppliers() -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+             )::BIGINT AS revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_D1:%Y-%m-%d}'
+    AND l_shipdate < TIMESTAMP '{Q15_D2:%Y-%m-%d}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, revenue_c4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_c4 = (SELECT max(revenue_c4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "local_supplier_volume": local_supplier_volume,
     "big_orders": big_orders,
     "promo_revenue": promo_revenue,
     "churned_customers": churned_customers,
+    "cust_order_dist": cust_order_dist,
+    "top_suppliers": top_suppliers,
 }
 
 ORACLE_SQL = {
@@ -520,4 +676,6 @@ ORACLE_SQL = {
     "big_orders": sql_big_orders(),
     "promo_revenue": sql_promo_revenue(),
     "churned_customers": sql_churned_customers(),
+    "cust_order_dist": sql_cust_order_dist(),
+    "top_suppliers": sql_top_suppliers(),
 }

@@ -283,7 +283,8 @@ _TPCH_OPS = ["order_priority_counts", "pricing_summary",
              "revenue_by_nation", "top_unshipped_orders",
              # fifth wave
              "local_supplier_volume", "big_orders", "promo_revenue",
-             "churned_customers", "fuzzy_name_pairs"]
+             "churned_customers", "fuzzy_name_pairs",
+             "cust_order_dist", "top_suppliers"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")

@@ -270,3 +270,49 @@ def test_broadcast_cap_raises(ray_session, tmp_path, monkeypatch):
         R.local_supplier_volume(sf)
     with pytest.raises(ValueError, match="broadcast cap"):
         R.promo_revenue(sf)
+
+
+def test_cust_order_dist_outer_semantics(ray_session, tmp_path):
+    # customer 3 has NO orders (the zero bucket the LEFT join must
+    # keep); order 1003's custkey 99 has NO customer row (must not
+    # mint a phantom customer)
+    sf = _star(
+        tmp_path,
+        customers=[(1, 2, 0.0), (2, 2, 0.0), (3, 2, 0.0)],
+        suppliers=[(10, 2)],
+        parts=[(100, "STANDARD")],
+        orders=[(1000, 1, T96, 1.0), (1001, 1, T96, 1.0),
+                (1002, 2, T96, 1.0), (1003, 99, T96, 1.0)],
+        lineitems=[(1000, 100, 10, 1.0, 1.0, 0.0, T96)])
+    out = R.cust_order_dist(sf)
+    _assert_parity(out, sf, R.sql_cust_order_dist())
+    d = out.to_pandas().set_index("c_count").custdist
+    assert d.loc[0] == 1      # customer 3
+    assert d.loc[1] == 1      # customer 2
+    assert d.loc[2] == 1      # customer 1
+    assert d.sum() == 3       # custkey 99 minted nothing
+
+
+def test_top_suppliers_ties_and_window(ray_session, tmp_path):
+    # suppliers 10 and 11 tie exactly; supplier 12 leads only if the
+    # out-of-window line were (wrongly) counted
+    t_in = int(pd.Timestamp("1996-02-01").value // 1000)
+    t_out = int(pd.Timestamp("1996-04-01").value // 1000)  # first OUT
+    sf = _star(
+        tmp_path,
+        customers=[(1, 2, 0.0)],
+        suppliers=[(10, 2), (11, 2), (12, 2)],
+        parts=[(100, "STANDARD")],
+        orders=[(1, 1, T96, 1.0)],
+        lineitems=[
+            (1, 100, 10, 1.0, 500.0, 0.0, t_in),
+            (1, 100, 11, 1.0, 200.0, 0.0, t_in),
+            (1, 100, 11, 1.0, 300.0, 0.0, t_in),
+            (1, 100, 12, 1.0, 400.0, 0.0, t_in),
+            (1, 100, 12, 1.0, 900.0, 0.0, t_out),  # boundary: excluded
+        ])
+    out = R.top_suppliers(sf)
+    _assert_parity(out, sf, R.sql_top_suppliers())
+    df = out.to_pandas()
+    assert df.s_suppkey.tolist() == [10, 11]       # exact tie kept
+    assert (df.revenue_c4 == 50000 * 100).all()
