@@ -180,11 +180,9 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
     def emit_cands(g: pd.DataFrame) -> pd.DataFrame:
         # a name whose deletions coincide (e.g. 'aab' deleting either
         # 'a') emits the same (vhash, custkey) twice — dedup, or the
-        # run kernel would see equal-doc runs
+        # run kernel would see equal-doc runs. _run_pairs establishes
+        # its own (key, doc) order; no pre-sort needed.
         g = g.drop_duplicates(["vhash", "custkey"])
-        order = np.lexsort((g["custkey"].to_numpy(),
-                            g["vhash"].to_numpy()))
-        g = g.iloc[order]
         a, b = _run_pairs([g["vhash"].to_numpy()],
                           g["custkey"].to_numpy())
         if len(a) == 0:
@@ -295,10 +293,16 @@ def _correct_terms(idx: str, terms: list[str]) -> dict[str, str]:
 
     lex = ray.data.read_parquet(os.path.join(idx, "lexicon"),
                                 columns=["term", "df"])
-    cand = pa.concat_tables(
-        lex.map_batches(scan, batch_format="pyarrow",
-                        zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow"))
+    # iter_batches yields ZERO batches when every output block is
+    # empty (a vocabulary with no term near any query term) — guard
+    # the concat or the no-candidates case crashes instead of
+    # dropping every term like the oracle does
+    batches = [t for t in lex.map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow") if t.num_rows]
+    cand = (pa.concat_tables(batches) if batches else
+            pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())}))
     cterms = np.asarray(cand["term"].to_pylist(), dtype=object)
     cdfs = cand["df"].to_numpy().astype(np.int64)
     best: dict[str, tuple] = {}
@@ -333,16 +337,25 @@ def spellfix_topk(sf_dir: str) -> pa.Table:
     uniq = sorted({t for qt in per_q for t, _ in qt})
     fix = _correct_terms(idx, uniq)
 
-    qweights = []
-    for qt in per_q:
+    qweights, qids = [], []
+    for qid, qt in enumerate(per_q):
         agg: dict[str, int] = {}
         for t, w in qt:
             c = fix.get(t)
             if c is not None:
                 agg[c] = agg.get(c, 0) + int(w)
-        qweights.append(sorted(agg.items()))
+        if agg:  # a query whose EVERY term dropped scores nothing —
+            qweights.append(sorted(agg.items()))  # don't hand the
+            qids.append(qid)                      # scorer empty terms
+    if not qweights:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
 
     raw = query_index(idx, qweights, k=_TOPK_BUFFER).to_pandas()
+    raw["query_id"] = np.asarray(qids, dtype=np.int64)[
+        raw["query_id"].to_numpy(np.int64)]
     raw["score"] = round6(raw["score"].to_numpy(np.float64))
     raw = raw.sort_values(["query_id", "score", "doc_id"],
                           ascending=[True, False, True])

@@ -70,12 +70,14 @@ Q22_CUTOFF = datetime.datetime(1999, 1, 1)
 
 
 def _broadcast_dim(sf_dir: str, table: str, key_col: str, val_col: str,
-                   filters=None):
+                   filters=None, val_fn=None):
     """Read a dimension's (key -> int value) map driver-side, sort by
     key, ray.put once. Hard-raises above JOIN_BROADCAST_CAP (checked
     against the UNFILTERED footer count, before any read) — the >cap
     implementation is the bucketed-shuffle join, not a silent
-    driver-side blowup."""
+    driver-side blowup. ``val_fn`` derives the int64 values from the
+    raw value column (default: numeric cast) — the ONE place the cap
+    rule lives for every broadcast dimension in this module."""
     import pyarrow.parquet as pq
     import ray
 
@@ -88,7 +90,8 @@ def _broadcast_dim(sf_dir: str, table: str, key_col: str, val_col: str,
     t = pq.read_table(os.path.join(sf_dir, table),
                       columns=[key_col, val_col], filters=filters)
     k = t[key_col].to_numpy().astype(np.int64)
-    v = t[val_col].to_numpy().astype(np.int64)
+    v = (val_fn(t[val_col]) if val_fn is not None
+         else t[val_col].to_numpy().astype(np.int64))
     order = np.argsort(k)
     return ray.put((k[order], v[order]))
 
@@ -334,24 +337,14 @@ def promo_revenue(sf_dir: str) -> pa.Table:
     exact integer sums on both engine and oracle.""".format(
         d1=Q14_D1, promo=Q14_PROMO)
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-    import ray
     from ray.data.aggregate import Sum
 
     from raysearch.numutil import round6
 
-    n_part = _n_rows(sf_dir, "part.parquet")
-    if n_part > JOIN_BROADCAST_CAP:
-        raise ValueError(
-            f"part ({n_part} rows) exceeds the broadcast cap; use the "
-            "bucketed-shuffle join for the part dimension")
-    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
-                         columns=["p_partkey", "p_type"])
-    pk = part["p_partkey"].to_numpy().astype(np.int64)
-    promo = (np.asarray(part["p_type"].to_pylist(), dtype=object)
-             == Q14_PROMO).astype(np.int64)
-    order = np.argsort(pk)
-    dim_ref = ray.put((pk[order], promo[order]))
+    dim_ref = _broadcast_dim(
+        sf_dir, "part.parquet", "p_partkey", "p_type",
+        val_fn=lambda col: (np.asarray(col.to_pylist(), dtype=object)
+                            == Q14_PROMO).astype(np.int64))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         hit, is_promo = _lookup(df["l_partkey"].to_numpy(np.int64),

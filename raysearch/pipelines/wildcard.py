@@ -71,6 +71,13 @@ def wildcard_docs(sf_dir: str) -> pa.Table:
     by_prefix = {p: sorted(_lexicon_range(idx, p)["term"].to_pylist())
                  for p in PREFIXES}
     all_terms = sorted({t for ts in by_prefix.values() for t in ts})
+    if not all_terms:
+        # every prefix missed the vocabulary: skip the fan-out
+        # entirely (a term-filtered read with an EMPTY term list is
+        # an ArrowTypeError, and the result is empty regardless)
+        return pa.table({"prefix": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n_terms": pa.array([], pa.int64())})
 
     def hits(batch: pa.Table) -> pa.Table:
         out_p, out_d, out_n = [], [], []
@@ -98,12 +105,18 @@ def wildcard_docs(sf_dir: str) -> pa.Table:
                                 pa.int64())})
 
     parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    out = pa.concat_tables(
-        parts_ds.map_batches(hits, batch_format="pyarrow",
-                             batch_size=max(1, len(parts) // 16))
-        .iter_batches(batch_format="pyarrow"))
-    return out.sort_by([("prefix", "ascending"),
-                        ("doc_id", "ascending")])
+    # guard the all-prefixes-miss case: iter_batches yields zero
+    # batches when every block is empty, and concat_tables(()) raises
+    batches = [t for t in parts_ds.map_batches(
+        hits, batch_format="pyarrow",
+        batch_size=max(1, len(parts) // 16))
+        .iter_batches(batch_format="pyarrow") if t.num_rows]
+    if not batches:
+        return pa.table({"prefix": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n_terms": pa.array([], pa.int64())})
+    return pa.concat_tables(batches).sort_by(
+        [("prefix", "ascending"), ("doc_id", "ascending")])
 
 
 def term_suggest(sf_dir: str) -> pa.Table:

@@ -135,3 +135,18 @@ def test_spellfix_adversarial(ray_session, tmp_path, monkeypatch):
     assert q0.doc_id.tolist() == [0]
     # query 3: 'zzz' dropped, results = the 'car' docs (all 4)
     assert set(eng[eng.query_id == 3].doc_id) == {0, 1, 2, 3}
+
+
+def test_spellfix_no_candidates_anywhere(ray_session, tmp_path,
+                                         monkeypatch):
+    # a corpus whose vocabulary is nowhere near any query term: every
+    # term drops, the correction scan returns ZERO candidate batches
+    # (the concat guard), and the result is empty like the oracle's
+    monkeypatch.setattr(F, "SPELL_QUERIES", ["qqqqq wwwww"])
+    d = _write_docs(tmp_path, ["alpha beta gamma", "delta epsilon"])
+    eng = F.spellfix_topk(d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    ora = con.execute(F.sql_spellfix_topk()).df()
+    assert len(eng) == 0 and len(ora) == 0

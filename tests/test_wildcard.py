@@ -85,3 +85,12 @@ def test_prefix_hi_ascii_guard():
     assert W._prefix_hi("da") == "db"
     with pytest.raises(AssertionError):
         W._prefix_hi("é")
+
+
+def test_wildcard_all_prefixes_miss(ray_session, tmp_path, monkeypatch):
+    monkeypatch.setattr(W, "PREFIXES", ("zz", "qq"))
+    d = _write_docs(tmp_path, ["alpha beta", "gamma delta"])
+    eng = _parity(d, W.wildcard_docs, W.sql_wildcard_docs())
+    assert len(eng) == 0
+    sug = _parity(d, W.term_suggest, W.sql_term_suggest())
+    assert len(sug) == 0
