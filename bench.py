@@ -67,7 +67,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "churned_customers", "knn_graph", "knn_label_eval",
           "props_stats", "wildcard_docs", "term_suggest",
           "fuzzy_name_pairs", "latest_events", "shuffle_positions",
-          "spellfix_topk", "cust_order_dist", "top_suppliers"]
+          "spellfix_topk", "cust_order_dist", "top_suppliers",
+          "bpe_encode"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -198,10 +198,145 @@ v{i} AS (
     return "".join(parts)
 
 
+def bpe_encode(sf_dir: str) -> pa.Table:
+    """Apply the BPE_MERGES trained merges to every document: per doc,
+    its word count and its encoded SYMBOL count (the tokenizer-output
+    length a dataloader budgets by) — the other half of the BPE loop
+    (bpe_merges trains; this encodes).
+
+    Scale shape: training reuses bpe_merges (vocabulary passes only);
+    encoding is then ONE map-only corpus pass — the merge list (<= K
+    tiny strings) rides the closure, each batch encodes its UNIQUE
+    words once (batch-local dedup, the trainer's per-unique-word
+    precedent) and sums symbol lengths per doc via an inverse lookup.
+    No exchange at all; per-doc rows stream straight out. Zero-token
+    docs emit 0 symbols (the oracle's LEFT JOIN contract)."""
+    import ray.data
+
+    mt = bpe_merges(sf_dir)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+
+    def encode(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = _tokens(b)
+        ids = b["doc_id"].to_numpy()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        uniq, inv = np.unique(flat.astype(object), return_inverse=True)
+        enc_len = np.empty(len(uniq), dtype=np.int64)
+        for i, w in enumerate(uniq):
+            s = _sym(str(w))
+            for a_, b_ in merges:
+                s = s.replace(_pat(a_, b_), f" {a_}{b_} ")
+            enc_len[i] = s.count("  ") + 1 if len(s) > 2 else 0
+        per_tok = enc_len[inv]
+        # cumsum-difference segment sums: exact for zero-token docs
+        # anywhere in the batch (np.add.reduceat crashes on a trailing
+        # empty doc and mis-sums interior ones)
+        csum = np.concatenate(([0], np.cumsum(per_tok)))
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        n_syms = (csum[ends] - csum[starts]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(counts, pa.int64()),
+            "n_symbols": pa.array(n_syms, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True)
+    out = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
+def sql_bpe_encode() -> str:
+    """The merge chain is re-derived by the bpe_merges CTEs, then
+    every (doc, word) symbol string replays the K replaces (LEFT JOIN
+    ON TRUE keeps the string unchanged when a step ran out of pairs)
+    and docs aggregate; documents with no tokens LEFT-JOIN back in
+    with 0 symbols. The training CTE chain is rebuilt with exactly
+    sql_bpe_merges' text so the two oracles can never drift."""
+    parts = [r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+),
+v0 AS (
+  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+         || ' ' AS ws,
+         count(*)::BIGINT AS cnt
+  FROM tok GROUP BY 1
+)"""]
+    for i in range(1, BPE_MERGES + 1):
+        p = i - 1
+        parts.append(f""",
+cand{i} AS (
+  SELECT DISTINCT ws, cnt,
+    unnest(list_transform(range(1, len(sy)),
+           j -> [sy[j], sy[j + 1]])) AS pr
+  FROM (SELECT ws, cnt,
+               string_split(trim(ws, ' '), '  ') AS sy FROM v{p})
+),
+cnts{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b,
+    sum(cnt * (length(ws)
+        - length(replace(ws, ' ' || pr[1] || '  ' || pr[2] || ' ',
+                         '')))
+        // length(' ' || pr[1] || '  ' || pr[2] || ' '))::BIGINT AS n
+  FROM cand{i} GROUP BY 1, 2 HAVING n > 0
+),
+best{i} AS (
+  SELECT a, b, n FROM cnts{i}
+  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+),
+v{i} AS (
+  SELECT replace(v.ws, ' ' || t.a || '  ' || t.b || ' ',
+                 ' ' || t.a || t.b || ' ') AS ws, v.cnt
+  FROM v{p} v CROSS JOIN best{i} t
+)""")
+    parts.append(r""",
+d0 AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+         || ' ' AS ws
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        FROM documents)
+)""")
+    for i in range(1, BPE_MERGES + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (
+  SELECT d.doc_id,
+         CASE WHEN t.a IS NULL THEN d.ws
+              ELSE replace(d.ws, ' ' || t.a || '  ' || t.b || ' ',
+                           ' ' || t.a || t.b || ' ') END AS ws
+  FROM d{p} d LEFT JOIN best{i} t ON TRUE
+)""")
+    parts.append(f""",
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(len(string_split(trim(ws, ' '), '  ')))::BIGINT
+           AS n_symbols
+  FROM d{BPE_MERGES} GROUP BY doc_id
+)
+SELECT documents.doc_id,
+       COALESCE(agg.n_words, 0)::BIGINT AS n_words,
+       COALESCE(agg.n_symbols, 0)::BIGINT AS n_symbols
+FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+ORDER BY documents.doc_id
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "bpe_merges": bpe_merges,
+    "bpe_encode": bpe_encode,
 }
 
 ORACLE_SQL = {
     "bpe_merges": sql_bpe_merges(),
+    "bpe_encode": sql_bpe_encode(),
 }

@@ -103,7 +103,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "doclen_ntile",
             "normalize_text", "pii_scrub", "stratified_sample", "lang_confusion",
             "heavy_hitters", "grouped_topk", "sample_split", "mix_sample",
-            "bpe_merges", "shuffle_positions"]
+            "bpe_merges", "bpe_encode", "shuffle_positions"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",

@@ -559,3 +559,35 @@ def test_export_by_lang_sink(ray_session, tmp_path):
     # gate path cleans up its temp dir
     got2 = E.export_by_lang(sf).to_pandas()
     assert got2.n_rows.sum() == 5
+
+
+def test_bpe_encode_adversarial(ray_session, tmp_path):
+    """Encoding with the trained merges vs the unrolled SQL replay:
+    cascaded merges shrink 'abab' to one symbol, unmergeable words
+    keep codepoint length, empty docs emit 0 symbols, and total
+    symbols = words' encoded lengths (no cross-word merging)."""
+    from raysearch.pipelines import bpe as B
+
+    sf = _write_docs(tmp_path, [
+        "aaaa aaaa aaaa",
+        "abab abab",
+        "xy xy xy",
+        "q",
+        "",                         # zero-token doc -> 0 symbols
+        "zw",                       # symbols never trained on
+    ])
+    got = B.bpe_encode(sf).to_pandas()
+    want = _oracle(sf, B.sql_bpe_encode())
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: "int64" for c in
+                          ("doc_id", "n_words", "n_symbols")}),
+        check_dtype=False)
+    byid = got.set_index("doc_id")
+    assert byid.loc[4, "n_words"] == 0
+    assert byid.loc[4, "n_symbols"] == 0
+    # with K=6 merges on this tiny vocab even (z,w) trains eventually
+    # — the invariants that always hold: at least one symbol per word,
+    # and merging never grows a word beyond its codepoint count
+    assert (got[got.n_words > 0].n_symbols
+            >= got[got.n_words > 0].n_words).all()
+    assert byid.loc[0, "n_symbols"] <= 4 * 3  # <= codepoints of doc 0
