@@ -40,8 +40,13 @@ def _collect(attr: str) -> dict:
             mod = __import__(f"raysearch.pipelines.{mod_name}",
                              fromlist=[attr])
             out.update(getattr(mod, attr))
-        except ImportError:
-            pass
+        except ImportError as e:
+            # only a genuinely ABSENT optional module may be skipped;
+            # a broken import inside an existing module (or one of its
+            # dependencies) must fail loudly, or the driver gate would
+            # silently run against a shrunken registry
+            if e.name != f"raysearch.pipelines.{mod_name}":
+                raise
     return out
 
 

@@ -147,11 +147,10 @@ def bpe_merges(sf_dir: str) -> pa.Table:
     })
 
 
-def sql_bpe_merges() -> str:
-    """Unrolled K-step oracle: each step's CTEs re-derive candidate
-    pairs from the previous vocabulary encoding, count non-overlapping
-    occurrences via length difference under replace, pick the winner
-    with the same total order, and rewrite the vocabulary."""
+def _training_ctes() -> str:
+    """The K-step unrolled training CTE chain (tok/v0/cand/cnts/best/v)
+    shared VERBATIM by sql_bpe_merges and sql_bpe_encode — one source,
+    so the two oracles cannot drift."""
     parts = [r"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
@@ -190,12 +189,19 @@ v{i} AS (
                  ' ' || t.a || t.b || ' ') AS ws, v.cnt
   FROM v{p} v CROSS JOIN best{i} t
 )""")
+    return "".join(parts)
+
+
+def sql_bpe_merges() -> str:
+    """Unrolled K-step oracle: each step's CTEs re-derive candidate
+    pairs from the previous vocabulary encoding, count non-overlapping
+    occurrences via length difference under replace, pick the winner
+    with the same total order, and rewrite the vocabulary."""
     unions = "\nUNION ALL\n".join(
         f'SELECT {i}::BIGINT AS step, a AS "left", b AS "right",'
         f" a || b AS merged, n::BIGINT AS pair_count FROM best{i}"
         for i in range(1, BPE_MERGES + 1))
-    parts.append("\n" + unions + "\nORDER BY step")
-    return "".join(parts)
+    return _training_ctes() + "\n" + unions + "\nORDER BY step"
 
 
 def bpe_encode(sf_dir: str) -> pa.Table:
@@ -247,55 +253,24 @@ def bpe_encode(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
                                columns=["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True)
-    out = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
-    return out.sort_by("doc_id")
+    # empty corpus: iter_batches yields zero batches and
+    # concat_tables(()) raises — return the documented empty shape
+    batches = [t for t in ds.iter_batches(batch_format="pyarrow")
+               if t.num_rows]
+    if not batches:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_words": pa.array([], pa.int64()),
+                         "n_symbols": pa.array([], pa.int64())})
+    return pa.concat_tables(batches).sort_by("doc_id")
 
 
 def sql_bpe_encode() -> str:
-    """The merge chain is re-derived by the bpe_merges CTEs, then
-    every (doc, word) symbol string replays the K replaces (LEFT JOIN
-    ON TRUE keeps the string unchanged when a step ran out of pairs)
-    and docs aggregate; documents with no tokens LEFT-JOIN back in
-    with 0 symbols. The training CTE chain is rebuilt with exactly
-    sql_bpe_merges' text so the two oracles can never drift."""
-    parts = [r"""
-WITH tok AS (
-  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
-  FROM documents
-),
-v0 AS (
-  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
-         || ' ' AS ws,
-         count(*)::BIGINT AS cnt
-  FROM tok GROUP BY 1
-)"""]
-    for i in range(1, BPE_MERGES + 1):
-        p = i - 1
-        parts.append(f""",
-cand{i} AS (
-  SELECT DISTINCT ws, cnt,
-    unnest(list_transform(range(1, len(sy)),
-           j -> [sy[j], sy[j + 1]])) AS pr
-  FROM (SELECT ws, cnt,
-               string_split(trim(ws, ' '), '  ') AS sy FROM v{p})
-),
-cnts{i} AS (
-  SELECT pr[1] AS a, pr[2] AS b,
-    sum(cnt * (length(ws)
-        - length(replace(ws, ' ' || pr[1] || '  ' || pr[2] || ' ',
-                         '')))
-        // length(' ' || pr[1] || '  ' || pr[2] || ' '))::BIGINT AS n
-  FROM cand{i} GROUP BY 1, 2 HAVING n > 0
-),
-best{i} AS (
-  SELECT a, b, n FROM cnts{i}
-  ORDER BY n DESC, a ASC, b ASC LIMIT 1
-),
-v{i} AS (
-  SELECT replace(v.ws, ' ' || t.a || '  ' || t.b || ' ',
-                 ' ' || t.a || t.b || ' ') AS ws, v.cnt
-  FROM v{p} v CROSS JOIN best{i} t
-)""")
+    """The merge chain comes from the SHARED _training_ctes() (so the
+    two oracles cannot drift), then every (doc, word) symbol string
+    replays the K replaces (LEFT JOIN ON TRUE keeps the string
+    unchanged when a step ran out of pairs) and docs aggregate;
+    documents with no tokens LEFT-JOIN back in with 0 symbols."""
+    parts = [_training_ctes()]
     parts.append(r""",
 d0 AS (
   SELECT doc_id,

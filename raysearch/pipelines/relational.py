@@ -623,8 +623,14 @@ def top_suppliers(sf_dir: str) -> pa.Table:
                          "s_name": pa.array([], pa.string()),
                          "revenue_c4": pa.array([], pa.int64())})
     top = df[df.revenue_c4 == df.revenue_c4.max()]
-    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                         columns=["s_suppkey", "s_name"]).to_pandas()
+    # name-join only the tied winners: a key-filtered read (row-group
+    # pruned), never the whole supplier dimension on the driver — the
+    # same dimension-budget rule as _broadcast_dim
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  [int(k) for k in top.suppkey])]).to_pandas()
     j = (top.merge(supp, left_on="suppkey", right_on="s_suppkey")
          .sort_values("s_suppkey", ignore_index=True))
     return pa.table({

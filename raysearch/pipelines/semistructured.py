@@ -92,13 +92,15 @@ def props_stats(sf_dir: str) -> pa.Table:
 
 
 def sql_props_stats() -> str:
-    # the SAME RE2 pattern as the engine (DuckDB's regexp_extract is
-    # also RE2), so the contract holds on every input — nested keys,
-    # floats, invalid JSON. regexp_extract returns '' on no match.
-    return r"""
+    # literally the engine's RE2 pattern (DuckDB regexp_extract is
+    # also RE2) with the named group anonymized — ONE source, so the
+    # contract holds on every input (nested keys, floats, invalid
+    # JSON) and cannot drift. regexp_extract returns '' on no match.
+    pat = _K_PATTERN.replace("(?P<k>", "(")
+    return rf"""
 WITH x AS (
   SELECT event_type,
-         regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS ks
+         regexp_extract(props, '{pat}', 1) AS ks
   FROM events
 )
 SELECT event_type,
