@@ -68,7 +68,10 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "props_stats", "wildcard_docs", "term_suggest",
           "fuzzy_name_pairs", "latest_events", "shuffle_positions",
           "spellfix_topk", "cust_order_dist", "top_suppliers",
-          "bpe_encode"]
+          "bpe_encode",
+          # round 3, seventh wave
+          "returned_item_customers", "nation_trade_volume",
+          "small_qty_revenue"]
 
 
 def run_quality(sf_dir: str) -> dict:

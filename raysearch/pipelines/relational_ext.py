@@ -1,0 +1,472 @@
+"""Second relational wave: the remaining TPC-H query shapes the
+star-schema tables can express — returned-item customer ranking
+(Q10 shape: fact-fact join grouped by a BROADCAST-resolved dimension
+key with a k-bounded global top-k), nation-pair trade volume
+(Q7 shape: one fact pass resolving TWO broadcast dimensions whose
+product keys the final nation^2-cardinality aggregate), and
+small-quantity-order revenue (Q17 shape: the correlated aggregate —
+a per-part average computed in one combiner pass feeds an integer
+threshold on a second pass over the same fact table).
+
+The reference engine has no relational layer (its only wide op is the
+index HashMap, src/lib.rs:341); these follow relational.py's budget
+rules exactly:
+
+- Dimension maps (customer/supplier key -> nationkey, the brand's
+  partkeys, the per-part averages) broadcast once via ray.put as
+  sorted numpy arrays under JOIN_BROADCAST_CAP with a hard raise
+  above it naming the bucketed-shuffle alternative.
+- Fact sides meet in ONE orderkey-bucketed exchange after map-side
+  pre-aggregation — the exchange carries per-key partials, never raw
+  fact rows; a single orderkey's lines always fit one reduce group.
+- Money is exact int64 c4 (cents x (100 - discount)) end-to-end; the
+  Q17 quantity threshold is the integer cross-multiplication
+  5 * qty * n < sum_qty (qty < 0.2 * avg), so no float division
+  exists anywhere a value-hash could see.
+- Global top-k is k-bounded everywhere: per-bucket kernels and
+  per-block partials emit at most k rows under the total order
+  (revenue DESC, key ASC), and the driver merges n_blocks x k rows.
+- Date/flag predicates push into the parquet reads.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raysearch.pipelines.joins import (
+    JOIN_BROADCAST_CAP,
+    _cents,
+    _half_away,
+    _n_rows,
+    _read,
+)
+from raysearch.pipelines.relational import (
+    _broadcast_dim,
+    _lookup,
+)
+
+# ---- Q10 shape: returned-item customer ranking ----
+
+Q10_D1 = datetime.datetime(1996, 1, 1)
+Q10_D2 = datetime.datetime(1996, 4, 1)
+Q10_FLAG = "R"
+Q10_K = 20
+
+# ---- Q7 shape: nation-pair trade volume ----
+
+Q7_D1 = datetime.datetime(1996, 1, 1)
+Q7_D2 = datetime.datetime(1997, 1, 1)
+
+# ---- Q17 shape: small-quantity-order revenue ----
+
+Q17_BRAND = "Brand#4"
+Q17_YEARS = 7.0
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    """nationkey -> name (nation is O(25) rows — driver-side)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    return dict(zip(
+        nation["n_nationkey"].to_numpy().astype(np.int64).tolist(),
+        nation["n_name"].to_pylist()))
+
+
+def returned_item_customers(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-shaped returned-item report: the {k} customers who
+    lost the most revenue to returns (l_returnflag = '{fl}') on orders
+    placed in {d1:%Y-%m}..{d2:%Y-%m} — revenue in exact int64 c4.
+
+    Shape: the returnflag AND the order window push into the parquet
+    reads. customer (custkey -> nationkey) broadcasts once, so the
+    membership/nation lookup happens BEFORE top-k selection on both
+    engine and oracle (a dangling o_custkey can never occupy a top-k
+    slot). Orders emit (okey, custkey) rows; lineitem collapses
+    map-side to per-okey c4 partials; ONE orderkey-bucketed exchange
+    joins them and emits per-(custkey, nationkey) partials; the
+    custkey-cardinality groupby sums exactly, and per-block local
+    top-{k} partials under (revenue DESC, custkey ASC) bound the
+    driver merge at n_blocks x {k} rows. Only the {k} winners' names
+    and balances are fetched, via a key-filtered customer read.""".format(
+        k=Q10_K, fl=Q10_FLAG, d1=Q10_D1, d2=Q10_D2)
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    cust_ref = _broadcast_dim(sf_dir, "customer.parquet",
+                              "c_custkey", "c_nationkey")
+    names = _nation_names(sf_dir)
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        ck = df["o_custkey"].to_numpy(np.int64)
+        # membership only: a dangling o_custkey must never occupy a
+        # top-k slot; the winners' nationkeys re-derive from the same
+        # broadcast map driver-side
+        hit, _ = _lookup(ck, cust_ref)
+        ok, ck = ok[hit], ck[hit]
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok, "custkey": ck,
+            "side": np.int64(0), "nl": np.int64(0),
+            "c4": np.int64(0)})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        g = (pd.DataFrame({
+                "okey": df["l_orderkey"].to_numpy(np.int64),
+                "c4": cents * (100 - disc)})
+             .groupby("okey", as_index=False)
+             .agg(nl=("c4", "size"), c4=("c4", "sum")))
+        g["nl"] = g["nl"].astype(np.int64)
+        return g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                        custkey=np.int64(0), side=np.int64(1))[
+            ["bucket", "okey", "custkey", "side", "nl", "c4"]]
+
+    def join_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 0][["okey", "custkey"]]
+        li = (g[g.side == 1].groupby("okey", as_index=False)
+              .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+        j = o.merge(li, on="okey", how="inner")
+        return (j.groupby("custkey", as_index=False)
+                .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # k-bounded partial under the FULL total order (revenue DESC,
+        # custkey ASC) — exact int64 revenue, so ties at the k
+        # boundary resolve identically everywhere
+        return df.sort_values(["revenue_c4", "custkey"],
+                              ascending=[False, True]).head(Q10_K)
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pads.field("o_orderdate") >= Q10_D1)
+                           & (pads.field("o_orderdate") < Q10_D2))
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=pads.field("l_returnflag") == Q10_FLAG
+               ).map_batches(l_partial, batch_format="pandas")
+    agg = (orders.union(li)
+           .groupby("bucket").map_groups(join_kern,
+                                         batch_format="pandas")
+           .groupby("custkey").aggregate(
+               Sum("nl", alias_name="n_lines"),
+               Sum("c4", alias_name="revenue_c4")))
+    parts = agg.map_batches(local_topk, batch_format="pandas")
+    df = parts.to_pandas()
+    if "custkey" not in df.columns or not len(df):
+        return pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string()),
+            "bal_cents": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+            "revenue_c4": pa.array([], pa.int64())})
+    df = (df.sort_values(["revenue_c4", "custkey"],
+                         ascending=[False, True], ignore_index=True)
+          .head(Q10_K))
+    hit, nat = _lookup(df.custkey.to_numpy(np.int64), cust_ref)
+    assert hit.all()  # membership was resolved before top-k
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        filters=[("c_custkey", "in",
+                  [int(k) for k in df.custkey])]).to_pandas()
+    j = df.merge(cust, left_on="custkey", right_on="c_custkey")
+    j["n_name"] = [names[int(n)] for n in nat]
+    j = j.sort_values(["revenue_c4", "custkey"],
+                      ascending=[False, True], ignore_index=True)
+    return pa.table({
+        "c_custkey": pa.array(j.custkey.to_numpy(np.int64), pa.int64()),
+        "c_name": pa.array(j.c_name.tolist(), pa.string()),
+        "n_name": pa.array(j.n_name.tolist(), pa.string()),
+        "bal_cents": pa.array(
+            _cents(j.c_acctbal.to_numpy(np.float64)), pa.int64()),
+        "n_lines": pa.array(j.n_lines.to_numpy(np.int64), pa.int64()),
+        "revenue_c4": pa.array(j.revenue_c4.to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def sql_returned_item_customers() -> str:
+    return f"""
+WITH rev AS (
+  SELECT o_custkey,
+         count(*)::BIGINT AS n_lines,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+             )::BIGINT AS revenue_c4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = '{Q10_FLAG}'
+    AND o_orderdate >= TIMESTAMP '{Q10_D1:%Y-%m-%d}'
+    AND o_orderdate < TIMESTAMP '{Q10_D2:%Y-%m-%d}'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+       n_lines, revenue_c4
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT {Q10_K}
+"""
+
+
+def nation_trade_volume(sf_dir: str) -> pa.Table:
+    """TPC-H-Q7-shaped trade volume: c4 revenue shipped in
+    {d1:%Y}..{d2:%Y} between every (supplier nation, customer nation)
+    pair with DIFFERENT nations — the two-dimension fact resolution.
+
+    Shape: customer and supplier nation maps broadcast once; orders
+    emit (okey, cust_nation) rows (no date filter — the window is on
+    shipdate); lineitem, window-filtered AT THE READ, resolves the
+    supplier nation locally and collapses map-side to per-
+    (okey, supp_nation) c4 partials. ONE orderkey-bucketed exchange
+    joins them, drops same-nation pairs, and emits per-pair partials;
+    the final exchange is nation^2-cardinality. Names attach
+    driver-side (nation is O(25) rows).""".format(d1=Q7_D1, d2=Q7_D2)
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    cust_ref = _broadcast_dim(sf_dir, "customer.parquet",
+                              "c_custkey", "c_nationkey")
+    supp_ref = _broadcast_dim(sf_dir, "supplier.parquet",
+                              "s_suppkey", "s_nationkey")
+    names = _nation_names(sf_dir)
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        hit, cnat = _lookup(df["o_custkey"].to_numpy(np.int64),
+                            cust_ref)
+        ok = ok[hit]
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok, "snat": np.int64(-1),
+            "cnat": cnat, "side": np.int64(0), "nl": np.int64(0),
+            "c4": np.int64(0)})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        hit, snat = _lookup(df["l_suppkey"].to_numpy(np.int64),
+                            supp_ref)
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        c4 = (cents * (100 - disc))[hit]
+        g = (pd.DataFrame({"okey": ok[hit], "snat": snat, "c4": c4})
+             .groupby(["okey", "snat"], as_index=False)
+             .agg(nl=("c4", "size"), c4=("c4", "sum")))
+        g["nl"] = g["nl"].astype(np.int64)
+        return g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                        cnat=np.int64(-1), side=np.int64(1))[
+            ["bucket", "okey", "snat", "cnat", "side", "nl", "c4"]]
+
+    def join_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 0][["okey", "cnat"]]
+        li = (g[g.side == 1]
+              .groupby(["okey", "snat"], as_index=False)
+              .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+        j = o.merge(li, on="okey", how="inner")
+        j = j[j.snat != j.cnat]
+        return (j.groupby(["snat", "cnat"], as_index=False)
+                .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_custkey"]
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"],
+               filter=((pads.field("l_shipdate") >= Q7_D1)
+                       & (pads.field("l_shipdate") < Q7_D2))
+               ).map_batches(l_partial, batch_format="pandas")
+    agg = (orders.union(li)
+           .groupby("bucket").map_groups(join_kern,
+                                         batch_format="pandas")
+           .groupby(["snat", "cnat"]).aggregate(
+               Sum("nl", alias_name="n_lines"),
+               Sum("c4", alias_name="revenue_c4")))
+    df = agg.to_pandas()
+    if "snat" not in df.columns or not len(df):
+        return pa.table({
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "n_lines": pa.array([], pa.int64()),
+            "revenue_c4": pa.array([], pa.int64())})
+    df["supp_nation"] = df.snat.map(names)
+    df["cust_nation"] = df.cnat.map(names)
+    df = df.sort_values(["supp_nation", "cust_nation"],
+                        ignore_index=True)
+    return pa.table({
+        "supp_nation": pa.array(df.supp_nation.tolist(), pa.string()),
+        "cust_nation": pa.array(df.cust_nation.tolist(), pa.string()),
+        "n_lines": pa.array(df.n_lines.to_numpy(np.int64), pa.int64()),
+        "revenue_c4": pa.array(df.revenue_c4.to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def sql_nation_trade_volume() -> str:
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       count(*)::BIGINT AS n_lines,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+           )::BIGINT AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_D1:%Y-%m-%d}'
+  AND l_shipdate < TIMESTAMP '{Q7_D2:%Y-%m-%d}'
+  AND s_nationkey <> c_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def small_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q17-shaped small-quantity-order revenue: over '{brand}'
+    parts, the lines whose quantity is below 20% of that part's
+    average quantity — the correlated aggregate. Reports the line
+    count, the exact cents sum, and avg_yearly = round6(cents / 100 /
+    {yrs}) (the only float, computed identically on both sides).
+
+    Shape: the brand's partkeys come from a filtered dimension read
+    (hard-raise above JOIN_BROADCAST_CAP) and broadcast sorted. Pass 1
+    collapses lineitem map-side to per-partkey (n, sum_qty) partials —
+    the groupby is brand-part-cardinality (a dimension), and its
+    result broadcasts back as three sorted arrays. Pass 2 re-reads
+    the same 2 columns and keeps rows under the INTEGER threshold
+    5 * qty * n < sum_qty (exactly qty < 0.2 * avg, no float
+    division); per-batch single-row partials reduce through Ray's
+    aggregate — no wide exchange in either pass.""".format(
+        brand=Q17_BRAND, yrs=Q17_YEARS)
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from raysearch.numutil import round6
+
+    n_part = _n_rows(sf_dir, "part.parquet")
+    if n_part > JOIN_BROADCAST_CAP:
+        raise ValueError(
+            f"part ({n_part} rows) exceeds the broadcast cap; use the "
+            "bucketed-shuffle membership join (joins.revenue_by_nation"
+            "'s >cap path) with the brand filter pushed into the read")
+    bp = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey"],
+                       filters=[("p_brand", "==", Q17_BRAND)])
+    pk = np.sort(bp["p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    def member_mask(keys: np.ndarray) -> np.ndarray:
+        pks = ray.get(pk_ref)  # zero-copy numpy view
+        pos = np.searchsorted(pks, keys)
+        pos_ok = pos < len(pks)
+        hit = np.zeros(len(keys), dtype=bool)
+        hit[pos_ok] = pks[pos[pos_ok]] == keys[pos_ok]
+        return hit
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_partkey"].to_numpy(np.int64)
+        hit = member_mask(k)
+        q = _half_away(df["l_quantity"].to_numpy(np.float64))[hit]
+        g = (pd.DataFrame({"partkey": k[hit], "q": q})
+             .groupby("partkey", as_index=False)
+             .agg(n=("q", "size"), sq=("q", "sum")))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    avg = (_read(sf_dir, "lineitem.parquet", columns=cols[:2])
+           .map_batches(qty_partial, batch_format="pandas")
+           .groupby("partkey").aggregate(
+               Sum("n", alias_name="n"), Sum("sq", alias_name="sq")))
+    adf = avg.to_pandas()
+    if "partkey" not in adf.columns or not len(adf):
+        return pa.table({
+            "n_lines": pa.array([0], pa.int64()),
+            "sum_cents": pa.array([0], pa.int64()),
+            "avg_yearly": pa.array([0.0], pa.float64())})
+    order = np.argsort(adf.partkey.to_numpy(np.int64))
+    stats_ref = ray.put((adf.partkey.to_numpy(np.int64)[order],
+                         adf.n.to_numpy(np.int64)[order],
+                         adf.sq.to_numpy(np.int64)[order]))
+
+    def small_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pks, ns, sqs = ray.get(stats_ref)  # zero-copy numpy views
+        k = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pks, k)
+        pos_ok = pos < len(pks)
+        hit = np.zeros(len(k), dtype=bool)
+        hit[pos_ok] = pks[pos[pos_ok]] == k[pos_ok]
+        q = _half_away(df["l_quantity"].to_numpy(np.float64))[hit]
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))[hit]
+        p = pos[hit]
+        keep = 5 * q * ns[p] < sqs[p]
+        return pd.DataFrame({"n": [int(keep.sum())],
+                             "s": [int(cents[keep].sum())]})
+
+    agg = (_read(sf_dir, "lineitem.parquet", columns=cols)
+           .map_batches(small_partial, batch_format="pandas")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s")))
+    n, s = int(agg["n"] or 0), int(agg["s"] or 0)
+    return pa.table({
+        "n_lines": pa.array([n], pa.int64()),
+        "sum_cents": pa.array([s], pa.int64()),
+        "avg_yearly": pa.array([round6(s / 100.0 / Q17_YEARS)],
+                               pa.float64()),
+    })
+
+
+def sql_small_qty_revenue() -> str:
+    return f"""
+WITH bp AS (
+  SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'
+), agg AS (
+  SELECT l_partkey,
+         count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity, 0) AS BIGINT))::BIGINT AS sq
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+  GROUP BY l_partkey
+), small AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem JOIN agg ON lineitem.l_partkey = agg.l_partkey
+  WHERE 5 * CAST(round(l_quantity, 0) AS BIGINT) * agg.n < agg.sq
+)
+SELECT count(*)::BIGINT AS n_lines,
+       coalesce(sum(cents), 0)::BIGINT AS sum_cents,
+       round(coalesce(sum(cents), 0) / 100.0 / {Q17_YEARS}, 6)
+         AS avg_yearly
+FROM small
+"""
+
+
+QUERIES = {
+    "returned_item_customers": returned_item_customers,
+    "nation_trade_volume": nation_trade_volume,
+    "small_qty_revenue": small_qty_revenue,
+}
+
+ORACLE_SQL = {
+    "returned_item_customers": sql_returned_item_customers(),
+    "nation_trade_volume": sql_nation_trade_volume(),
+    "small_qty_revenue": sql_small_qty_revenue(),
+}

@@ -1,0 +1,241 @@
+"""relational_ext.py operators: DuckDB parity on adversarial synthetic
+star tables — returnflag/window filters and k-boundary revenue ties
+for the Q10 shape, same-nation pair drops and shipdate boundaries for
+the Q7 shape, the strict integer 20%-of-average threshold for the Q17
+shape — plus bucket-count invariance and dangling-key semantics
+(a custkey with no customer row must never occupy a top-k slot)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raysearch.pipelines import relational_ext as RX
+
+T_IN = int(pd.Timestamp("1996-02-01").value // 1000)   # Q10+Q7 windows
+T_OUT = int(pd.Timestamp("1995-06-01").value // 1000)  # outside both
+T_Q7_EDGE = int(pd.Timestamp("1997-01-01").value // 1000)  # at Q7 end
+
+
+def _ts(us):
+    return pa.array(np.asarray(us, dtype=np.int64), pa.timestamp("us"))
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, os.path.join(tmp_path, name))
+
+
+def _star(tmp_path, customers, suppliers, parts, orders, lineitems):
+    """customers: (custkey, nationkey, acctbal); suppliers: (suppkey,
+    nationkey); parts: (partkey, brand); orders: (okey, custkey,
+    date_us); lineitems: (okey, partkey, suppkey, qty, extprice,
+    discount, ship_us, returnflag)."""
+    _write(tmp_path, "region.parquet", pa.table({
+        "r_regionkey": pa.array([0, 1, 2, 3, 4], pa.int32()),
+        "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                            "MIDDLE EAST"], pa.string())}))
+    nk = list(range(10))
+    _write(tmp_path, "nation.parquet", pa.table({
+        "n_nationkey": pa.array(nk, pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in nk], pa.string()),
+        "n_regionkey": pa.array([i % 5 for i in nk], pa.int32())}))
+    c = pd.DataFrame(customers, columns=["ck", "nk", "bal"])
+    _write(tmp_path, "customer.parquet", pa.table({
+        "c_custkey": pa.array(c.ck.to_numpy(np.int64), pa.int64()),
+        "c_name": pa.array([f"C{int(k)}" for k in c.ck], pa.string()),
+        "c_nationkey": pa.array(c.nk.to_numpy(np.int32), pa.int32()),
+        "c_acctbal": pa.array(c.bal.to_numpy(np.float64), pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING"] * len(c), pa.string())}))
+    s = pd.DataFrame(suppliers, columns=["sk", "nk"])
+    _write(tmp_path, "supplier.parquet", pa.table({
+        "s_suppkey": pa.array(s.sk.to_numpy(np.int64), pa.int64()),
+        "s_name": pa.array([f"S{int(k)}" for k in s.sk], pa.string()),
+        "s_nationkey": pa.array(s.nk.to_numpy(np.int32), pa.int32()),
+        "s_acctbal": pa.array(np.zeros(len(s)), pa.float64())}))
+    p = pd.DataFrame(parts, columns=["pk", "brand"])
+    _write(tmp_path, "part.parquet", pa.table({
+        "p_partkey": pa.array(p.pk.to_numpy(np.int64), pa.int64()),
+        "p_name": pa.array([f"P{int(k)}" for k in p.pk], pa.string()),
+        "p_brand": pa.array(p.brand.tolist(), pa.string()),
+        "p_type": pa.array(["STANDARD"] * len(p), pa.string()),
+        "p_size": pa.array(np.ones(len(p), np.int32), pa.int32()),
+        "p_retailprice": pa.array(np.ones(len(p)), pa.float64())}))
+    o = pd.DataFrame(orders, columns=["ok", "ck", "dus"])
+    _write(tmp_path, "orders.parquet", pa.table({
+        "o_orderkey": pa.array(o.ok.to_numpy(np.int64), pa.int64()),
+        "o_custkey": pa.array(o.ck.to_numpy(np.int64), pa.int64()),
+        "o_orderstatus": pa.array(["F"] * len(o), pa.string()),
+        "o_totalprice": pa.array(np.ones(len(o)), pa.float64()),
+        "o_orderdate": _ts(o.dus),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(o),
+                                    pa.string())}))
+    li = pd.DataFrame(lineitems, columns=["ok", "pk", "sk", "qty",
+                                          "ext", "disc", "sus", "rf"])
+    _write(tmp_path, "lineitem.parquet", pa.table({
+        "l_orderkey": pa.array(li.ok.to_numpy(np.int64), pa.int64()),
+        "l_partkey": pa.array(li.pk.to_numpy(np.int64), pa.int64()),
+        "l_suppkey": pa.array(li.sk.to_numpy(np.int64), pa.int64()),
+        "l_linenumber": pa.array(
+            np.arange(1, len(li) + 1, dtype=np.int32), pa.int32()),
+        "l_quantity": pa.array(li.qty.to_numpy(np.float64),
+                               pa.float64()),
+        "l_extendedprice": pa.array(li.ext.to_numpy(np.float64),
+                                    pa.float64()),
+        "l_discount": pa.array(li.disc.to_numpy(np.float64),
+                               pa.float64()),
+        "l_tax": pa.array(np.zeros(len(li)), pa.float64()),
+        "l_returnflag": pa.array(li.rf.tolist(), pa.string()),
+        "l_linestatus": pa.array(["O"] * len(li), pa.string()),
+        "l_shipdate": _ts(li.sus)}))
+    return str(tmp_path)
+
+
+def _oracle(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _assert_parity(eng, sf, sql):
+    pd.testing.assert_frame_equal(_norm(eng.to_pandas()),
+                                  _norm(_oracle(sf, sql)),
+                                  check_dtype=False)
+
+
+def test_returned_item_customers_filters_and_ties(ray_session,
+                                                  tmp_path,
+                                                  monkeypatch):
+    monkeypatch.setattr(RX, "Q10_K", 2)
+    sf = _star(
+        tmp_path,
+        customers=[(1, 2, 10.5), (2, 3, -4.25), (3, 4, 0.0)],
+        suppliers=[(10, 0)],
+        parts=[(100, "Brand#1")],
+        orders=[(1000, 1, T_IN),    # in window
+                (1001, 2, T_IN),    # in window
+                (1002, 3, T_IN),    # in window
+                (1003, 1, T_OUT),   # OUT of window
+                (1004, 99, T_IN)],  # DANGLING custkey
+        lineitems=[
+            # cust 1: returned revenue c4 = 10000*100 = 1,000,000
+            (1000, 100, 10, 1.0, 100.0, 0.0, T_IN, "R"),
+            # cust 2: same revenue -> exact tie with cust 1; the k=2
+            # cut keeps BOTH (tie broken by custkey asc)
+            (1001, 100, 10, 1.0, 100.0, 0.0, T_IN, "R"),
+            # cust 3: higher revenue but flag N -> excluded entirely
+            (1002, 100, 10, 1.0, 500.0, 0.0, T_IN, "N"),
+            # cust 3: small returned line -> 3rd place, truncated
+            (1002, 100, 10, 1.0, 1.0, 0.0, T_IN, "R"),
+            # out-of-window order -> excluded
+            (1003, 100, 10, 1.0, 900.0, 0.0, T_IN, "R"),
+            # dangling custkey: must never occupy a top-k slot
+            (1004, 100, 10, 1.0, 999.0, 0.0, T_IN, "R"),
+        ])
+    out = RX.returned_item_customers(sf)
+    df = out.to_pandas()
+    assert df.c_custkey.tolist() == [1, 2]  # tie kept, truncation at 2
+    assert df.revenue_c4.tolist() == [1_000_000, 1_000_000]
+    assert df.bal_cents.tolist() == [1050, -425]
+    _assert_parity(out, sf, RX.sql_returned_item_customers())
+
+
+def test_nation_trade_volume_pairs_and_window(ray_session, tmp_path):
+    sf = _star(
+        tmp_path,
+        customers=[(1, 2, 0.0), (2, 7, 0.0)],
+        suppliers=[(10, 2), (11, 7)],
+        parts=[(100, "Brand#1")],
+        orders=[(1000, 1, T_OUT),   # order date irrelevant for Q7
+                (1001, 2, T_IN)],
+        lineitems=[
+            # supp nation 2 == cust nation 2 -> SAME pair, dropped
+            (1000, 100, 10, 1.0, 100.0, 0.05, T_IN, "N"),
+            # supp 7 != cust 2 -> counts under (NATION_7, NATION_2)
+            (1000, 100, 11, 1.0, 200.0, 0.10, T_IN, "N"),
+            # supp 2 != cust 7 -> counts under (NATION_2, NATION_7)
+            (1001, 100, 10, 1.0, 300.0, 0.0, T_IN, "N"),
+            # ship date exactly AT the window end -> excluded
+            (1001, 100, 10, 1.0, 400.0, 0.0, T_Q7_EDGE, "N"),
+            # dangling suppkey -> dropped by the broadcast lookup
+            (1001, 100, 99, 1.0, 500.0, 0.0, T_IN, "N"),
+        ])
+    out = RX.nation_trade_volume(sf)
+    df = out.to_pandas()
+    assert df.supp_nation.tolist() == ["NATION_2", "NATION_7"]
+    assert df.revenue_c4.tolist() == [30000 * 100, 20000 * 90]
+    _assert_parity(out, sf, RX.sql_nation_trade_volume())
+
+
+def test_small_qty_revenue_integer_threshold(ray_session, tmp_path):
+    # part 100 (Brand#4): quantities 1, 9, 10 -> n=3, sum=20,
+    # threshold qty < 0.2*avg ⟺ 15*qty < 20 ⟺ qty <= 1: ONLY the
+    # qty=1 line counts. A qty where 5*q*n == sq exactly must be
+    # EXCLUDED (strict <): with n=2, sum=10 on part 101 -> qty=1
+    # gives 10 == 10 -> out.
+    sf = _star(
+        tmp_path,
+        customers=[(1, 2, 0.0)],
+        suppliers=[(10, 2)],
+        parts=[(100, "Brand#4"), (101, "Brand#4"),
+               (102, "Brand#9")],   # other brand: never counted
+        orders=[(1000, 1, T_IN)],
+        lineitems=[
+            (1000, 100, 10, 1.0, 111.0, 0.0, T_IN, "N"),   # kept
+            (1000, 100, 10, 9.0, 222.0, 0.0, T_IN, "N"),
+            (1000, 100, 10, 10.0, 333.0, 0.0, T_IN, "N"),
+            (1000, 101, 10, 1.0, 444.0, 0.0, T_IN, "N"),   # == edge
+            (1000, 101, 10, 9.0, 555.0, 0.0, T_IN, "N"),
+            (1000, 102, 10, 1.0, 666.0, 0.0, T_IN, "N"),   # brand
+        ])
+    out = RX.small_qty_revenue(sf)
+    df = out.to_pandas()
+    assert df.n_lines.tolist() == [1]
+    assert df.sum_cents.tolist() == [11100]
+    _assert_parity(out, sf, RX.sql_small_qty_revenue())
+
+
+def test_small_qty_revenue_empty_brand(ray_session, tmp_path):
+    sf = _star(
+        tmp_path,
+        customers=[(1, 2, 0.0)],
+        suppliers=[(10, 2)],
+        parts=[(100, "Brand#1")],
+        orders=[(1000, 1, T_IN)],
+        lineitems=[(1000, 100, 10, 1.0, 100.0, 0.0, T_IN, "N")])
+    out = RX.small_qty_revenue(sf)
+    assert out.to_pandas().n_lines.tolist() == [0]
+    _assert_parity(out, sf, RX.sql_small_qty_revenue())
+
+
+def test_bucket_count_invariance(ray_session, tmp_path, monkeypatch):
+    sf = _star(
+        tmp_path,
+        customers=[(i, i % 5, float(i)) for i in range(1, 8)],
+        suppliers=[(10, 2), (11, 7)],
+        parts=[(100, "Brand#4")],
+        orders=[(1000 + i, 1 + (i % 7), T_IN) for i in range(12)],
+        lineitems=[(1000 + i, 100, 10 + (i % 2), 1.0 + i,
+                    50.0 * (1 + i), 0.05, T_IN, "RN"[i % 2])
+                   for i in range(12)])
+    import raysearch.hashing as H
+
+    results = {}
+    for nbuck in (2, 16):
+        monkeypatch.setattr(H, "auto_buckets", lambda *a, **k: nbuck)
+        results[nbuck] = (
+            RX.returned_item_customers(sf).to_pandas(),
+            RX.nation_trade_volume(sf).to_pandas())
+    for a, b in zip(results[2], results[16]):
+        pd.testing.assert_frame_equal(a, b)
