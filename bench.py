@@ -71,7 +71,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "bpe_encode",
           # round 3, seventh wave
           "returned_item_customers", "nation_trade_volume",
-          "small_qty_revenue"]
+          "small_qty_revenue", "pagerank_topk"]
 
 
 def run_quality(sf_dir: str) -> dict:

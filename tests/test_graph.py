@@ -1,0 +1,105 @@
+"""pagerank_topk: the engine's fixed-point supersteps must match a
+pure-numpy replay of the same contract (brute-force round6-cosine
+k-NN edges -> integer PageRank), the composed DuckDB oracle, and
+themselves under any bucket count — plus the N=1 degenerate corpus."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raysearch.numutil import round6
+from raysearch.pipelines import graph as G
+from raysearch.pipelines.knn import KNN_K
+
+
+def _write_emb(tmp_path, vecs, ids=None):
+    n = len(vecs)
+    if ids is None:
+        ids = 1000 + 7 * np.arange(n, dtype=np.int64)
+    # descending file order stresses any ordering assumption
+    order = np.argsort(ids)[::-1]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.asarray(ids)[order], pa.int64()),
+        "embedding": pa.array([[float(x) for x in vecs[i]]
+                               for i in order],
+                              pa.list_(pa.float32())),
+        "label": pa.array((np.asarray(ids)[order] % 3).astype(np.int64),
+                          pa.int64()),
+    }), os.path.join(tmp_path, "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _reference_pagerank(vecs, ids):
+    """Brute-force replay of the documented contract in numpy/python
+    ints: round6 cosines, top-k under (cos DESC, nbr ASC), fixed-point
+    supersteps with floor division."""
+    n = len(ids)
+    m = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = round6(m @ m.T)
+    order = np.argsort(ids)
+    ids_s, sims = np.asarray(ids)[order], sims[np.ix_(order, order)]
+    edges = []  # (src, dst)
+    deg = {}
+    for i in range(n):
+        cand = [(-sims[i, j], ids_s[j]) for j in range(n) if j != i]
+        cand.sort()
+        nbrs = [c[1] for c in cand[:KNN_K]]
+        deg[ids_s[i]] = len(nbrs)
+        edges += [(int(ids_s[i]), int(d)) for d in nbrs]
+    p = {int(v): G.PR_SCALE // n for v in ids_s}
+    tele = (G.PR_SCALE * (G.PR_D_DEN - G.PR_D_NUM)) // (G.PR_D_DEN * n)
+    for _ in range(G.PR_ITERS):
+        new = {int(v): tele for v in ids_s}
+        for s, d in edges:
+            new[d] += (p[s] * G.PR_D_NUM) // (deg[s] * G.PR_D_DEN)
+        p = new
+    rows = sorted(p.items(), key=lambda kv: (-kv[1], kv[0]))[:G.PR_K]
+    return pd.DataFrame({"vec_id": [r[0] for r in rows],
+                         "p": [r[1] for r in rows]})
+
+
+def test_pagerank_matches_reference(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    ids = 1000 + 7 * np.arange(40, dtype=np.int64)
+    sf = _write_emb(tmp_path, vecs, ids)
+    eng = G.pagerank_topk(sf).to_pandas()
+    ref = _reference_pagerank(vecs, ids)
+    pd.testing.assert_frame_equal(eng, ref, check_dtype=False)
+
+
+def test_pagerank_oracle_parity(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    sf = _write_emb(tmp_path, rng.normal(size=(30, 6)))
+    eng = G.pagerank_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    ora = con.execute(G.sql_pagerank_topk()).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_pagerank_bucket_invariance(ray_session, tmp_path,
+                                    monkeypatch):
+    import raysearch.hashing as H
+
+    rng = np.random.default_rng(3)
+    sf = _write_emb(tmp_path, rng.normal(size=(25, 5)))
+    out = {}
+    for nb in (2, 8):
+        monkeypatch.setattr(H, "auto_buckets", lambda *a, **k: nb)
+        out[nb] = G.pagerank_topk(sf).to_pandas()
+    pd.testing.assert_frame_equal(out[2], out[8])
+
+
+def test_pagerank_single_vector(ray_session, tmp_path):
+    sf = _write_emb(tmp_path, np.ones((1, 4)), ids=np.array([42]))
+    df = G.pagerank_topk(sf).to_pandas()
+    assert df.vec_id.tolist() == [42]
+    tele = (G.PR_SCALE * (G.PR_D_DEN - G.PR_D_NUM)) // G.PR_D_DEN
+    assert df.p.tolist() == [tele]
