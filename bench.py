@@ -71,7 +71,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "bpe_encode",
           # round 3, seventh wave
           "returned_item_customers", "nation_trade_volume",
-          "small_qty_revenue", "pagerank_topk"]
+          "small_qty_revenue", "pagerank_topk",
+          "perplexity_buckets"]
 
 
 def run_quality(sf_dir: str) -> dict:
