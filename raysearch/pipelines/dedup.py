@@ -1184,9 +1184,147 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+SPAN_W = 5
+
+
+def dup_spans(sf_dir: str) -> pa.Table:
+    """Token-span dedup signals (the Lee et al. 2021 "Deduplicating
+    Training Data" granularity, window form): per doc, the number of
+    {w}-token window SLOTS and the fraction of those slots whose
+    exact lowered-whitespace {w}-gram also occurs in at least one
+    OTHER document. Within-doc repeats alone do not count — the same
+    exclusion as para_dedup, one level finer than its whole-line
+    unit and the self-join sibling of decontaminate's benchmark
+    overlap.
+
+    Scale shape is para_dedup's verbatim: window grams collapse
+    map-side to (60-bit gram-hash, doc, slot-count) rows — the text
+    never shuffles; ONE hash-bucketed exchange counts distinct docs
+    per gram in-group and emits per-(doc, bucket) additive partials;
+    groupby(doc_id) sums them; a zero-count sentinel row keyed by the
+    doc's own hash keeps span-less docs in the result without a
+    corpus join.""".format(w=SPAN_W)
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import splitmix64
+
+    nb = auto_buckets(_n_docs(sf_dir))
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import _tokens
+
+        toks = _tokens(batch)
+        ids = batch["doc_id"].to_numpy()
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
+        if len(flat) >= SPAN_W:
+            valid = didx[:len(flat) - SPAN_W + 1] == didx[SPAN_W - 1:]
+            pos = np.flatnonzero(valid)
+        else:
+            pos = np.array([], dtype=np.int64)
+        if len(pos):
+            g = flat[pos]
+            for k in range(1, SPAN_W):
+                g = g + " "
+                g = g + flat[pos + k]
+            h = md5_prefix_ints(g, 15).astype(np.int64)  # 60 bits
+            rows = (pd.DataFrame({"h": h, "doc_id": ids[didx[pos]]})
+                    .groupby(["h", "doc_id"], as_index=False)
+                    .agg(cnt=("h", "size")))
+            rows["cnt"] = rows["cnt"].astype(np.int64)
+        else:
+            rows = pd.DataFrame({"h": np.array([], np.int64),
+                                 "doc_id": np.array([], np.int64),
+                                 "cnt": np.array([], np.int64)})
+        sent = pd.DataFrame({
+            "h": (splitmix64(ids.astype(np.uint64))
+                  >> np.uint64(4)).astype(np.int64),
+            "doc_id": ids, "cnt": np.int64(0)})
+        out = pd.concat([rows.assign(real=np.int64(1)),
+                         sent.assign(real=np.int64(0))],
+                        ignore_index=True)
+        hcol = out["h"].to_numpy(np.int64)
+        return pa.table({
+            "h": pa.array(hcol, pa.int64()),
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "cnt": pa.array(out["cnt"].to_numpy(np.int64), pa.int64()),
+            "real": pa.array(out["real"].to_numpy(np.int64),
+                             pa.int64()),
+            "hbucket": pa.array(hcol % np.int64(nb), pa.int64()),
+        })
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"] == 1]
+        ndocs = real.groupby("h")["doc_id"].transform("nunique")
+        dup_cnt = real["cnt"].to_numpy(np.int64) * (
+            ndocs.to_numpy(np.int64) >= 2)
+        per = pd.DataFrame({"doc_id": g["doc_id"],
+                            "n_spans_part": g["cnt"],
+                            "n_dup_part": np.int64(0)})
+        per.loc[real.index, "n_dup_part"] = dup_cnt
+        return per.groupby("doc_id", as_index=False).agg(
+            n_spans_part=("n_spans_part", "sum"),
+            n_dup_part=("n_dup_part", "sum"))
+
+    ds = _read_docs(sf_dir).map_batches(span_rows,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    agg = (ds.groupby("hbucket").map_groups(mark,
+                                            batch_format="pandas")
+           .groupby("doc_id").aggregate(
+               Sum("n_spans_part", alias_name="n_spans"),
+               Sum("n_dup_part", alias_name="n_dup_spans")))
+    df = agg.to_pandas().sort_values("doc_id", ignore_index=True)
+    n = df.n_spans.to_numpy(np.int64)
+    d = df.n_dup_spans.to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = round6(np.where(n > 0, d / np.maximum(n, 1), 0.0))
+    return pa.table({
+        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
+        "n_spans": pa.array(n, pa.int64()),
+        "n_dup_spans": pa.array(d, pa.int64()),
+        "dup_span_frac": pa.array(frac, pa.float64()),
+    })
+
+
+def sql_dup_spans() -> str:
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - {SPAN_W - 2},
+                                            1)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                || ' ' || toks[i + 3] || ' ' || toks[i + 4])) AS gram
+  FROM t WHERE len(toks) >= {SPAN_W}
+),
+l AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt
+      FROM g GROUP BY doc_id, gram),
+nd AS (SELECT gram, count(DISTINCT doc_id)::BIGINT AS ndocs
+       FROM l GROUP BY gram),
+per AS (SELECT doc_id, sum(cnt)::BIGINT AS n_spans,
+               sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END)::BIGINT
+                 AS n_dup
+        FROM l JOIN nd USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+  coalesce(per.n_dup, 0)::BIGINT AS n_dup_spans,
+  round(CASE WHEN coalesce(per.n_spans, 0) > 0
+    THEN per.n_dup::DOUBLE / per.n_spans ELSE 0 END, 6)
+    AS dup_span_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "para_dedup": para_dedup,
+    "dup_spans": dup_spans,
     "clean_pipeline": clean_pipeline,
     "clean_corpus": clean_corpus,
     "dedup_minhash": dedup_minhash,
@@ -1199,6 +1337,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": sql_dedup_exact(),
     "para_dedup": sql_para_dedup(),
+    "dup_spans": sql_dup_spans(),
     "clean_pipeline": sql_clean_pipeline(),
     "clean_corpus": sql_clean_corpus(),
     "dedup_minhash": sql_dedup_minhash(),

@@ -96,7 +96,7 @@ def _write_sharded(tbl: pa.Table, out_dir: str, n_files: int,
 
 _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "rep_signals", "rep_ngram_signals", "gopher_filters", "c4_filters",
-            "para_dedup",
+            "para_dedup", "dup_spans",
             "dedup_exact",
             "fingerprint", "dedup_simhash",
             "source_stats", "lang_source_rollup", "mix_weights", "doclen_histogram",

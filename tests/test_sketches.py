@@ -259,6 +259,38 @@ def test_gopher_filters_adversarial(ray_session, tmp_path):
     assert byid.loc[5, "stopword_hits"] == 1
 
 
+def test_dup_spans_adversarial(ray_session, tmp_path):
+    """Token-span dedup vs oracle: a 5-gram shared across docs counts
+    every slot it occupies; a 5-gram repeated only WITHIN one doc does
+    not; docs under 5 tokens have zero spans but stay in the result;
+    case folds before windowing."""
+    from raysearch.pipelines import dedup as D
+
+    shared = "alpha beta gamma delta epsilon"
+    sf = _write_docs(tmp_path, [
+        shared + " zeta",                 # 2 slots, 1 shared
+        "prefix " + shared,               # 2 slots, 1 shared
+        shared + " " + shared,            # within + cross: all slots
+                                          # containing the shared gram
+        "only here repeated only here repeated only here",  # self-rep
+        "short doc here",                 # < 5 tokens -> 0 spans
+        "",
+        "ALPHA Beta GAMMA delta EPSILON",  # folds to the shared gram
+    ])
+    got = _norm(D.dup_spans(sf).to_pandas())
+    want = _norm(_oracle(sf, D.sql_dup_spans()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id").sort_index()
+    assert byid.loc[4, "n_spans"] == 0
+    assert byid.loc[5, "n_spans"] == 0
+    assert byid.loc[0, "n_dup_spans"] == 1
+    assert byid.loc[1, "n_dup_spans"] == 1
+    assert byid.loc[6, "n_spans"] == 1
+    assert byid.loc[6, "n_dup_spans"] == 1
+    # doc 3's repeats exist only within itself -> nothing dup
+    assert byid.loc[3, "n_dup_spans"] == 0
+
+
 def test_para_dedup_adversarial(ray_session, tmp_path):
     """Paragraph dedup vs oracle: cross-doc dup lines, within-doc-only
     repeats (must NOT count), empty docs, blank-line-only docs,
