@@ -222,10 +222,180 @@ LIMIT {PR_K}
 """
 
 
+LP_ITERS = 2
+
+
+def label_prop(sf_dir: str) -> pa.Table:
+    """Semi-supervised label propagation over the same exact k-NN
+    graph (Zhu & Ghahramani 2002, hard-label variant): for {iters}
+    synchronous rounds, every node adopts the MAJORITY label of its
+    {k} nearest neighbors' current labels (ties -> smallest label);
+    a node with no out-edges keeps its own. Votes are integer counts
+    under the (count DESC, label ASC) total order — the whole
+    computation is discrete, so any reduce order gives the identical
+    result and the oracle replays the rounds as unrolled SQL CTEs.
+
+    Superstep shape (x {iters}): edges are bucketed BY DESTINATION
+    once and materialized (the vote needs each neighbor's label, so
+    labels co-locate with the edges pointing AT them); exchange 1
+    resolves nbr labels in-group and emits (src-bucket, src,
+    nbr_label) ballot rows plus each node's self row; exchange 2
+    groups by src bucket and votes. Two coarse exchanges per round,
+    narrow integer rows, nothing node-cardinality on the driver.
+    Output: (vec_id, label) after round {iters}, plus each node's
+    initial label and a changed flag.""".format(iters=LP_ITERS,
+                                                k=KNN_K)
+    import os
+
+    import ray.data
+
+    from raysearch.hashing import auto_buckets
+
+    n = _n_emb(sf_dir)
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "label0": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64()),
+                         "changed": pa.array([], pa.int64())})
+    nb = auto_buckets(n)
+
+    # (bucket = DST hash, a = src, b = dst) — the vote gathers dst
+    # labels, so edges co-locate with their destination's label row
+    def dst_kern(g: pd.DataFrame) -> pd.DataFrame:
+        top = _merge_topk(g)
+        dst = top.nbr_id.to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": dst & (nb - 1),
+            "a": top.vec_id.to_numpy(np.int64), "b": dst,
+            "deg": np.int64(0), "p": np.int64(0),
+            "side": np.int64(0)})[_COLS]
+
+    edges = (_knn_partials_ds(sf_dir)
+             .groupby("bucket").map_groups(dst_kern,
+                                           batch_format="pandas")
+             .materialize())
+
+    def l0_kern(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df.vec_id.to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": nodes & (nb - 1), "a": nodes,
+            "b": np.int64(0), "deg": np.int64(0),
+            "p": df.label.to_numpy(np.int64),
+            "side": np.int64(1)})[_COLS]
+
+    labels = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"]).map_batches(
+        l0_kern, batch_format="pandas")
+
+    # ballot rows: side 2 = a neighbor's label for node `a`;
+    # side 3 = the node's own current label (vote fallback)
+    def ballot_kern(g: pd.DataFrame) -> pd.DataFrame:
+        lr = g[g.side == 1]
+        e = g[g.side == 0]
+        ln = lr.a.to_numpy(np.int64)
+        lv = lr.p.to_numpy(np.int64)
+        order = np.argsort(ln)
+        ln, lv = ln[order], lv[order]
+        dst = e.b.to_numpy(np.int64)
+        pos = np.searchsorted(ln, dst)
+        src = e.a.to_numpy(np.int64)
+        out_b = pd.DataFrame({
+            "bucket": src & (nb - 1), "a": src, "b": np.int64(0),
+            "deg": np.int64(0), "p": lv[pos], "side": np.int64(2)})
+        out_s = pd.DataFrame({
+            "bucket": ln & (nb - 1), "a": ln, "b": np.int64(0),
+            "deg": np.int64(0), "p": lv, "side": np.int64(3)})
+        return pd.concat([out_b[_COLS], out_s[_COLS]],
+                         ignore_index=True)
+
+    def vote_kern(g: pd.DataFrame) -> pd.DataFrame:
+        ballots = g[g.side == 2]
+        own = g[g.side == 3]
+        votes = (ballots.groupby(["a", "p"], as_index=False)
+                 .agg(c=("p", "size"))
+                 .sort_values(["a", "c", "p"],
+                              ascending=[True, False, True]))
+        win = votes.drop_duplicates("a", keep="first")[["a", "p"]]
+        merged = own[["a", "p"]].merge(win, on="a", how="left",
+                                       suffixes=("_own", "_win"))
+        new = merged.p_win.fillna(merged.p_own).astype(np.int64)
+        a = merged.a.to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": a & (nb - 1), "a": a, "b": np.int64(0),
+            "deg": np.int64(0), "p": new.to_numpy(np.int64),
+            "side": np.int64(1)})[_COLS]
+
+    state = labels
+    for _ in range(LP_ITERS):
+        state = (edges.union(state)
+                 .groupby("bucket").map_groups(ballot_kern,
+                                               batch_format="pandas")
+                 .groupby("bucket").map_groups(vote_kern,
+                                               batch_format="pandas"))
+
+    final = state.to_pandas()[["a", "p"]].rename(
+        columns={"a": "vec_id", "p": "label"})
+    l0 = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"]).to_pandas().rename(
+        columns={"label": "label0"})
+    out = (l0.merge(final, on="vec_id")
+           .sort_values("vec_id", ignore_index=True))
+    return pa.table({
+        "vec_id": pa.array(out.vec_id.to_numpy(np.int64), pa.int64()),
+        "label0": pa.array(out.label0.to_numpy(np.int64), pa.int64()),
+        "label": pa.array(out.label.to_numpy(np.int64), pa.int64()),
+        "changed": pa.array(
+            (out.label.to_numpy(np.int64)
+             != out.label0.to_numpy(np.int64)).astype(np.int64),
+            pa.int64()),
+    })
+
+
+def sql_label_prop() -> str:
+    knn = sql_knn_graph().strip().rstrip(";")
+    rounds = ""
+    prev = "l0"
+    for i in range(1, LP_ITERS + 1):
+        rounds += f""",
+v{i} AS (
+  SELECT e.src AS node, l.label, count(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.dst
+  GROUP BY 1, 2
+),
+w{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM v{i}) WHERE rn = 1
+),
+l{i} AS (
+  SELECT p.node, coalesce(w{i}.label, p.label) AS label
+  FROM {prev} p LEFT JOIN w{i} USING (node)
+)"""
+        prev = f"l{i}"
+    return f"""
+WITH knn AS ({knn}),
+edges AS (SELECT vec_id AS src, nbr_id AS dst FROM knn),
+l0 AS (SELECT vec_id AS node, label FROM embeddings){rounds}
+SELECT l0.node::BIGINT AS vec_id,
+       l0.label::BIGINT AS label0,
+       {prev}.label::BIGINT AS label,
+       (CASE WHEN {prev}.label <> l0.label THEN 1 ELSE 0
+        END)::BIGINT AS changed
+FROM l0 JOIN {prev} USING (node)
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "pagerank_topk": pagerank_topk,
+    "label_prop": label_prop,
 }
 
 ORACLE_SQL = {
     "pagerank_topk": sql_pagerank_topk(),
+    "label_prop": sql_label_prop(),
 }

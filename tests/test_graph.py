@@ -103,3 +103,52 @@ def test_pagerank_single_vector(ray_session, tmp_path):
     assert df.vec_id.tolist() == [42]
     tele = (G.PR_SCALE * (G.PR_D_DEN - G.PR_D_NUM)) // G.PR_D_DEN
     assert df.p.tolist() == [tele]
+
+
+def test_label_prop_planted_clusters(ray_session, tmp_path):
+    # two tight clusters; one node in each carries the WRONG label ->
+    # after 2 majority rounds both adopt their cluster's label
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=4)
+    b = -a + rng.normal(scale=0.01, size=4)
+    vecs = np.vstack([a + rng.normal(scale=0.01, size=(8, 4)),
+                      b + rng.normal(scale=0.01, size=(8, 4))])
+    ids = np.arange(16, dtype=np.int64) * 5 + 3
+    sf = _write_emb(tmp_path, vecs, ids)
+    # overwrite labels: cluster A -> 0 (one traitor 1), B -> 1 (one 0)
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+    idx = {v: i for i, v in
+           enumerate(t["vec_id"].to_numpy().tolist())}
+    lab = np.zeros(16, dtype=np.int64)
+    lab[[idx[int(i)] for i in ids[8:]]] = 1
+    lab[idx[int(ids[0])]] = 1   # traitor in A
+    lab[idx[int(ids[8])]] = 0   # traitor in B
+    pq.write_table(pa.table({
+        "vec_id": t["vec_id"],
+        "embedding": t["embedding"],
+        "label": pa.array(lab, pa.int64()),
+    }), os.path.join(sf, "embeddings.parquet"))
+    eng = G.label_prop(sf).to_pandas().set_index("vec_id")
+    assert (eng.loc[list(map(int, ids[:8])), "label"] == 0).all()
+    assert (eng.loc[list(map(int, ids[8:])), "label"] == 1).all()
+    assert int(eng.changed.sum()) == 2
+    # oracle parity on the same adversarial table
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    ora = con.execute(G.sql_label_prop()).df()
+    pd.testing.assert_frame_equal(eng.reset_index(), ora,
+                                  check_dtype=False)
+
+
+def test_label_prop_bucket_invariance(ray_session, tmp_path,
+                                      monkeypatch):
+    import raysearch.hashing as H
+
+    rng = np.random.default_rng(13)
+    sf = _write_emb(tmp_path, rng.normal(size=(20, 5)))
+    out = {}
+    for nb in (2, 8):
+        monkeypatch.setattr(H, "auto_buckets", lambda *a, **k: nb)
+        out[nb] = G.label_prop(sf).to_pandas()
+    pd.testing.assert_frame_equal(out[2], out[8])
