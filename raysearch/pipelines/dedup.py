@@ -1068,48 +1068,29 @@ FROM tot t LEFT JOIN kept k USING (lang)
 """
 
 
-def para_dedup(sf_dir: str) -> pa.Table:
-    """Paragraph-level corpus dedup signals (the RefinedWeb /
-    MassiveText repetition-removal granularity): per doc, the number
-    of nonempty '\\n'-separated lines and the fraction of those line
-    SLOTS whose exact text also occurs in at least one OTHER document.
-    Within-doc repeats alone do not count as duplicated.
-
-    Scale shape: lines collapse map-side to (line-hash, doc, count)
-    rows (the text itself never shuffles; identity is a 60-bit md5
-    prefix, same collision budget as the shingle family); ONE
-    hash-bucketed exchange counts distinct docs per line in-group and
-    emits per-(doc, bucket) additive partials; the final
-    groupby(doc_id) sums them. A zero-count sentinel row per doc
-    (keyed by the doc's own hash, so sentinels spread evenly) keeps
-    line-less docs in the result without a join back to the corpus."""
-    import ray.data
+def _cross_doc_slot_dup(sf_dir: str, slots_fn) -> pd.DataFrame:
+    """The shared cross-document slot-dedup machinery of para_dedup
+    (line slots) and dup_spans (token-window slots): ``slots_fn``
+    maps one batch to flat (60-bit unit-hash, owning doc_id) slot
+    arrays; everything else — the per-(hash, doc) slot-count collapse,
+    the zero-count sentinel row per doc (keyed by the doc's own hash
+    so sentinels spread evenly and slot-less docs survive without a
+    corpus join), the ONE hash-bucketed exchange whose kernel marks
+    units seen in >= 2 DISTINCT docs (within-doc repeats alone never
+    count), and the per-doc partial sum — lives exactly once here.
+    Returns (doc_id, n_slots, n_dup) sorted by doc_id."""
     from ray.data.aggregate import Sum
 
     from raysearch.hashing import splitmix64
 
     nb = auto_buckets(_n_docs(sf_dir))
 
-    def line_rows(batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch["text"], pa.large_string())
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        text = pa.concat_arrays([text])
+    def slot_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        lines = pc.split_pattern(text, "\n")
-        offs = lines.offsets.to_numpy()
-        parent = np.repeat(np.arange(len(ids), dtype=np.int64),
-                           np.diff(offs))
-        flat = lines.flatten()
-        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False)
-        parent = parent[keep]
-        flat_np = flat.filter(pa.array(keep)).to_numpy(
-            zero_copy_only=False)
-        h = md5_prefix_ints(flat_np, 15).astype(np.int64)  # 60 bits
-        key = pd.DataFrame({"h": h, "doc_id": ids[parent]})
-        g = key.groupby(["h", "doc_id"], as_index=False).agg(
-            cnt=("h", "size"))
+        h, docs = slots_fn(batch)
+        g = (pd.DataFrame({"h": h, "doc_id": docs})
+             .groupby(["h", "doc_id"], as_index=False)
+             .agg(cnt=("h", "size")))
         sent = pd.DataFrame({
             "h": (splitmix64(ids.astype(np.uint64))
                   >> np.uint64(4)).astype(np.int64),
@@ -1134,30 +1115,73 @@ def para_dedup(sf_dir: str) -> pa.Table:
         dup_cnt = real["cnt"].to_numpy(np.int64) * (
             ndocs.to_numpy(np.int64) >= 2)
         per = pd.DataFrame({"doc_id": g["doc_id"],
-                            "n_paras_part": g["cnt"],
+                            "n_slots_part": g["cnt"],
                             "n_dup_part": np.int64(0)})
         per.loc[real.index, "n_dup_part"] = dup_cnt
         return per.groupby("doc_id", as_index=False).agg(
-            n_paras_part=("n_paras_part", "sum"),
+            n_slots_part=("n_slots_part", "sum"),
             n_dup_part=("n_dup_part", "sum"))
 
-    ds = _read_docs(sf_dir).map_batches(line_rows, batch_format="pyarrow",
+    ds = _read_docs(sf_dir).map_batches(slot_rows,
+                                        batch_format="pyarrow",
                                         zero_copy_batch=True)
     agg = (ds.groupby("hbucket").map_groups(mark, batch_format="pandas")
            .groupby("doc_id").aggregate(
-               Sum("n_paras_part", alias_name="n_paras"),
-               Sum("n_dup_part", alias_name="n_dup_paras")))
-    df = agg.to_pandas().sort_values("doc_id", ignore_index=True)
-    n = df.n_paras.to_numpy(np.int64)
-    d = df.n_dup_paras.to_numpy(np.int64)
+               Sum("n_slots_part", alias_name="n_slots"),
+               Sum("n_dup_part", alias_name="n_dup")))
+    return agg.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+def _slot_dup_table(df: pd.DataFrame, prefix: str,
+                    frac_name: str) -> pa.Table:
+    n = df.n_slots.to_numpy(np.int64)
+    d = df.n_dup.to_numpy(np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
         frac = round6(np.where(n > 0, d / np.maximum(n, 1), 0.0))
     return pa.table({
         "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
-        "n_paras": pa.array(n, pa.int64()),
-        "n_dup_paras": pa.array(d, pa.int64()),
-        "dup_para_frac": pa.array(frac, pa.float64()),
+        f"n_{prefix}": pa.array(n, pa.int64()),
+        f"n_dup_{prefix}": pa.array(d, pa.int64()),
+        frac_name: pa.array(frac, pa.float64()),
     })
+
+
+def para_dedup(sf_dir: str) -> pa.Table:
+    """Paragraph-level corpus dedup signals (the RefinedWeb /
+    MassiveText repetition-removal granularity): per doc, the number
+    of nonempty '\\n'-separated lines and the fraction of those line
+    SLOTS whose exact text also occurs in at least one OTHER document.
+    Within-doc repeats alone do not count as duplicated.
+
+    Scale shape (shared with dup_spans via _cross_doc_slot_dup):
+    lines collapse map-side to (line-hash, doc, count) rows — the
+    text itself never shuffles; identity is a 60-bit md5 prefix, same
+    collision budget as the shingle family; ONE hash-bucketed
+    exchange counts distinct docs per line in-group and emits
+    per-(doc, bucket) additive partials; the final groupby(doc_id)
+    sums them."""
+
+    def line_slots(batch: pa.Table):
+        text = pc.cast(batch["text"], pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pa.concat_arrays([text])
+        ids = batch["doc_id"].to_numpy()
+        lines = pc.split_pattern(text, "\n")
+        offs = lines.offsets.to_numpy()
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64),
+                           np.diff(offs))
+        flat = lines.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = parent[keep]
+        flat_np = flat.filter(pa.array(keep)).to_numpy(
+            zero_copy_only=False)
+        h = md5_prefix_ints(flat_np, 15).astype(np.int64)  # 60 bits
+        return h, ids[parent]
+
+    df = _cross_doc_slot_dup(sf_dir, line_slots)
+    return _slot_dup_table(df, "paras", "dup_para_frac")
 
 
 def sql_para_dedup() -> str:
@@ -1197,21 +1221,16 @@ def dup_spans(sf_dir: str) -> pa.Table:
     unit and the self-join sibling of decontaminate's benchmark
     overlap.
 
-    Scale shape is para_dedup's verbatim: window grams collapse
-    map-side to (60-bit gram-hash, doc, slot-count) rows — the text
-    never shuffles; ONE hash-bucketed exchange counts distinct docs
-    per gram in-group and emits per-(doc, bucket) additive partials;
-    groupby(doc_id) sums them; a zero-count sentinel row keyed by the
-    doc's own hash keeps span-less docs in the result without a
-    corpus join.""".format(w=SPAN_W)
-    import ray.data
-    from ray.data.aggregate import Sum
+    Scale shape is para_dedup's verbatim (shared via
+    _cross_doc_slot_dup): window grams collapse map-side to (60-bit
+    gram-hash, doc, slot-count) rows — the text never shuffles; ONE
+    hash-bucketed exchange counts distinct docs per gram in-group and
+    emits per-(doc, bucket) additive partials; groupby(doc_id) sums
+    them; a zero-count sentinel row keyed by the doc's own hash keeps
+    span-less docs in the result without a corpus join.""".format(
+        w=SPAN_W)
 
-    from raysearch.hashing import splitmix64
-
-    nb = auto_buckets(_n_docs(sf_dir))
-
-    def span_rows(batch: pa.Table) -> pa.Table:
+    def span_slots(batch: pa.Table):
         from raysearch.pipelines.textops import _tokens
 
         toks = _tokens(batch)
@@ -1224,70 +1243,18 @@ def dup_spans(sf_dir: str) -> pa.Table:
             pos = np.flatnonzero(valid)
         else:
             pos = np.array([], dtype=np.int64)
-        if len(pos):
-            g = flat[pos]
-            for k in range(1, SPAN_W):
-                g = g + " "
-                g = g + flat[pos + k]
-            h = md5_prefix_ints(g, 15).astype(np.int64)  # 60 bits
-            rows = (pd.DataFrame({"h": h, "doc_id": ids[didx[pos]]})
-                    .groupby(["h", "doc_id"], as_index=False)
-                    .agg(cnt=("h", "size")))
-            rows["cnt"] = rows["cnt"].astype(np.int64)
-        else:
-            rows = pd.DataFrame({"h": np.array([], np.int64),
-                                 "doc_id": np.array([], np.int64),
-                                 "cnt": np.array([], np.int64)})
-        sent = pd.DataFrame({
-            "h": (splitmix64(ids.astype(np.uint64))
-                  >> np.uint64(4)).astype(np.int64),
-            "doc_id": ids, "cnt": np.int64(0)})
-        out = pd.concat([rows.assign(real=np.int64(1)),
-                         sent.assign(real=np.int64(0))],
-                        ignore_index=True)
-        hcol = out["h"].to_numpy(np.int64)
-        return pa.table({
-            "h": pa.array(hcol, pa.int64()),
-            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64),
-                               pa.int64()),
-            "cnt": pa.array(out["cnt"].to_numpy(np.int64), pa.int64()),
-            "real": pa.array(out["real"].to_numpy(np.int64),
-                             pa.int64()),
-            "hbucket": pa.array(hcol % np.int64(nb), pa.int64()),
-        })
+        if not len(pos):
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64))
+        g = flat[pos]
+        for k in range(1, SPAN_W):
+            g = g + " "
+            g = g + flat[pos + k]
+        h = md5_prefix_ints(g, 15).astype(np.int64)  # 60 bits
+        return h, ids[didx[pos]]
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        real = g[g["real"] == 1]
-        ndocs = real.groupby("h")["doc_id"].transform("nunique")
-        dup_cnt = real["cnt"].to_numpy(np.int64) * (
-            ndocs.to_numpy(np.int64) >= 2)
-        per = pd.DataFrame({"doc_id": g["doc_id"],
-                            "n_spans_part": g["cnt"],
-                            "n_dup_part": np.int64(0)})
-        per.loc[real.index, "n_dup_part"] = dup_cnt
-        return per.groupby("doc_id", as_index=False).agg(
-            n_spans_part=("n_spans_part", "sum"),
-            n_dup_part=("n_dup_part", "sum"))
-
-    ds = _read_docs(sf_dir).map_batches(span_rows,
-                                        batch_format="pyarrow",
-                                        zero_copy_batch=True)
-    agg = (ds.groupby("hbucket").map_groups(mark,
-                                            batch_format="pandas")
-           .groupby("doc_id").aggregate(
-               Sum("n_spans_part", alias_name="n_spans"),
-               Sum("n_dup_part", alias_name="n_dup_spans")))
-    df = agg.to_pandas().sort_values("doc_id", ignore_index=True)
-    n = df.n_spans.to_numpy(np.int64)
-    d = df.n_dup_spans.to_numpy(np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        frac = round6(np.where(n > 0, d / np.maximum(n, 1), 0.0))
-    return pa.table({
-        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
-        "n_spans": pa.array(n, pa.int64()),
-        "n_dup_spans": pa.array(d, pa.int64()),
-        "dup_span_frac": pa.array(frac, pa.float64()),
-    })
+    df = _cross_doc_slot_dup(sf_dir, span_slots)
+    return _slot_dup_table(df, "spans", "dup_span_frac")
 
 
 def sql_dup_spans() -> str:

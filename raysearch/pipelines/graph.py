@@ -39,6 +39,8 @@ share, the same formula the oracle computes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -98,8 +100,6 @@ def pagerank_topk(sf_dir: str) -> pa.Table:
     p0 = PR_SCALE // n
 
     if n == 1:
-        import os
-
         import pyarrow.parquet as pq
         vid = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"),
@@ -113,7 +113,6 @@ def pagerank_topk(sf_dir: str) -> pa.Table:
     # map-only pass, and immune to a source's edge rows ever being
     # re-batched across block boundaries (deriving nodes from edges
     # would double-mint p0 rows in that case)
-    import os
 
     def p0_kern(df: pd.DataFrame) -> pd.DataFrame:
         nodes = df.vec_id.to_numpy(np.int64)
@@ -245,8 +244,6 @@ def label_prop(sf_dir: str) -> pa.Table:
     Output: (vec_id, label) after round {iters}, plus each node's
     initial label and a changed flag.""".format(iters=LP_ITERS,
                                                 k=KNN_K)
-    import os
-
     import ray.data
 
     from raysearch.hashing import auto_buckets

@@ -283,6 +283,19 @@ def sample_split(sf_dir: str) -> pa.Table:
 
 # ---- bucketed shuffle hash join (orders x customer x nation) ----
 
+def _sorted_hits(sorted_keys: np.ndarray, keys: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """The one searchsorted-membership kernel every broadcast join
+    uses: (hit mask over ``keys``, positions of the hits in
+    ``sorted_keys``). Boundary handling (pos == len) lives ONLY
+    here."""
+    pos = np.searchsorted(sorted_keys, keys)
+    pos_ok = pos < len(sorted_keys)
+    hit = np.zeros(len(keys), dtype=bool)
+    hit[pos_ok] = sorted_keys[pos[pos_ok]] == keys[pos_ok]
+    return hit, pos[hit]
+
+
 def _half_away(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero, matching DuckDB round() — np.rint is
     banker's (half-to-even) and diverges on exact .5 ties (the same
@@ -490,10 +503,7 @@ def top_unshipped_orders(sf_dir: str) -> pa.Table:
     def o_rows(df: pd.DataFrame) -> pd.DataFrame:
         cks = ray.get(ck_ref)  # zero-copy numpy view
         keys = df["o_custkey"].to_numpy(np.int64)
-        pos = np.searchsorted(cks, keys)
-        pos_ok = pos < len(cks)
-        hit = np.zeros(len(keys), dtype=bool)
-        hit[pos_ok] = cks[pos[pos_ok]] == keys[pos_ok]
+        hit, _ = _sorted_hits(cks, keys)
         ok = df["o_orderkey"].to_numpy(np.int64)[hit]
         dus = _epoch_us(df["o_orderdate"])[hit]
         return pd.DataFrame({

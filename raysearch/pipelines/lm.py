@@ -170,9 +170,12 @@ def bigram_logprob(sf_dir: str) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
-def sql_bigram_logprob() -> str:
-    return r"""
-WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+def bigram_score_ctes() -> str:
+    """The t/b/c2/c1/s bigram-scoring CTE chain — the ONE SQL source
+    of the LM score, composed by sql_bigram_logprob AND by
+    perplexity.sql_perplexity_buckets so the two oracles can never
+    drift from each other (the engines already share BigramScorer)."""
+    return r"""t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
            FROM documents),
 b AS (
   SELECT doc_id,
@@ -189,7 +192,12 @@ s AS (
          sum(ln(c2.c::DOUBLE / c1.c)) AS lp
   FROM b JOIN c2 USING (bg) JOIN c1 ON c1.w = b.w1
   GROUP BY b.doc_id
-)
+)"""
+
+
+def sql_bigram_logprob() -> str:
+    return f"""
+WITH {bigram_score_ctes()}
 SELECT doc_id, n::BIGINT AS n_bigrams, round(lp / n, 6) AS logprob
 FROM s
 """

@@ -134,25 +134,10 @@ def perplexity_buckets(sf_dir: str) -> pa.Table:
 
 
 def sql_perplexity_buckets() -> str:
+    from raysearch.pipelines.lm import bigram_score_ctes
+
     return rf"""
-WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
-           FROM documents),
-b AS (
-  SELECT doc_id,
-    unnest(list_transform(range(1, greatest(len(toks), 1)),
-           i -> toks[i])) AS w1,
-    unnest(list_transform(range(1, greatest(len(toks), 1)),
-           i -> toks[i] || ' ' || toks[i + 1])) AS bg
-  FROM t
-),
-c2 AS (SELECT bg, count(*) AS c FROM b GROUP BY bg),
-c1 AS (SELECT w1 AS w, count(*) AS c FROM b GROUP BY w1),
-s AS (
-  SELECT b.doc_id, count(*) AS n,
-         sum(ln(c2.c::DOUBLE / c1.c)) AS lp
-  FROM b JOIN c2 USING (bg) JOIN c1 ON c1.w = b.w1
-  GROUP BY b.doc_id
-),
+WITH {bigram_score_ctes()},
 scored AS (
   SELECT s.doc_id, d.lang, round(s.lp / s.n, 6) AS logprob
   FROM s JOIN documents d USING (doc_id)

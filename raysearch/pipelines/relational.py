@@ -45,6 +45,7 @@ from raysearch.pipelines.joins import (
     _half_away,
     _n_rows,
     _read,
+    _sorted_hits,
 )
 
 # ---- Q5 shape: local supplier volume ----
@@ -102,11 +103,8 @@ def _lookup(keys: np.ndarray, ref) -> tuple[np.ndarray, np.ndarray]:
     import ray
 
     ks, vs = ray.get(ref)  # zero-copy numpy views
-    pos = np.searchsorted(ks, keys)
-    pos_ok = pos < len(ks)
-    hit = np.zeros(len(keys), dtype=bool)
-    hit[pos_ok] = ks[pos[pos_ok]] == keys[pos_ok]
-    return hit, vs[pos[hit]] if hit.any() else vs[:0]
+    hit, pos = _sorted_hits(ks, keys)
+    return hit, vs[pos]
 
 
 def _region_nations(sf_dir: str) -> tuple[np.ndarray, dict[int, str]]:

@@ -44,6 +44,7 @@ from raysearch.pipelines.joins import (
     _half_away,
     _n_rows,
     _read,
+    _sorted_hits,
 )
 from raysearch.pipelines.relational import (
     _broadcast_dim,
@@ -79,6 +80,17 @@ def _nation_names(sf_dir: str) -> dict[int, str]:
         nation["n_name"].to_pylist()))
 
 
+def _nation_dim(sf_dir: str, table: str, key_col: str, nat_col: str,
+                names: dict[int, str]):
+    """Broadcast (key -> nationkey) restricted to nationkeys that
+    EXIST in the nation table — the oracles' inner JOIN nation
+    semantics. An FK-violating nationkey must drop its row before any
+    top-k/aggregate, never crash the driver-side name attach."""
+    return _broadcast_dim(
+        sf_dir, table, key_col, nat_col,
+        filters=[(nat_col, "in", [int(k) for k in names])])
+
+
 def returned_item_customers(sf_dir: str) -> pa.Table:
     """TPC-H-Q10-shaped returned-item report: the {k} customers who
     lost the most revenue to returns (l_returnflag = '{fl}') on orders
@@ -102,17 +114,18 @@ def returned_item_customers(sf_dir: str) -> pa.Table:
 
     from raysearch.hashing import auto_buckets
 
-    cust_ref = _broadcast_dim(sf_dir, "customer.parquet",
-                              "c_custkey", "c_nationkey")
     names = _nation_names(sf_dir)
+    cust_ref = _nation_dim(sf_dir, "customer.parquet",
+                           "c_custkey", "c_nationkey", names)
     nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
 
     def o_rows(df: pd.DataFrame) -> pd.DataFrame:
         ok = df["o_orderkey"].to_numpy(np.int64)
         ck = df["o_custkey"].to_numpy(np.int64)
-        # membership only: a dangling o_custkey must never occupy a
-        # top-k slot; the winners' nationkeys re-derive from the same
-        # broadcast map driver-side
+        # membership only: a dangling o_custkey OR an FK-violating
+        # c_nationkey must never occupy a top-k slot (the oracle's
+        # JOIN customer JOIN nation drops both before LIMIT); the
+        # winners' nationkeys re-derive from the same broadcast map
         hit, _ = _lookup(ck, cust_ref)
         ok, ck = ok[hit], ck[hit]
         return pd.DataFrame({
@@ -242,11 +255,14 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
 
     from raysearch.hashing import auto_buckets
 
-    cust_ref = _broadcast_dim(sf_dir, "customer.parquet",
-                              "c_custkey", "c_nationkey")
-    supp_ref = _broadcast_dim(sf_dir, "supplier.parquet",
-                              "s_suppkey", "s_nationkey")
     names = _nation_names(sf_dir)
+    # nation-FK-filtered broadcasts: an FK-violating nationkey drops
+    # its row exactly like the oracle's JOIN nation, instead of
+    # minting a NaN name at the driver-side attach
+    cust_ref = _nation_dim(sf_dir, "customer.parquet",
+                           "c_custkey", "c_nationkey", names)
+    supp_ref = _nation_dim(sf_dir, "supplier.parquet",
+                           "s_suppkey", "s_nationkey", names)
     nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
 
     def o_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -375,17 +391,9 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
     pk = np.sort(bp["p_partkey"].to_numpy().astype(np.int64))
     pk_ref = ray.put(pk)
 
-    def member_mask(keys: np.ndarray) -> np.ndarray:
-        pks = ray.get(pk_ref)  # zero-copy numpy view
-        pos = np.searchsorted(pks, keys)
-        pos_ok = pos < len(pks)
-        hit = np.zeros(len(keys), dtype=bool)
-        hit[pos_ok] = pks[pos[pos_ok]] == keys[pos_ok]
-        return hit
-
     def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
         k = df["l_partkey"].to_numpy(np.int64)
-        hit = member_mask(k)
+        hit, _ = _sorted_hits(ray.get(pk_ref), k)
         q = _half_away(df["l_quantity"].to_numpy(np.float64))[hit]
         g = (pd.DataFrame({"partkey": k[hit], "q": q})
              .groupby("partkey", as_index=False)
@@ -412,13 +420,9 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
     def small_partial(df: pd.DataFrame) -> pd.DataFrame:
         pks, ns, sqs = ray.get(stats_ref)  # zero-copy numpy views
         k = df["l_partkey"].to_numpy(np.int64)
-        pos = np.searchsorted(pks, k)
-        pos_ok = pos < len(pks)
-        hit = np.zeros(len(k), dtype=bool)
-        hit[pos_ok] = pks[pos[pos_ok]] == k[pos_ok]
+        hit, p = _sorted_hits(pks, k)
         q = _half_away(df["l_quantity"].to_numpy(np.float64))[hit]
         cents = _cents(df["l_extendedprice"].to_numpy(np.float64))[hit]
-        p = pos[hit]
         keep = 5 * q * ns[p] < sqs[p]
         return pd.DataFrame({"n": [int(keep.sum())],
                              "s": [int(cents[keep].sum())]})

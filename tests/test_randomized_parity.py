@@ -190,12 +190,16 @@ def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
             (np.arange(10) % 5).astype(np.int64)),
     })
     n_cust = 60
+    # plant one FK-violating nationkey on each dimension: the oracles'
+    # JOIN nation silently drops those rows, and the engines must
+    # match (not crash at the driver-side name attach)
+    c_nat = rng.integers(0, 10, n_cust).astype(np.int64)
+    c_nat[7] = 99
     customer = pa.table({
         "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
         # 'c<i>' names make dist-1 pairs dense (c1/c2, c10/c20, ...)
         "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
-        "c_nationkey": pa.array(
-            rng.integers(0, 10, n_cust).astype(np.int64)),
+        "c_nationkey": pa.array(c_nat),
         # nonzero balances straddling the positive-mean threshold
         "c_acctbal": pa.array(
             rng.integers(-100_000, 1_000_000, n_cust) / 100.0),
@@ -204,17 +208,21 @@ def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
                        n_cust, p=[0.5, 0.3, 0.2]).tolist()),
     })
     n_supp, n_part = 20, 40
+    s_nat = rng.integers(0, 10, n_supp).astype(np.int64)
+    s_nat[3] = 98   # FK-violating supplier nationkey (see above)
     supplier = pa.table({
         "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
         "s_name": pa.array([f"s{i}" for i in range(n_supp)]),
-        "s_nationkey": pa.array(
-            rng.integers(0, 10, n_supp).astype(np.int64)),
+        "s_nationkey": pa.array(s_nat),
         "s_acctbal": pa.array(np.zeros(n_supp)),
     })
     part = pa.table({
         "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
         "p_name": pa.array([f"p{i}" for i in range(n_part)]),
-        "p_brand": pa.array(["Brand#1"] * n_part),
+        # Brand#4 present so small_qty_revenue's filter is non-empty
+        "p_brand": pa.array(rng.choice(
+            ["Brand#1", "Brand#4", "Brand#9"], n_part,
+            p=[0.4, 0.35, 0.25]).tolist()),
         "p_type": pa.array(rng.choice(
             ["PROMO", "STANDARD", "ECONOMY"], n_part,
             p=[0.3, 0.4, 0.3]).tolist()),
@@ -284,7 +292,10 @@ _TPCH_OPS = ["order_priority_counts", "pricing_summary",
              # fifth wave
              "local_supplier_volume", "big_orders", "promo_revenue",
              "churned_customers", "fuzzy_name_pairs",
-             "cust_order_dist", "top_suppliers"]
+             "cust_order_dist", "top_suppliers",
+             # seventh wave
+             "returned_item_customers", "nation_trade_volume",
+             "small_qty_revenue"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")

@@ -239,3 +239,32 @@ def test_bucket_count_invariance(ray_session, tmp_path, monkeypatch):
             RX.nation_trade_volume(sf).to_pandas())
     for a, b in zip(results[2], results[16]):
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_dangling_nationkey_matches_oracle(ray_session, tmp_path):
+    """An FK-violating c_nationkey/s_nationkey must DROP its rows
+    exactly like the oracles' inner JOIN nation — never crash the
+    driver-side name attach or occupy a top-k slot (the review probe
+    that caught the original KeyError/ArrowTypeError)."""
+    sf = _star(
+        tmp_path,
+        customers=[(1, 99, 5.0),   # nationkey 99: NO nation row
+                   (2, 3, 7.0)],
+        suppliers=[(10, 98),       # nationkey 98: NO nation row
+                   (11, 2)],
+        parts=[(100, "Brand#1")],
+        orders=[(1000, 1, T_IN), (1001, 2, T_IN)],
+        lineitems=[
+            # cust 1 (dangling nation) would WIN on revenue
+            (1000, 100, 11, 1.0, 900.0, 0.0, T_IN, "R"),
+            (1001, 100, 11, 1.0, 100.0, 0.0, T_IN, "R"),
+            # supplier 10's nation dangles -> its line drops from Q7
+            (1001, 100, 10, 1.0, 500.0, 0.0, T_IN, "N"),
+        ])
+    q10 = RX.returned_item_customers(sf)
+    assert q10.to_pandas().c_custkey.tolist() == [2]
+    _assert_parity(q10, sf, RX.sql_returned_item_customers())
+    q7 = RX.nation_trade_volume(sf)
+    df = q7.to_pandas()
+    assert df.supp_nation.tolist() == ["NATION_2"]
+    _assert_parity(q7, sf, RX.sql_nation_trade_volume())
