@@ -72,7 +72,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 3, seventh wave
           "returned_item_customers", "nation_trade_volume",
           "small_qty_revenue", "pagerank_topk",
-          "perplexity_buckets", "dup_spans", "label_prop"]
+          "perplexity_buckets", "dup_spans", "label_prop",
+          "triangle_stats"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -45,6 +45,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raysearch.numutil import round6
 from raysearch.pipelines.knn import (
     KNN_K,
     _knn_partials_ds,
@@ -387,12 +388,192 @@ ORDER BY vec_id
 """
 
 
+def _pair_bucket(a: np.ndarray, b: np.ndarray, nb: int) -> np.ndarray:
+    """Consistent coarse bucket for an ORDERED pair (a < b) — the
+    co-location key of the wedge-closure join."""
+    from raysearch.hashing import splitmix64
+
+    h = splitmix64((a.astype(np.uint64) << np.uint64(20))
+                   ^ b.astype(np.uint64))
+    return (h & np.uint64(nb - 1)).astype(np.int64)
+
+
+def triangle_stats(sf_dir: str) -> pa.Table:
+    """Per-node triangle count and local clustering coefficient over
+    the UNDIRECTED exact k-NN graph — the standard graph-quality
+    probe (a high coefficient marks tight semantic clusters; the
+    wedge-closure algorithm is the classic distributed formulation).
+
+    Shape: (1) directed knn edges collapse to distinct undirected
+    pairs (u < v) in one pair-bucketed dedup exchange ((a, b) and
+    (b, a) land in the same group by construction); (2) both
+    directions re-key by endpoint, and the in-group wedge generator
+    is dedup._run_pairs (triangular blocks per run-length class —
+    wedges per node = d(d-1)/2 with d <= 2k, so output is O(k^2) per
+    node) with the center carried as _run_pairs payload; (3) wedges
+    and undirected edges meet on the SAME pair bucket; a wedge whose
+    (x, y) matches an edge closes a triangle at its center; degree
+    rows ride the same exchange; (4) one node-cardinality groupby
+    sums per-center closures and degrees. Everything is integer
+    counting — exact under any reduce order; the only float is the
+    final round6 coefficient, computed identically in SQL."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+    from raysearch.pipelines.dedup import _run_pairs
+
+    n = _n_emb(sf_dir)
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "degree": pa.array([], pa.int64()),
+                         "n_wedges": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64()),
+                         "clustering": pa.array([], pa.float64())})
+    nb = auto_buckets(n)
+
+    def und_rows(g: pd.DataFrame) -> pd.DataFrame:
+        top = _merge_topk(g)
+        s = top.vec_id.to_numpy(np.int64)
+        d = top.nbr_id.to_numpy(np.int64)
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pd.DataFrame({"bucket": _pair_bucket(u, v, nb),
+                             "u": u, "v": v})
+
+    def dedup_kern(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    und = (_knn_partials_ds(sf_dir)
+           .groupby("bucket").map_groups(und_rows,
+                                         batch_format="pandas")
+           .groupby("bucket").map_groups(dedup_kern,
+                                         batch_format="pandas")
+           .materialize())
+
+    def adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.u.to_numpy(np.int64)
+        v = df.v.to_numpy(np.int64)
+        node = np.concatenate([u, v])
+        nbr = np.concatenate([v, u])
+        return pd.DataFrame({"bucket": node & (nb - 1),
+                             "node": node, "nbr": nbr})
+
+    # wedge rows (side 1) + degree rows (side 2), both re-keyed so
+    # wedges co-locate with the edge set on the pair bucket
+    def wedge_kern(g: pd.DataFrame) -> pd.DataFrame:
+        node = g.node.to_numpy(np.int64)
+        nbr = g.nbr.to_numpy(np.int64)
+        x, y, cx, _ = _run_pairs([node], nbr, payload=node)
+        deg = (pd.DataFrame({"node": node})
+               .groupby("node", as_index=False)
+               .agg(d=("node", "size")))
+        w = pd.DataFrame({"bucket": _pair_bucket(x, y, nb),
+                          "a": x, "b": y, "c": cx,
+                          "side": np.int64(1)})
+        dn = deg.node.to_numpy(np.int64)
+        dr = pd.DataFrame({"bucket": dn & (nb - 1), "a": dn,
+                           "b": np.int64(0),
+                           "c": deg.d.to_numpy(np.int64),
+                           "side": np.int64(2)})
+        return pd.concat([w, dr], ignore_index=True)
+
+    def edge_mark(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.u.to_numpy(np.int64)
+        v = df.v.to_numpy(np.int64)
+        return pd.DataFrame({"bucket": _pair_bucket(u, v, nb),
+                             "a": u, "b": v, "c": np.int64(0),
+                             "side": np.int64(0)})
+
+    wedges = (und.map_batches(adj_rows, batch_format="pandas")
+              .groupby("bucket").map_groups(wedge_kern,
+                                            batch_format="pandas"))
+    emarks = und.map_batches(edge_mark, batch_format="pandas")
+
+    def close_kern(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g.side == 0][["a", "b"]]
+        w = g[g.side == 1]
+        closed = w.merge(e, on=["a", "b"], how="inner")
+        tri = (closed.groupby("c", as_index=False)
+               .agg(t=("c", "size")))
+        out_t = pd.DataFrame({"node": tri.c.to_numpy(np.int64),
+                              "tri": tri.t.to_numpy(np.int64),
+                              "d": np.int64(0)})
+        dr = g[g.side == 2]
+        out_d = pd.DataFrame({"node": dr.a.to_numpy(np.int64),
+                              "tri": np.int64(0),
+                              "d": dr.c.to_numpy(np.int64)})
+        return pd.concat([out_t, out_d], ignore_index=True)
+
+    agg = (wedges.union(emarks)
+           .groupby("bucket").map_groups(close_kern,
+                                         batch_format="pandas")
+           .groupby("node").aggregate(Sum("tri", alias_name="tri"),
+                                      Sum("d", alias_name="d")))
+    df = agg.to_pandas()
+    if "node" not in df.columns or not len(df):
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "degree": pa.array([], pa.int64()),
+                         "n_wedges": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64()),
+                         "clustering": pa.array([], pa.float64())})
+    df = df.sort_values("node", ignore_index=True)
+    d = df.d.to_numpy(np.int64)
+    tri = df.tri.to_numpy(np.int64)
+    wed = d * (d - 1) // 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = round6(np.where(wed > 0, tri / np.maximum(wed, 1), 0.0))
+    return pa.table({
+        "vec_id": pa.array(df.node.to_numpy(np.int64), pa.int64()),
+        "degree": pa.array(d, pa.int64()),
+        "n_wedges": pa.array(wed, pa.int64()),
+        "n_triangles": pa.array(tri, pa.int64()),
+        "clustering": pa.array(cc, pa.float64()),
+    })
+
+
+def sql_triangle_stats() -> str:
+    knn = sql_knn_graph().strip().rstrip(";")
+    return f"""
+WITH knn AS ({knn}),
+eu AS (
+  SELECT DISTINCT least(vec_id, nbr_id) AS u,
+                  greatest(vec_id, nbr_id) AS v
+  FROM knn
+),
+adj AS (SELECT u AS node, v AS nbr FROM eu
+        UNION ALL SELECT v, u FROM eu),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM adj GROUP BY node),
+w AS (
+  SELECT a1.node AS c, a1.nbr AS x, a2.nbr AS y
+  FROM adj a1 JOIN adj a2
+    ON a1.node = a2.node AND a1.nbr < a2.nbr
+),
+tri AS (
+  SELECT c, count(*)::BIGINT AS t
+  FROM w JOIN eu ON w.x = eu.u AND w.y = eu.v
+  GROUP BY c
+)
+SELECT deg.node::BIGINT AS vec_id,
+       deg.d AS degree,
+       (deg.d * (deg.d - 1) // 2)::BIGINT AS n_wedges,
+       coalesce(tri.t, 0)::BIGINT AS n_triangles,
+       round(CASE WHEN deg.d >= 2
+             THEN coalesce(tri.t, 0)::DOUBLE
+                  / (deg.d * (deg.d - 1) // 2)
+             ELSE 0 END, 6) AS clustering
+FROM deg LEFT JOIN tri ON deg.node = tri.c
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "pagerank_topk": pagerank_topk,
     "label_prop": label_prop,
+    "triangle_stats": triangle_stats,
 }
 
 ORACLE_SQL = {
     "pagerank_topk": sql_pagerank_topk(),
     "label_prop": sql_label_prop(),
+    "triangle_stats": sql_triangle_stats(),
 }

@@ -152,3 +152,66 @@ def test_label_prop_bucket_invariance(ray_session, tmp_path,
         monkeypatch.setattr(H, "auto_buckets", lambda *a, **k: nb)
         out[nb] = G.label_prop(sf).to_pandas()
     pd.testing.assert_frame_equal(out[2], out[8])
+
+
+def test_triangle_stats_complete_graph(ray_session, tmp_path):
+    # N=4 with k=5 -> every node links every other: K4. Each node has
+    # degree 3, 3 wedges, 3 closed triangles, clustering exactly 1.0
+    rng = np.random.default_rng(21)
+    sf = _write_emb(tmp_path, rng.normal(size=(4, 6)),
+                    ids=np.array([9, 2, 30, 14]))
+    eng = G.triangle_stats(sf).to_pandas()
+    assert eng.vec_id.tolist() == [2, 9, 14, 30]
+    assert eng.degree.tolist() == [3] * 4
+    assert eng.n_triangles.tolist() == [3] * 4
+    assert eng.clustering.tolist() == [1.0] * 4
+
+
+def test_triangle_stats_matches_reference(ray_session, tmp_path):
+    from itertools import combinations
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(30, 6))
+    ids = 100 + 3 * np.arange(30, dtype=np.int64)
+    sf = _write_emb(tmp_path, vecs, ids)
+    eng = G.triangle_stats(sf).to_pandas()
+    # reference: brute-force knn -> undirected edge set -> count
+    m = vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = round6(m @ m.T)
+    und = set()
+    adj = {int(v): set() for v in ids}
+    for i in range(30):
+        cand = sorted((-sims[i, j], int(ids[j]))
+                      for j in range(30) if j != i)[:KNN_K]
+        for _, nb in cand:
+            und.add((min(int(ids[i]), nb), max(int(ids[i]), nb)))
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    for _, row in eng.iterrows():
+        v = int(row.vec_id)
+        nbrs = sorted(adj[v])
+        tri = sum((min(x, y), max(x, y)) in und
+                  for x, y in combinations(nbrs, 2))
+        assert row.degree == len(nbrs)
+        assert row.n_triangles == tri, v
+    # oracle parity on the same table
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    ora = con.execute(G.sql_triangle_stats()).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_triangle_stats_bucket_invariance(ray_session, tmp_path,
+                                          monkeypatch):
+    import raysearch.hashing as H
+
+    rng = np.random.default_rng(17)
+    sf = _write_emb(tmp_path, rng.normal(size=(24, 5)))
+    out = {}
+    for nb in (2, 8):
+        monkeypatch.setattr(H, "auto_buckets", lambda *a, **k: nb)
+        out[nb] = G.triangle_stats(sf).to_pandas()
+    pd.testing.assert_frame_equal(out[2], out[8])
