@@ -418,7 +418,6 @@ def triangle_stats(sf_dir: str) -> pa.Table:
     counting — exact under any reduce order; the only float is the
     final round6 coefficient, computed identically in SQL."""
     import ray.data
-    from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets
     from raysearch.pipelines.dedup import _run_pairs
@@ -502,13 +501,22 @@ def triangle_stats(sf_dir: str) -> pa.Table:
         out_d = pd.DataFrame({"node": dr.a.to_numpy(np.int64),
                               "tri": np.int64(0),
                               "d": dr.c.to_numpy(np.int64)})
-        return pd.concat([out_t, out_d], ignore_index=True)
+        out = pd.concat([out_t, out_d], ignore_index=True)
+        out["nbucket"] = out.node.to_numpy(np.int64) & (nb - 1)
+        return out
+
+    # per-node totals in a coarse node-bucket kernel (in-group sums
+    # final) instead of a high-cardinality Ray sort-aggregate
+    # (per-group dispatch cost; see dedup._cross_doc_slot_dup)
+    def node_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False).agg(
+            tri=("tri", "sum"), d=("d", "sum"))
 
     agg = (wedges.union(emarks)
            .groupby("bucket").map_groups(close_kern,
                                          batch_format="pandas")
-           .groupby("node").aggregate(Sum("tri", alias_name="tri"),
-                                      Sum("d", alias_name="d")))
+           .groupby("nbucket").map_groups(node_sum,
+                                          batch_format="pandas"))
     df = agg.to_pandas()
     if "node" not in df.columns or not len(df):
         return pa.table({"vec_id": pa.array([], pa.int64()),

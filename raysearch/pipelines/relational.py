@@ -597,24 +597,37 @@ def top_suppliers(sf_dir: str) -> pa.Table:
     dimension.""".format(d1=Q15_D1, d2=Q15_D2)
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nbs = auto_buckets(_n_rows(sf_dir, "supplier.parquet"))
 
     def l_partial(df: pd.DataFrame) -> pd.DataFrame:
         cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
         disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
-        return (pd.DataFrame({
-                    "suppkey": df["l_suppkey"].to_numpy(np.int64),
-                    "c4": cents * (100 - disc)})
-                .groupby("suppkey", as_index=False)
-                .agg(c4=("c4", "sum")))
+        g = (pd.DataFrame({
+                 "suppkey": df["l_suppkey"].to_numpy(np.int64),
+                 "c4": cents * (100 - disc)})
+             .groupby("suppkey", as_index=False)
+             .agg(c4=("c4", "sum")))
+        g["sbucket"] = g.suppkey.to_numpy(np.int64) & (nbs - 1)
+        return g
+
+    # per-supplier totals in a coarse supplier-bucket kernel
+    # (buckets partition suppkeys -> in-group sums final) rather
+    # than a high-cardinality Ray sort-aggregate (per-group
+    # dispatch cost; see dedup._cross_doc_slot_dup)
+    def supp_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("suppkey", as_index=False).agg(
+            revenue_c4=("c4", "sum"))
 
     agg = (_read(sf_dir, "lineitem.parquet",
                  columns=["l_suppkey", "l_extendedprice", "l_discount"],
                  filter=((pads.field("l_shipdate") >= Q15_D1)
                          & (pads.field("l_shipdate") < Q15_D2)))
            .map_batches(l_partial, batch_format="pandas")
-           .groupby("suppkey").aggregate(
-               Sum("c4", alias_name="revenue_c4")))
+           .groupby("sbucket").map_groups(supp_sum,
+                                          batch_format="pandas"))
     df = agg.to_pandas()
     if "suppkey" not in df.columns or not len(df):
         return pa.table({"s_suppkey": pa.array([], pa.int64()),

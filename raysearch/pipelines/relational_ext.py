@@ -110,7 +110,6 @@ def returned_item_customers(sf_dir: str) -> pa.Table:
         k=Q10_K, fl=Q10_FLAG, d1=Q10_D1, d2=Q10_D2)
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets
 
@@ -151,15 +150,24 @@ def returned_item_customers(sf_dir: str) -> pa.Table:
         li = (g[g.side == 1].groupby("okey", as_index=False)
               .agg(nl=("nl", "sum"), c4=("c4", "sum")))
         j = o.merge(li, on="okey", how="inner")
-        return (j.groupby("custkey", as_index=False)
-                .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+        out = (j.groupby("custkey", as_index=False)
+               .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+        out["cbucket"] = out.custkey.to_numpy(np.int64) & (nb - 1)
+        return out
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    # per-custkey totals + local top-k fused in ONE coarse-bucket
+    # kernel (cbucket partitions custkeys, so in-group sums are
+    # final) — NOT groupby(custkey).aggregate(Sum): Ray's
+    # sort-aggregate pays per-group dispatch on high-cardinality keys
+    # (measured ~7k rows/s; see dedup._cross_doc_slot_dup)
+    def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby("custkey", as_index=False)
+               .agg(n_lines=("nl", "sum"), revenue_c4=("c4", "sum")))
         # k-bounded partial under the FULL total order (revenue DESC,
         # custkey ASC) — exact int64 revenue, so ties at the k
         # boundary resolve identically everywhere
-        return df.sort_values(["revenue_c4", "custkey"],
-                              ascending=[False, True]).head(Q10_K)
+        return tot.sort_values(["revenue_c4", "custkey"],
+                               ascending=[False, True]).head(Q10_K)
 
     orders = _read(sf_dir, "orders.parquet",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -170,13 +178,11 @@ def returned_item_customers(sf_dir: str) -> pa.Table:
                columns=["l_orderkey", "l_extendedprice", "l_discount"],
                filter=pads.field("l_returnflag") == Q10_FLAG
                ).map_batches(l_partial, batch_format="pandas")
-    agg = (orders.union(li)
-           .groupby("bucket").map_groups(join_kern,
-                                         batch_format="pandas")
-           .groupby("custkey").aggregate(
-               Sum("nl", alias_name="n_lines"),
-               Sum("c4", alias_name="revenue_c4")))
-    parts = agg.map_batches(local_topk, batch_format="pandas")
+    parts = (orders.union(li)
+             .groupby("bucket").map_groups(join_kern,
+                                           batch_format="pandas")
+             .groupby("cbucket").map_groups(sum_topk,
+                                            batch_format="pandas"))
     df = parts.to_pandas()
     if "custkey" not in df.columns or not len(df):
         return pa.table({
@@ -391,6 +397,10 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
     pk = np.sort(bp["p_partkey"].to_numpy().astype(np.int64))
     pk_ref = ray.put(pk)
 
+    from raysearch.hashing import auto_buckets
+
+    nbp = auto_buckets(len(pk)) if len(pk) else 64
+
     def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
         k = df["l_partkey"].to_numpy(np.int64)
         hit, _ = _sorted_hits(ray.get(pk_ref), k)
@@ -399,13 +409,22 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
              .groupby("partkey", as_index=False)
              .agg(n=("q", "size"), sq=("q", "sum")))
         g["n"] = g["n"].astype(np.int64)
+        g["pbucket"] = g.partkey.to_numpy(np.int64) & (nbp - 1)
         return g
+
+    # per-part totals via a coarse part-bucket kernel (buckets
+    # partition partkeys, so in-group sums are final) — not a
+    # high-cardinality Ray sort-aggregate (per-group dispatch cost;
+    # see dedup._cross_doc_slot_dup)
+    def part_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("partkey", as_index=False).agg(
+            n=("n", "sum"), sq=("sq", "sum"))
 
     cols = ["l_partkey", "l_quantity", "l_extendedprice"]
     avg = (_read(sf_dir, "lineitem.parquet", columns=cols[:2])
            .map_batches(qty_partial, batch_format="pandas")
-           .groupby("partkey").aggregate(
-               Sum("n", alias_name="n"), Sum("sq", alias_name="sq")))
+           .groupby("pbucket").map_groups(part_sum,
+                                          batch_format="pandas"))
     adf = avg.to_pandas()
     if "partkey" not in adf.columns or not len(adf):
         return pa.table({
