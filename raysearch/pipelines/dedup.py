@@ -1140,7 +1140,11 @@ def _cross_doc_slot_dup(sf_dir: str, slots_fn) -> pd.DataFrame:
                                             batch_format="pandas")
            .groupby("docbucket").map_groups(doc_sum,
                                             batch_format="pandas"))
-    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+    df = out.to_pandas()
+    if "doc_id" not in df.columns:  # zero-doc corpus: no groups ran
+        df = pd.DataFrame({c: np.array([], dtype=np.int64)
+                           for c in ("doc_id", "n_slots", "n_dup")})
+    return df.sort_values("doc_id", ignore_index=True)
 
 
 def _slot_dup_table(df: pd.DataFrame, prefix: str,

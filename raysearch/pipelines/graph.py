@@ -440,7 +440,9 @@ def triangle_stats(sf_dir: str) -> pa.Table:
                              "u": u, "v": v})
 
     def dedup_kern(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+        # keep the pair bucket: edge_mark re-emits it verbatim
+        # instead of re-hashing the whole edge set
+        return g.drop_duplicates(["u", "v"])[["bucket", "u", "v"]]
 
     und = (_knn_partials_ds(sf_dir)
            .groupby("bucket").map_groups(und_rows,
@@ -477,10 +479,10 @@ def triangle_stats(sf_dir: str) -> pa.Table:
         return pd.concat([w, dr], ignore_index=True)
 
     def edge_mark(df: pd.DataFrame) -> pd.DataFrame:
-        u = df.u.to_numpy(np.int64)
-        v = df.v.to_numpy(np.int64)
-        return pd.DataFrame({"bucket": _pair_bucket(u, v, nb),
-                             "a": u, "b": v, "c": np.int64(0),
+        return pd.DataFrame({"bucket": df.bucket.to_numpy(np.int64),
+                             "a": df.u.to_numpy(np.int64),
+                             "b": df.v.to_numpy(np.int64),
+                             "c": np.int64(0),
                              "side": np.int64(0)})
 
     wedges = (und.map_batches(adj_rows, batch_format="pandas")

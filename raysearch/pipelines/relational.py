@@ -590,11 +590,11 @@ def top_suppliers(sf_dir: str) -> pa.Table:
     like the reference query's revenue = max(total_revenue) subquery).
 
     Shape: lineitem window-filtered AT THE READ collapses map-side to
-    per-suppkey c4 partials; one supplier-cardinality groupby sums
-    exactly (int64 c4, so the max compare can never be perturbed by
-    float summation order); the driver takes max + ties over the
-    supplier-cardinality table and name-joins the (tiny) supplier
-    dimension.""".format(d1=Q15_D1, d2=Q15_D2)
+    per-suppkey c4 partials; a coarse supplier-bucket kernel finishes
+    the per-supplier sums exactly (int64 c4, so the max compare can
+    never be perturbed by float summation order); the driver takes
+    max + ties over the supplier-cardinality table and name-joins the
+    (tiny) supplier dimension.""".format(d1=Q15_D1, d2=Q15_D2)
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 

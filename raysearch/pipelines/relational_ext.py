@@ -102,10 +102,10 @@ def returned_item_customers(sf_dir: str) -> pa.Table:
     engine and oracle (a dangling o_custkey can never occupy a top-k
     slot). Orders emit (okey, custkey) rows; lineitem collapses
     map-side to per-okey c4 partials; ONE orderkey-bucketed exchange
-    joins them and emits per-(custkey, nationkey) partials; the
-    custkey-cardinality groupby sums exactly, and per-block local
-    top-{k} partials under (revenue DESC, custkey ASC) bound the
-    driver merge at n_blocks x {k} rows. Only the {k} winners' names
+    joins them and emits per-custkey partials; a coarse
+    custkey-bucket kernel fuses the exact final sums with the local
+    top-{k} under (revenue DESC, custkey ASC), bounding the driver
+    merge at n_buckets x {k} rows. Only the {k} winners' names
     and balances are fetched, via a key-filtered customer read.""".format(
         k=Q10_K, fl=Q10_FLAG, d1=Q10_D1, d2=Q10_D2)
     import pyarrow.dataset as pads
@@ -399,7 +399,7 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
 
     from raysearch.hashing import auto_buckets
 
-    nbp = auto_buckets(len(pk)) if len(pk) else 64
+    nbp = auto_buckets(len(pk))
 
     def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
         k = df["l_partkey"].to_numpy(np.int64)

@@ -623,3 +623,14 @@ def test_bpe_encode_adversarial(ray_session, tmp_path):
     assert (got[got.n_words > 0].n_symbols
             >= got[got.n_words > 0].n_words).all()
     assert byid.loc[0, "n_symbols"] <= 4 * 3  # <= codepoints of doc 0
+
+
+def test_slot_dedup_zero_doc_corpus(ray_session, tmp_path):
+    """A zero-row documents table must yield an empty result, not a
+    KeyError from sort_values on a column-less frame."""
+    from raysearch.pipelines import dedup as D
+
+    sf = _write_docs(tmp_path, [])
+    for fn in (D.para_dedup, D.dup_spans):
+        out = fn(sf).to_pandas()
+        assert len(out) == 0 and "doc_id" in out.columns
