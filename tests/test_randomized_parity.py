@@ -335,3 +335,61 @@ def test_random_tpch_parity(ray_session, tpch_dir, tpch_con, name):
     assert len(engine) == len(oracle), name
     pd.testing.assert_frame_equal(engine, oracle, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1.0e-6)
+
+
+# --- randomized embeddings tables for the vector/graph operators ----
+
+def _gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
+    dim = 6
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    # planted exact duplicates (dedup/dup-pair armor)
+    for _ in range(n // 15):
+        a, b = rng.integers(0, n, size=2)
+        mat[int(a)] = mat[int(b)]
+    # sparse non-contiguous ids, with a couple below N_QUERY_VECS so
+    # ann_topk's fixed query-id contract is non-trivially exercised
+    ids = np.sort(rng.choice(np.arange(5, 6 * n, dtype=np.int64),
+                             size=n - 2, replace=False))
+    ids = np.concatenate([np.array([1, 3], dtype=np.int64), ids])
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([[float(x) for x in row] for row in mat],
+                              pa.list_(pa.float32())),
+        "label": pa.array((ids % 3).astype(np.int64), pa.int64()),
+    })
+
+
+_EMB_OPS = ["knn_graph", "knn_label_eval", "pagerank_topk",
+            "label_prop", "triangle_stats", "ann_topk",
+            "embedding_dups"]
+
+
+@pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"em{s}")
+def emb_dir(request, tmp_path_factory):
+    rng = np.random.default_rng(request.param + 57)
+    d = tmp_path_factory.mktemp(f"emb{request.param}")
+    _write_sharded(_gen_embeddings(rng, 90),
+                   str(d / "embeddings.parquet"), 3, rng)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def emb_con(emb_dir):
+    c = duckdb.connect()
+    c.execute("CREATE VIEW embeddings AS SELECT * FROM "
+              f"read_parquet('{emb_dir}/embeddings.parquet/*.parquet')")
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _EMB_OPS)
+def test_random_embeddings_parity(ray_session, emb_dir, emb_con, name):
+    import __ray_entry__ as entry
+    q = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    engine = _normalize(_to_pandas(q(emb_dir)))
+    oracle = _normalize(emb_con.execute(sql).df())
+    assert list(engine.columns) == list(oracle.columns), name
+    assert len(engine) == len(oracle), name
+    pd.testing.assert_frame_equal(engine, oracle, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1.0e-6)
