@@ -1145,8 +1145,71 @@ LEFT JOIN cnt c USING (doc_id) LEFT JOIN hits h USING (doc_id)
 """
 
 
+# Unicode-script profiling contract: per-codepoint RE2 classes shared
+# verbatim between the Arrow kernel and the DuckDB oracle (both RE2);
+# dominant script = (count DESC, name ASC) over these, 'none' at 0.
+_SCRIPT_CLASSES = (
+    ("arabic", r"[\p{Arabic}]"),
+    ("cyrillic", r"[\p{Cyrillic}]"),
+    ("digit", r"[0-9]"),
+    ("han", r"[\p{Han}]"),
+    ("latin", r"[\p{Latin}]"),
+)
+
+
+def script_stats(sf_dir: str) -> pa.Table:
+    """Per-document unicode-script profile (the multilingual-corpus
+    triage signal: is this row Latin text, CJK, mixed, or digit
+    noise): total codepoints, per-script codepoint counts, and the
+    dominant script under (count DESC, name ASC) — 'none' for docs
+    with zero classified codepoints. Map-only, one vectorized RE2
+    count per class (patterns shared verbatim with the oracle)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        counts = {
+            name: pc.cast(pc.count_substring_regex(text, pat),
+                          pa.int64()).to_numpy()
+            for name, pat in _SCRIPT_CLASSES}
+        names = sorted(counts)  # alphabetical = tie order
+        mat = np.stack([counts[n] for n in names])
+        best = mat.argmax(axis=0)      # first max = alphabetical win
+        dom = np.array(names, dtype=object)[best]
+        dom[mat.max(axis=0) == 0] = "none"
+        out = {"doc_id": batch["doc_id"],
+               "n_cp": pc.cast(pc.utf8_length(text), pa.int64())}
+        for n in names:
+            out[f"n_{n}"] = pa.array(counts[n], pa.int64())
+        out["dominant"] = pa.array(dom.tolist(), pa.string())
+        return pa.table(out)
+
+    out = _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def sql_script_stats() -> str:
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in _SCRIPT_CLASSES)
+    names = sorted(n for n, _ in _SCRIPT_CLASSES)
+    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    case = " ".join(f"WHEN n_{n} = m THEN '{n}'" for n in names)
+    return f"""
+WITH s AS (
+  SELECT doc_id, length(text)::BIGINT AS n_cp,
+       {cols}
+  FROM documents
+), d AS (SELECT *, {m} AS m FROM s)
+SELECT doc_id, n_cp, {", ".join(f"n_{n}" for n in names)},
+       CASE WHEN m = 0 THEN 'none' {case} END AS dominant
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
+    "script_stats": script_stats,
     "quality_score": quality_score,
     "token_counts": token_counts,
     "fingerprint": fingerprint,
@@ -1163,6 +1226,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lang_id": sql_lang_id(),
+    "script_stats": sql_script_stats(),
     "quality_score": sql_quality_score(),
     "token_counts": sql_token_counts(),
     "fingerprint": sql_fingerprint(),

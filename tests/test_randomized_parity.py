@@ -102,6 +102,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "source_stats", "lang_source_rollup", "mix_weights", "doclen_histogram",
             "doclen_ntile",
             "normalize_text", "pii_scrub", "stratified_sample", "lang_confusion",
+            "script_stats",
             "heavy_hitters", "grouped_topk", "sample_split", "mix_sample",
             "bpe_merges", "bpe_encode", "shuffle_positions"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",

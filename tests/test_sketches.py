@@ -634,3 +634,31 @@ def test_slot_dedup_zero_doc_corpus(ray_session, tmp_path):
     for fn in (D.para_dedup, D.dup_spans):
         out = fn(sf).to_pandas()
         assert len(out) == 0 and "doc_id" in out.columns
+
+
+def test_script_stats_adversarial(ray_session, tmp_path):
+    """Unicode-script profile vs oracle: mixed scripts, tie between
+    classes (alphabetical winner), unclassified-only text ('none'),
+    empty docs, katakana (outside every class) vs Han."""
+    from raysearch.pipelines import textops as T
+
+    sf = _write_docs(tmp_path, [
+        "héllo мир 日本語 123 عربى",     # mixed, latin wins (5)
+        "日本語テスト",                   # 3 Han + katakana (unclassified)
+        "абв abc",                        # 3 cyrillic vs 3 latin: TIE
+                                          # -> 'cyrillic' (alphabetical)
+        "!!! ???",                        # zero classified -> 'none'
+        "",
+        "12345",                          # digits dominate
+    ])
+    got = _norm(T.script_stats(sf).to_pandas())
+    want = _norm(_oracle(sf, T.sql_script_stats()))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    byid = got.set_index("doc_id").sort_index()
+    assert byid.loc[0, "dominant"] == "latin"
+    assert byid.loc[1, "dominant"] == "han"
+    assert byid.loc[1, "n_han"] == 3
+    assert byid.loc[2, "dominant"] == "cyrillic"   # tie -> alphabetical
+    assert byid.loc[3, "dominant"] == "none"
+    assert byid.loc[4, "dominant"] == "none"
+    assert byid.loc[5, "dominant"] == "digit"
