@@ -30,7 +30,7 @@ _PIPELINE_MODULES = (
     "multimodal", "extras", "chunking", "lm", "joins", "sketches",
     "winnow", "mixing", "dsir", "packing", "profile", "bpe",
     "relational", "knn", "semistructured", "wildcard", "fuzzy",
-    "relational_ext", "graph", "perplexity", "stats",
+    "relational_ext", "graph", "perplexity", "stats", "quantize",
 )
 
 

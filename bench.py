@@ -73,7 +73,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "returned_item_customers", "nation_trade_volume",
           "small_qty_revenue", "pagerank_topk",
           "perplexity_buckets", "dup_spans", "label_prop",
-          "triangle_stats", "qty_price_corr", "script_stats"]
+          "triangle_stats", "qty_price_corr", "script_stats",
+          "emb_quantize"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -215,3 +215,36 @@ def test_triangle_stats_bucket_invariance(ray_session, tmp_path,
         monkeypatch.setattr(H, "auto_buckets", lambda *a, **k: nb)
         out[nb] = G.triangle_stats(sf).to_pandas()
     pd.testing.assert_frame_equal(out[2], out[8])
+
+
+def test_emb_quantize_exact_cases(ray_session, tmp_path):
+    from raysearch.pipelines import quantize as Q
+
+    # dim0 spans [0, 255] -> s = 1, codes = values, zero error;
+    # dim1 is CONSTANT -> s = 1 by contract, codes 0, zero error
+    vecs = np.array([[0.0, 7.0], [51.0, 7.0], [255.0, 7.0]])
+    sf = _write_emb(tmp_path, vecs, ids=np.array([5, 1, 9]))
+    eng = Q.emb_quantize(sf).to_pandas().set_index("vec_id")
+    assert eng.loc[1, "code_sum"] == 51    # dim1 code 0
+    assert eng.loc[5, "code_sum"] == 0
+    assert eng.loc[9, "code_sum"] == 255
+    assert (eng.max_abs_err == 0.0).all()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    ora = con.execute(Q.sql_emb_quantize()).df()
+    pd.testing.assert_frame_equal(eng.reset_index(), ora,
+                                  check_dtype=False)
+
+
+def test_emb_quantize_error_bound(ray_session, tmp_path):
+    from raysearch.pipelines import quantize as Q
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(60, 5)).astype(np.float32)
+    sf = _write_emb(tmp_path, vecs)
+    eng = Q.emb_quantize(sf).to_pandas()
+    m = vecs.astype(np.float64)
+    s = (m.max(axis=0) - m.min(axis=0)) / 255.0
+    # affine quantization error is at most half a step per dim
+    assert eng.max_abs_err.max() <= s.max() / 2 + 1e-9

@@ -362,7 +362,7 @@ def _gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
 
 _EMB_OPS = ["knn_graph", "knn_label_eval", "pagerank_topk",
             "label_prop", "triangle_stats", "ann_topk",
-            "embedding_dups"]
+            "embedding_dups", "emb_quantize"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"em{s}")
