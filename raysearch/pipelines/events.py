@@ -429,17 +429,12 @@ def _fetch_bucket_values(sf_dir: str, fetches) -> dict:
     return {k: np.sort(np.array(v)) for k, v in vals.items()}
 
 
-def event_quantiles(sf_dir: str) -> pa.Table:
-    """Exact per-event-type value quantiles (p50/p95, linear
-    interpolation — numpy 'linear' == DuckDB quantile_cont), computed
-    by DISTRIBUTED RADIX RANK SELECTION: histogram passes over
-    order-preserving 16-bit digit slices locate each order statistic's
-    bucket, oversized buckets are refined digit-by-digit, and only the
-    final (<= FETCH_CAP-value) buckets are fetched — no stage and not
-    the driver ever holds a type's full value set, unlike a
-    groupby(event_type) whole-group kernel, so per-type volume is
-    unbounded. The approximate single-pass alternative is
-    event_quantiles_tdigest."""
+def _exact_type_quantiles(sf_dir: str, qs) -> dict:
+    """The radix rank-selection core shared by event_quantiles and
+    winsor_stats: for each event type, (n, [interpolated value at q
+    for q in qs]) — linear interpolation, numpy 'linear' == DuckDB
+    quantile_cont. No stage and not the driver ever holds a type's
+    full value set (see event_quantiles)."""
     # pass 1: top-digit histogram for every type (types + counts +
     # each rank's level-0 bucket all come from this one pass)
     first = _digit_hist_all_types(sf_dir)
@@ -455,7 +450,7 @@ def event_quantiles(sf_dir: str) -> pa.Table:
     for etype, counts0 in first.items():
         n = int(counts0.sum())
         ranks = {}
-        for qi, q in enumerate(QUANTILES):
+        for qi, q in enumerate(qs):
             r = q * (n - 1)
             ranks[(qi, "lo")] = int(np.floor(r))
             ranks[(qi, "hi")] = int(np.ceil(r))
@@ -493,22 +488,39 @@ def event_quantiles(sf_dir: str) -> pa.Table:
     picked = dict(direct)
     for t, p, lv, within, tag in fetch_jobs:
         picked[(t, tag)] = float(fetched[(t, p, lv)][within])
-    res = {"event_type": [], "p50": [], "p95": [], "n": []}
+    out = {}
     for etype, n, _ in sorted(out_rows):
-        res["event_type"].append(etype)
-        res["n"].append(np.int64(n))
-        for qi, (q, col) in enumerate(zip(QUANTILES, ("p50", "p95"))):
+        vals = []
+        for qi, q in enumerate(qs):
             r = q * (n - 1)
             lo = picked[(etype, (qi, "lo"))]
             hi = picked[(etype, (qi, "hi"))]
-            res[col].append(round6(lo + (r - np.floor(r)) * (hi - lo)))
+            vals.append(lo + (r - np.floor(r)) * (hi - lo))
+        out[etype] = (n, vals)
+    return out
+
+
+def event_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-event-type value quantiles (p50/p95, linear
+    interpolation — numpy 'linear' == DuckDB quantile_cont), computed
+    by DISTRIBUTED RADIX RANK SELECTION: histogram passes over
+    order-preserving 16-bit digit slices locate each order statistic's
+    bucket, oversized buckets are refined digit-by-digit, and only the
+    final (<= FETCH_CAP-value) buckets are fetched — no stage and not
+    the driver ever holds a type's full value set, unlike a
+    groupby(event_type) whole-group kernel, so per-type volume is
+    unbounded. The approximate single-pass alternative is
+    event_quantiles_tdigest."""
+    per = _exact_type_quantiles(sf_dir, QUANTILES)
+    types = sorted(per)
     return pa.table({
-        "event_type": pa.array(res["event_type"], pa.string()),
-        "p50": pa.array(np.array(res["p50"], dtype=np.float64),
-                        pa.float64()),
-        "p95": pa.array(np.array(res["p95"], dtype=np.float64),
-                        pa.float64()),
-        "n": pa.array(np.array(res["n"], dtype=np.int64), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "p50": pa.array(np.array([round6(per[t][1][0]) for t in types],
+                                 dtype=np.float64), pa.float64()),
+        "p95": pa.array(np.array([round6(per[t][1][1]) for t in types],
+                                 dtype=np.float64), pa.float64()),
+        "n": pa.array(np.array([per[t][0] for t in types],
+                               dtype=np.int64), pa.int64()),
     })
 
 
@@ -800,8 +812,111 @@ WHERE rn = 1 ORDER BY user_id
 """
 
 
+WINSOR_QS = (0.05, 0.95)
+
+
+def winsor_stats(sf_dir: str) -> pa.Table:
+    """Winsorized per-type value statistics — the robust-mean
+    composition over the exact distributed rank selector: clamp each
+    type's values to its round6(p05)/round6(p95) and report the
+    clipped counts and winsorized mean.
+
+    Shape: thresholds come from _exact_type_quantiles (the radix
+    walker — no stage holds a type's full value set) and broadcast as
+    a type-cardinality dict; ONE map pass emits per-type partials
+    (clip counts + the EXACT integer cents sum of in-range values);
+    one tiny groupby reduces them. The mean is assembled from exact
+    ints plus the two clamp bounds in a pinned left-to-right float
+    expression, identical to the oracle's (mid/100.0 + n_lo*lo
+    + n_hi*hi)/n. Both sides compare v against ROUND6 bounds, so the
+    clip branches are taken identically."""
+    from ray.data.aggregate import Sum
+
+    per = _exact_type_quantiles(sf_dir, WINSOR_QS)
+    thr = {t: (round6(v[1][0]), round6(v[1][1]))
+           for t, v in per.items()}
+    if not thr:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_clip_lo": pa.array([], pa.int64()),
+            "n_clip_hi": pa.array([], pa.int64()),
+            "lo": pa.array([], pa.float64()),
+            "hi": pa.array([], pa.float64()),
+            "winsor_mean": pa.array([], pa.float64())})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].to_numpy()
+        v = df["value"].to_numpy(np.float64)
+        lo = np.array([thr[x][0] for x in t])
+        hi = np.array([thr[x][1] for x in t])
+        below = v < lo
+        above = v > hi
+        mid = ~below & ~above
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
+                 ).astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": t, "n": np.int64(1),
+            "n_lo": below.astype(np.int64),
+            "n_hi": above.astype(np.int64),
+            "mid_cents": np.where(mid, cents, np.int64(0))})
+        return g.groupby("event_type", as_index=False).sum()
+
+    agg = (_read_events(sf_dir, ["event_type", "value"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("event_type").aggregate(
+               Sum("n", alias_name="n"),
+               Sum("n_lo", alias_name="n_lo"),
+               Sum("n_hi", alias_name="n_hi"),
+               Sum("mid_cents", alias_name="mid_cents")))
+    df = agg.to_pandas().sort_values("event_type", ignore_index=True)
+    los = np.array([thr[t][0] for t in df.event_type])
+    his = np.array([thr[t][1] for t in df.event_type])
+    n = df.n.to_numpy(np.int64)
+    n_lo = df.n_lo.to_numpy(np.int64)
+    n_hi = df.n_hi.to_numpy(np.int64)
+    mean = round6((df.mid_cents.to_numpy(np.int64) / 100.0
+                   + n_lo * los + n_hi * his) / n)
+    return pa.table({
+        "event_type": pa.array(df.event_type.tolist(), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "n_clip_lo": pa.array(n_lo, pa.int64()),
+        "n_clip_hi": pa.array(n_hi, pa.int64()),
+        "lo": pa.array(los, pa.float64()),
+        "hi": pa.array(his, pa.float64()),
+        "winsor_mean": pa.array(mean, pa.float64()),
+    })
+
+
+def sql_winsor_stats() -> str:
+    return f"""
+WITH thr AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_QS[0]}), 6) AS lo,
+         round(quantile_cont(value, {WINSOR_QS[1]}), 6) AS hi
+  FROM events GROUP BY event_type
+),
+agg AS (
+  SELECT e.event_type, thr.lo, thr.hi,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+         sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+         sum(CASE WHEN value >= lo AND value <= hi
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS mid_cents
+  FROM events e JOIN thr USING (event_type)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n, n_lo AS n_clip_lo, n_hi AS n_clip_hi, lo, hi,
+       round((mid_cents / 100.0 + n_lo * lo + n_hi * hi) / n, 6)
+         AS winsor_mean
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "latest_events": latest_events,
+    "winsor_stats": winsor_stats,
     "events_window": events_window,
     "user_sessions": user_sessions,
     "event_quantiles": event_quantiles,
@@ -812,6 +927,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "latest_events": sql_latest_events(),
+    "winsor_stats": sql_winsor_stats(),
     "events_hopping": sql_events_hopping(),
     "events_window": sql_events_window(),
     "user_sessions": sql_user_sessions(),

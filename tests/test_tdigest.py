@@ -49,3 +49,48 @@ def test_tdigest_matches_exact_within_rank_error(ray_session):
             got = approx.loc[etype, col]
             assert lo - 1e-9 <= got <= hi + 1e-9, (etype, col, got,
                                                    lo, hi)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_type, value)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.zeros(n, np.int64), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([float(r[1]) for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+def test_winsor_stats_adversarial(ray_session, tmp_path):
+    """Winsorization vs oracle: planted extreme outliers clip, an
+    all-equal type has lo == hi (everything in range), a two-value
+    type exercises the interpolated thresholds."""
+    import duckdb
+
+    rows = ([("a", v) for v in range(1, 100)] + [("a", 100000.0)]
+            + [("b", 7.25)] * 5
+            + [("c", 1.0), ("c", 3.0)])
+    sf = _write_events(tmp_path, rows)
+    eng = E.winsor_stats(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ora = con.execute(E.sql_winsor_stats()).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False,
+                                  check_exact=True)
+    byt = eng.set_index("event_type")
+    assert byt.loc["a", "n_clip_hi"] >= 1      # the 100000 outlier
+    assert byt.loc["a", "winsor_mean"] < 1000  # outlier neutralized
+    assert byt.loc["b", "n_clip_lo"] == 0
+    assert byt.loc["b", "n_clip_hi"] == 0
+    assert byt.loc["b", "winsor_mean"] == 7.25
+    assert byt.loc["b", "lo"] == byt.loc["b", "hi"] == 7.25
