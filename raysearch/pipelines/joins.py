@@ -1033,11 +1033,86 @@ ORDER BY prev_type, next_type
 """
 
 
+PATHS_K = 20
+
+
+def user_paths(sf_dir: str) -> pa.Table:
+    """Top-{k} order-3 user paths: the most frequent (t1, t2, t3)
+    event-type TRIPLES over consecutive same-user steps under the
+    (ts, event_id) total order — event_transitions' sequence-mining
+    big brother (oracle = two stacked lag() windows), ranked
+    (count DESC, t1, t2, t3).
+
+    Shape: identical to event_transitions — ONE coarse user-hash
+    exchange, the shared _user_sorted kernel, a double shift-compare
+    for interior triples (vectorized across users), per-(triple,
+    bucket) additive partials, a type^3-cardinality rollup, and a
+    k-bounded driver cut.""".format(k=PATHS_K)
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, _EVENTS))
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        uid, eid, tus, order, start, n = _user_sorted(g)
+        types = g["event_type"].to_numpy()[order]
+        if n < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [],
+                                 "n": []})
+        interior = (uid[2:] == uid[:-2]) & (uid[1:-1] == uid[:-2])
+        d = pd.DataFrame({"t1": types[:-2][interior],
+                          "t2": types[1:-1][interior],
+                          "t3": types[2:][interior]})
+        return d.groupby(["t1", "t2", "t3"],
+                         as_index=False).agg(n=("t1", "size"))
+
+    ds = _read(sf_dir, _EVENTS,
+               columns=["event_id", "ts", "user_id", "event_type"])
+    agg = (_user_bucketed(ds, nb)
+           .groupby("upart").map_groups(kern, batch_format="pandas")
+           .groupby(["t1", "t2", "t3"]).aggregate(
+               Sum("n", alias_name="n")))
+    df = agg.to_pandas()
+    if "t1" not in df.columns or not len(df):
+        return pa.table({"t1": pa.array([], pa.string()),
+                         "t2": pa.array([], pa.string()),
+                         "t3": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    df = (df.sort_values(["n", "t1", "t2", "t3"],
+                         ascending=[False, True, True, True],
+                         ignore_index=True).head(PATHS_K))
+    return pa.table({
+        "t1": pa.array(df.t1.tolist(), pa.string()),
+        "t2": pa.array(df.t2.tolist(), pa.string()),
+        "t3": pa.array(df.t3.tolist(), pa.string()),
+        "n": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_user_paths() -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, count(*)::BIGINT AS n
+FROM s WHERE t1 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {PATHS_K}
+"""
+
+
 QUERIES = {
     "asof_join": asof_join,
     "order_priority_counts": order_priority_counts,
     "running_user_value": running_user_value,
     "event_transitions": event_transitions,
+    "user_paths": user_paths,
     "range_join_events": range_join_events,
     "sample_split": sample_split,
     "stratified_sample": stratified_sample,
@@ -1051,6 +1126,7 @@ ORACLE_SQL = {
     "order_priority_counts": sql_order_priority_counts(),
     "running_user_value": sql_running_user_value(),
     "event_transitions": sql_event_transitions(),
+    "user_paths": sql_user_paths(),
     "range_join_events": sql_range_join_events(),
     "sample_split": sql_sample_split(),
     "stratified_sample": sql_stratified_sample(),

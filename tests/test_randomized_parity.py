@@ -110,7 +110,8 @@ _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "event_quantiles", "value_histogram", "event_anomalies",
             "distinct_users", "window_top_events", "asof_join",
             "running_user_value", "event_transitions",
-            "range_join_events", "latest_events", "winsor_stats"]
+            "range_join_events", "latest_events", "winsor_stats",
+            "user_paths"]
 _SEEDS = [1117, 2223]
 
 
