@@ -845,18 +845,24 @@ def winsor_stats(sf_dir: str) -> pa.Table:
             "hi": pa.array([], pa.float64()),
             "winsor_mean": pa.array([], pa.float64())})
 
+    lo_map = pd.Series({t: v[0] for t, v in thr.items()})
+    hi_map = pd.Series({t: v[1] for t, v in thr.items()})
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["event_type"].to_numpy()
+        from raysearch.pipelines.joins import _cents
+
+        t = df["event_type"]
         v = df["value"].to_numpy(np.float64)
-        lo = np.array([thr[x][0] for x in t])
-        hi = np.array([thr[x][1] for x in t])
+        # vectorized threshold lookup (Series.map), not a per-row
+        # Python comprehension
+        lo = t.map(lo_map).to_numpy(np.float64)
+        hi = t.map(hi_map).to_numpy(np.float64)
         below = v < lo
         above = v > hi
         mid = ~below & ~above
-        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)
-                 ).astype(np.int64)
+        cents = _cents(v)
         g = pd.DataFrame({
-            "event_type": t, "n": np.int64(1),
+            "event_type": t.to_numpy(), "n": np.int64(1),
             "n_lo": below.astype(np.int64),
             "n_hi": above.astype(np.int64),
             "mid_cents": np.where(mid, cents, np.int64(0))})

@@ -1037,7 +1037,7 @@ PATHS_K = 20
 
 
 def user_paths(sf_dir: str) -> pa.Table:
-    """Top-{k} order-3 user paths: the most frequent (t1, t2, t3)
+    """Top-PATHS_K order-3 user paths: the most frequent (t1, t2, t3)
     event-type TRIPLES over consecutive same-user steps under the
     (ts, event_id) total order — event_transitions' sequence-mining
     big brother (oracle = two stacked lag() windows), ranked
@@ -1047,7 +1047,7 @@ def user_paths(sf_dir: str) -> pa.Table:
     exchange, the shared _user_sorted kernel, a double shift-compare
     for interior triples (vectorized across users), per-(triple,
     bucket) additive partials, a type^3-cardinality rollup, and a
-    k-bounded driver cut.""".format(k=PATHS_K)
+    k-bounded driver cut."""
     from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets

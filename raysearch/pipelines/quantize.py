@@ -21,17 +21,12 @@ partials are dim-sized rows, reduced exactly on the driver
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raysearch.numutil import round6
 from raysearch.pipelines.joins import _half_away
-from raysearch.pipelines.similarity import _emb_matrix
-
-_EMB = "embeddings.parquet"
+from raysearch.pipelines.similarity import _emb_matrix, _read_emb
 
 
 def emb_quantize(sf_dir: str) -> pa.Table:
@@ -39,14 +34,16 @@ def emb_quantize(sf_dir: str) -> pa.Table:
     checksum and max reconstruction error under the per-dim affine
     contract in the module docstring."""
     import ray
-    import ray.data
 
     def read():
-        return ray.data.read_parquet(os.path.join(sf_dir, _EMB),
-                                     columns=["vec_id", "embedding"])
+        return _read_emb(sf_dir)
 
     def mm_partial(batch: pa.Table) -> pa.Table:
         _, mat = _emb_matrix(batch)
+        if mat.shape[0] == 0:   # empty shard/block: no min identity
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
         return pa.table({
             "d": pa.array(np.arange(mat.shape[1], dtype=np.int64)),
             "mn": pa.array(mat.min(axis=0), pa.float64()),
@@ -70,6 +67,11 @@ def emb_quantize(sf_dir: str) -> pa.Table:
     def quant(batch: pa.Table) -> pa.Table:
         mn_b, s_b = ray.get(ref)  # zero-copy numpy views
         ids, mat = _emb_matrix(batch)
+        if mat.shape[0] == 0:   # empty block: shape (0, 0) would not
+            return pa.table({   # broadcast against the dim arrays
+                "vec_id": pa.array([], pa.int64()),
+                "code_sum": pa.array([], pa.int64()),
+                "max_abs_err": pa.array([], pa.float64())})
         code = np.clip(_half_away((mat - mn_b) / s_b), 0, 255)
         err = np.abs(mat - (mn_b + code * s_b)).max(axis=1)
         return pa.table({

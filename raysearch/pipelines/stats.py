@@ -3,29 +3,28 @@ lineitem quantity and line price per return flag — the classic
 one-pass sufficient-moment computation (n, Σx, Σy, Σxx, Σyy, Σxy)
 expressed as a combiner pipeline.
 
-Exactness contract: both variables are integers (quantity rounds to
-int64 like every money op; price in cents), so the six sufficient
-moments are EXACT int64 sums — additive, order-independent, and
-bit-reproducible under any reduce schedule. The only floats are the
-final r = (nΣxy − ΣxΣy) / sqrt((nΣxx − Σx²)(nΣyy − Σy²)) computed
-from those scalars identically on engine (Python arbitrary-precision
-ints → float) and oracle (HUGEINT → DOUBLE): int→double conversion,
-IEEE sqrt/division, and round6 agree on both sides. Zero variance on
+Exactness contract, OVERFLOW-PROOF AT ANY SCALE: both variables are
+integers (quantity rounds to int64 like every money op; price in
+cents), so per-batch moment partials are exact int64 sums — and the
+batch size is derived from the parquet FOOTER max statistics so a
+batch's Σy² provably fits int64 (batch_rows·max_cents² < 2^62; the
+naive whole-dataset int64 Sum sits at 80% of int64 at sf0.1 already
+and would wrap silently at ~2.5x that). Cross-batch reduction then
+runs in PYTHON ARBITRARY-PRECISION ints on the driver over the
+(n_batches × flags)-row partial table — exact at any corpus size;
+the driver holds one 6-int row per (batch, flag), documented and
+bounded by the batch-size floor. The only floats are the final
+r = (nΣxy − ΣxΣy) / sqrt((nΣxx − Σx²)(nΣyy − Σy²)) computed from
+those scalars identically on engine (Python ints → float) and
+oracle (HUGEINT → DOUBLE): int→double conversion, IEEE
+sqrt/division, and round6 agree on both sides. Zero variance on
 either axis defines r = 0.
-
-Scale shape: per-batch partials collapse to flag-cardinality rows
-map-side; ONE tiny groupby reduces them; driver math is O(flags).
-Range bound (documented, asserted): Σxy per row ≤ qty·cents ≈ 5e8,
-so int64 partials hold to ~1.8e10 rows; beyond that shard the sum
-(per-range partials like pack_offsets' buckets) or center on a first
-pass. The cross terms n·Σxy etc. exceed int64 at far smaller scales —
-they are computed in Python ints (arbitrary precision) and HUGEINT,
-never in the exchanged columns.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -34,24 +33,48 @@ import pyarrow as pa
 from raysearch.numutil import round6
 from raysearch.pipelines.joins import _cents, _half_away, _read
 
-# int64 safety bound for the exchanged Σxy partials (see docstring)
-_CORR_MAX_ROWS = 18_000_000_000
+_BATCH_FLOOR = 1024            # below this, raise instead of crawling
+
+
+def _col_max(sf_dir: str, table: str, col: str) -> float:
+    """Column max straight from parquet footer row-group statistics —
+    file OR directory of shards; no data pages are read."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, table)
+    files = ([os.path.join(path, f) for f in os.listdir(path)
+              if f.endswith(".parquet")] if os.path.isdir(path)
+             else [path])
+    mx = None
+    for f in files:
+        md = pq.read_metadata(f)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == col and c.statistics is not None:
+                    v = c.statistics.max
+                    mx = v if mx is None else max(mx, v)
+    if mx is None:
+        raise ValueError(f"no footer statistics for {table}.{col}")
+    return float(mx)
 
 
 def qty_price_corr(sf_dir: str) -> pa.Table:
     """Per l_returnflag: row count, exact Σqty / Σcents, and the
     Pearson correlation of (quantity, extended price) — the standard
     profiling probe for 'does order size track line value'."""
-    from ray.data.aggregate import Sum
-
-    from raysearch.pipelines.joins import _n_rows
-
-    n_li = _n_rows(sf_dir, "lineitem.parquet")
-    if n_li > _CORR_MAX_ROWS:
+    max_cents = int(_half_away(np.array(
+        [_col_max(sf_dir, "lineitem.parquet", "l_extendedprice")]
+    ) * 100.0)[0])
+    max_prod = max(max_cents * max_cents, 1)
+    safe_batch = (1 << 62) // max_prod
+    if safe_batch < _BATCH_FLOOR:
         raise ValueError(
-            f"lineitem ({n_li} rows) exceeds the int64 moment bound; "
-            "shard the Σxy sum per doc_id range (pack_offsets' bucket "
-            "pattern) or center on a first pass")
+            f"max |cents| {max_cents} forces batches under "
+            f"{_BATCH_FLOOR} rows; rescale the value column or shard "
+            "the moment sums")
+    safe_batch = min(safe_batch, 65536)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         q = _half_away(df["l_quantity"].to_numpy(np.float64))
@@ -61,41 +84,48 @@ def qty_price_corr(sf_dir: str) -> pa.Table:
                           "sxx": q * q, "syy": c * c, "sxy": q * c})
         return g.groupby("flag", as_index=False).sum()
 
-    agg = (_read(sf_dir, "lineitem.parquet",
-                 columns=["l_returnflag", "l_quantity",
-                          "l_extendedprice"])
-           .map_batches(partial, batch_format="pandas")
-           .groupby("flag").aggregate(
-               Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-               Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-               Sum("syy", alias_name="syy"),
-               Sum("sxy", alias_name="sxy")))
-    df = agg.to_pandas()
-    if "flag" not in df.columns or not len(df):
+    parts = (_read(sf_dir, "lineitem.parquet",
+                   columns=["l_returnflag", "l_quantity",
+                            "l_extendedprice"])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=int(safe_batch)))
+    # cross-batch reduce in Python ints: exact at any scale (int64
+    # would wrap); one 6-int row per (batch, flag) reaches the driver
+    acc: dict[str, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            a = acc.setdefault(row.flag, [0] * 6)
+            a[0] += int(row.n)
+            a[1] += int(row.sx)
+            a[2] += int(row.sy)
+            a[3] += int(row.sxx)
+            a[4] += int(row.syy)
+            a[5] += int(row.sxy)
+    if not acc:
         return pa.table({
             "l_returnflag": pa.array([], pa.string()),
             "n_rows": pa.array([], pa.int64()),
             "sum_qty": pa.array([], pa.int64()),
             "sum_cents": pa.array([], pa.int64()),
             "corr_qty_price": pa.array([], pa.float64())})
-    df = df.sort_values("flag", ignore_index=True)
-    rs = []
-    for _, row in df.iterrows():
-        # Python ints: the cross terms overflow int64 long before the
-        # exchanged partials do
-        n, sx, sy = int(row.n), int(row.sx), int(row.sy)
-        sxx, syy, sxy = int(row.sxx), int(row.syy), int(row.sxy)
+    flags = sorted(acc)
+    rs, ns, sxs, sys_ = [], [], [], []
+    for f in flags:
+        n, sx, sy, sxx, syy, sxy = acc[f]
         num = n * sxy - sx * sy
         d1 = n * sxx - sx * sx
         d2 = n * syy - sy * sy
         r = (float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
              if d1 > 0 and d2 > 0 else 0.0)
         rs.append(round6(r))
+        ns.append(n)
+        sxs.append(sx)
+        sys_.append(sy)
     return pa.table({
-        "l_returnflag": pa.array(df.flag.tolist(), pa.string()),
-        "n_rows": pa.array(df.n.to_numpy(np.int64), pa.int64()),
-        "sum_qty": pa.array(df.sx.to_numpy(np.int64), pa.int64()),
-        "sum_cents": pa.array(df.sy.to_numpy(np.int64), pa.int64()),
+        "l_returnflag": pa.array(flags, pa.string()),
+        "n_rows": pa.array(ns, pa.int64()),
+        "sum_qty": pa.array(sxs, pa.int64()),
+        "sum_cents": pa.array(sys_, pa.int64()),
         "corr_qty_price": pa.array(rs, pa.float64()),
     })
 
@@ -108,14 +138,15 @@ WITH m AS (
          sum(CAST(round(l_quantity, 0) AS BIGINT))::HUGEINT AS sx,
          sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::HUGEINT
            AS sy,
-         sum(CAST(round(l_quantity, 0) AS BIGINT)
-             * CAST(round(l_quantity, 0) AS BIGINT))::HUGEINT AS sxx,
-         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-             )::HUGEINT AS syy,
-         sum(CAST(round(l_quantity, 0) AS BIGINT)
-             * CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-             )::HUGEINT AS sxy
+         sum((CAST(round(l_quantity, 0) AS BIGINT))::HUGEINT
+             * (CAST(round(l_quantity, 0) AS BIGINT))::HUGEINT)
+           AS sxx,
+         sum((CAST(round(l_extendedprice * 100, 0) AS BIGINT))::HUGEINT
+             * (CAST(round(l_extendedprice * 100, 0) AS BIGINT
+                     ))::HUGEINT) AS syy,
+         sum((CAST(round(l_quantity, 0) AS BIGINT))::HUGEINT
+             * (CAST(round(l_extendedprice * 100, 0) AS BIGINT
+                     ))::HUGEINT) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,

@@ -77,3 +77,35 @@ def test_noisy_correlation_matches_numpy(ray_session, tmp_path):
     byflag = _parity(sf)
     want = np.corrcoef(q.astype(float), price)[0, 1]
     assert abs(byflag.loc["A", "corr_qty_price"] - want) < 1e-4
+
+
+def test_sum_of_squares_beyond_int64(ray_session, tmp_path):
+    """The Σcents² moment exceeds int64 by 14x here (1.2M max-price
+    rows): footer-stat-capped batches + Python-int reduction must
+    still match the HUGEINT oracle exactly (a naive int64 Sum wraps
+    silently — it sat at 80% of range at sf0.1)."""
+    rng = np.random.default_rng(1)
+    n = 1_200_000
+    qty = rng.integers(1, 50, n)
+    tbl = pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_partkey": pa.array(np.zeros(n, np.int64)),
+        "l_suppkey": pa.array(np.zeros(n, np.int64)),
+        "l_linenumber": pa.array(np.arange(n, dtype=np.int32),
+                                 pa.int32()),
+        "l_quantity": pa.array(qty.astype(np.float64), pa.float64()),
+        "l_extendedprice": pa.array(np.full(n, 104999.99),
+                                    pa.float64()),
+        "l_discount": pa.array(np.zeros(n), pa.float64()),
+        "l_tax": pa.array(np.zeros(n), pa.float64()),
+        "l_returnflag": pa.array(["A"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array(np.zeros(n, np.int64),
+                               pa.timestamp("us")),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "lineitem.parquet"))
+    byflag = _parity(str(tmp_path))
+    # price is constant -> zero variance on y -> r = 0 by contract,
+    # and the exact integer sums survive the hash compare
+    assert byflag.loc["A", "corr_qty_price"] == 0.0
+    assert byflag.loc["A", "n_rows"] == n
