@@ -74,7 +74,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "small_qty_revenue", "pagerank_topk",
           "perplexity_buckets", "dup_spans", "label_prop",
           "triangle_stats", "qty_price_corr", "script_stats",
-          "emb_quantize", "winsor_stats", "user_paths"]
+          "emb_quantize", "winsor_stats", "user_paths",
+          "text_emb_consistency"]
 
 
 def run_quality(sf_dir: str) -> dict:

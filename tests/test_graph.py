@@ -248,3 +248,47 @@ def test_emb_quantize_error_bound(ray_session, tmp_path):
     s = (m.max(axis=0) - m.min(axis=0)) / 255.0
     # affine quantization error is at most half a step per dim
     assert eng.max_abs_err.max() <= s.max() / 2 + 1e-9
+
+
+def test_text_emb_consistency_planted(ray_session, tmp_path):
+    """Cross-modal audit vs oracle: twin docs with twin vectors must
+    pair up with jaccard 1.0; a corrupted row (identical vector,
+    unrelated text) must surface with jaccard ~0; gram-less (short)
+    texts get jaccard 0 without crashing."""
+    from raysearch.pipelines import crossmodal as X
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(4, 6))
+    # ids 0/1: twin vectors + twin texts -> consistent pair
+    # ids 2/3: twin vectors, UNRELATED texts -> corruption fingerprint
+    # ids 4/5: distinct vectors; id 5's text is too short for 3-grams
+    vecs = np.vstack([base[0], base[0] + 1e-6,
+                      base[1], base[1] + 1e-6,
+                      base[2], base[3]])
+    ids = np.arange(6, dtype=np.int64)
+    _write_emb(tmp_path, vecs, ids)
+    texts = ["alpha beta gamma delta epsilon",
+             "alpha beta gamma delta epsilon",
+             "alpha beta gamma delta epsilon",
+             "completely different words entirely here",
+             "some middling text goes here now",
+             "too short"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["t"] * 6, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    eng = X.text_emb_consistency(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    ora = con.execute(X.sql_text_emb_consistency()).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False,
+                                  check_exact=True)
+    byid = eng.set_index("doc_id")
+    assert byid.loc[0, "nbr_id"] == 1 and byid.loc[0, "jaccard"] == 1.0
+    assert byid.loc[2, "nbr_id"] == 3 and byid.loc[2, "jaccard"] == 0.0
+    assert byid.loc[5, "jaccard"] == 0.0   # gram-less side
