@@ -482,14 +482,88 @@ FROM small
 """
 
 
+# ---- Q19 shape: disjunctive-predicate discounted revenue ----
+
+Q19_TERMS = (("Brand#1", 1, 11), ("Brand#4", 10, 20),
+             ("Brand#9", 20, 30))
+
+
+def disjunct_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q19-shaped discounted revenue under a DISJUNCTION of
+    (brand, quantity-range) terms — the multi-predicate OR no single
+    parquet filter can push down: revenue c4 and line count for lines
+    matching ANY of {terms}.
+
+    Shape: part (partkey -> brand-term index, -1 for brands outside
+    every term) broadcasts once (cap-gated via _broadcast_dim); each
+    lineitem batch resolves its term index, applies that term's
+    quantity bounds VECTORIZED (one gather of per-term lo/hi arrays —
+    no per-term scan), and emits a single int partial row; Ray's
+    aggregate reduces. Zero wide exchanges; exact int64 c4.""".format(
+        terms=Q19_TERMS)
+    from ray.data.aggregate import Sum
+
+    brand_idx = {b: i for i, (b, _, _) in enumerate(Q19_TERMS)}
+    lo = np.array([t[1] for t in Q19_TERMS], dtype=np.int64)
+    hi = np.array([t[2] for t in Q19_TERMS], dtype=np.int64)
+
+    dim_ref = _broadcast_dim(
+        sf_dir, "part.parquet", "p_partkey", "p_brand",
+        val_fn=lambda col: np.array(
+            [brand_idx.get(b, -1) for b in col.to_pylist()],
+            dtype=np.int64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hit, term = _lookup(df["l_partkey"].to_numpy(np.int64),
+                            dim_ref)
+        q = _half_away(df["l_quantity"].to_numpy(np.float64))[hit]
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64)
+                          * 100.0)
+        c4 = (cents * (100 - disc))[hit]
+        termed = term >= 0
+        t = term[termed]
+        keep = (q[termed] >= lo[t]) & (q[termed] <= hi[t])
+        return pd.DataFrame({"n": [int(keep.sum())],
+                             "c4": [int(c4[termed][keep].sum())]})
+
+    agg = (_read(sf_dir, "lineitem.parquet",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice",
+                          "l_discount"])
+           .map_batches(partial, batch_format="pandas")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("c4", alias_name="c4")))
+    return pa.table({
+        "n_lines": pa.array([int(agg["n"] or 0)], pa.int64()),
+        "revenue_c4": pa.array([int(agg["c4"] or 0)], pa.int64()),
+    })
+
+
+def sql_disjunct_revenue() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND CAST(round(l_quantity, 0) AS BIGINT) "
+        f"BETWEEN {lo} AND {hi})"
+        for b, lo, hi in Q19_TERMS)
+    return f"""
+SELECT count(*)::BIGINT AS n_lines,
+       coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))),
+           0)::BIGINT AS revenue_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
 QUERIES = {
     "returned_item_customers": returned_item_customers,
     "nation_trade_volume": nation_trade_volume,
     "small_qty_revenue": small_qty_revenue,
+    "disjunct_revenue": disjunct_revenue,
 }
 
 ORACLE_SQL = {
     "returned_item_customers": sql_returned_item_customers(),
     "nation_trade_volume": sql_nation_trade_volume(),
     "small_qty_revenue": sql_small_qty_revenue(),
+    "disjunct_revenue": sql_disjunct_revenue(),
 }

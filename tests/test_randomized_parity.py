@@ -297,7 +297,7 @@ _TPCH_OPS = ["order_priority_counts", "pricing_summary",
              "cust_order_dist", "top_suppliers",
              # seventh wave
              "returned_item_customers", "nation_trade_volume",
-             "small_qty_revenue", "qty_price_corr"]
+             "small_qty_revenue", "qty_price_corr", "disjunct_revenue"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")

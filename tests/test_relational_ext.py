@@ -268,3 +268,36 @@ def test_dangling_nationkey_matches_oracle(ray_session, tmp_path):
     df = q7.to_pandas()
     assert df.supp_nation.tolist() == ["NATION_2"]
     _assert_parity(q7, sf, RX.sql_nation_trade_volume())
+
+
+def test_disjunct_revenue_term_boundaries(ray_session, tmp_path,
+                                          monkeypatch):
+    """Q19 disjunction: BETWEEN is inclusive at BOTH bounds, a
+    quantity satisfying a DIFFERENT term's range must not count, and
+    brands outside every term never match."""
+    monkeypatch.setattr(RX, "Q19_TERMS",
+                        (("Brand#1", 1, 11), ("Brand#4", 10, 20)))
+    sf = _star(
+        tmp_path,
+        customers=[(1, 2, 0.0)],
+        suppliers=[(10, 2)],
+        parts=[(100, "Brand#1"), (101, "Brand#4"),
+               (102, "Brand#7")],
+        orders=[(1000, 1, T_IN)],
+        lineitems=[
+            (1000, 100, 10, 1.0, 100.0, 0.0, T_IN, "N"),    # at lo
+            (1000, 100, 10, 11.0, 200.0, 0.05, T_IN, "N"),  # at hi
+            (1000, 100, 10, 12.0, 300.0, 0.0, T_IN, "N"),   # out for
+                                                            # B#1 but
+                                                            # in B#4's
+                                                            # range
+            (1000, 101, 10, 10.0, 400.0, 0.0, T_IN, "N"),   # at lo
+            (1000, 101, 10, 21.0, 500.0, 0.0, T_IN, "N"),   # out
+            (1000, 102, 10, 5.0, 600.0, 0.0, T_IN, "N"),    # brand
+        ])
+    out = RX.disjunct_revenue(sf)
+    df = out.to_pandas()
+    assert df.n_lines.tolist() == [3]
+    assert df.revenue_c4.tolist() == [
+        10000 * 100 + 20000 * 95 + 40000 * 100]
+    _assert_parity(out, sf, RX.sql_disjunct_revenue())
