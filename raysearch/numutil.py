@@ -28,3 +28,17 @@ def round6(x):
     if np.isscalar(x) or arr.ndim == 0:
         return float(out)
     return out
+
+
+def fmt_doc(**kw):
+    """Decorator: format {placeholders} in a REAL docstring with the
+    module constants. ``\"\"\"...\"\"\".format(...)`` as a function's
+    first statement is an expression, not a docstring — __doc__ ends
+    up None and the operator contract text is lost to help() /
+    introspection (round-3 ADVICE). With this decorator the literal
+    stays a docstring and the constants still interpolate."""
+    def deco(fn):
+        if fn.__doc__:
+            fn.__doc__ = fn.__doc__.format(**kw)
+        return fn
+    return deco

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raysearch.hashing import auto_buckets
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 from raysearch.pipelines.textops import (
     SQL_GRAMS_CTE,
     doc_shingles_flat,
@@ -1226,6 +1226,7 @@ FROM documents d LEFT JOIN per USING (doc_id)
 SPAN_W = 5
 
 
+@fmt_doc(w=SPAN_W)
 def dup_spans(sf_dir: str) -> pa.Table:
     """Token-span dedup signals (the Lee et al. 2021 "Deduplicating
     Training Data" granularity, window form): per doc, the number of
@@ -1242,8 +1243,7 @@ def dup_spans(sf_dir: str) -> pa.Table:
     hash-bucketed exchange counts distinct docs per gram in-group and
     emits per-(doc, bucket) additive partials; groupby(doc_id) sums
     them; a zero-count sentinel row keyed by the doc's own hash keeps
-    span-less docs in the result without a corpus join.""".format(
-        w=SPAN_W)
+    span-less docs in the result without a corpus join."""
 
     def span_slots(batch: pa.Table):
         from raysearch.pipelines.textops import _tokens

@@ -42,7 +42,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 from raysearch.pipelines.lm import _doc_bigrams
 
 _DOCS = "documents.parquet"
@@ -163,6 +163,7 @@ def dsir_weights(sf_dir: str) -> pa.Table:
 DSIR_SAMPLE_K = 100
 
 
+@fmt_doc(k=DSIR_SAMPLE_K)
 def dsir_resample(sf_dir: str) -> pa.Table:
     """Top-{k} documents under Gumbel-top-k importance resampling:
     key = dsir_logratio + Gumbel noise, noise derived DETERMINISTICALLY
@@ -175,7 +176,7 @@ def dsir_resample(sf_dir: str) -> pa.Table:
     Scale shape: the scoring stream gains a per-batch key column and
     LOCAL top-{k} truncation under the shared total order
     (round6(key) DESC, doc_id), so the driver merges n_blocks x {k}
-    candidate rows — never the scored table.""".format(k=DSIR_SAMPLE_K)
+    candidate rows — never the scored table."""
 
     def topk(b: pa.Table) -> pa.Table:
         from raysearch.pipelines.textops import md5_prefix_ints

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 from raysearch.pipelines.textops import _tokens
 
 _DOCS = "documents.parquet"
@@ -306,6 +306,7 @@ PMI_MIN_COUNT = 5   # bigrams below this global count are noise
 PMI_TOPK = 20
 
 
+@fmt_doc(k=PMI_TOPK, m=PMI_MIN_COUNT)
 def pmi_top_bigrams(sf_dir: str) -> pa.Table:
     """Top-{k} adjacent-token collocations by PMI
     ln(p(w1 w2) / (p(w1) p(w2))), min pair count {m} — the classic
@@ -322,8 +323,7 @@ def pmi_top_bigrams(sf_dir: str) -> pa.Table:
     LOCAL-top-k map stage, so the driver merges n_blocks x {k}
     candidate rows — never the bigram table. Ranking uses the total
     order (round6(pmi) DESC, w1, w2) on BOTH engine and oracle, so
-    per-batch top-k truncation is exact.""".format(k=PMI_TOPK,
-                                                   m=PMI_MIN_COUNT)
+    per-batch top-k truncation is exact."""
     import ray
     from ray.data.aggregate import Sum
 

@@ -426,7 +426,8 @@ ranked AS (
            AS rank
   FROM scores
 )
-SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
 """
 
 

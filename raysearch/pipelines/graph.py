@@ -45,7 +45,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 from raysearch.pipelines.knn import (
     KNN_K,
     _knn_partials_ds,
@@ -82,12 +82,16 @@ def _edges_ds(sf_dir: str, nb: int):
             .materialize())
 
 
+@fmt_doc(k=PR_K,
+         knnk=KNN_K,
+         iters=PR_ITERS,
+         dn=PR_D_NUM,
+         dd=PR_D_DEN,
+         scale=PR_SCALE)
 def pagerank_topk(sf_dir: str) -> pa.Table:
     """The {k} most central vectors of the exact cosine {knnk}-NN
     graph after {iters} fixed-point PageRank supersteps (damping
-    {dn}/{dd}, mass units of 1/{scale}), ties broken by vec_id.""" \
-        .format(k=PR_K, knnk=KNN_K, iters=PR_ITERS, dn=PR_D_NUM,
-                dd=PR_D_DEN, scale=PR_SCALE)
+    {dn}/{dd}, mass units of 1/{scale}), ties broken by vec_id."""
     import ray.data
 
     from raysearch.hashing import auto_buckets
@@ -225,6 +229,7 @@ LIMIT {PR_K}
 LP_ITERS = 2
 
 
+@fmt_doc(iters=LP_ITERS, k=KNN_K)
 def label_prop(sf_dir: str) -> pa.Table:
     """Semi-supervised label propagation over the same exact k-NN
     graph (Zhu & Ghahramani 2002, hard-label variant): for {iters}
@@ -243,8 +248,7 @@ def label_prop(sf_dir: str) -> pa.Table:
     groups by src bucket and votes. Two coarse exchanges per round,
     narrow integer rows, nothing node-cardinality on the driver.
     Output: (vec_id, label) after round {iters}, plus each node's
-    initial label and a changed flag.""".format(iters=LP_ITERS,
-                                                k=KNN_K)
+    initial label and a changed flag."""
     import ray.data
 
     from raysearch.hashing import auto_buckets

@@ -41,6 +41,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raysearch.numutil import fmt_doc
+
 _EVENTS = "events.parquet"
 _DOCS = "documents.parquet"
 
@@ -99,6 +101,7 @@ def _user_bucketed(ds, nb: int):
                           zero_copy_batch=True)
 
 
+@fmt_doc(left=ASOF_LEFT, right=ASOF_RIGHT)
 def asof_join(sf_dir: str) -> pa.Table:
     """As-of join over events: for every '{left}' event, the same
     user's most recent PRIOR '{right}' event in (ts, event_id) order
@@ -110,7 +113,7 @@ def asof_join(sf_dir: str) -> pa.Table:
     per group: idx = where(is_right, arange, -1); cummax; shift by
     one row; a candidate is valid iff it lies inside the row's own
     user segment. No per-user dispatch, no per-row Python.
-    """.format(left=ASOF_LEFT, right=ASOF_RIGHT)
+    """
     import pyarrow.dataset as pads
 
     from raysearch.hashing import auto_buckets
@@ -454,6 +457,7 @@ Q3_CUTOFF = __import__("datetime").datetime(1998, 1, 1)
 Q3_K = 10
 
 
+@fmt_doc(k=Q3_K, seg=Q3_SEGMENT, cut=Q3_CUTOFF.date())
 def top_unshipped_orders(sf_dir: str) -> pa.Table:
     """TPC-H-Q3-shaped shipping priority: the {k} highest-revenue
     orders from '{seg}'-segment customers placed before {cut} whose
@@ -472,8 +476,7 @@ def top_unshipped_orders(sf_dir: str) -> pa.Table:
     per orderkey map-side. ONE orderkey-bucketed exchange joins them;
     each group emits only its local top-{k}, so the driver merges
     n_buckets x {k} rows — never the joined table. The global sort
-    this replaces is the most expensive all-to-all at scale.""".format(
-        k=Q3_K, seg=Q3_SEGMENT, cut=Q3_CUTOFF.date())
+    this replaces is the most expensive all-to-all at scale."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray

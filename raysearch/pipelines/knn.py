@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 from raysearch.pipelines.similarity import (
     DUP_BLOCK_ROWS,
     _emb_matrix,
@@ -168,10 +168,10 @@ def _merge_topk(g: pd.DataFrame) -> pd.DataFrame:
     return g[g["rank"] <= KNN_K]
 
 
+@fmt_doc(k=KNN_K)
 def knn_graph(sf_dir: str) -> pa.Table:
     """Exact cosine k-NN graph: every vector's top-{k} neighbors
-    (self excluded), rank under (round6(cos) DESC, nbr_id ASC).""" \
-        .format(k=KNN_K)
+    (self excluded), rank under (round6(cos) DESC, nbr_id ASC)."""
     ds = _knn_partials_ds(sf_dir)
     out = ds.groupby("bucket").map_groups(_merge_topk,
                                           batch_format="pandas")
@@ -207,12 +207,13 @@ def _vote_kern(g: pd.DataFrame) -> pd.DataFrame:
             .agg(n=("vec_id", "size")))
 
 
+@fmt_doc(k=KNN_K)
 def knn_label_eval(sf_dir: str) -> pa.Table:
     """Leave-one-out k-NN classification eval over the labeled
     embedding table: predict each vector's label by majority vote of
     its {k} exact nearest neighbors' labels (ties -> smallest label)
     and report the confusion matrix (true_label, pred_label, n) —
-    the standard embedding-quality probe.""".format(k=KNN_K)
+    the standard embedding-quality probe."""
     from ray.data.aggregate import Sum
 
     ds = _knn_partials_ds(sf_dir)

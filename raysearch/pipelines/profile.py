@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 
 _EVENTS = "events.parquet"
 _DOCS = "documents.parquet"
@@ -136,6 +136,7 @@ FROM b GROUP BY lang, bin
 Z_THRESHOLD = 3.0
 
 
+@fmt_doc(t=Z_THRESHOLD)
 def event_anomalies(sf_dir: str) -> pa.Table:
     """Per-event z-score against its type's global mean/std, flagging
     |z| > {t} — the classic streaming anomaly screen, two passes:
@@ -150,7 +151,7 @@ def event_anomalies(sf_dir: str) -> pa.Table:
        integer-derived float64s the oracle uses.
 
     Types with fewer than 2 events or zero variance emit z = 0.
-    """.format(t=Z_THRESHOLD)
+    """
     import ray
     from ray.data.aggregate import Sum
 
@@ -243,6 +244,7 @@ FROM z
 NTILE_K = 10
 
 
+@fmt_doc(K=NTILE_K)
 def doclen_ntile(sf_dir: str) -> pa.Table:
     """Exact global NTILE({K}) by token length — per doc, its decile
     under the (dl, doc_id) total order, matching SQL ntile semantics
@@ -263,7 +265,7 @@ def doclen_ntile(sf_dir: str) -> pa.Table:
 
     Tile from 1-based rank r with n%k big tiles of size n//k + 1:
     r <= big*size_big -> (r-1)//size_big + 1, else
-    big + (r - big*size_big - 1)//(n//k) + 1.""".format(K=NTILE_K)
+    big + (r - big*size_big - 1)//(n//k) + 1."""
     import ray
     import ray.data
     from ray.data.aggregate import Count

@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raysearch.numutil import fmt_doc
 from raysearch.pipelines.joins import (
     JOIN_BROADCAST_CAP,
     _cents,
@@ -122,6 +123,7 @@ def _region_nations(sf_dir: str) -> tuple[np.ndarray, dict[int, str]]:
     return np.sort(nk[reg == rk]), names
 
 
+@fmt_doc(reg=Q5_REGION)
 def local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H-Q5-shaped local supplier volume: revenue per nation from
     1996 orders where the customer and the lineitem's supplier sit in
@@ -136,8 +138,7 @@ def local_supplier_volume(sf_dir: str) -> pa.Table:
     pre-aggregate (okey, supp_nation) c4 partials map-side. The
     per-bucket kernel equi-joins on okey, keeps cust_nation ==
     supp_nation, and emits per-nation partials; the final exchange is
-    nation-cardinality. Revenue is exact int64 c4.""".format(
-        reg=Q5_REGION)
+    nation-cardinality. Revenue is exact int64 c4."""
     import pyarrow.dataset as pads
     from ray.data.aggregate import Sum
 
@@ -236,6 +237,7 @@ ORDER BY revenue_c4 DESC, n_name
 """
 
 
+@fmt_doc(k=Q18_K, qty=Q18_QTY)
 def big_orders(sf_dir: str) -> pa.Table:
     """TPC-H-Q18-shaped large-volume orders: the {k} orders with the
     largest o_totalprice among those whose lineitem quantity sum
@@ -247,8 +249,7 @@ def big_orders(sf_dir: str) -> pa.Table:
     applies HAVING > {qty}, joins the order attributes, and emits only
     its local top-{k} under (total_cents DESC, orderdate, orderkey) —
     the driver merges n_buckets x {k} rows, never the joined table
-    (same k-bounded merge as joins.top_unshipped_orders).""".format(
-        k=Q18_K, qty=Q18_QTY)
+    (same k-bounded merge as joins.top_unshipped_orders)."""
     from raysearch.hashing import auto_buckets
 
     nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
@@ -325,6 +326,7 @@ LIMIT {Q18_K}
 """
 
 
+@fmt_doc(d1=Q14_D1, promo=Q14_PROMO)
 def promo_revenue(sf_dir: str) -> pa.Table:
     """TPC-H-Q14-shaped promo revenue share for {d1:%Y-%m}: of the c4
     revenue shipped that month, the fraction from parts of type
@@ -332,8 +334,7 @@ def promo_revenue(sf_dir: str) -> pa.Table:
     month-filtered AT THE READ; per-batch int partials reduce through
     Ray's aggregate — no wide exchange at all. promo_share_pct =
     round6(100 * promo / total) is the only float, computed after the
-    exact integer sums on both engine and oracle.""".format(
-        d1=Q14_D1, promo=Q14_PROMO)
+    exact integer sums on both engine and oracle."""
     import pyarrow.dataset as pads
     from ray.data.aggregate import Sum
 
@@ -390,6 +391,7 @@ FROM m
 """
 
 
+@fmt_doc(cut=Q22_CUTOFF)
 def churned_customers(sf_dir: str) -> pa.Table:
     """TPC-H-Q22-shaped churn report, the distributed ANTI join:
     per nation, the count and total balance of customers whose
@@ -405,7 +407,7 @@ def churned_customers(sf_dir: str) -> pa.Table:
     keeps customers with no match (np.isin against the group's order
     side) and emits per-nation partials. The exchange carries one row
     per above-threshold customer + one per (batch, distinct custkey) —
-    never raw orders.""".format(cut=Q22_CUTOFF)
+    never raw orders."""
     import pyarrow.dataset as pads
     from ray.data.aggregate import Sum
 
@@ -583,6 +585,7 @@ Q15_D1 = datetime.datetime(1996, 1, 1)
 Q15_D2 = datetime.datetime(1996, 4, 1)
 
 
+@fmt_doc(d1=Q15_D1, d2=Q15_D2)
 def top_suppliers(sf_dir: str) -> pa.Table:
     """TPC-H-Q15-shaped top supplier: the supplier(s) whose
     {d1:%Y-%m}–{d2:%Y-%m} shipped revenue equals the maximum — the
@@ -594,7 +597,7 @@ def top_suppliers(sf_dir: str) -> pa.Table:
     the per-supplier sums exactly (int64 c4, so the max compare can
     never be perturbed by float summation order); the driver takes
     max + ties over the supplier-cardinality table and name-joins the
-    (tiny) supplier dimension.""".format(d1=Q15_D1, d2=Q15_D2)
+    (tiny) supplier dimension."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 

@@ -46,6 +46,7 @@ from raysearch.pipelines.joins import (
     _read,
     _sorted_hits,
 )
+from raysearch.numutil import fmt_doc
 from raysearch.pipelines.relational import (
     _broadcast_dim,
     _lookup,
@@ -91,6 +92,7 @@ def _nation_dim(sf_dir: str, table: str, key_col: str, nat_col: str,
         filters=[(nat_col, "in", [int(k) for k in names])])
 
 
+@fmt_doc(k=Q10_K, fl=Q10_FLAG, d1=Q10_D1, d2=Q10_D2)
 def returned_item_customers(sf_dir: str) -> pa.Table:
     """TPC-H-Q10-shaped returned-item report: the {k} customers who
     lost the most revenue to returns (l_returnflag = '{fl}') on orders
@@ -106,8 +108,7 @@ def returned_item_customers(sf_dir: str) -> pa.Table:
     custkey-bucket kernel fuses the exact final sums with the local
     top-{k} under (revenue DESC, custkey ASC), bounding the driver
     merge at n_buckets x {k} rows. Only the {k} winners' names
-    and balances are fetched, via a key-filtered customer read.""".format(
-        k=Q10_K, fl=Q10_FLAG, d1=Q10_D1, d2=Q10_D2)
+    and balances are fetched, via a key-filtered customer read."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
@@ -243,6 +244,7 @@ LIMIT {Q10_K}
 """
 
 
+@fmt_doc(d1=Q7_D1, d2=Q7_D2)
 def nation_trade_volume(sf_dir: str) -> pa.Table:
     """TPC-H-Q7-shaped trade volume: c4 revenue shipped in
     {d1:%Y}..{d2:%Y} between every (supplier nation, customer nation)
@@ -255,7 +257,7 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
     (okey, supp_nation) c4 partials. ONE orderkey-bucketed exchange
     joins them, drops same-nation pairs, and emits per-pair partials;
     the final exchange is nation^2-cardinality. Names attach
-    driver-side (nation is O(25) rows).""".format(d1=Q7_D1, d2=Q7_D2)
+    driver-side (nation is O(25) rows)."""
     import pyarrow.dataset as pads
     from ray.data.aggregate import Sum
 
@@ -362,6 +364,7 @@ ORDER BY 1, 2
 """
 
 
+@fmt_doc(brand=Q17_BRAND, yrs=Q17_YEARS)
 def small_qty_revenue(sf_dir: str) -> pa.Table:
     """TPC-H-Q17-shaped small-quantity-order revenue: over '{brand}'
     parts, the lines whose quantity is below 20% of that part's
@@ -377,8 +380,7 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
     the same 2 columns and keeps rows under the INTEGER threshold
     5 * qty * n < sum_qty (exactly qty < 0.2 * avg, no float
     division); per-batch single-row partials reduce through Ray's
-    aggregate — no wide exchange in either pass.""".format(
-        brand=Q17_BRAND, yrs=Q17_YEARS)
+    aggregate — no wide exchange in either pass."""
     import pyarrow.parquet as pq
     import ray
     from ray.data.aggregate import Sum
@@ -488,6 +490,7 @@ Q19_TERMS = (("Brand#1", 1, 11), ("Brand#4", 10, 20),
              ("Brand#9", 20, 30))
 
 
+@fmt_doc(terms=Q19_TERMS)
 def disjunct_revenue(sf_dir: str) -> pa.Table:
     """TPC-H-Q19-shaped discounted revenue under a DISJUNCTION of
     (brand, quantity-range) terms — the multi-predicate OR no single
@@ -499,8 +502,7 @@ def disjunct_revenue(sf_dir: str) -> pa.Table:
     lineitem batch resolves its term index, applies that term's
     quantity bounds VECTORIZED (one gather of per-term lo/hi arrays —
     no per-term scan), and emits a single int partial row; Ray's
-    aggregate reduces. Zero wide exchanges; exact int64 c4.""".format(
-        terms=Q19_TERMS)
+    aggregate reduces. Zero wide exchanges; exact int64 c4."""
     from ray.data.aggregate import Sum
 
     brand_idx = {b: i for i, (b, _, _) in enumerate(Q19_TERMS)}

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raysearch.config import IndexConfig
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 from raysearch.score import query_term_weights
 
 
@@ -503,7 +503,8 @@ ranked AS (
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM scores
 )
-SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
 """
 
 
@@ -522,7 +523,8 @@ ranked AS (
                             ORDER BY score DESC, doc_id) AS rank
   FROM scores
 )
-SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {TOPK}
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
 """
 
 
@@ -689,6 +691,7 @@ MLT_DOCS = [0, 1, 2, 3, 4]
 MLT_TERMS = 3
 
 
+@fmt_doc(T=MLT_TERMS)
 def more_like_this(sf_dir: str) -> pa.Table:
     """Query-by-document ("related documents"): for each source doc,
     take its top-{T} tf-idf terms (tf x ln(N/df), df from the global
@@ -702,8 +705,7 @@ def more_like_this(sf_dir: str) -> pa.Table:
     {T} x |sources| rows; retrieval is the existing distributed
     segment-scorer fan-out fed pre-tokenized term-weight lists. The
     oracle composes the tf-idf CTE with the BM25 scorer CTE, so both
-    stages stay pinned to their standalone contracts.""".format(
-        T=MLT_TERMS)
+    stages stay pinned to their standalone contracts."""
     import pyarrow.parquet as pq
 
     from raysearch.query import lexicon_df, query_index
@@ -883,7 +885,7 @@ hit AS (
   SELECT q.query_id, t.doc_id, count(*)::BIGINT AS k
   FROM q JOIN t ON q.term = t.tok GROUP BY 1, 2
 )
-SELECT h.query_id, h.doc_id
+SELECT h.query_id::BIGINT AS query_id, h.doc_id
 FROM hit h JOIN need n ON h.query_id = n.query_id AND h.k = n.k
 ORDER BY h.query_id, h.doc_id
 """

@@ -39,6 +39,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raysearch.numutil import fmt_doc
+
 _EVENTS = "events.parquet"
 _DOCS = "documents.parquet"
 
@@ -297,6 +299,7 @@ HAVING count(*) * {HH_S} > tot.n
 TOPK_PER_GROUP = 3
 
 
+@fmt_doc(k=TOPK_PER_GROUP)
 def grouped_topk(sf_dir: str) -> pa.Table:
     """Top-{k} documents per language by (n_chars DESC, doc_id ASC):
     each batch emits only its local per-lang top-k (the k-bounded
@@ -348,6 +351,7 @@ ROLL_WINDOW_DAYS = 7
 _DAY_US = 86_400_000_000
 
 
+@fmt_doc(W=ROLL_WINDOW_DAYS)
 def rolling_active_users(sf_dir: str) -> pa.Table:
     """Exact trailing-{W}-day active users: for every window end-day w
     that any activity can reach, the number of distinct users with >= 1
@@ -363,7 +367,7 @@ def rolling_active_users(sf_dir: str) -> pa.Table:
     carries one partial count per (window, bucket); counts add across
     buckets because buckets partition the user space (same argument
     as distinct_users). Nothing driver-side exceeds the day-cardinality
-    result.""".format(W=ROLL_WINDOW_DAYS)
+    result."""
     from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets, splitmix64
@@ -419,6 +423,7 @@ FROM e GROUP BY w
 RETENTION_MAX_K = 7  # day offsets 0..K reported per cohort
 
 
+@fmt_doc(K=RETENTION_MAX_K)
 def cohort_retention(sf_dir: str) -> pa.Table:
     """(cohort_day, k, n_users): of the users whose FIRST activity
     fell on cohort_day, how many were active again exactly k days
@@ -431,7 +436,7 @@ def cohort_retention(sf_dir: str) -> pa.Table:
     deduped (cohort, k) memberships IN THE GROUP (exact, since a
     user's whole history co-locates); the final exchange carries one
     partial count per (cohort, k, bucket), additive because buckets
-    partition users.""".format(K=RETENTION_MAX_K)
+    partition users."""
     from ray.data.aggregate import Sum
 
     from raysearch.hashing import auto_buckets, splitmix64

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 
 _DOCS = "documents.parquet"
 
@@ -409,6 +409,7 @@ def _bloom_positions(h: np.ndarray, m: np.uint64) -> np.ndarray:
                          for i in range(BLOOM_K)])
 
 
+@fmt_doc(w=_BLOOM_WORDS, kb=(_BLOOM_WORDS * 8) // 1024, k=BLOOM_K)
 def decontaminate_bloom(sf_dir: str) -> pa.Table:
     """Same contract as `decontaminate` but the benchmark side is a
     constant-size Bloom filter: pass 1 emits SPARSE (word_idx, bits)
@@ -416,8 +417,7 @@ def decontaminate_bloom(sf_dir: str) -> pa.Table:
     {w} word rows total), the driver assembles the final {kb} KiB
     word array and broadcasts it once; pass 2 probes membership with
     {k} vectorized bit tests per gram. `contaminated` is a SUPERSET
-    of the exact operator's (no false negatives).""".format(
-        w=_BLOOM_WORDS, kb=(_BLOOM_WORDS * 8) // 1024, k=BLOOM_K)
+    of the exact operator's (no false negatives)."""
     import ray
 
     m, n_words = _BLOOM_M, _BLOOM_WORDS  # captured by value below

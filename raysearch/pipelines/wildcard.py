@@ -26,6 +26,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from raysearch.numutil import fmt_doc
+
 # multi-term ("s" -> scan/slow/small/sort/spark/stream), single-term
 # ("da" -> data), and miss ("zz") paths all exercised
 PREFIXES = ("s", "da", "zz")
@@ -119,12 +121,12 @@ def wildcard_docs(sf_dir: str) -> pa.Table:
         [("prefix", "ascending"), ("doc_id", "ascending")])
 
 
+@fmt_doc(k=SUGGEST_K)
 def term_suggest(sf_dir: str) -> pa.Table:
     """Autocomplete: the top-{k} completions per prefix by document
     frequency (df DESC, term ASC) from the range-scanned lexicon —
     the global df is already aggregated at build time, so this is a
-    k-bounded dictionary lookup, not a corpus pass.""".format(
-        k=SUGGEST_K)
+    k-bounded dictionary lookup, not a corpus pass."""
     from raysearch.pipelines.search_queries import cached_index
 
     idx = cached_index(sf_dir)

@@ -95,8 +95,11 @@ class SearchServer:
     """
 
     BATCH_MAX = 64  # queries drained into one resident batch
-    # results are popped on first successful poll; this cap bounds the
-    # map against clients that submit and never poll (oldest evicted)
+    # the reference's get_query_result (src/lib.rs:334-337) is
+    # NON-DESTRUCTIVE — re-polling a served query_id returns the same
+    # result again — so results stay until evicted by this LRU cap
+    # (reads move-to-end; least-recently-polled evicted first), which
+    # bounds the map against clients that submit and never poll
     RESULTS_MAX = 4096
 
     def __init__(self, index_dir: str, k: int = 10, mode: str = "bm25",
@@ -136,8 +139,10 @@ class SearchServer:
 
     def _on_poll(self, req: dict) -> dict:
         qid = str(req["query_id"])
-        with self._lock:  # pop: a served result is done (no leak)
+        with self._lock:  # non-destructive read, LRU move-to-end
             got = self._results.pop(qid, None)
+            if got is not None:
+                self._results[qid] = got
         if got is None:
             return {"documents": [], "message": NOT_READY_MESSAGE,
                     "query_processing_time": 0.0}

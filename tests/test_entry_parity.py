@@ -74,6 +74,11 @@ def test_query_matches_oracle(ray_session, con, name):
     oracle = _normalize(con.execute(sqls[name]).df())
     assert list(engine.columns) == list(oracle.columns), \
         f"{name}: columns {list(engine.columns)} != {list(oracle.columns)}"
+    # strict dtype parity (round-3 VERDICT item 3): a VALUES-CTE oracle
+    # silently typing ids INT32 must be caught here, not by the driver
+    assert [str(t) for t in engine.dtypes] == \
+        [str(t) for t in oracle.dtypes], \
+        f"{name}: dtypes {list(engine.dtypes)} != {list(oracle.dtypes)}"
     assert len(engine) == len(oracle), \
         f"{name}: rows {len(engine)} != {len(oracle)}"
     pd.testing.assert_frame_equal(engine, oracle, check_dtype=False,

@@ -58,6 +58,10 @@ def test_submit_poll_round_trip(ray_session, idx):
             assert [round(s, 6) for _, s in got["documents"]] == \
                 [round(s, 6) for s in want.score.tolist()]
             assert got["query_processing_time"] > 0
+            # reference semantics (src/lib.rs:334-337): a served
+            # result is NOT consumed — re-polling returns it again
+            again = request(srv.poll_port, {"query_id": qid})
+            assert again["documents"] == got["documents"]
 
 
 def test_malformed_request_is_contained(ray_session, idx):
