@@ -75,7 +75,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "perplexity_buckets", "dup_spans", "label_prop",
           "triangle_stats", "qty_price_corr", "script_stats",
           "emb_quantize", "winsor_stats", "user_paths",
-          "text_emb_consistency", "disjunct_revenue"]
+          "text_emb_consistency", "disjunct_revenue",
+          # round 4 additions
+          "knn_graph_ivf"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -277,12 +277,17 @@ def label_prop(sf_dir: str) -> pa.Table:
                                            batch_format="pandas")
              .materialize())
 
+    # label rows (side 1) carry the node's CURRENT label in p and its
+    # INITIAL label in b — label0 rides the superstep exchanges so the
+    # final output needs no driver-side re-read of the embeddings
+    # table (round-3 VERDICT item 7)
     def l0_kern(df: pd.DataFrame) -> pd.DataFrame:
         nodes = df.vec_id.to_numpy(np.int64)
+        l0 = df.label.to_numpy(np.int64)
         return pd.DataFrame({
             "bucket": nodes & (nb - 1), "a": nodes,
-            "b": np.int64(0), "deg": np.int64(0),
-            "p": df.label.to_numpy(np.int64),
+            "b": l0, "deg": np.int64(0),
+            "p": l0,
             "side": np.int64(1)})[_COLS]
 
     labels = ray.data.read_parquet(
@@ -297,8 +302,9 @@ def label_prop(sf_dir: str) -> pa.Table:
         e = g[g.side == 0]
         ln = lr.a.to_numpy(np.int64)
         lv = lr.p.to_numpy(np.int64)
+        l0 = lr.b.to_numpy(np.int64)
         order = np.argsort(ln)
-        ln, lv = ln[order], lv[order]
+        ln, lv, l0 = ln[order], lv[order], l0[order]
         dst = e.b.to_numpy(np.int64)
         pos = np.searchsorted(ln, dst)
         src = e.a.to_numpy(np.int64)
@@ -306,7 +312,7 @@ def label_prop(sf_dir: str) -> pa.Table:
             "bucket": src & (nb - 1), "a": src, "b": np.int64(0),
             "deg": np.int64(0), "p": lv[pos], "side": np.int64(2)})
         out_s = pd.DataFrame({
-            "bucket": ln & (nb - 1), "a": ln, "b": np.int64(0),
+            "bucket": ln & (nb - 1), "a": ln, "b": l0,
             "deg": np.int64(0), "p": lv, "side": np.int64(3)})
         return pd.concat([out_b[_COLS], out_s[_COLS]],
                          ignore_index=True)
@@ -319,12 +325,13 @@ def label_prop(sf_dir: str) -> pa.Table:
                  .sort_values(["a", "c", "p"],
                               ascending=[True, False, True]))
         win = votes.drop_duplicates("a", keep="first")[["a", "p"]]
-        merged = own[["a", "p"]].merge(win, on="a", how="left",
-                                       suffixes=("_own", "_win"))
+        merged = own[["a", "p", "b"]].merge(win, on="a", how="left",
+                                            suffixes=("_own", "_win"))
         new = merged.p_win.fillna(merged.p_own).astype(np.int64)
         a = merged.a.to_numpy(np.int64)
         return pd.DataFrame({
-            "bucket": a & (nb - 1), "a": a, "b": np.int64(0),
+            "bucket": a & (nb - 1), "a": a,
+            "b": merged.b.to_numpy(np.int64),
             "deg": np.int64(0), "p": new.to_numpy(np.int64),
             "side": np.int64(1)})[_COLS]
 
@@ -336,13 +343,12 @@ def label_prop(sf_dir: str) -> pa.Table:
                  .groupby("bucket").map_groups(vote_kern,
                                                batch_format="pandas"))
 
-    final = state.to_pandas()[["a", "p"]].rename(
-        columns={"a": "vec_id", "p": "label"})
-    l0 = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "label"]).to_pandas().rename(
-        columns={"label": "label0"})
-    out = (l0.merge(final, on="vec_id")
+    # label0 rode the exchanges in b — the node-cardinality result
+    # table is the ONLY thing the driver assembles (the gate contract:
+    # the query returns the table; at scale this is a write sink)
+    out = (state.to_pandas()[["a", "p", "b"]]
+           .rename(columns={"a": "vec_id", "p": "label",
+                            "b": "label0"})
            .sort_values("vec_id", ignore_index=True))
     return pa.table({
         "vec_id": pa.array(out.vec_id.to_numpy(np.int64), pa.int64()),

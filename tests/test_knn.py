@@ -104,3 +104,46 @@ def test_knn_bucket_invariance(ray_session, tmp_path, monkeypatch):
                        _norm(K.knn_label_eval(sf).to_pandas()))
     pd.testing.assert_frame_equal(results[2][0], results[64][0])
     pd.testing.assert_frame_equal(results[2][1], results[64][1])
+
+
+def test_knn_backbone_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        K._backbone("bogus")
+    assert K._backbone(None) == "exact"
+    assert K._backbone("ivf") == "ivf"
+
+
+def test_knn_ivf_backbone_recall(ray_session):
+    """Round-4 gate: ivf-mode 1-NN edge recall >= 0.9 vs the exact
+    backbone at sf0.01 (the driver-scale table). Also asserts the
+    schema contract: both backbones emit identical columns/dtypes."""
+    sf = "/root/testdata/sf0.01"
+    ex = K.knn_graph(sf).to_pandas()
+    ap = K.knn_graph(sf, backbone="ivf").to_pandas()
+    assert list(ex.columns) == list(ap.columns)
+    assert [str(t) for t in ex.dtypes] == [str(t) for t in ap.dtypes]
+    # every vector still gets a full top-k row set
+    assert ap.groupby("vec_id")["rank"].max().eq(K.KNN_K).all()
+    e1 = set(map(tuple, ex[ex["rank"] == 1][["vec_id", "nbr_id"]]
+                 .values.tolist()))
+    a1 = set(map(tuple, ap[ap["rank"] == 1][["vec_id", "nbr_id"]]
+                 .values.tolist()))
+    recall = len(e1 & a1) / max(len(e1), 1)
+    assert recall >= 0.9, f"ivf 1-NN edge recall {recall:.3f} < 0.9"
+
+
+def test_knn_ivf_env_switch_consumers(ray_session, monkeypatch):
+    """The RAYSEARCH_KNN_BACKBONE env switch reaches the fan-out's
+    consumers: pagerank/label_prop produce well-formed node tables
+    on the ivf backbone (values are approximate by contract)."""
+    from raysearch.pipelines.graph import label_prop, pagerank_topk
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("RAYSEARCH_KNN_BACKBONE", "ivf")
+    pr = pagerank_topk(sf).to_pandas()
+    assert len(pr) == 20 and pr.p.gt(0).all()
+    lp = label_prop(sf).to_pandas()
+    assert len(lp) == 500
+    assert (lp.changed == (lp.label != lp.label0).astype(int)).all()
