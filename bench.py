@@ -77,7 +77,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "emb_quantize", "winsor_stats", "user_paths",
           "text_emb_consistency", "disjunct_revenue",
           # round 4 additions
-          "knn_graph_ivf"]
+          "knn_graph_ivf", "media_header"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -184,6 +184,98 @@ FROM f
 """
 
 
+HEADER_BYTES = 8
+
+
+class HeaderParser:
+    """Actor-pool stage: EXIF-style fixed-header parse over the opaque
+    binary payload column — the exactly-checkable slice of real media
+    ingestion (magic/version/flags live at fixed offsets in every
+    container format; no codec needed to read them). Parsing is
+    vectorized: the first HEADER_BYTES of every payload concatenate
+    into ONE flat uint8 matrix, fields come out as numpy bit-shifts."""
+
+    def __init__(self, header_bytes: int = HEADER_BYTES):
+        self.header_bytes = header_bytes
+        # a real container parser would mmap its magic tables ONCE here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hb = self.header_bytes
+        payloads = batch["payload"].to_pylist()
+        ids = batch["media_id"].to_numpy()
+        keep = [i for i, p in enumerate(payloads) if len(p) >= hb]
+        if not keep:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "magic": pa.array([], pa.int64()),
+                "version": pa.array([], pa.int64()),
+                "flags": pa.array([], pa.int64()),
+                "body_len": pa.array([], pa.int64()),
+                "header_hex": pa.array([], pa.string())})
+        heads = b"".join(payloads[i][:hb] for i in keep)
+        arr = np.frombuffer(heads, np.uint8).reshape(-1, hb)
+        a64 = arr.astype(np.int64)
+        magic = ((a64[:, 0] << 24) | (a64[:, 1] << 16)
+                 | (a64[:, 2] << 8) | a64[:, 3])
+        return pa.table({
+            "doc_id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "magic": pa.array(magic, pa.int64()),
+            "version": pa.array(a64[:, 4], pa.int64()),
+            "flags": pa.array(a64[:, 5], pa.int64()),
+            "body_len": pa.array(
+                np.array([len(payloads[i]) - hb for i in keep],
+                         np.int64), pa.int64()),
+            "header_hex": pa.array(
+                [payloads[i][:hb].hex() for i in keep], pa.string()),
+        })
+
+
+def media_header(sf_dir: str) -> pa.Table:
+    """Fixed-header parse of every document payload (>= 8 bytes):
+    big-endian uint32 magic from bytes 0-3, version byte 4, flags
+    byte 5, body_len = payload length - 8, and the 8-byte header as
+    lowercase hex — the same actor-pool stage shape as MediaDecoder
+    but with a full DuckDB byte-arithmetic oracle (engine parses
+    BYTES, the oracle parses CHARACTER CODES — equal under the
+    documented ASCII corpus contract, textops module docstring)."""
+    import ray.data
+
+    def to_media(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "media_id": b["doc_id"],
+            "payload": pa.array([t.encode() for t in texts],
+                                pa.large_binary()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "text"])
+    out = (ds.map_batches(to_media, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(HeaderParser, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 2),
+                        num_cpus=1))
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
+def sql_media_header() -> str:
+    return f"""
+SELECT doc_id,
+       (ascii(substr(text, 1, 1)) * 16777216
+        + ascii(substr(text, 2, 1)) * 65536
+        + ascii(substr(text, 3, 1)) * 256
+        + ascii(substr(text, 4, 1)))::BIGINT AS magic,
+       ascii(substr(text, 5, 1))::BIGINT AS version,
+       ascii(substr(text, 6, 1))::BIGINT AS flags,
+       (octet_length(text::BLOB) - {HEADER_BYTES})::BIGINT AS body_len,
+       lower(hex(substr(text, 1, {HEADER_BYTES})::BLOB)) AS header_hex
+FROM documents
+WHERE octet_length(text::BLOB) >= {HEADER_BYTES}
+ORDER BY doc_id
+"""
+
+
 def sql_blob_meta() -> str:
     return """
 SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
@@ -192,6 +284,8 @@ FROM documents
 """
 
 
-QUERIES = {"blob_meta": blob_meta, "frame_sample": frame_sample}
+QUERIES = {"blob_meta": blob_meta, "frame_sample": frame_sample,
+           "media_header": media_header}
 ORACLE_SQL = {"blob_meta": sql_blob_meta(),
-              "frame_sample": sql_frame_sample()}
+              "frame_sample": sql_frame_sample(),
+              "media_header": sql_media_header()}

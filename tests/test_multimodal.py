@@ -62,3 +62,48 @@ def test_distributed_stage(ray_session):
     tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     assert tbl.num_rows == 100
     assert sorted(tbl["media_id"].to_pylist()) == list(range(100))
+
+
+def test_header_parser_fields():
+    """HeaderParser parses magic/version/flags at fixed offsets and
+    skips payloads shorter than the header."""
+    from raysearch.pipelines.multimodal import HEADER_BYTES, HeaderParser
+
+    payload = bytes([0x89, ord("P"), ord("N"), ord("G"), 2, 7]) + b"xyz123"
+    batch = pa.table({
+        "media_id": pa.array([5, 6], pa.int64()),
+        "payload": pa.array([payload, b"tiny"], pa.large_binary()),
+    })
+    out = HeaderParser()(batch).to_pandas()
+    assert len(out) == 1  # b"tiny" < HEADER_BYTES dropped
+    row = out.iloc[0]
+    assert row.doc_id == 5
+    assert row.magic == (0x89 << 24) | (ord("P") << 16) \
+        | (ord("N") << 8) | ord("G")
+    assert row["version"] == 2 and row["flags"] == 7
+    assert row.body_len == len(payload) - HEADER_BYTES
+    assert row.header_hex == payload[:HEADER_BYTES].hex()
+
+
+def test_media_header_oracle_edge_docs(ray_session, tmp_path):
+    """Engine vs DuckDB oracle on docs the fixtures lack: empty text,
+    sub-header-length text, exactly-header-length text."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raysearch.pipelines.multimodal import media_header, sql_media_header
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["short", "", "exactly8",
+                          "a longer document body"], pa.string()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    eng = media_header(str(tmp_path)).to_pandas()
+    ora = con.execute(sql_media_header()).df()
+    pd.testing.assert_frame_equal(eng, ora)
