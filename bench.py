@@ -135,6 +135,20 @@ def run_quality(sf_dir: str) -> dict:
     out["semdedup_flagged_frac"] = round(
         len(sd_flagged) / max(len(sd), 1), 4)
 
+    from raysearch.pipelines import knn as KN
+
+    kex = KN.knn_graph(sf_dir).to_pandas()
+    kiv = KN.knn_graph(sf_dir, backbone="ivf").to_pandas()
+    e1 = set(map(tuple, kex[kex["rank"] == 1][["vec_id", "nbr_id"]]
+                 .values.tolist()))
+    a1 = set(map(tuple, kiv[kiv["rank"] == 1][["vec_id", "nbr_id"]]
+                 .values.tolist()))
+    out["knn_ivf_1nn_edge_recall"] = round(
+        len(e1 & a1) / max(len(e1), 1), 3)
+    ek = set(map(tuple, kex[["vec_id", "nbr_id"]].values.tolist()))
+    ak = set(map(tuple, kiv[["vec_id", "nbr_id"]].values.tolist()))
+    out["knn_ivf_edge_recall"] = round(len(ek & ak) / max(len(ek), 1), 3)
+
     st = C.chunk_dedup_stats(sf_dir).to_pandas().iloc[0]
     out["cdc_distinct_chunk_ratio"] = round(
         float(st.distinct_chunks) / max(int(st.total_chunks), 1), 3)

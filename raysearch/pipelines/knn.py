@@ -197,9 +197,19 @@ def _knn_partials_ivf(sf_dir: str, nb: int):
     import ray
     import ray.data
 
-    from raysearch.pipelines.similarity import _ivf_train
+    from raysearch.pipelines.similarity import IVF_CENTROIDS, _ivf_train
 
-    cents = _ivf_train(sf_dir)
+    # cells scale with the table: K ~ sqrt(N)/4 (floor IVF_CENTROIDS)
+    # keeps per-cell work ~4*sqrt(N) rows and the scan fraction
+    # ~nprobe/K shrinking as N grows — this is what makes the backbone
+    # sub-quadratic (total compute ~nprobe * N * N/K ~ N^1.5), not
+    # just a constant-factor discount on the cross join. The /4 growth
+    # rate is tuned so recall holds >= 0.9 even on the testdata's
+    # NEAR-UNIFORM vectors (IVF's adversarial case — no cell
+    # structure); clustered corpora measure 1.000 at 10k-40k rows
+    # (BASELINE.md round-4 crossover table).
+    K = max(IVF_CENTROIDS, int(np.sqrt(max(_n_emb(sf_dir), 1)) / 4))
+    cents = _ivf_train(sf_dir, k=K)
     cref = ray.put(cents)
     nprobe = min(KNN_IVF_NPROBE, len(cents))
 

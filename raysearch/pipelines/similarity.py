@@ -345,14 +345,16 @@ IVF_LLOYD_ITERS = 3
 IVF_TRAIN_STRIDE = 1  # at scale: train on vec_id % stride == 0 sample
 
 
-def _ivf_train(sf_dir: str) -> np.ndarray:
+def _ivf_train(sf_dir: str, k: int = IVF_CENTROIDS) -> np.ndarray:
     """Deterministic distributed k-means (spherical): seed centroids =
     a fixed hash-strided sample, then IVF_LLOYD_ITERS assign+update
     rounds where the ASSIGN step is a map_batches over the (sampled)
     table emitting per-batch partial sums (one (K x dim) matrix + one
     count vector per batch — the combiner pattern; the driver reduces
     K rows, never sees vectors). Deterministic: no RNG, fixed seeds,
-    fixed iteration count."""
+    fixed iteration count. ``k`` defaults to the ann_ivf query-time
+    constant; callers that need data-scaled cells (the knn-graph ivf
+    backbone) pass their own."""
     import ray.data
 
     import pyarrow.parquet as pq
@@ -361,10 +363,10 @@ def _ivf_train(sf_dir: str) -> np.ndarray:
     # pushdown reads only the containing row groups, not the table)
     seed_tbl = pq.read_table(os.path.join(sf_dir, _EMB),
                              columns=["vec_id", "embedding"],
-                             filters=[("vec_id", "<", IVF_CENTROIDS)])
+                             filters=[("vec_id", "<", k)])
     ids, mat = _emb_matrix(seed_tbl)
     order = np.argsort(ids)
-    seeds = mat[order[:IVF_CENTROIDS]]
+    seeds = mat[order[:k]]
     # K' may be < IVF_CENTROIDS on tiny corpora (fewer than K vectors
     # with vec_id < K): every shape below derives from len(seeds) so
     # the trainer degrades gracefully instead of raising
