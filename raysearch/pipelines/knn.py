@@ -94,11 +94,17 @@ def _row_topk(ids_a, lab_a, ids_b, lab_b, sims) -> pa.Table:
     (cos DESC, nbr_id ASC). Self-pairs carry sims = -inf from the
     caller.
 
-    A value-only argpartition is NOT enough: cosines are round6-
+    A bare top-k argpartition is NOT enough: cosines are round6-
     quantized, so ties at the local k boundary are common, and keeping
     an arbitrary tied candidate here can drop the one the global order
-    ranks inside the top-k. Columns are pre-sorted by nbr_id so a
-    STABLE argsort of -sims resolves every tie in id order."""
+    ranks inside the top-k. Instead: argpartition finds each row's
+    k-th largest VALUE (well-defined even under ties), the candidate
+    set is every column >= that value (the top-k plus ALL boundary
+    ties — a superset of the true top-k), and one lexsort over the
+    candidate rows resolves (cos DESC, nbr_id ASC) exactly. This
+    replaces the full-width per-row stable argsort (O(n m log m), the
+    dominant cost of the exact fan-out) with O(n m) selection +
+    O(c log c) over the small candidate set."""
     n, m = sims.shape
     kk = min(KNN_K, m)
     if n == 0 or kk == 0:
@@ -110,12 +116,23 @@ def _row_topk(ids_a, lab_a, ids_b, lab_b, sims) -> pa.Table:
     corder = np.argsort(ids_b, kind="stable")
     ids_b, lab_b = ids_b[corder], lab_b[corder]
     sims = sims[:, corder]
-    top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-    rows = np.repeat(np.arange(n), kk)
-    cols = top.ravel()
-    c = sims[rows, cols]
-    keep = np.isfinite(c)      # drops masked self-pairs
-    rows, cols, c = rows[keep], cols[keep], c[keep]
+    if kk < m:
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        vk = sims[np.arange(n)[:, None], part].min(axis=1)
+    else:
+        vk = np.full(n, -np.inf)
+    rows, cols = np.nonzero(sims >= vk[:, None])
+    cand = sims[rows, cols]
+    # lexsort: primary rows, then cos DESC, then column (= nbr_id
+    # ascending — columns were id-sorted above)
+    order = np.lexsort((cols, -cand, rows))
+    rows, cols, cand = rows[order], cols[order], cand[order]
+    # first kk per row (runs of `rows` are contiguous after lexsort)
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    runlen = np.diff(np.r_[starts, len(rows)])
+    cum = np.arange(len(rows)) - np.repeat(starts, runlen)
+    keep = (cum < kk) & np.isfinite(cand)  # also drops masked selfs
+    rows, cols, c = rows[keep], cols[keep], cand[keep]
     return pa.table({
         "vec_id": pa.array(ids_a[rows], pa.int64()),
         "true_label": pa.array(lab_a[rows], pa.int64()),
