@@ -20,13 +20,15 @@ knn partials fan-out (knn.py), re-keyed (bucket = src-hash, src, dst,
 deg) with the out-degree carried ON the edge rows, and MATERIALIZED —
 k-bounded narrow rows, so the O(N^2) similarity work never re-runs.
 The rank vector is a (bucket, node, p) dataset co-bucketed with the
-edge source key. Superstep = union -> ONE src-bucket groupby (each
-edge reads p[src] in-group, emits an integer contribution row keyed
-by the DESTINATION bucket; each node emits its teleport row keyed by
-its own bucket) -> ONE dst-bucket groupby (new p = plain sum of the
-group's rows). Two coarse exchanges per superstep, both carrying
-narrow integer rows; nothing node-cardinality ever reaches the
-driver. The final top-{k} is k-bounded: per-block local top-k under
+edge source key. Superstep = union -> ONE node-bucket groupby whose
+FUSED kernel first sums the group's incoming contribution rows into
+p[node] (node v's contributions and v's out-edges key on the same
+bucket, so the previous round's reduce folds into this round's map)
+and then emits each edge's integer contribution keyed by the
+DESTINATION bucket plus each node's teleport row keyed by its own
+bucket. ONE coarse exchange per superstep (+ one final sum), narrow
+integer rows; nothing node-cardinality ever reaches the driver. The
+final top-{k} is k-bounded: per-block local top-k under
 (p DESC, node ASC), driver merges n_blocks x {k} rows.
 
 Partitioning assumptions: a node's in-edges within one bucket fit a
@@ -131,15 +133,20 @@ def pagerank_topk(sf_dir: str) -> pa.Table:
         columns=["vec_id"]).map_batches(p0_kern,
                                         batch_format="pandas")
 
-    def contrib_kern(g: pd.DataFrame) -> pd.DataFrame:
-        pr = g[g.side == 1]
+    # FUSED superstep: the old contrib_kern + sum_kern pair cost two
+    # sort exchanges per round; but the sum of node v's incoming
+    # contribution rows and v's outgoing edges key on the SAME bucket,
+    # so the sum folds into the next round's contribution group — ONE
+    # exchange per superstep (+ one final sum), integer-exact under
+    # any reduce order as before. State between rounds = RAW side-2
+    # contribution rows (each node's teleport row keeps isolated
+    # nodes present every round).
+    def step_kern(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g.side != 0]   # side 1 (p0) or side 2 (raw contribs)
         e = g[g.side == 0]
-        # in-group p[src] lookup via sorted arrays (each src's edges
-        # and its p row share this bucket by construction)
-        pn = pr.a.to_numpy(np.int64)
-        pv = pr.p.to_numpy(np.int64)
-        order = np.argsort(pn)
-        pn, pv = pn[order], pv[order]
+        s = pr.groupby("a", as_index=False).agg(p=("p", "sum"))
+        pn = s.a.to_numpy(np.int64)       # groupby output: sorted
+        pv = s.p.to_numpy(np.int64)
         src = e.a.to_numpy(np.int64)
         pos = np.searchsorted(pn, src)
         psrc = pv[pos]
@@ -165,10 +172,10 @@ def pagerank_topk(sf_dir: str) -> pa.Table:
 
     for _ in range(PR_ITERS):
         p_ds = (edges.union(p_ds)
-                .groupby("bucket").map_groups(contrib_kern,
-                                              batch_format="pandas")
-                .groupby("bucket").map_groups(sum_kern,
+                .groupby("bucket").map_groups(step_kern,
                                               batch_format="pandas"))
+    p_ds = p_ds.groupby("bucket").map_groups(sum_kern,
+                                             batch_format="pandas")
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["p", "a"],
@@ -242,13 +249,17 @@ def label_prop(sf_dir: str) -> pa.Table:
 
     Superstep shape (x {iters}): edges are bucketed BY DESTINATION
     once and materialized (the vote needs each neighbor's label, so
-    labels co-locate with the edges pointing AT them); exchange 1
-    resolves nbr labels in-group and emits (src-bucket, src,
-    nbr_label) ballot rows plus each node's self row; exchange 2
-    groups by src bucket and votes. Two coarse exchanges per round,
-    narrow integer rows, nothing node-cardinality on the driver.
-    Output: (vec_id, label) after round {iters}, plus each node's
-    initial label and a changed flag."""
+    labels co-locate with the edges pointing AT them). Each round is
+    ONE node-bucket groupby with a FUSED kernel: node v's ballots
+    from the previous round and the edges pointing AT v key on the
+    same bucket, so the kernel first VOTES v's current label
+    (majority over ballots, ties -> smallest; own-label fallback)
+    and then resolves those edges into next-round ballot rows keyed
+    by each edge's source bucket, plus v's self row. One coarse
+    exchange per round + one final vote — narrow integer rows,
+    nothing node-cardinality on the driver. Output: (vec_id, label)
+    after round {iters}, plus each node's initial label and a
+    changed flag."""
     import ray.data
 
     from raysearch.hashing import auto_buckets
@@ -295,16 +306,43 @@ def label_prop(sf_dir: str) -> pa.Table:
         columns=["vec_id", "label"]).map_batches(
         l0_kern, batch_format="pandas")
 
-    # ballot rows: side 2 = a neighbor's label for node `a`;
-    # side 3 = the node's own current label (vote fallback)
-    def ballot_kern(g: pd.DataFrame) -> pd.DataFrame:
-        lr = g[g.side == 1]
+    # row sides through the exchanges: 0 = edge (bucketed by dst);
+    # 1 = initial label row (round 1 only; p = b = label0);
+    # 2 = a neighbor's label ballot for node `a`;
+    # 3 = the node's own current label (vote fallback, b = label0)
+    def _vote(g: pd.DataFrame) -> pd.DataFrame:
+        """(a, p=new label, b=label0) per node of the group, from its
+        ballot rows (majority, ties -> smallest label) with the own /
+        initial row as fallback. Output sorted by a (pandas groupby),
+        one row per node."""
+        ballots = g[g.side == 2]
+        own = g[g.side.isin((1, 3))]
+        votes = (ballots.groupby(["a", "p"], as_index=False)
+                 .agg(c=("p", "size"))
+                 .sort_values(["a", "c", "p"],
+                              ascending=[True, False, True]))
+        win = votes.drop_duplicates("a", keep="first")[["a", "p"]]
+        merged = own[["a", "p", "b"]].merge(win, on="a", how="left",
+                                            suffixes=("_own", "_win"))
+        return pd.DataFrame({
+            "a": merged.a.to_numpy(np.int64),
+            "p": merged.p_win.fillna(merged.p_own)
+                 .astype(np.int64).to_numpy(),
+            "b": merged.b.to_numpy(np.int64),
+        }).sort_values("a", ignore_index=True)
+
+    # FUSED superstep: node v's prior-round ballots and the edges
+    # pointing AT v key on the same (dst) bucket, so the vote folds
+    # into the same group that resolves those edges into next-round
+    # ballots — ONE exchange per round (+ one final vote) instead of
+    # the ballot/vote pair. Discrete integer voting as before: any
+    # reduce order gives the identical result.
+    def lstep_kern(g: pd.DataFrame) -> pd.DataFrame:
         e = g[g.side == 0]
-        ln = lr.a.to_numpy(np.int64)
-        lv = lr.p.to_numpy(np.int64)
-        l0 = lr.b.to_numpy(np.int64)
-        order = np.argsort(ln)
-        ln, lv, l0 = ln[order], lv[order], l0[order]
+        cur = _vote(g)
+        ln = cur.a.to_numpy(np.int64)     # sorted by construction
+        lv = cur.p.to_numpy(np.int64)
+        l0 = cur.b.to_numpy(np.int64)
         dst = e.b.to_numpy(np.int64)
         pos = np.searchsorted(ln, dst)
         src = e.a.to_numpy(np.int64)
@@ -318,30 +356,21 @@ def label_prop(sf_dir: str) -> pa.Table:
                          ignore_index=True)
 
     def vote_kern(g: pd.DataFrame) -> pd.DataFrame:
-        ballots = g[g.side == 2]
-        own = g[g.side == 3]
-        votes = (ballots.groupby(["a", "p"], as_index=False)
-                 .agg(c=("p", "size"))
-                 .sort_values(["a", "c", "p"],
-                              ascending=[True, False, True]))
-        win = votes.drop_duplicates("a", keep="first")[["a", "p"]]
-        merged = own[["a", "p", "b"]].merge(win, on="a", how="left",
-                                            suffixes=("_own", "_win"))
-        new = merged.p_win.fillna(merged.p_own).astype(np.int64)
-        a = merged.a.to_numpy(np.int64)
+        cur = _vote(g)
+        a = cur.a.to_numpy(np.int64)
         return pd.DataFrame({
             "bucket": a & (nb - 1), "a": a,
-            "b": merged.b.to_numpy(np.int64),
-            "deg": np.int64(0), "p": new.to_numpy(np.int64),
+            "b": cur.b.to_numpy(np.int64),
+            "deg": np.int64(0), "p": cur.p.to_numpy(np.int64),
             "side": np.int64(1)})[_COLS]
 
     state = labels
     for _ in range(LP_ITERS):
         state = (edges.union(state)
-                 .groupby("bucket").map_groups(ballot_kern,
-                                               batch_format="pandas")
-                 .groupby("bucket").map_groups(vote_kern,
+                 .groupby("bucket").map_groups(lstep_kern,
                                                batch_format="pandas"))
+    state = state.groupby("bucket").map_groups(vote_kern,
+                                               batch_format="pandas")
 
     # label0 rode the exchanges in b — the node-cardinality result
     # table is the ONLY thing the driver assembles (the gate contract:
