@@ -1303,6 +1303,194 @@ ORDER BY d.doc_id
 """
 
 
+# ---- retention policy: keep the best member of each near-identical
+# cluster ----
+
+def dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Retention-policy dedup: cluster by md5 of the CANONICALIZED
+    text (lowercase, whitespace runs collapsed, trimmed — the
+    normalize_text contract), then keep the member with the LONGEST
+    raw text (it preserved the most original formatting), ties ->
+    smallest doc_id. Unlike dedup_exact, one cluster can hold
+    *different* raw texts (casing / spacing variants), so the policy
+    is a real argmax, not a tie-break.
+
+    Scale shape: map-side narrow rows (bucket, norm_md5, raw_md5,
+    doc_id, n_chars) — content never shuffles; ONE md5-bucketed
+    exchange; the per-bucket pandas kernel does the per-cluster
+    argmax (the coarse-bucket map_groups rule from OPERATORS.md — a
+    per-cluster groupby().aggregate() would pay Ray's per-group
+    dispatch on cluster-cardinality groups). Output is
+    cluster-cardinality: (keep_doc_id, n_copies, n_variants =
+    distinct raw texts in the cluster, max_chars)."""
+    import ray.data
+
+    nb = auto_buckets(_n_docs(sf_dir))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(text), r"\s+", " "))
+        nms, rms, buckets = [], [], []
+        for raw, nrm in zip(text.to_pylist(), norm.to_pylist()):
+            nm = hashlib.md5(nrm.encode()).hexdigest()
+            nms.append(nm)
+            rms.append(hashlib.md5(raw.encode()).hexdigest())
+            buckets.append(int(nm[:8], 16) % nb)
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "nm": pa.array(nms, pa.string()),
+            "rm": pa.array(rms, pa.string()),
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    def best_kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["nm", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        agg = g.groupby("nm", as_index=False, sort=False).agg(
+            keep_doc_id=("doc_id", "first"),
+            n_copies=("doc_id", "size"),
+            n_variants=("rm", "nunique"),
+            max_chars=("n_chars", "max"))
+        return pd.DataFrame({
+            "keep_doc_id": agg.keep_doc_id.to_numpy(np.int64),
+            "n_copies": agg.n_copies.to_numpy(np.int64),
+            "n_variants": agg.n_variants.to_numpy(np.int64),
+            "max_chars": agg.max_chars.to_numpy(np.int64),
+        })
+
+    out = (_read_docs(sf_dir)
+           .map_batches(narrow, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bucket").map_groups(best_kern,
+                                         batch_format="pandas"))
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")).combine_chunks()
+
+
+def sql_dedup_keep_best() -> str:
+    return r"""
+WITH n AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars, md5(text) AS rm,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nm
+  FROM documents
+),
+r AS (
+  SELECT nm, doc_id,
+         row_number() OVER (PARTITION BY nm
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM n
+),
+g AS (
+  SELECT nm, count(*)::BIGINT AS n_copies,
+         count(DISTINCT rm)::BIGINT AS n_variants,
+         max(n_chars)::BIGINT AS max_chars
+  FROM n GROUP BY nm
+)
+SELECT r.doc_id AS keep_doc_id, g.n_copies, g.n_variants, g.max_chars
+FROM r JOIN g USING (nm) WHERE r.rk = 1
+"""
+
+
+# ---- train/test leakage audit over the deterministic hash split ----
+
+def split_leakage(sf_dir: str) -> pa.Table:
+    """Cross-split exact-duplicate leakage audit: assign each doc its
+    deterministic train/val/test split (the sample_split contract:
+    first hex digit of md5(doc_id) — '0'..'b' train, 'c'..'d' val,
+    else test) and, clustering by md5(text), count per split how many
+    docs (and distinct texts) also occur verbatim in a DIFFERENT
+    split — the eval-set contamination a training run must audit
+    before trusting held-out numbers.
+
+    Scale shape: map-side narrow rows (bucket, sha, split_code) — one
+    content-hash-bucketed exchange; every row of a cluster lands in
+    one bucket, so the kernel's distinct-split and distinct-sha
+    counts are exact. The kernel emits 3-row per-split partials and
+    the final groupby reduces bucket-cardinality rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    nb = auto_buckets(_n_docs(sf_dir))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        d0 = np.array([hashlib.md5(str(int(i)).encode()).hexdigest()[0]
+                       for i in ids])
+        code = np.where(d0 < "c", 0, np.where(d0 < "e", 1, 2))
+        shas, buckets = [], []
+        for t in batch["text"].to_pylist():
+            s = hashlib.md5(t.encode()).hexdigest()
+            shas.append(s)
+            buckets.append(int(s[:8], 16) % nb)
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "sha": pa.array(shas, pa.string()),
+            "code": pa.array(code, pa.int64()),
+        })
+
+    _SPLITS = np.array(["train", "val", "test"])
+
+    def leak_kern(g: pd.DataFrame) -> pd.DataFrame:
+        ns = g.groupby("sha")["code"].transform("nunique")
+        leaked = ns > 1
+        per = g.assign(leaked=leaked).groupby(
+            "code", as_index=False).agg(
+            n_docs=("sha", "size"),
+            n_leaked_docs=("leaked", "sum"))
+        lsha = (g[leaked].drop_duplicates(["sha", "code"])
+                .groupby("code", as_index=False)
+                .agg(n_leaked_shas=("sha", "size")))
+        per = per.merge(lsha, on="code", how="left")
+        return pd.DataFrame({
+            "split": _SPLITS[per.code.to_numpy(np.int64)],
+            "n_docs": per.n_docs.to_numpy(np.int64),
+            "n_leaked_docs": per.n_leaked_docs.to_numpy(np.int64),
+            "n_leaked_shas": per.n_leaked_shas.fillna(0)
+                             .to_numpy(np.int64),
+        })
+
+    agg = (_read_docs(sf_dir)
+           .map_batches(narrow, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bucket").map_groups(leak_kern,
+                                         batch_format="pandas")
+           .groupby("split").aggregate(
+               Sum("n_docs", alias_name="n_docs"),
+               Sum("n_leaked_docs", alias_name="n_leaked_docs"),
+               Sum("n_leaked_shas", alias_name="n_leaked_shas")))
+    df = agg.to_pandas().sort_values("split", ignore_index=True)
+    return pa.table({
+        "split": pa.array(df.split.tolist(), pa.string()),
+        "n_docs": pa.array(df.n_docs.to_numpy(np.int64), pa.int64()),
+        "n_leaked_docs": pa.array(df.n_leaked_docs.to_numpy(np.int64),
+                                  pa.int64()),
+        "n_leaked_shas": pa.array(df.n_leaked_shas.to_numpy(np.int64),
+                                  pa.int64()),
+    })
+
+
+def sql_split_leakage() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, md5(text) AS sha,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+k AS (SELECT sha, count(DISTINCT split) AS ns FROM d GROUP BY sha)
+SELECT d.split, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE k.ns > 1)::BIGINT AS n_leaked_docs,
+       count(DISTINCT d.sha) FILTER (WHERE k.ns > 1)::BIGINT
+         AS n_leaked_shas
+FROM d JOIN k USING (sha)
+GROUP BY d.split ORDER BY d.split
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "para_dedup": para_dedup,
@@ -1314,6 +1502,8 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard": ngram_jaccard,
     "dup_clusters": dup_clusters,
+    "dedup_keep_best": dedup_keep_best,
+    "split_leakage": split_leakage,
 }
 
 ORACLE_SQL = {
@@ -1327,4 +1517,6 @@ ORACLE_SQL = {
     "simhash_pairs": sql_simhash_pairs(),
     "ngram_jaccard": sql_ngram_jaccard(),
     "dup_clusters": sql_dup_clusters(),
+    "dedup_keep_best": sql_dedup_keep_best(),
+    "split_leakage": sql_split_leakage(),
 }
