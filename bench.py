@@ -77,7 +77,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "emb_quantize", "winsor_stats", "user_paths",
           "text_emb_consistency", "disjunct_revenue",
           # round 4 additions
-          "knn_graph_ivf", "media_header"]
+          "knn_graph_ivf", "media_header", "dedup_keep_best",
+          "split_leakage", "doc_entropy", "zipf_slope",
+          "sole_late_supplier"]
 
 
 def run_quality(sf_dir: str) -> dict:

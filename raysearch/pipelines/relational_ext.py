@@ -556,11 +556,166 @@ WHERE {ors}
 """
 
 
+# ---- Q21 shape: sole-late-supplier blame ranking ----
+
+Q21_LATE_DAYS = 60
+Q21_LATE_US = Q21_LATE_DAYS * 86_400 * 1_000_000
+Q21_K = 25
+
+
+@fmt_doc(k=Q21_K, d=Q21_LATE_DAYS)
+def sole_late_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q21-shaped sole-blame ranking: the {k} suppliers that
+    were most often the ONLY late supplier on a multi-supplier order
+    (late = the supplier's last lineitem shipped more than {d} days
+    after the order date; the testdata has no l_receiptdate /
+    l_commitdate, so lateness anchors to o_orderdate).
+
+    Shape (the reference's accumulate-then-rank loop,
+    src/lib.rs:374-411, re-expressed as relational supersteps):
+    lineitem collapses map-side to per-(orderkey, suppkey) max-ship
+    partials; orders emit (okey, orderdate) rows; ONE
+    orderkey-bucketed exchange joins them, applies the
+    exactly-one-late-among->=2-suppliers predicate per order in a
+    vectorized kernel, and emits per-suppkey credit partials (a
+    dangling l_suppkey is dropped against the supplier-membership
+    broadcast BEFORE counting, so it neither earns blame nor pads
+    the order's supplier count — both sides agree); a
+    coarse suppkey-bucket kernel fuses exact final counts with the
+    local top-{k} under (numwait DESC, suppkey ASC), bounding the
+    driver merge at n_buckets x {k} rows. Only the {k} winners'
+    names are fetched, via a key-filtered supplier read."""
+    import pyarrow.parquet as pq
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+    # membership broadcast: a dangling l_suppkey must never occupy a
+    # top-k slot (the oracle's JOIN supplier drops it before LIMIT)
+    sup_ref = _broadcast_dim(sf_dir, "supplier.parquet",
+                             "s_suppkey", "s_nationkey")
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        od = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok,
+            "side": np.int64(0), "supp": np.int64(-1), "v": od})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        hit, _ = _lookup(sk, sup_ref)
+        g = (pd.DataFrame({
+                "okey": df["l_orderkey"].to_numpy(np.int64)[hit],
+                "supp": sk[hit],
+                "v": df["l_shipdate"].to_numpy("datetime64[us]")
+                     .astype(np.int64)[hit]})
+             .groupby(["okey", "supp"], as_index=False)
+             .agg(v=("v", "max")))
+        return g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                        side=np.int64(1))[
+            ["bucket", "okey", "side", "supp", "v"]]
+
+    def join_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 0][["okey", "v"]].rename(columns={"v": "odate"})
+        li = (g[g.side == 1].groupby(["okey", "supp"], as_index=False)
+              .agg(v=("v", "max")))
+        j = li.merge(o, on="okey", how="inner")
+        if not len(j):
+            return pd.DataFrame({"sbucket": pd.Series([], np.int64),
+                                 "supp": pd.Series([], np.int64),
+                                 "numwait": pd.Series([], np.int64)})
+        j["late"] = j.v.to_numpy() > j.odate.to_numpy() + Q21_LATE_US
+        per_o = (j.groupby("okey")
+                 .agg(n_supp=("supp", "size"), n_late=("late", "sum")))
+        hits = per_o[(per_o.n_supp >= 2) & (per_o.n_late == 1)].index
+        credit = j[j.late & j.okey.isin(hits)]
+        out = (credit.groupby("supp", as_index=False)
+               .agg(numwait=("late", "sum")))
+        out["numwait"] = out.numwait.astype(np.int64)
+        out["sbucket"] = out.supp.to_numpy(np.int64) & (nb - 1)
+        return out[["sbucket", "supp", "numwait"]]
+
+    def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby("supp", as_index=False)
+               .agg(numwait=("numwait", "sum")))
+        return tot.sort_values(["numwait", "supp"],
+                               ascending=[False, True]).head(Q21_K)
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_orderdate"]
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+               ).map_batches(l_partial, batch_format="pandas")
+    parts = (orders.union(li)
+             .groupby("bucket").map_groups(join_kern,
+                                           batch_format="pandas")
+             .groupby("sbucket").map_groups(sum_topk,
+                                            batch_format="pandas"))
+    df = parts.to_pandas()
+    empty = pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "numwait": pa.array([], pa.int64())})
+    if "supp" not in df.columns or not len(df):
+        return empty
+    df = (df.sort_values(["numwait", "supp"],
+                         ascending=[False, True], ignore_index=True)
+          .head(Q21_K))
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  [int(k) for k in df.supp])]).to_pandas()
+    j = df.merge(sup, left_on="supp", right_on="s_suppkey",
+                 how="inner")
+    j = j.sort_values(["numwait", "supp"],
+                      ascending=[False, True], ignore_index=True)
+    return pa.table({
+        "s_suppkey": pa.array(j.supp.to_numpy(np.int64), pa.int64()),
+        "s_name": pa.array(j.s_name.tolist(), pa.string()),
+        "numwait": pa.array(j.numwait.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_sole_late_supplier() -> str:
+    return f"""
+WITH l AS (
+  -- only REAL suppliers participate (engine filters dangling
+  -- l_suppkey against the supplier broadcast before counting, so a
+  -- ghost supplier neither earns blame nor pads n_supp)
+  SELECT l_orderkey AS okey, l_suppkey AS supp,
+         max(l_shipdate) AS mship
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier)
+  GROUP BY l_orderkey, l_suppkey
+), j AS (
+  SELECT l.okey, l.supp,
+         (l.mship > o.o_orderdate
+          + INTERVAL {Q21_LATE_DAYS} DAY) AS late
+  FROM l JOIN orders o ON l.okey = o.o_orderkey
+), per_o AS (
+  SELECT okey, count(*) AS n_supp,
+         sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+         max(CASE WHEN late THEN supp END) AS late_supp
+  FROM j GROUP BY okey
+)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM per_o JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT {Q21_K}
+"""
+
+
 QUERIES = {
     "returned_item_customers": returned_item_customers,
     "nation_trade_volume": nation_trade_volume,
     "small_qty_revenue": small_qty_revenue,
     "disjunct_revenue": disjunct_revenue,
+    "sole_late_supplier": sole_late_supplier,
 }
 
 ORACLE_SQL = {
@@ -568,4 +723,5 @@ ORACLE_SQL = {
     "nation_trade_volume": sql_nation_trade_volume(),
     "small_qty_revenue": sql_small_qty_revenue(),
     "disjunct_revenue": sql_disjunct_revenue(),
+    "sole_late_supplier": sql_sole_late_supplier(),
 }

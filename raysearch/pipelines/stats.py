@@ -162,10 +162,117 @@ FROM m ORDER BY l_returnflag
 """
 
 
+ZIPF_V = 100_000               # fit the head of the distribution
+
+
+def zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS of ln(count) on ln(rank) for the top-{V} terms under the
+    total order (count DESC, term ASC) — the standard corpus-health
+    probe (slope ≈ -1 for natural text; flat slopes flag templated /
+    machine-generated corpora).
+
+    Scale shape: ONE corpus pass emits per-batch unigram count
+    partials (the combiner); one lexicon-cardinality groupby sums
+    them (same budget class as the index lexicon merge, materialized
+    once and read three ways). The fit needs the GLOBAL top-{V} by
+    count: each block contributes a LOCAL top-{V} under the same
+    total order, so the driver merges n_blocks x {V} candidate rows
+    — never the lexicon. n_terms / total_tokens are exact and
+    uncapped (distributed count/sum). Regression edge semantics
+    mirror DuckDB's regr_* family exactly: fewer than 2 fit points
+    -> NULL slope/intercept/r2; zero y-variance -> r2 = 1.0.
+    """
+    from ray.data.aggregate import Sum
+
+    from raysearch.pipelines.textops import _read_docs, _tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"term": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (_read_docs(sf_dir, ["text"])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("term")
+              .aggregate(Sum("n", alias_name="n"))).materialize()
+    n_terms = int(counts.count())
+    total = int(counts.sum("n") or 0) if n_terms else 0
+
+    def local_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["n", "term"], ascending=[False, True]).head(ZIPF_V)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fit(k: np.ndarray) -> tuple:
+        m = len(k)
+        if m < 2:
+            return None, None, None
+        x = np.log(np.arange(1, m + 1, dtype=np.float64))
+        y = np.log(k.astype(np.float64))
+        sx, sy = x.sum(), y.sum()
+        num = m * float(x @ y) - sx * sy
+        d1 = m * float(x @ x) - sx * sx
+        d2 = m * float(y @ y) - sy * sy
+        if d1 <= 0:
+            return None, None, None
+        slope = num / d1
+        intercept = (sy - slope * sx) / m
+        r2 = 1.0 if d2 <= 0 else (num * num) / (d1 * d2)
+        return round6(slope), round6(intercept), round6(r2)
+
+    if n_terms:
+        cand = pa.concat_tables(
+            counts.map_batches(local_top, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")).to_pandas()
+        top = cand.sort_values(["n", "term"], ascending=[False, True],
+                               ignore_index=True).head(ZIPF_V)
+        slope, intercept, r2 = fit(top["n"].to_numpy(np.int64))
+    else:
+        slope = intercept = r2 = None
+    return pa.table({
+        "n_terms": pa.array([n_terms], pa.int64()),
+        "total_tokens": pa.array([total], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64()),
+        "r2": pa.array([r2], pa.float64()),
+    })
+
+
+def sql_zipf_slope() -> str:
+    return f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+), c AS (
+  SELECT term, count(*)::BIGINT AS k FROM t GROUP BY term
+), r AS (
+  SELECT k, row_number() OVER (ORDER BY k DESC, term) AS rnk FROM c
+), h AS (
+  SELECT ln(rnk::DOUBLE) AS x, ln(k::DOUBLE) AS y
+  FROM r WHERE rnk <= {ZIPF_V}
+)
+SELECT (SELECT count(*) FROM c)::BIGINT AS n_terms,
+       (SELECT COALESCE(sum(k), 0) FROM c)::BIGINT AS total_tokens,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM h
+"""
+
+
 QUERIES = {
     "qty_price_corr": qty_price_corr,
+    "zipf_slope": zipf_slope,
 }
 
 ORACLE_SQL = {
     "qty_price_corr": sql_qty_price_corr(),
+    "zipf_slope": sql_zipf_slope(),
 }

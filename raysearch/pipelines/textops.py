@@ -1207,6 +1207,87 @@ FROM d ORDER BY doc_id
 """
 
 
+def doc_entropy(sf_dir: str) -> pa.Table:
+    """Character-level Shannon entropy per document — the classic
+    low-entropy signal for boilerplate / padded / machine-generated
+    text in a pre-training corpus (generalizes the reference's
+    per-doc token statistics, src/lib.rs:86-100, from counts to a
+    distributional score).
+
+    Map-only and fully vectorized: each batch's strings decode ONCE
+    from the Arrow UTF-8 data buffer into a flat UTF-32 codepoint
+    vector (no per-row Python), per-(doc, codepoint) counts come from
+    one np.unique over a packed ``doc_idx << 21 | codepoint`` key
+    (codepoints < 2^21, so the pack is collision-free), and
+    H = log2(n) - Σ k·log2(k) / n per doc. Empty docs define H = 0.
+    At 100 TB this stays a pure map stage: no exchange, no driver
+    state; output is doc-cardinality (a sink at scale)."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.null_count:
+            text = pc.fill_null(text, "")
+        n = batch.num_rows
+        lens = pc.utf8_length(text).to_numpy().astype(np.int64)
+        # one whole-buffer UTF-8 -> UTF-32 decode for the batch: the
+        # value buffer sliced to this array's offset window
+        off = np.frombuffer(text.buffers()[1], np.int64)[
+            text.offset:text.offset + n + 1]
+        data = np.frombuffer(text.buffers()[2], np.uint8)
+        cp = np.frombuffer(
+            data[off[0]:off[-1]].tobytes().decode("utf-8")
+            .encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uk, counts = np.unique((doc_idx << 21) | cp,
+                               return_counts=True)
+        d = uk >> 21
+        acc = np.zeros(n, np.float64)
+        np.add.at(acc, d, counts * np.log2(counts))
+        n_distinct = np.zeros(n, np.int64)
+        np.add.at(n_distinct, d, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent_ = np.where(lens > 0,
+                            np.log2(np.maximum(lens, 1)) - acc / np.maximum(lens, 1),
+                            0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_cp": pa.array(lens, pa.int64()),
+            "n_distinct_cp": pa.array(n_distinct, pa.int64()),
+            "entropy": pa.array(round6(ent_) + 0.0, pa.float64()),
+        })
+
+    out = _read_docs(sf_dir).map_batches(ent, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def sql_doc_entropy() -> str:
+    # string_split(text, '') yields codepoints (verified: 'é' as
+    # e + U+0301 splits into 2) — same unit as the engine's UTF-32
+    # view and DuckDB length(). string_split('', '') yields [''], so
+    # empty docs are excluded from ch and re-enter via the LEFT JOIN
+    # with the defined H = 0.
+    return """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE text <> ''
+), cc AS (
+  SELECT doc_id, count(*)::BIGINT AS k FROM ch GROUP BY doc_id, c
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_distinct_cp,
+         sum(k)::BIGINT AS n, sum(k * log2(k::DOUBLE)) AS s
+  FROM cc GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_cp,
+       COALESCE(a.n_distinct_cp, 0)::BIGINT AS n_distinct_cp,
+       round(COALESCE(log2(a.n::DOUBLE) - a.s / a.n, 0), 6) AS entropy
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "script_stats": script_stats,
@@ -1222,6 +1303,7 @@ QUERIES = {
     "lang_confusion": lang_confusion,
     "decontaminate": decontaminate,
     "decontaminate_bloom": decontaminate_bloom,
+    "doc_entropy": doc_entropy,
 }
 
 ORACLE_SQL = {
@@ -1238,4 +1320,5 @@ ORACLE_SQL = {
     "c4_filters": sql_c4_filters(),
     "lang_confusion": sql_lang_confusion(),
     "decontaminate": sql_decontaminate(),
+    "doc_entropy": sql_doc_entropy(),
 }
