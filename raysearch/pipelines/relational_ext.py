@@ -710,12 +710,309 @@ LIMIT {Q21_K}
 """
 
 
+# ---- Q6 shape: discount-band revenue forecast ----
+
+Q6_D1 = datetime.datetime(1996, 1, 1)
+Q6_D2 = datetime.datetime(1997, 1, 1)
+Q6_DISC_LO = 5      # discount hundredths, inclusive band [5, 7]
+Q6_DISC_HI = 7
+Q6_QTY = 24
+
+
+@fmt_doc(d1=Q6_D1, d2=Q6_D2, lo=Q6_DISC_LO, hi=Q6_DISC_HI, q=Q6_QTY)
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-shaped revenue forecast: the revenue that would be
+    recovered by dropping discounts in the [{lo}, {hi}]-hundredths
+    band on small (< {q}) quantities shipped in {d1:%Y} — i.e.
+    sum(extendedprice * discount) over that slice.
+
+    The simplest possible distributed plan, kept deliberately pure:
+    the date window pushes into the parquet READ (row groups outside
+    {d1:%Y} never leave storage), the discount/quantity predicates and
+    the money product are one vectorized integer kernel per batch
+    (cents x discount-hundredths = exact int64 'c3'), and the only
+    cross-node traffic is one 2-int partial row per batch into Ray's
+    Sum aggregate. No exchange, no driver state, O(batches) network
+    bytes — the floor any scan-aggregate should hit at 100 TB.
+    Float appears only in the final display division, after both
+    engines agree on the exact integer."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from raysearch.numutil import round6
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        keep = ((disc >= Q6_DISC_LO) & (disc <= Q6_DISC_HI)
+                & (df["l_quantity"].to_numpy(np.float64) < Q6_QTY))
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64)[keep])
+        return pd.DataFrame({
+            "n": [int(keep.sum())],
+            "c3": [int((cents * disc[keep]).sum())]})
+
+    ds = _read(sf_dir, "lineitem.parquet",
+               columns=["l_extendedprice", "l_discount", "l_quantity"],
+               filter=((pads.field("l_shipdate") >= Q6_D1)
+                       & (pads.field("l_shipdate") < Q6_D2))
+               ).map_batches(partial, batch_format="pandas")
+    agg = ds.aggregate(Sum("n", alias_name="n"),
+                       Sum("c3", alias_name="c3"))
+    n, c3 = int(agg["n"] or 0), int(agg["c3"] or 0)
+    return pa.table({
+        "n_lines": pa.array([n], pa.int64()),
+        "revenue_c3": pa.array([c3], pa.int64()),
+        "revenue": pa.array([round6(c3 / 10_000.0)], pa.float64()),
+    })
+
+
+def sql_forecast_revenue() -> str:
+    return f"""
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round(l_discount * 100, 0) AS BIGINT) AS c3
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q6_D1:%Y-%m-%d}'
+    AND l_shipdate < TIMESTAMP '{Q6_D2:%Y-%m-%d}'
+    AND CAST(round(l_discount * 100, 0) AS BIGINT)
+        BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+    AND l_quantity < {Q6_QTY}
+)
+SELECT count(*)::BIGINT AS n_lines,
+       COALESCE(sum(c3), 0)::BIGINT AS revenue_c3,
+       round(COALESCE(sum(c3), 0) / 10000.0, 6) AS revenue
+FROM f
+"""
+
+
+# ---- Q2 shape: cheapest-shipment supplier per part ----
+
+Q2_BRAND = "Brand#4"
+
+
+@fmt_doc(brand=Q2_BRAND)
+def min_cost_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q2-shaped correlated-min: for every '{brand}' part, the
+    supplier behind its cheapest shipment (min l_extendedprice cents;
+    ties -> smallest suppkey). The testdata has no partsupp table, so
+    'cost' anchors to the shipped price — the distributed shape (a
+    per-group argmin correlated against the group's own min) is
+    exactly Q2's.
+
+    Shape: TWO small-side broadcasts (the brand's partkeys as a
+    membership set, the supplier keys so a dangling l_suppkey is
+    dropped BEFORE the argmin on both engines — the oracle's f CTE
+    filters identically); lineitem collapses map-side to
+    per-(part, supp) min-cents partials, so the ONE part-bucketed
+    exchange carries at most |parts x touching-suppliers| narrow
+    rows; the per-bucket kernel finishes the min and resolves the
+    argmin tie-break (cents ASC, suppkey ASC) vectorized. Winner
+    names come from key-filtered dimension reads of only the result
+    rows — the fact table never materializes anywhere."""
+    import pyarrow.parquet as pq
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "part.parquet"), 2_000)
+    part_ref = _broadcast_dim(
+        sf_dir, "part.parquet", "p_partkey", "p_brand",
+        val_fn=lambda col: (np.asarray(col.to_pylist(), dtype=object)
+                            == Q2_BRAND).astype(np.int64))
+    sup_ref = _broadcast_dim(sf_dir, "supplier.parquet",
+                             "s_suppkey", "s_nationkey")
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        bhit, is_brand = _lookup(pk, part_ref)
+        shit, _ = _lookup(sk, sup_ref)
+        brand = np.zeros(len(pk), dtype=bool)
+        brand[bhit] = is_brand.astype(bool)
+        keep = brand & shit
+        g = (pd.DataFrame({
+                "pk": pk[keep], "sk": sk[keep],
+                "c": _cents(df["l_extendedprice"]
+                            .to_numpy(np.float64))[keep]})
+             .groupby(["pk", "sk"], as_index=False).agg(c=("c", "min")))
+        return g.assign(bucket=g.pk.to_numpy() & (nb - 1))
+
+    def argmin_kern(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["pk", "sk"], as_index=False).agg(c=("c", "min"))
+             .sort_values(["pk", "c", "sk"], ignore_index=True))
+        return m.drop_duplicates("pk")[["pk", "sk", "c"]]
+
+    win = (_read(sf_dir, "lineitem.parquet",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+           .map_batches(l_partial, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(argmin_kern, batch_format="pandas")).to_pandas()
+    empty = pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_name": pa.array([], pa.string()),
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "min_price_cents": pa.array([], pa.int64())})
+    if not len(win) or "pk" not in win.columns:
+        return empty
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+        filters=[("p_partkey", "in", [int(k) for k in win.pk])]
+    ).to_pandas()
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  sorted({int(k) for k in win.sk}))]).to_pandas()
+    j = (win.merge(part, left_on="pk", right_on="p_partkey")
+         .merge(sup, left_on="sk", right_on="s_suppkey")
+         .sort_values("pk", ignore_index=True))
+    return pa.table({
+        "p_partkey": pa.array(j.pk.to_numpy(np.int64), pa.int64()),
+        "p_name": pa.array(j.p_name.tolist(), pa.string()),
+        "s_suppkey": pa.array(j.sk.to_numpy(np.int64), pa.int64()),
+        "s_name": pa.array(j.s_name.tolist(), pa.string()),
+        "min_price_cents": pa.array(j.c.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_min_cost_supplier() -> str:
+    return f"""
+WITH f AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = '{Q2_BRAND}')
+    AND l_suppkey IN (SELECT s_suppkey FROM supplier)
+), m AS (
+  SELECT pk, sk, c,
+         row_number() OVER (PARTITION BY pk ORDER BY c, sk) AS rn
+  FROM f
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, c AS min_price_cents
+FROM m JOIN part ON pk = p_partkey JOIN supplier ON sk = s_suppkey
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+# ---- Q11 shape: global-threshold important parts ----
+
+# a part is 'important' if rev * n_parts * DEN > total * NUM, i.e.
+# its revenue strictly exceeds NUM/DEN x the mean per-part revenue.
+# (TPC-H Q11 thresholds on a fixed FRACTION of the total; with the
+# testdata's part count proportional to SF that fraction either
+# selects everything or nothing depending on scale, so the
+# scale-invariant mean-multiple keeps the exact same plan shape —
+# a whole-fact-table scalar gating a per-group HAVING — while
+# returning a stable ~15-20% of parts at every SF.)
+Q11_NUM = 11
+Q11_DEN = 10
+
+
+@fmt_doc(num=Q11_NUM, den=Q11_DEN)
+def important_parts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q11-shaped 'important stock': parts whose total c4
+    revenue strictly exceeds {num}/{den} of the MEAN per-part revenue
+    — the global-scalar HAVING, whose defining feature is a scalar
+    computed over the whole fact table gating a per-group aggregate
+    over the same table.
+
+    One fact pass: per-part c4 partials collapse map-side and land in
+    the object store ONCE (materialized partials dataset). BOTH global
+    scalars — total revenue and the revenue-bearing part count — are
+    distributed aggregates over one tiny per-bucket summary pass, by
+    construction identical to the sums/counts of the per-part finals,
+    so the threshold both engines apply is the same exact integer
+    pair. The part-bucketed exchange finishes per-part sums and
+    filters with the integer cross-multiplication
+    rev * n_parts * {den} > total * {num} (no float division anywhere
+    a hash could see). Output is part-cardinality at worst (a
+    dimension-sized sink at scale, like every per-part report)."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "part.parquet"), 2_000)
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        g = (pd.DataFrame({"pk": df["l_partkey"].to_numpy(np.int64),
+                           "c4": cents * (100 - disc)})
+             .groupby("pk", as_index=False).agg(c4=("c4", "sum")))
+        return g.assign(bucket=g.pk.to_numpy() & (nb - 1))
+
+    partials = (_read(sf_dir, "lineitem.parquet",
+                      columns=["l_partkey", "l_extendedprice",
+                               "l_discount"])
+                .map_batches(l_partial, batch_format="pandas")
+                ).materialize()
+
+    def bucket_scalars(g: pd.DataFrame) -> pd.DataFrame:
+        # exact per-bucket (distinct parts, total c4): a part's rows
+        # all share one bucket, so the distinct count is exact
+        return pd.DataFrame({"np": [int(g.pk.nunique())],
+                             "c4": [int(g.c4.sum())]})
+
+    sc = (partials.groupby("bucket")
+          .map_groups(bucket_scalars, batch_format="pandas")
+          .aggregate(Sum("np", alias_name="np"),
+                     Sum("c4", alias_name="c4")))
+    n_parts, total = int(sc["np"] or 0), int(sc["c4"] or 0)
+
+    def thresh_kern(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", as_index=False).agg(c4=("c4", "sum"))
+        keep = (s.c4.to_numpy(object) * n_parts * Q11_DEN
+                > total * Q11_NUM)
+        return s[keep]
+
+    hot = (partials.groupby("bucket")
+           .map_groups(thresh_kern, batch_format="pandas")).to_pandas()
+    if not len(hot) or "pk" not in hot.columns:
+        hot = pd.DataFrame({"pk": pd.Series([], dtype=np.int64),
+                            "c4": pd.Series([], dtype=np.int64)})
+    hot = hot.sort_values(["c4", "pk"], ascending=[False, True],
+                          ignore_index=True)
+    return pa.table({
+        "p_partkey": pa.array(hot.pk.to_numpy(np.int64), pa.int64()),
+        "revenue_c4": pa.array(hot.c4.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_important_parts() -> str:
+    # HUGEINT arithmetic on the oracle side mirrors the engine's
+    # Python-int cross-multiplication (c4 * n_parts * den overflows
+    # int64 at large SF)
+    return f"""
+WITH f AS (
+  SELECT l_partkey AS pk,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS c4
+  FROM lineitem
+), per_part AS (
+  SELECT pk, sum(c4)::BIGINT AS revenue_c4 FROM f GROUP BY pk
+), tot AS (
+  SELECT COALESCE(sum(revenue_c4), 0)::HUGEINT AS t,
+         count(*)::HUGEINT AS n_parts
+  FROM per_part
+)
+SELECT pk AS p_partkey, revenue_c4
+FROM per_part, tot
+WHERE revenue_c4::HUGEINT * n_parts * {Q11_DEN} > t * {Q11_NUM}
+ORDER BY revenue_c4 DESC, pk
+"""
+
+
 QUERIES = {
     "returned_item_customers": returned_item_customers,
     "nation_trade_volume": nation_trade_volume,
     "small_qty_revenue": small_qty_revenue,
     "disjunct_revenue": disjunct_revenue,
     "sole_late_supplier": sole_late_supplier,
+    "forecast_revenue": forecast_revenue,
+    "min_cost_supplier": min_cost_supplier,
+    "important_parts": important_parts,
 }
 
 ORACLE_SQL = {
@@ -724,4 +1021,7 @@ ORACLE_SQL = {
     "small_qty_revenue": sql_small_qty_revenue(),
     "disjunct_revenue": sql_disjunct_revenue(),
     "sole_late_supplier": sql_sole_late_supplier(),
+    "forecast_revenue": sql_forecast_revenue(),
+    "min_cost_supplier": sql_min_cost_supplier(),
+    "important_parts": sql_important_parts(),
 }
