@@ -80,7 +80,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "knn_graph_ivf", "media_header", "dedup_keep_best",
           "split_leakage", "doc_entropy", "zipf_slope",
           "sole_late_supplier", "forecast_revenue",
-          "min_cost_supplier", "important_parts"]
+          "min_cost_supplier", "important_parts",
+          "label_centroids", "emb_norm_stats"]
 
 
 def run_quality(sf_dir: str) -> dict:
