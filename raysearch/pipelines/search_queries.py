@@ -965,6 +965,206 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# NEAR/W proximity queries: unordered 2-term pairs (the Lucene
+# SpanNear / classic WITHIN operator). Includes a rare term ('dup',
+# df ~3% of docs) to exercise the selective-candidate path and a pair
+# with an absent term to exercise the index miss.
+NEAR_QUERIES = [
+    ("query", "join"),
+    ("hash", "merge"),
+    ("dup", "scan"),
+    ("query", "zzznothingzzz"),
+]
+NEAR_W = 4
+
+
+@fmt_doc(w=NEAR_W, k=TOPK)
+def near_topk(sf_dir: str) -> pa.Table:
+    """NEAR/{w} proximity search — the unordered within-window
+    operator (Lucene SpanNearQuery shape): for each 2-term query, the
+    top-{k} documents ranked by (min token gap ASC, within-{w}
+    pair count DESC, doc_id), hits only.
+
+    Same two-phase plan as phrase_topk (which generalizes the
+    reference's lookup-then-score loop, src/lib.rs:374-411, to
+    position predicates): (1) candidate docs per query by AND-
+    intersecting the two terms' posting lists per segment — work
+    proportional to min(df), never a corpus scan; (2) position
+    verification only on a candidate-id-filtered documents read.
+    The verify kernel is fully vectorized: one factorize per batch,
+    global flat positions (within-doc differences equal local ones),
+    per-occurrence nearest-neighbor gaps via searchsorted with
+    doc-boundary guards, and np.minimum.at / np.add.at scatters onto
+    docs. No per-token Python anywhere."""
+    import ray.data
+    from raysearch.segments import (decode_posting_row, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    parts = load_stats(idx)["parts"]
+    all_terms = sorted({t for q in NEAR_QUERIES for t in q})
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qids, dids = [], []
+        for part in batch["part"].to_pylist():
+            tbl = read_postings(part_dirname(idx, int(part)), all_terms)
+            docs = {t: decode_posting_row(tbl, i)[0]
+                    for i, t in enumerate(tbl["term"].to_pylist())}
+            for qid, (ta, tb) in enumerate(NEAR_QUERIES):
+                if ta not in docs or tb not in docs:
+                    continue
+                cand = docs[ta][np.isin(docs[ta], docs[tb],
+                                        assume_unique=True)]
+                if len(cand):
+                    qids.append(np.full(len(cand), qid, dtype=np.int64))
+                    dids.append(cand)
+        if not qids:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qids), pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), pa.int64())})
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    cand = pa.concat_tables(
+        parts_ds.map_batches(candidates, batch_format="pyarrow",
+                             batch_size=max(1, len(parts) // 16))
+        .iter_batches(batch_format="pyarrow"))
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "min_dist": pa.array([], pa.int64()),
+                      "win_count": pa.array([], pa.int64())})
+    if cand.num_rows == 0:
+        return empty
+    cand_ids = np.unique(cand["doc_id"].to_numpy())
+
+    def verify(b: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import _list_parents, _tokens
+
+        toks = _tokens(b)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        parents = _list_parents(toks)
+        doc_ids = b["doc_id"].to_numpy()
+        codes, uniq = pd.factorize(flat, sort=False)
+        code_of = {t: c for c, t in enumerate(uniq)}
+        out_q, out_d, out_m, out_w = [], [], [], []
+        for qid, (ta, tb) in enumerate(NEAR_QUERIES):
+            ca, cb = code_of.get(ta, -1), code_of.get(tb, -1)
+            if ca < 0 or cb < 0:
+                continue
+            ia = np.flatnonzero(codes == ca)     # sorted global pos
+            ib = np.flatnonzero(codes == cb)
+            if not len(ia) or not len(ib):
+                continue
+            pa_, pb_ = parents[ia], parents[ib]
+            # nearest b at-or-after / before each a, doc-guarded
+            lo = np.searchsorted(ib, ia)          # first ib >= ia
+            gap = np.full(len(ia), np.iinfo(np.int64).max, np.int64)
+            right_ok = lo < len(ib)
+            r = np.flatnonzero(right_ok)
+            r = r[pb_[lo[r]] == pa_[r]]
+            gap[r] = ib[lo[r]] - ia[r]
+            left_ok = lo > 0
+            ll = np.flatnonzero(left_ok)
+            ll = ll[pb_[lo[ll] - 1] == pa_[ll]]
+            gap[ll] = np.minimum(gap[ll], ia[ll] - ib[lo[ll] - 1])
+            valid = gap < np.iinfo(np.int64).max
+            if not valid.any():
+                continue
+            # per-doc min gap
+            mind = np.full(len(doc_ids), np.iinfo(np.int64).max,
+                           np.int64)
+            np.minimum.at(mind, pa_[valid], gap[valid])
+            # within-W pair count: b-occurrences in [a-W, a+W],
+            # clipped to the a-occurrence's own doc's b-span
+            hi_i = np.searchsorted(ib, ia + NEAR_W, side="right")
+            lo_i = np.searchsorted(ib, ia - NEAR_W, side="left")
+            doc_lo = np.searchsorted(pb_, pa_, side="left")
+            doc_hi = np.searchsorted(pb_, pa_, side="right")
+            cnt = (np.minimum(hi_i, doc_hi)
+                   - np.maximum(lo_i, doc_lo)).clip(min=0)
+            wc = np.zeros(len(doc_ids), np.int64)
+            np.add.at(wc, pa_, cnt)
+            hit = np.flatnonzero(mind < np.iinfo(np.int64).max)
+            out_q.append(np.full(len(hit), qid, dtype=np.int64))
+            out_d.append(doc_ids[hit])
+            out_m.append(mind[hit])
+            out_w.append(wc[hit])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "min_dist": pa.array([], pa.int64()),
+                             "win_count": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "min_dist": pa.array(np.concatenate(out_m), pa.int64()),
+            "win_count": pa.array(np.concatenate(out_w), pa.int64())})
+
+    import pyarrow.dataset as pads
+
+    docs_ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(cand_ids))
+    rows = pa.concat_tables(
+        docs_ds.map_batches(verify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    if rows.empty:
+        return empty
+    rows = rows.sort_values(
+        ["query_id", "min_dist", "win_count", "doc_id"],
+        ascending=[True, True, False, True])
+    rows["rank"] = rows.groupby("query_id").cumcount() + 1
+    rows = rows[rows["rank"] <= TOPK]
+    return pa.table({
+        "query_id": pa.array(rows.query_id.to_numpy(np.int64),
+                             pa.int64()),
+        "doc_id": pa.array(rows.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(rows["rank"].to_numpy(np.int64), pa.int64()),
+        "min_dist": pa.array(rows.min_dist.to_numpy(np.int64),
+                             pa.int64()),
+        "win_count": pa.array(rows.win_count.to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def sql_near_topk() -> str:
+    rows = ", ".join(f"({qid}, '{ta}', '{tb}')"
+                     for qid, (ta, tb) in enumerate(NEAR_QUERIES))
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(len(toks)))::BIGINT AS p
+        FROM t),
+q(query_id, ta, tb) AS (VALUES {rows}),
+j AS (
+  SELECT q.query_id, a.doc_id, abs(a.p - b.p) AS d
+  FROM q
+  JOIN pos a ON a.tok = q.ta
+  JOIN pos b ON b.tok = q.tb AND b.doc_id = a.doc_id
+),
+agg AS (
+  SELECT query_id, doc_id, min(d)::BIGINT AS min_dist,
+         sum(CASE WHEN d <= {NEAR_W} THEN 1 ELSE 0 END)::BIGINT
+           AS win_count
+  FROM j GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, min_dist, win_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY min_dist, win_count DESC, doc_id
+                            )::BIGINT AS rank
+  FROM agg
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, min_dist, win_count
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "doc_lengths": doc_lengths,
     "hybrid_topk": hybrid_topk,
@@ -976,6 +1176,7 @@ QUERIES = {
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
+    "near_topk": near_topk,
     "blocklist_docs": blocklist_docs,
     "bool_and_docs": bool_and_docs,
     "more_like_this": more_like_this,
@@ -993,6 +1194,7 @@ ORACLE_SQL = {
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),
+    "near_topk": sql_near_topk(),
     "blocklist_docs": sql_blocklist_docs(),
     "bool_and_docs": sql_bool_and_docs(),
     "more_like_this": sql_more_like_this(),
