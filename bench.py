@@ -81,7 +81,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "split_leakage", "doc_entropy", "zipf_slope",
           "sole_late_supplier", "forecast_revenue",
           "min_cost_supplier", "important_parts",
-          "label_centroids", "emb_norm_stats", "near_topk"]
+          "label_centroids", "emb_norm_stats", "near_topk",
+          "hard_negatives", "emb_outliers"]
 
 
 def run_quality(sf_dir: str) -> dict:

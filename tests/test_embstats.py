@@ -84,6 +84,55 @@ def test_norm_stats_adversarial(ray_session, tmp_path):
     assert l2["min_norm"] == l2["max_norm"] == 1.0
 
 
+def test_hard_negatives_adversarial(ray_session, tmp_path):
+    # query 0 (label 1, pointing +x). Same-label vectors are NEVER
+    # negatives however close; the nearest other-label vector wins;
+    # exact-tie cosines rank by vec_id.
+    sf = _emb(tmp_path, [
+        [1.0, 0.0],             # vec 0 = query, label 1
+        [2.0, 0.0],             # same label, cos 1.0 -> excluded
+        [1.0, 0.1],             # label 2, very close
+        [0.0, 1.0],             # label 2, orthogonal
+        [1.0, -0.1],            # label 3, tie with vec 2 by symmetry
+        [-1.0, 0.0],            # label 3, opposite
+    ], labels=[1, 1, 2, 2, 3, 3])
+    eng = _parity(EB.hard_negatives, EB.sql_hard_negatives(), sf)
+    q0 = eng[eng.query_vec_id == 0].sort_values("rank")
+    assert 1 not in set(q0.vec_id)          # same-label excluded
+    # ranks: tie between 2 and 4 at cos(1, 0.1) -> vec_id order
+    assert q0.vec_id.tolist() == [2, 4, 3, 5]
+    assert q0.iloc[0]["cos"] == q0.iloc[1]["cos"]
+
+
+def test_hard_negatives_no_negative_exists(ray_session, tmp_path):
+    # single-label corpus: a query has NO valid negative -> no rows
+    sf = _emb(tmp_path, [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+              labels=[5, 5, 5])
+    eng = _parity(EB.hard_negatives, EB.sql_hard_negatives(), sf)
+    assert len(eng) == 0
+
+
+def test_emb_outliers_adversarial(ray_session, tmp_path):
+    # label 1: centroid (1, 0); vec 2 farthest; exact ties between
+    # vecs 0 and 1 (symmetric about the centroid) rank by vec_id.
+    # label 9: single member -> dist exactly 0, still reported.
+    sf = _emb(tmp_path, [
+        [0.0, 0.0],             # dist 1 from centroid
+        [2.0, 0.0],             # dist 1 (tie with vec 0)
+        [1.0, 3.0],             # dist 3 -> rank 1
+        [1.0, -3.0],            # dist 3 -> tie with vec 2
+        [7.0, 7.0],             # lone label 9
+    ], labels=[1, 1, 1, 1, 9])
+    eng = _parity(EB.emb_outliers, EB.sql_emb_outliers(), sf)
+    l1 = eng[eng.label == 1].sort_values("rank")
+    assert len(l1) == 3                     # top-3 of 4 members
+    assert l1.vec_id.tolist() == [2, 3, 0]  # ties by vec_id, then 0<1
+    assert l1.dist.tolist()[:2] == [3.0, 3.0]
+    l9 = eng[eng.label == 9].iloc[0]
+    assert l9["dist"] == 0.0 and l9["vec_id"] == 4
+    assert str(l9["dist"]) == "0.0"         # -0.0 normalized
+
+
 def test_norm_stats_constant_label(ray_session, tmp_path):
     # many identical vectors: s2/n - mean^2 cancels to ~0 with float
     # noise on both engines; the clip + round6 + (-0.0 -> +0.0)
