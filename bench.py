@@ -82,7 +82,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "sole_late_supplier", "forecast_revenue",
           "min_cost_supplier", "important_parts",
           "label_centroids", "emb_norm_stats", "near_topk",
-          "hard_negatives", "emb_outliers"]
+          "hard_negatives", "emb_outliers", "fk_integrity"]
 
 
 def run_quality(sf_dir: str) -> dict:

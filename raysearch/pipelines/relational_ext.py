@@ -1004,6 +1004,116 @@ ORDER BY revenue_c4 DESC, pk
 """
 
 
+# ---- referential-integrity audit ----
+
+def fk_integrity(sf_dir: str) -> pa.Table:
+    """Foreign-key integrity audit across the star schema — the
+    data-engineering preflight every warehouse load runs: row counts
+    plus FOUR anti-join violation counts (lineitem rows with no parent
+    order, orders with no lineitem children, lineitem rows with an
+    unknown supplier, order rows with an unknown customer).
+
+    Shape: supplier/customer memberships broadcast once (dimension
+    side); orders<->lineitem — the two fact tables — meet in ONE
+    orderkey-bucketed exchange of map-side-collapsed (okey, count)
+    partials, whose per-bucket kernel computes BOTH anti-join
+    directions at once (np.isin each way) and emits six per-bucket
+    counters; a final 6-row-per-bucket Sum reduce produces the single
+    summary row. Broadcast-membership violations ride the same
+    exchange as sentinel side-rows, so the whole audit is one pass
+    over each fact table and zero driver-side row state."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+    sup_ref = _broadcast_dim(sf_dir, "supplier.parquet",
+                             "s_suppkey", "s_nationkey")
+    cust_ref = _broadcast_dim(sf_dir, "customer.parquet",
+                              "c_custkey", "c_nationkey")
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        shit, _ = _lookup(df["l_suppkey"].to_numpy(np.int64), sup_ref)
+        g = (pd.DataFrame({"okey": ok})
+             .groupby("okey", as_index=False).agg(cnt=("okey", "size")))
+        g = g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                     side=np.int64(1))
+        sent = pd.DataFrame({
+            "okey": [np.int64(-1)], "cnt": [int((~shit).sum())],
+            "bucket": [np.int64(0)], "side": [np.int64(3)]})
+        return pd.concat([g, sent], ignore_index=True)[
+            ["bucket", "okey", "side", "cnt"]]
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        chit, _ = _lookup(df["o_custkey"].to_numpy(np.int64), cust_ref)
+        g = pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok,
+            "side": np.int64(0), "cnt": np.int64(1)})
+        sent = pd.DataFrame({
+            "bucket": [np.int64(0)], "okey": [np.int64(-1)],
+            "side": [np.int64(4)], "cnt": [int((~chit).sum())]})
+        return pd.concat([g, sent], ignore_index=True)
+
+    METRICS = ["n_lineitem", "n_orders", "dangling_li_orders",
+               "childless_orders", "dangling_li_supp",
+               "dangling_order_cust"]
+
+    def audit_kern(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g.side == 1]
+        o = g[g.side == 0]
+        li_sum = (li.groupby("okey", as_index=False)
+                  .agg(cnt=("cnt", "sum")))
+        okeys = o.okey.to_numpy()
+        vals = [
+            int(li_sum.cnt.sum()),
+            int(len(o)),
+            int(li_sum.cnt.to_numpy()[
+                ~np.isin(li_sum.okey.to_numpy(), okeys)].sum()),
+            int((~np.isin(okeys, li_sum.okey.to_numpy())).sum()),
+            int(g[g.side == 3].cnt.sum()),
+            int(g[g.side == 4].cnt.sum()),
+        ]
+        return pd.DataFrame({"metric": METRICS,
+                             "v": np.asarray(vals, np.int64)})
+
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_suppkey"]
+               ).map_batches(l_partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_custkey"]
+                   ).map_batches(o_partial, batch_format="pandas")
+    agg = (li.union(orders)
+           .groupby("bucket").map_groups(audit_kern,
+                                         batch_format="pandas")
+           .groupby("metric")
+           .aggregate(Sum("v", alias_name="v"))).to_pandas()
+    got = dict(zip(agg["metric"], agg["v"].astype(np.int64)))
+    return pa.table({m: pa.array([int(got.get(m, 0))], pa.int64())
+                     for m in METRICS})
+
+
+def sql_fk_integrity() -> str:
+    return """
+SELECT
+  (SELECT count(*) FROM lineitem)::BIGINT AS n_lineitem,
+  (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  )::BIGINT AS dangling_li_orders,
+  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+     (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  )::BIGINT AS childless_orders,
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+     (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+  )::BIGINT AS dangling_li_supp,
+  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  )::BIGINT AS dangling_order_cust
+"""
+
+
 QUERIES = {
     "returned_item_customers": returned_item_customers,
     "nation_trade_volume": nation_trade_volume,
@@ -1013,6 +1123,7 @@ QUERIES = {
     "forecast_revenue": forecast_revenue,
     "min_cost_supplier": min_cost_supplier,
     "important_parts": important_parts,
+    "fk_integrity": fk_integrity,
 }
 
 ORACLE_SQL = {
@@ -1024,4 +1135,5 @@ ORACLE_SQL = {
     "forecast_revenue": sql_forecast_revenue(),
     "min_cost_supplier": sql_min_cost_supplier(),
     "important_parts": sql_important_parts(),
+    "fk_integrity": sql_fk_integrity(),
 }

@@ -178,6 +178,56 @@ def test_important_parts_exact_threshold(ray_session, tmp_path):
     assert eng.loc[0, "revenue_c4"] == 110_100
 
 
+def test_fk_integrity_planted_violations(ray_session, tmp_path):
+    ts = np.datetime64("2020-01-01", "us")
+    # orders: 1 (2 children), 2 (childless), 3 (dangling custkey)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([100, 100, 999], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+        "o_totalprice": pa.array(np.ones(3), pa.float64()),
+        "o_orderdate": pa.array([ts] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 3, pa.string()),
+    }), os.path.join(tmp_path, "orders.parquet"))
+    # lineitem: 2 ok rows on order 1, 2 rows dangling to order 77
+    # (counted per ROW), 1 row with unknown supplier on order 1
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 77, 77, 1], pa.int64()),
+        "l_partkey": pa.array(np.ones(5, np.int64)),
+        "l_suppkey": pa.array([10, 10, 10, 10, 55], pa.int64()),
+        "l_linenumber": pa.array(np.zeros(5, np.int32), pa.int32()),
+        "l_quantity": pa.array(np.ones(5), pa.float64()),
+        "l_extendedprice": pa.array(np.ones(5), pa.float64()),
+        "l_discount": pa.array(np.zeros(5), pa.float64()),
+        "l_tax": pa.array(np.zeros(5), pa.float64()),
+        "l_returnflag": pa.array(["N"] * 5, pa.string()),
+        "l_linestatus": pa.array(["O"] * 5, pa.string()),
+        "l_shipdate": pa.array([ts] * 5, pa.timestamp("us")),
+    }), os.path.join(tmp_path, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10], pa.int64()),
+        "s_name": pa.array(["Supplier#10"], pa.string()),
+        "s_nationkey": pa.array([0], pa.int32()),
+        "s_acctbal": pa.array([0.0], pa.float64()),
+    }), os.path.join(tmp_path, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([100], pa.int64()),
+        "c_name": pa.array(["Customer#100"], pa.string()),
+        "c_nationkey": pa.array([0], pa.int32()),
+        "c_acctbal": pa.array([0.0], pa.float64()),
+        "c_mktsegment": pa.array(["B"], pa.string()),
+    }), os.path.join(tmp_path, "customer.parquet"))
+    eng = _parity(RX.fk_integrity, RX.sql_fk_integrity(),
+                  str(tmp_path),
+                  ("lineitem", "orders", "supplier", "customer"))
+    r = eng.iloc[0]
+    assert r["n_lineitem"] == 5 and r["n_orders"] == 3
+    assert r["dangling_li_orders"] == 2     # per row, not per key
+    assert r["childless_orders"] == 2       # orders 2 and 3
+    assert r["dangling_li_supp"] == 1
+    assert r["dangling_order_cust"] == 1
+
+
 def test_important_parts_skewed_head(ray_session, tmp_path):
     # revenues [30, 10, 10, 10]: mean 15, only part 1 exceeds
     # 11/10 x mean; equal earners can never clear the multiple
