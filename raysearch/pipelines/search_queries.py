@@ -410,6 +410,19 @@ def snippet_lines_topk(sf_dir: str) -> pa.Table:
     return _snippet_topk_mode(sf_dir, "lines")
 
 
+MU = 2000.0  # Dirichlet smoothing prior (Zhai & Lafferty 2001 default)
+
+
+def dirichlet_topk(sf_dir: str) -> pa.Table:
+    """Query-likelihood top-10 with Dirichlet smoothing — a third
+    scoring mode beside BM25 and the reference's overlap·tf
+    (generalizes src/lib.rs:374-411's lookup-score shape). Same
+    distributed plan as bm25_topk: per-segment FINAL scores (global
+    cf/total-token stats broadcast from the lexicon/stats.json),
+    k-bounded merge; candidates are docs matching >= 1 query term."""
+    return _topk_rounded(sf_dir, "dirichlet")
+
+
 # ---- oracle SQL ----
 
 def _qterms_values(weights_as_float: bool) -> str:
@@ -521,6 +534,36 @@ ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_dirichlet_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+cand AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+scores AS (
+  SELECT cand.query_id, cand.doc_id,
+         sum(q.w * ln((coalesce(m.tf, 0) + {MU} * cf.cf / tot.c)
+                      / (dl.dl + {MU}))) AS score
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN cf ON cf.term = q.term
+  LEFT JOIN tf m ON m.term = q.term AND m.doc_id = cand.doc_id
+  JOIN dl ON dl.doc_id = cand.doc_id
+  CROSS JOIN tot
+  GROUP BY cand.query_id, cand.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM scores
 )
 SELECT query_id::BIGINT AS query_id, doc_id, rank, score
@@ -1173,6 +1216,7 @@ QUERIES = {
     "postings": postings,
     "bm25_topk": bm25_topk,
     "overlap_topk": overlap_topk,
+    "dirichlet_topk": dirichlet_topk,
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
@@ -1191,6 +1235,7 @@ ORACLE_SQL = {
     "postings": sql_postings(),
     "bm25_topk": sql_bm25_topk(),
     "overlap_topk": sql_overlap_topk(),
+    "dirichlet_topk": sql_dirichlet_topk(),
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),

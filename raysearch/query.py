@@ -80,10 +80,26 @@ def lexicon_df(index_dir: str, terms: list[str]) -> dict[str, int]:
     return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
 
+def lexicon_cf(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """Global collection frequency for the query terms (filtered
+    lexicon read) — the smoothing denominator for Dirichlet
+    query-likelihood scoring."""
+    import pyarrow.dataset as pads
+
+    if not terms:
+        return {}
+    lex = pads.dataset(os.path.join(index_dir, "lexicon"))
+    tbl = lex.to_table(columns=["term", "cf"],
+                       filter=pads.field("term").isin(terms))
+    return dict(zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist()))
+
+
 def score_queries_over_postings(
         qweights, postings: dict, max_tfs: dict, df: dict,
         n_docs: int, avgdl: float, k1: float, b: float, k: int,
-        mode: str, prune: bool = False) -> pa.Table:
+        mode: str, prune: bool = False,
+        cf: dict | None = None, total_tokens: int = 0,
+        mu: float = 2000.0) -> pa.Table:
     """Score a query batch against one segment's (already decoded)
     postings — the shared kernel behind both the one-shot SegmentScorer
     and the resident SegmentServer actors (raysearch/serve.py).
@@ -91,6 +107,17 @@ def score_queries_over_postings(
     per-segment top-k is exact (see module docstring)."""
     qids, ranks, dids, scores = [], [], [], []
     for qid, qw in enumerate(qweights):
+        if mode == "dirichlet":
+            from raysearch.score import dirichlet_scores
+
+            docs, sc = dirichlet_scores(qw, postings.get, cf or {},
+                                        total_tokens, mu)
+            d, s = topk(docs, sc, k)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(float(x) for x in s)
+            continue
         if prune:
             from raysearch.wand import pruned_topk
 
@@ -159,12 +186,15 @@ class SegmentScorer:
 
     def __init__(self, index_dir: str, queries: list[str], k: int,
                  mode: str, df: dict[str, int], n_docs: int, avgdl: float,
-                 k1: float, b: float, prune: bool = False):
+                 k1: float, b: float, prune: bool = False,
+                 cf: dict[str, int] | None = None, total_tokens: int = 0,
+                 mu: float = 2000.0):
         self.index_dir = index_dir
         self.k, self.mode = k, mode
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
         self.k1, self.b = k1, b
         self.prune = prune
+        self.cf, self.total_tokens, self.mu = cf, total_tokens, mu
         # raw strings or pre-tokenized [(term, weight), ...] lists
         # (query-by-document callers build weights themselves)
         self.qweights = [as_qweights(q) for q in queries]
@@ -182,7 +212,8 @@ class SegmentScorer:
             max_tfs[t] = tbl["max_tf"][i].as_py()
         return score_queries_over_postings(
             self.qweights, postings, max_tfs, self.df, self.n_docs,
-            self.avgdl, self.k1, self.b, self.k, self.mode, self.prune)
+            self.avgdl, self.k1, self.b, self.k, self.mode, self.prune,
+            cf=self.cf, total_tokens=self.total_tokens, mu=self.mu)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = [self._score_part(int(p)) for p in batch["part"].to_pylist()]
@@ -197,6 +228,7 @@ def query_index(
     concurrency: int | None = None,
     use_actors: bool = False,
     prune: bool = False,
+    mu: float = 2000.0,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
     the deterministic total order (-score, doc_id).
@@ -226,6 +258,10 @@ def query_index(
         index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
         n_docs=stats["n_docs"], avgdl=stats["avgdl"],
         k1=cfg["k1"], b=cfg["b"], prune=prune)
+    if mode == "dirichlet":
+        scorer_kwargs["cf"] = lexicon_cf(index_dir, all_terms)
+        scorer_kwargs["total_tokens"] = stats["total_tokens"]
+        scorer_kwargs["mu"] = mu
     # several segments per task: per-part work is a filtered parquet
     # read + vectorized scoring (~tens of ms), so one task per part
     # would be pure scheduling overhead at high P

@@ -112,6 +112,69 @@ def score_postings(
     return accumulate_scores(per_term)
 
 
+def dirichlet_scores(
+    qweights: list[tuple[str, int]],
+    lookup,  # term -> (doc_ids, tfs, dls) or None
+    cf: dict[str, int],
+    total_tokens: int,
+    mu: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Query-likelihood scoring with Dirichlet smoothing (Zhai &
+    Lafferty 2001): score(q, d) = sum over collection-present query
+    terms t of  qtf_t * ln((tf_{t,d} + mu*cf_t/C) / (dl_d + mu)).
+
+    Candidates are the docs matching >= 1 query term in this posting
+    source (docs elsewhere in the collection are scored by their own
+    segment — doc partitioning keeps per-segment scores final, exactly
+    as for BM25). Query terms absent from the collection (cf == 0) are
+    skipped, the standard convention (p(t|C) = 0 would be ln 0).
+
+    ``cf`` is the GLOBAL collection frequency (lexicon cf) and
+    ``total_tokens`` the global token count, both broadcast — so the
+    per-doc smoothed probabilities are collection-wide even though the
+    postings come from one segment. Terms with global cf > 0 but no
+    postings in this segment still contribute their tf = 0 smoothed
+    mass to every candidate. The float expression mirrors the DuckDB
+    oracle term-for-term (ln((tf + mu*cf/C) / (dl + mu)), accumulated
+    in ascending unique-term order); results are compared after
+    round6.
+    """
+    present = [(t, w) for t, w in qweights if cf.get(t, 0) > 0]
+    if not present or total_tokens <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    # candidate docs (union of this source's postings) with their dl
+    cand_parts: list[tuple[np.ndarray, np.ndarray]] = []
+    matched: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, _ in present:
+        got = lookup(term)
+        if got is None:
+            continue
+        docs, tfs, dls = got
+        if len(docs) == 0:
+            continue
+        matched[term] = (docs, tfs)
+        cand_parts.append((docs, dls))
+    if not cand_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    all_docs = np.concatenate([d for d, _ in cand_parts])
+    all_dls = np.concatenate([l for _, l in cand_parts])
+    cand, first = np.unique(all_docs, return_index=True)
+    dl = all_dls[first].astype(np.float64)
+    scores = np.zeros(len(cand), np.float64)
+    dl_mu = dl + mu
+    c = float(total_tokens)
+    for term, w in present:  # ascending-term accumulation contract
+        p_mu = mu * (cf[term] / c)
+        tf_vec = np.zeros(len(cand), np.float64)
+        got = matched.get(term)
+        if got is not None:
+            docs, tfs = got
+            pos = np.searchsorted(cand, docs)
+            tf_vec[pos] = tfs.astype(np.float64)
+        scores += float(w) * np.log((tf_vec + p_mu) / dl_mu)
+    return cand.astype(np.int64), scores
+
+
 def topk(doc_ids: np.ndarray, scores: np.ndarray, k: int
          ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k under the total order (-score, doc_id)."""
