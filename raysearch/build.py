@@ -126,15 +126,18 @@ def _auto_parts(n_docs: int) -> int:
 
 def _make_segment_writer(index_dir: str, config: IndexConfig,
                          input_id: str, valid_parts: frozenset[int],
-                         from_triples: bool = False):
+                         from_triples: bool = False,
+                         part_offset: int = 0):
     """Segment-writing group fn. With from_triples=True (salt=1, the
     single-shuffle plan) the group is raw triples and posting build +
     write happen in one stage; otherwise the group is encoded partial
-    runs from the salted first shuffle."""
+    runs from the salted first shuffle. part_offset shifts the on-disk
+    part numbers past an existing index's segments (incremental
+    append, maintenance.append_index)."""
     config_hash = config.config_hash()
 
     def write_segment(group: pa.Table) -> pa.Table:
-        part = int(group["dpart"][0].as_py())
+        part = int(group["dpart"][0].as_py()) + part_offset
         part_dir = part_dirname(index_dir, part)
         skipped = part in valid_parts
         if skipped:
@@ -164,6 +167,21 @@ def _make_segment_writer(index_dir: str, config: IndexConfig,
         })
 
     return write_segment
+
+
+def _prune_orphan_segments(index_dir: str, keep: set[int]) -> int:
+    """Remove segment dirs not in ``keep``. A rebuild with fewer parts
+    (or a crashed append with a different source) leaves orphaned
+    part dirs that the lexicon rebuild's directory scan would
+    otherwise fold into df/cf. Returns the number removed."""
+    import shutil
+
+    n = 0
+    for p in list_segment_parts(index_dir):
+        if p not in keep:
+            shutil.rmtree(part_dirname(index_dir, p), ignore_errors=True)
+            n += 1
+    return n
 
 
 # per-segment lexicon rows below this: aggregate on the driver (a Ray
@@ -378,6 +396,8 @@ def build_index(
          "n_terms": r["n_terms"]}
         for r in rows]
     merged = statsmod.tree_merge(partials_list)
+    _prune_orphan_segments(index_dir,
+                           keep={int(r["part"]) for r in rows})
     vocab = _write_lexicon(
         index_dir, n_rows_hint=sum(int(r["n_terms"]) for r in rows))
     stats = statsmod.write_stats(
@@ -391,7 +411,8 @@ def build_index(
                    ({"part": int(r["part"]), "n_docs": int(r["n_docs"]),
                      "n_terms": int(r["n_terms"]),
                      "n_postings": int(r["n_postings"]),
-                     "sum_dl": int(r["sum_dl"])} for r in rows),
+                     "sum_dl": int(r["sum_dl"]),
+                     "total_tf": int(r["total_tf"])} for r in rows),
                    key=lambda d: d["part"])})
     n_skipped = sum(1 for r in rows if r["skipped"])
     return BuildResult(index_dir, stats,

@@ -297,6 +297,43 @@ def cmd_monitor(args) -> None:
         time.sleep(args.interval)
 
 
+def cmd_append(args) -> None:
+    _require_index(args.index)
+    ray = _ray_session()
+    from raysearch.maintenance import append_index
+
+    st = append_index(args.corpus, args.index, input_id=args.corpus,
+                      num_parts=args.parts)
+    print(json.dumps({"index": args.index, "n_docs": st["n_docs"],
+                      "vocab_size": st.get("vocab_size"),
+                      "parts": len(st.get("parts", []))}))
+    ray.shutdown()
+
+
+def cmd_delete(args) -> None:
+    _require_index(args.index)
+    from raysearch.maintenance import delete_docs
+
+    ids = [int(x) for x in args.doc_ids.split(",")] if args.doc_ids else []
+    if args.ids_file:
+        with open(args.ids_file) as f:
+            ids.extend(int(ln) for ln in f if ln.strip())
+    n = delete_docs(args.index, ids)
+    print(json.dumps({"index": args.index, "tombstones": n}))
+
+
+def cmd_compact(args) -> None:
+    _require_index(args.index)
+    ray = _ray_session()
+    from raysearch.maintenance import compact_index
+
+    st = compact_index(args.index)
+    print(json.dumps({"index": args.index, "n_docs": st["n_docs"],
+                      "vocab_size": st.get("vocab_size"),
+                      "avgdl": st["avgdl"]}))
+    ray.shutdown()
+
+
 def cmd_merge(args) -> None:
     ray = _ray_session()
     from raysearch.merge import merge_indexes
@@ -336,7 +373,8 @@ def main(argv=None) -> None:
                    help="file of queries, one per line (reference "
                         "queries.txt format)")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
+    q.add_argument("--mode", choices=["bm25", "overlap", "dirichlet"],
+                   default="bm25")
     q.add_argument("--prune", action="store_true")
     q.add_argument("--out", default=None,
                    help="write results parquet here instead of stdout")
@@ -387,6 +425,31 @@ def main(argv=None) -> None:
                         "same config)")
     m.add_argument("--out", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    ap = sub.add_parser("append",
+                        help="index NEW docs into an existing index "
+                             "(fresh segments past the current parts)")
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--parts", type=int, default=None,
+                    help="segments for the appended docs (auto-sized)")
+    ap.set_defaults(fn=cmd_append)
+
+    d = sub.add_parser("delete",
+                       help="tombstone doc_ids (filtered from results; "
+                            "stats stay build-time until compact)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", default=None,
+                   help="comma-separated doc_ids")
+    d.add_argument("--ids-file", default=None,
+                   help="file of doc_ids, one per line")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact",
+                       help="rewrite segments without tombstoned docs; "
+                            "recompute exact stats + lexicon")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     args.fn(args)

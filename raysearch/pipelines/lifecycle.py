@@ -1,0 +1,182 @@
+"""Index-lifecycle pipelines: incremental append, tombstone deletes,
+compaction — each exercised end-to-end over the documents table and
+oracle-checked against DuckDB.
+
+The reference engine rebuilds from scratch every run
+(/root/reference/src/main.rs:66-99); these entries prove the
+Lucene-style lifecycle (raysearch/maintenance.py) preserves exact
+scoring semantics:
+
+- appended_topk: build on half the corpus, append the other half ->
+  results must equal the one-shot build (oracle = the plain BM25 SQL).
+- deleted_topk: tombstone doc_id % 7 == 3 -> results use STALE
+  build-time stats but exclude tombstoned docs (oracle = BM25 SQL with
+  whole-corpus df/N/avgdl and a candidate filter).
+- compacted_topk: delete + compact -> results equal a fresh build over
+  the live docs (oracle = BM25 SQL over the filtered relation).
+
+Each entry builds its own index under /tmp/raysearch_cache keyed by
+the documents file fingerprint, with a sentinel marking the finished
+lifecycle state (a compacted index must not be "resumed" into a plain
+rebuild).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raysearch.config import IndexConfig
+from raysearch.pipelines.search_queries import (
+    B,
+    K1,
+    _docs_path,
+    _source_fingerprint,
+    sql_bm25_topk,
+    topk_rounded_for_index,
+)
+
+DEL_MOD, DEL_REM = 7, 3  # tombstone predicate: doc_id % 7 == 3
+_NUM_PARTS = 8
+
+
+def _corpus_reader(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "lang", "text"])
+    return ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "lang", "content"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _split_reader(sf_dir: str, parity: int):
+    """Streaming corpus reader restricted to doc_id % 2 == parity —
+    the append split, filtered inside map_batches (no driver
+    materialization)."""
+    def pick(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["doc_id", "lang", "content"])
+        keep = pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity)
+        return b.filter(keep)
+
+    import ray.data
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "lang", "text"])
+    return ds.map_batches(pick, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _lifecycle_dir(sf_dir: str, kind: str) -> tuple[str, str]:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp", "raysearch_cache", f"lifecycle-{kind}-{key}")
+    fp = _source_fingerprint(_docs_path(sf_dir))
+    sentinel = os.path.join(idx, f".done-{hashlib.md5(fp.encode()).hexdigest()[:12]}")
+    return idx, sentinel
+
+
+def _fresh(idx: str) -> None:
+    shutil.rmtree(idx, ignore_errors=True)
+    os.makedirs(idx, exist_ok=True)
+
+
+def _deleted_ids(sf_dir: str) -> list[int]:
+    ids = pq.read_table(_docs_path(sf_dir), columns=["doc_id"])["doc_id"]
+    return [d for d in ids.to_pylist() if d % DEL_MOD == DEL_REM]
+
+
+def _cfg() -> IndexConfig:
+    return IndexConfig(num_parts=_NUM_PARTS, k1=K1, b=B)
+
+
+def appended_index(sf_dir: str) -> str:
+    """Half-build + append the other half; sentinel-cached."""
+    from raysearch.build import build_index
+    from raysearch.maintenance import append_index
+
+    idx, sentinel = _lifecycle_dir(sf_dir, "app")
+    if os.path.exists(sentinel):
+        return idx
+    _fresh(idx)
+    build_index(_split_reader(sf_dir, 0), idx, _cfg(),
+                input_id=f"{sf_dir}#even")
+    append_index(_split_reader(sf_dir, 1), idx,
+                 input_id=f"{sf_dir}#odd", num_parts=_NUM_PARTS)
+    open(sentinel, "w").close()
+    return idx
+
+
+def deleted_index(sf_dir: str) -> str:
+    """Full build + tombstones (NOT compacted); sentinel-cached."""
+    from raysearch.build import build_index
+    from raysearch.maintenance import delete_docs
+
+    idx, sentinel = _lifecycle_dir(sf_dir, "del")
+    if os.path.exists(sentinel):
+        return idx
+    _fresh(idx)
+    build_index(_corpus_reader(sf_dir), idx, _cfg(),
+                input_id=f"{sf_dir}#full")
+    delete_docs(idx, _deleted_ids(sf_dir))
+    open(sentinel, "w").close()
+    return idx
+
+
+def compacted_index(sf_dir: str) -> str:
+    """Full build + tombstones + compaction; sentinel-cached."""
+    from raysearch.build import build_index
+    from raysearch.maintenance import compact_index, delete_docs
+
+    idx, sentinel = _lifecycle_dir(sf_dir, "cmp")
+    if os.path.exists(sentinel):
+        return idx
+    _fresh(idx)
+    build_index(_corpus_reader(sf_dir), idx, _cfg(),
+                input_id=f"{sf_dir}#full")
+    delete_docs(idx, _deleted_ids(sf_dir))
+    compact_index(idx)
+    open(sentinel, "w").close()
+    return idx
+
+
+def appended_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k from an index built as base-half + appended-half —
+    must be IDENTICAL to the one-shot build's results (oracle is the
+    plain whole-corpus BM25 SQL)."""
+    return topk_rounded_for_index(appended_index(sf_dir), "bm25")
+
+
+def deleted_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k with tombstoned docs (doc_id % 7 == 3) filtered from
+    every posting list while df/N/avgdl stay build-time — the
+    stale-stats-until-compaction semantics. Top-k back-fills from live
+    docs."""
+    return topk_rounded_for_index(deleted_index(sf_dir), "bm25")
+
+
+def compacted_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k after compaction: segments rewritten without the
+    tombstoned docs, stats and lexicon recomputed exactly — results
+    equal a fresh build over the live corpus."""
+    return topk_rounded_for_index(compacted_index(sf_dir), "bm25")
+
+
+QUERIES = {
+    "appended_topk": appended_topk,
+    "deleted_topk": deleted_topk,
+    "compacted_topk": compacted_topk,
+}
+
+_LIVE = f"doc_id % {DEL_MOD} <> {DEL_REM}"
+
+ORACLE_SQL = {
+    "appended_topk": sql_bm25_topk(),
+    "deleted_topk": sql_bm25_topk(scores_where=f"tf.{_LIVE}"),
+    "compacted_topk": sql_bm25_topk(
+        rel=f"(SELECT * FROM documents WHERE {_LIVE}) docs_live"),
+}

@@ -180,9 +180,15 @@ def postings(sf_dir: str) -> pa.Table:
 
 
 def _topk_rounded(sf_dir: str, mode: str) -> pa.Table:
+    return topk_rounded_for_index(cached_index(sf_dir), mode)
+
+
+def topk_rounded_for_index(idx: str, mode: str) -> pa.Table:
+    """DOC_QUERIES top-k over an already-built index with the oracle's
+    rounding/tie contract — shared by the sf_dir-cached entries here
+    and the index-lifecycle entries (pipelines/lifecycle.py)."""
     from raysearch.query import query_index
 
-    idx = cached_index(sf_dir)
     raw = query_index(idx, DOC_QUERIES, k=_TOPK_BUFFER, mode=mode)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
@@ -434,19 +440,25 @@ def _qterms_values(weights_as_float: bool) -> str:
     return ", ".join(rows)
 
 
-_TOK_CTES = r"""
+def _tok_ctes(rel: str = "documents") -> str:
+    """The tokenize/doclen/tf CTE block over an arbitrary relation
+    (the lifecycle oracles score a filtered corpus)."""
+    return rf"""
 tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
-  FROM documents
+  FROM {rel}
 ),
 dl AS (
   SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
-  FROM documents
+  FROM {rel}
 ),
 tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
 )
 """
+
+
+_TOK_CTES = _tok_ctes()
 
 
 def sql_doc_lengths() -> str:
@@ -488,14 +500,20 @@ WHERE tf.term IN ({terms})
 """
 
 
-def sql_bm25_topk() -> str:
+def sql_bm25_topk(rel: str = "documents", scores_where: str = "") -> str:
+    """BM25 oracle. ``rel`` swaps the corpus relation (lifecycle
+    oracles score a filtered corpus with recomputed stats);
+    ``scores_where`` restricts only the SCORED candidate rows while
+    df/N/avgdl stay whole-corpus — the tombstone (stale-stats)
+    semantics."""
+    where = f"WHERE {scores_where}" if scores_where else ""
     return f"""
-WITH {_TOK_CTES},
+WITH {_tok_ctes(rel)},
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+  SELECT (SELECT count(*) FROM {rel})::DOUBLE AS n_docs,
          (SELECT sum(dl) FROM dl)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM {rel}) AS avgdl
 ),
 q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
 scores AS (
@@ -508,6 +526,7 @@ scores AS (
   JOIN df ON q.term = df.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats s
+  {where}
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (

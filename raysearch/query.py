@@ -188,13 +188,21 @@ class SegmentScorer:
                  mode: str, df: dict[str, int], n_docs: int, avgdl: float,
                  k1: float, b: float, prune: bool = False,
                  cf: dict[str, int] | None = None, total_tokens: int = 0,
-                 mu: float = 2000.0):
+                 mu: float = 2000.0,
+                 deleted: np.ndarray | None = None):
         self.index_dir = index_dir
         self.k, self.mode = k, mode
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
         self.k1, self.b = k1, b
         self.prune = prune
         self.cf, self.total_tokens, self.mu = cf, total_tokens, mu
+        # sorted unique tombstoned doc_ids (maintenance.delete_docs),
+        # broadcast once per actor. Stats stay build-time — the
+        # standard stale-stats-until-compaction semantics — but
+        # tombstoned docs are filtered from every posting list before
+        # scoring, so top-k back-fills from live docs.
+        self.deleted = (deleted if deleted is not None and len(deleted)
+                        else None)
         # raw strings or pre-tokenized [(term, weight), ...] lists
         # (query-by-document callers build weights themselves)
         self.qweights = [as_qweights(q) for q in queries]
@@ -208,7 +216,14 @@ class SegmentScorer:
         postings = {}
         max_tfs = {}
         for i, t in enumerate(tbl["term"].to_pylist()):
-            postings[t] = decode_posting_row(tbl, i)
+            decoded = decode_posting_row(tbl, i)
+            if self.deleted is not None:
+                from raysearch.maintenance import filter_postings
+
+                decoded = filter_postings(decoded, self.deleted)
+            postings[t] = decoded
+            # max_tf stays the stored value: for live docs it is still
+            # a valid UPPER bound, which is all the pruning path needs
             max_tfs[t] = tbl["max_tf"][i].as_py()
         return score_queries_over_postings(
             self.qweights, postings, max_tfs, self.df, self.n_docs,
@@ -262,6 +277,11 @@ def query_index(
         scorer_kwargs["cf"] = lexicon_cf(index_dir, all_terms)
         scorer_kwargs["total_tokens"] = stats["total_tokens"]
         scorer_kwargs["mu"] = mu
+    from raysearch.maintenance import load_deletes
+
+    deleted = load_deletes(index_dir)
+    if len(deleted):
+        scorer_kwargs["deleted"] = deleted
     # several segments per task: per-part work is a filtered parquet
     # read + vectorized scoring (~tens of ms), so one task per part
     # would be pure scheduling overhead at high P

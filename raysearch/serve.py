@@ -60,6 +60,12 @@ class _SegmentServerImpl:
         self.avgdl = st["avgdl"]
         self.k1, self.b = cfg["k1"], cfg["b"]
         self.cache_terms = cache_terms
+        # tombstones snapshot AS OF session creation (the documented
+        # staleness contract below applies to deletes too)
+        from raysearch.maintenance import load_deletes
+
+        _del = load_deletes(index_dir)
+        self.deleted = _del if len(_del) else None
         # (part, term) -> ((docs, tfs, dls), max_tf); OrderedDict = LRU
         self._cache: OrderedDict = OrderedDict()
         self.hits = 0
@@ -92,8 +98,12 @@ class _SegmentServerImpl:
                 tbl = read_postings(part_dir, missing)
                 found = set()
                 for i, t in enumerate(tbl["term"].to_pylist()):
-                    entry = (decode_posting_row(tbl, i),
-                             tbl["max_tf"][i].as_py())
+                    decoded = decode_posting_row(tbl, i)
+                    if self.deleted is not None:
+                        from raysearch.maintenance import filter_postings
+
+                        decoded = filter_postings(decoded, self.deleted)
+                    entry = (decoded, tbl["max_tf"][i].as_py())
                     self._cache[(part, t)] = entry
                     postings[t], max_tfs[t] = entry
                     found.add(t)
