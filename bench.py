@@ -82,7 +82,10 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "sole_late_supplier", "forecast_revenue",
           "min_cost_supplier", "important_parts",
           "label_centroids", "emb_norm_stats", "near_topk",
-          "hard_negatives", "emb_outliers", "fk_integrity"]
+          "hard_negatives", "emb_outliers", "fk_integrity",
+          # round 4, second wave: scoring mode + index lifecycle
+          "dirichlet_topk", "appended_topk", "deleted_topk",
+          "compacted_topk", "paged_topk", "facet_counts"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -183,19 +183,23 @@ def _topk_rounded(sf_dir: str, mode: str) -> pa.Table:
     return topk_rounded_for_index(cached_index(sf_dir), mode)
 
 
-def topk_rounded_for_index(idx: str, mode: str) -> pa.Table:
+def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
+                           rank_hi: int = TOPK,
+                           buffer: int = _TOPK_BUFFER) -> pa.Table:
     """DOC_QUERIES top-k over an already-built index with the oracle's
-    rounding/tie contract — shared by the sf_dir-cached entries here
-    and the index-lifecycle entries (pipelines/lifecycle.py)."""
+    rounding/tie contract — shared by the sf_dir-cached entries here,
+    the index-lifecycle entries (pipelines/lifecycle.py), and the
+    deep-pagination entry (rank_lo..rank_hi window; the per-part raw
+    buffer must exceed rank_hi by the rounding-tie slack)."""
     from raysearch.query import query_index
 
-    raw = query_index(idx, DOC_QUERIES, k=_TOPK_BUFFER, mode=mode)
+    raw = query_index(idx, DOC_QUERIES, k=buffer, mode=mode)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],
                         ascending=[True, False, True])
     df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= TOPK]
+    df = df[(df["rank"] >= rank_lo) & (df["rank"] <= rank_hi)]
     out = {
         "query_id": pa.array(df.query_id.to_numpy(np.int64), pa.int64()),
         "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
@@ -416,6 +420,53 @@ def snippet_lines_topk(sf_dir: str) -> pa.Table:
     return _snippet_topk_mode(sf_dir, "lines")
 
 
+PAGE2_LO, PAGE2_HI = TOPK + 1, 2 * TOPK
+_PAGE_BUFFER = 40  # raw per-part buffer for the page-2 window
+
+
+def paged_topk(sf_dir: str) -> pa.Table:
+    """Deep pagination (search_after): the SECOND page of BM25 results
+    (ranks 11..20 per query). Same k-bounded plan as bm25_topk with a
+    larger per-part raw buffer — pagination never rescans the corpus,
+    it only widens the per-segment top-k selection."""
+    return topk_rounded_for_index(cached_index(sf_dir), "bm25",
+                                  rank_lo=PAGE2_LO, rank_hi=PAGE2_HI,
+                                  buffer=_PAGE_BUFFER)
+
+
+def facet_counts(sf_dir: str) -> pa.Table:
+    """Faceted search: per-query facet histogram (lang x source) over
+    the BM25 top-k. The k-bounded result ids are broadcast into a
+    filtered map_batches read of the documents table (the snippet
+    fetch's broadcast-join shape), then counted — never a corpus
+    groupby."""
+    import ray.data
+
+    res = bm25_topk(sf_dir).to_pandas()
+    wanted = set(res.doc_id.tolist())
+
+    def fetch(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["doc_id"], pa.array(list(wanted), pa.int64()))
+        return b.filter(mask)
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "lang", "source"])
+    meta = pa.concat_tables(
+        ds.map_batches(fetch, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    merged = res.merge(meta, on="doc_id", how="left")
+    out = (merged.groupby(["query_id", "lang", "source"])
+           .size().reset_index(name="n_docs")
+           .sort_values(["query_id", "lang", "source"]))
+    return pa.table({
+        "query_id": pa.array(out.query_id.to_numpy(np.int64), pa.int64()),
+        "lang": pa.array(out.lang.astype(str).tolist(), pa.string()),
+        "source": pa.array(out.source.astype(str).tolist(), pa.string()),
+        "n_docs": pa.array(out.n_docs.to_numpy(np.int64), pa.int64()),
+    })
+
+
 MU = 2000.0  # Dirichlet smoothing prior (Zhai & Lafferty 2001 default)
 
 
@@ -500,12 +551,13 @@ WHERE tf.term IN ({terms})
 """
 
 
-def sql_bm25_topk(rel: str = "documents", scores_where: str = "") -> str:
+def sql_bm25_topk(rel: str = "documents", scores_where: str = "",
+                  rank_lo: int = 1, rank_hi: int = TOPK) -> str:
     """BM25 oracle. ``rel`` swaps the corpus relation (lifecycle
     oracles score a filtered corpus with recomputed stats);
     ``scores_where`` restricts only the SCORED candidate rows while
     df/N/avgdl stay whole-corpus — the tombstone (stale-stats)
-    semantics."""
+    semantics; ``rank_lo``/``rank_hi`` select a pagination window."""
     where = f"WHERE {scores_where}" if scores_where else ""
     return f"""
 WITH {_tok_ctes(rel)},
@@ -536,7 +588,7 @@ ranked AS (
   FROM scores
 )
 SELECT query_id::BIGINT AS query_id, doc_id, rank, score
-FROM ranked WHERE rank <= {TOPK}
+FROM ranked WHERE rank BETWEEN {rank_lo} AND {rank_hi}
 """
 
 
@@ -587,6 +639,19 @@ ranked AS (
 )
 SELECT query_id::BIGINT AS query_id, doc_id, rank, score
 FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_paged_topk() -> str:
+    return sql_bm25_topk(rank_lo=PAGE2_LO, rank_hi=PAGE2_HI)
+
+
+def sql_facet_counts() -> str:
+    return f"""
+WITH b AS ({sql_bm25_topk()})
+SELECT b.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs
+FROM b JOIN documents d ON b.doc_id = d.doc_id
+GROUP BY b.query_id, d.lang, d.source
 """
 
 
@@ -1236,6 +1301,8 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "overlap_topk": overlap_topk,
     "dirichlet_topk": dirichlet_topk,
+    "paged_topk": paged_topk,
+    "facet_counts": facet_counts,
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
@@ -1255,6 +1322,8 @@ ORACLE_SQL = {
     "bm25_topk": sql_bm25_topk(),
     "overlap_topk": sql_overlap_topk(),
     "dirichlet_topk": sql_dirichlet_topk(),
+    "paged_topk": sql_paged_topk(),
+    "facet_counts": sql_facet_counts(),
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),
