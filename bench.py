@@ -85,7 +85,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "hard_negatives", "emb_outliers", "fk_integrity",
           # round 4, second wave: scoring mode + index lifecycle
           "dirichlet_topk", "appended_topk", "deleted_topk",
-          "compacted_topk", "paged_topk", "facet_counts"]
+          "compacted_topk", "paged_topk", "facet_counts",
+          "highlight_topk"]
 
 
 def run_quality(sf_dir: str) -> dict:

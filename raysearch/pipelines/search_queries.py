@@ -467,6 +467,67 @@ def facet_counts(sf_dir: str) -> pa.Table:
     })
 
 
+HL_BEFORE, HL_LEN = 20, 60  # highlight window: 20 chars of left context
+
+
+def highlight_topk(sf_dir: str) -> pa.Table:
+    """Hit highlighting: for each BM25 top-k hit, the first query-term
+    occurrence position (1-based, min over the query's terms as
+    substrings of lower(text)) and a 60-char window starting 20 chars
+    before it. Text fetch is the snippet broadcast-join shape
+    (k-bounded ids filter a pruned documents read); position search is
+    pyarrow find_substring per query term over that query's <= k hit
+    texts — never a corpus scan."""
+    import ray.data
+
+    res = bm25_topk(sf_dir).to_pandas()
+    wanted = set(res.doc_id.tolist())
+
+    def fetch(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["doc_id"], pa.array(list(wanted), pa.int64()))
+        return b.filter(mask)
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    docs = pa.concat_tables(
+        ds.map_batches(fetch, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    text_by_id = dict(zip(docs["doc_id"].to_pylist(),
+                          docs["text"].to_pylist()))
+
+    out = {"query_id": [], "rank": [], "doc_id": [],
+           "first_hit": [], "window": []}
+    for qid, grp in res.groupby("query_id", sort=True):
+        grp = grp.sort_values("rank")
+        texts = pa.array([text_by_id[d] for d in grp.doc_id],
+                         pa.string())
+        low = pc.utf8_lower(texts)
+        firsts = np.full(len(grp), np.iinfo(np.int64).max, np.int64)
+        for term, _ in query_term_weights(DOC_QUERIES[qid]):
+            f = pc.find_substring(low, pattern=term).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            f = np.where(f < 0, np.iinfo(np.int64).max, f + 1)
+            firsts = np.minimum(firsts, f)
+        starts = np.maximum(1, firsts - HL_BEFORE)
+        wins = [pc.utf8_slice_codeunits(
+            texts.slice(i, 1), int(starts[i] - 1),
+            int(starts[i] - 1 + HL_LEN))[0].as_py()
+            for i in range(len(grp))]
+        out["query_id"].extend([qid] * len(grp))
+        out["rank"].extend(grp["rank"].tolist())
+        out["doc_id"].extend(grp.doc_id.tolist())
+        out["first_hit"].extend(firsts.tolist())
+        out["window"].extend(wins)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "first_hit": pa.array(out["first_hit"], pa.int64()),
+        "window": pa.array(out["window"], pa.string()),
+    })
+
+
 MU = 2000.0  # Dirichlet smoothing prior (Zhai & Lafferty 2001 default)
 
 
@@ -644,6 +705,27 @@ FROM ranked WHERE rank <= {TOPK}
 
 def sql_paged_topk() -> str:
     return sql_bm25_topk(rank_lo=PAGE2_LO, rank_hi=PAGE2_HI)
+
+
+def sql_highlight_topk() -> str:
+    return f"""
+WITH b AS ({sql_bm25_topk()}),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+hits AS (
+  SELECT b.query_id, b.rank, b.doc_id,
+         min(strpos(lower(d.text), q.term))
+           FILTER (WHERE strpos(lower(d.text), q.term) > 0)
+           ::BIGINT AS first_hit
+  FROM b
+  JOIN documents d ON b.doc_id = d.doc_id
+  JOIN q ON q.query_id = b.query_id
+  GROUP BY b.query_id, b.rank, b.doc_id
+)
+SELECT h.query_id, h.rank, h.doc_id, h.first_hit,
+       substr(d.text, greatest(1, h.first_hit - {HL_BEFORE})::INT,
+              {HL_LEN}) AS window
+FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+"""
 
 
 def sql_facet_counts() -> str:
@@ -1303,6 +1385,7 @@ QUERIES = {
     "dirichlet_topk": dirichlet_topk,
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
+    "highlight_topk": highlight_topk,
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
@@ -1324,6 +1407,7 @@ ORACLE_SQL = {
     "dirichlet_topk": sql_dirichlet_topk(),
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),
+    "highlight_topk": sql_highlight_topk(),
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),

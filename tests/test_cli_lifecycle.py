@@ -1,0 +1,66 @@
+"""CLI surface for the index lifecycle: build -> append -> delete ->
+query -> compact as a user would run them (each command is its own
+process owning its own guarded ray.init, like `ray job submit` would)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=240):
+    r = subprocess.run([sys.executable, "-m", "raysearch.cli", *args],
+                       capture_output=True, text=True, cwd=REPO,
+                       timeout=timeout,
+                       env={**os.environ, "PYTHONPATH": REPO})
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    return json.loads(lines[-1]) if lines else {}
+
+
+@pytest.mark.timeout(600)
+def test_cli_lifecycle_roundtrip(tmp_path):
+    corpus_a = str(tmp_path / "a.parquet")
+    corpus_b = str(tmp_path / "b.parquet")
+    idx = str(tmp_path / "idx")
+
+    # two disjoint corpora (gen-corpus is seeded; shift doc_ids for b)
+    _run(["gen-corpus", "--out", corpus_a, "--docs", "200"])
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(corpus_a)
+    tb = tb.set_column(tb.schema.get_field_index("doc_id"), "doc_id",
+                       pc.add(tb["doc_id"], 10_000))
+    pq.write_table(tb, corpus_b)
+
+    d = _run(["build", "--corpus", corpus_a, "--index", idx,
+              "--parts", "4"])
+    assert d["n_docs"] == 200
+
+    d = _run(["append", "--corpus", corpus_b, "--index", idx,
+              "--parts", "3"])
+    assert d["n_docs"] == 400
+    assert d["parts"] == 7
+
+    d = _run(["delete", "--index", idx, "--doc-ids", "0,1,10000"])
+    assert d["tombstones"] == 3
+
+    r = subprocess.run(
+        [sys.executable, "-m", "raysearch.cli", "query", "--index", idx,
+         "--query", "parser ast grammar", "--k", "5",
+         "--mode", "dirichlet"],
+        capture_output=True, text=True, cwd=REPO, timeout=240,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(ln) for ln in r.stdout.splitlines()
+            if ln.startswith("{")]
+    assert len(rows) == 5
+    assert not {row["doc_id"] for row in rows} & {0, 1, 10_000}
+
+    d = _run(["compact", "--index", idx])
+    assert d["n_docs"] == 397

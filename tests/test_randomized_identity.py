@@ -19,6 +19,8 @@ CASES = [
     (202, 1200, 16, 1, "overlap"),
     (303, 900, 5, 2, "bm25"),     # salted two-stage build
     (404, 400, 1, 1, "bm25"),     # single partition
+    (505, 800, 7, 1, "dirichlet"),  # query-likelihood mode, odd parts
+    (606, 600, 2, 2, "dirichlet"),  # dirichlet through the salted build
 ]
 
 
