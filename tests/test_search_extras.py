@@ -1,0 +1,103 @@
+"""Adversarial-edge parity for the round-4 search surface additions:
+highlight_topk (window clamps, substring-vs-token position semantics),
+paged_topk (partial second page, boundary ties), facet_counts
+(multi-facet grouping). Each case runs the REAL pipeline over a tiny
+/tmp documents.parquet against the same DuckDB oracle SQL."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _write_docs(path, rows):
+    """rows: list of (text, lang, source)."""
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[0]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(path, "documents.parquet"))
+    return str(path)
+
+
+def _oracle(d):
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    return con
+
+
+def _assert_parity(eng: pa.Table, con, sql: str):
+    e = eng.to_pandas()
+    o = con.execute(sql).df()
+    cols = sorted(e.columns)
+    pd.testing.assert_frame_equal(
+        e[cols].sort_values(cols, ignore_index=True),
+        o[cols].sort_values(cols, ignore_index=True),
+        check_exact=True)
+    return e
+
+
+def test_highlight_adversarial(ray_session, tmp_path):
+    from raysearch.pipelines import search_queries as sq
+
+    d = _write_docs(tmp_path, [
+        # query 0 is "Fast hash join?" -> terms fast, hash, join
+        ("hash at position one with join later", "en", "a"),   # clamp left
+        ("x" * 100 + " trailing hash", "en", "a"),              # short window
+        ("the hashing tool then a real hash token", "en", "a"),  # substring
+        #  ^ first_hit must point at 'hashing' (substring semantics,
+        #    pinned identically on both sides)
+        ("JOIN uppercase only join", "en", "a"),                # case fold
+        ("(hash) punctuation wrapped", "en", "a"),
+    ])
+    con = _oracle(d)
+    e = _assert_parity(sq.highlight_topk(d), con, sq.sql_highlight_topk())
+    q0 = e[e.query_id == 0].set_index("doc_id")
+    assert q0.loc[0, "first_hit"] == 1            # clamp: window from char 1
+    assert q0.loc[2, "first_hit"] == 5            # 'hashing' substring wins
+    assert q0.loc[0, "window"].startswith("hash at")
+
+
+def test_paged_partial_second_page(ray_session, tmp_path):
+    from raysearch.pipelines import search_queries as sq
+
+    # 15 docs match query 0's terms -> page 2 holds ranks 11..15 only
+    rows = [(f"hash join doc number {i} filler words", "en", "a")
+            for i in range(15)]
+    rows += [("nothing relevant at all", "en", "a")] * 5
+    d = _write_docs(tmp_path, rows)
+    con = _oracle(d)
+    e = _assert_parity(sq.paged_topk(d), con, sq.sql_paged_topk())
+    q0 = e[e.query_id == 0]
+    assert sorted(q0["rank"].tolist()) == [11, 12, 13, 14, 15]
+    # page 1 and page 2 are disjoint
+    p1 = sq.bm25_topk(d).to_pandas()
+    overlap = set(zip(p1.query_id, p1.doc_id)) & set(
+        zip(e.query_id, e.doc_id))
+    assert not overlap
+
+
+def test_facet_counts_adversarial(ray_session, tmp_path):
+    from raysearch.pipelines import search_queries as sq
+
+    rows = [(f"hash join doc {i}", lang, src)
+            for i, (lang, src) in enumerate(
+                [("en", "web"), ("en", "web"), ("en", "book"),
+                 ("de", "web"), ("fr", "code"), ("en", "web"),
+                 ("de", "book"), ("en", "code"), ("fr", "web"),
+                 ("de", "web"), ("en", "book"), ("fr", "code")])]
+    d = _write_docs(tmp_path, rows)
+    con = _oracle(d)
+    e = _assert_parity(sq.facet_counts(d), con, sq.sql_facet_counts())
+    q0 = e[e.query_id == 0]
+    # facet counts must add back up to the page size (10 hits)
+    assert q0.n_docs.sum() == 10
