@@ -86,7 +86,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 4, second wave: scoring mode + index lifecycle
           "dirichlet_topk", "appended_topk", "deleted_topk",
           "compacted_topk", "paged_topk", "facet_counts",
-          "highlight_topk"]
+          "highlight_topk", "market_share", "product_profit"]
 
 
 def run_quality(sf_dir: str) -> dict:

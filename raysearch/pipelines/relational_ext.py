@@ -1114,6 +1114,309 @@ SELECT
 """
 
 
+# ---- Q8 shape: national market share ----
+
+Q8_REGION = "EUROPE"
+Q8_TARGET = "NATION_8"
+Q8_TYPE = "PROMO"
+Q8_D1 = datetime.datetime(1996, 1, 1)
+Q8_D2 = datetime.datetime(1998, 1, 1)
+
+
+def _region_nationkeys(sf_dir: str, region_name: str) -> list[int]:
+    """nationkeys of one region (region x nation are O(5)/O(25) rows —
+    driver-side metadata)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rmap = dict(zip(region["r_name"].to_pylist(),
+                    region["r_regionkey"].to_numpy().tolist()))
+    rkey = rmap[region_name]
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    return nk[nation["n_regionkey"].to_numpy() == rkey].tolist()
+
+
+def _partkeys_ref(sf_dir: str, filters=None, name_contains=None):
+    """Broadcast the sorted partkeys matching a predicate (dimension
+    side, cap-checked like every broadcast in this module)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    n_part = _n_rows(sf_dir, "part.parquet")
+    if n_part > JOIN_BROADCAST_CAP:
+        raise ValueError(
+            f"part ({n_part} rows) exceeds the broadcast cap; use the "
+            "bucketed-shuffle membership join (joins.revenue_by_nation"
+            "'s >cap path) with the part filter pushed into the read")
+    cols = ["p_partkey"] + (["p_name"] if name_contains else [])
+    t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=cols, filters=filters)
+    if name_contains:
+        t = t.filter(pc.match_substring(t["p_name"], name_contains))
+    pk = np.sort(t["p_partkey"].to_numpy().astype(np.int64))
+    return ray.put(pk)
+
+
+@fmt_doc(region=Q8_REGION, tgt=Q8_TARGET, ptype=Q8_TYPE,
+         d1=Q8_D1, d2=Q8_D2)
+def market_share(sf_dir: str) -> pa.Table:
+    """TPC-H-Q8-shaped national market share: among '{ptype}'-part
+    order lines bought by {region} customers with orders placed in
+    {d1:%Y}..{d2:%Y}, the fraction of c4 revenue supplied by
+    '{tgt}', per order year — the conditional-share aggregate
+    (CASE numerator over the same sum).
+
+    Shape: three broadcast dimensions ({ptype} partkeys, supplier ->
+    nationkey, {region}-customer membership — all FK/cap-checked);
+    orders (window pushed into the read) emit (okey, year) for
+    in-region customers; lineitem keeps {ptype}-part lines, resolves
+    the supplier nation locally and collapses map-side to per-okey
+    (target_c4, total_c4) partials. ONE orderkey-bucketed exchange
+    joins the sides; the final aggregate is year-cardinality. The
+    only float is mkt_share = round6(target/total), computed with the
+    same float64 division on both engines."""
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+    from raysearch.numutil import round6
+
+    names = _nation_names(sf_dir)
+    target_keys = [k for k, v in names.items() if v == Q8_TARGET]
+    if not target_keys:
+        raise ValueError(f"nation {Q8_TARGET!r} not in nation table")
+    target_key = target_keys[0]
+    region_nats = _region_nationkeys(sf_dir, Q8_REGION)
+    cust_ref = _broadcast_dim(
+        sf_dir, "customer.parquet", "c_custkey", "c_nationkey",
+        filters=[("c_nationkey", "in", region_nats)])
+    supp_ref = _nation_dim(sf_dir, "supplier.parquet",
+                           "s_suppkey", "s_nationkey", names)
+    pk_ref = _partkeys_ref(sf_dir, filters=[("p_type", "==", Q8_TYPE)])
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        hit, _ = _lookup(df["o_custkey"].to_numpy(np.int64), cust_ref)
+        ok = ok[hit]
+        yr = df["o_orderdate"].dt.year.to_numpy(np.int64)[hit]
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok, "year": yr,
+            "side": np.int64(0), "tgt": np.int64(0), "c4": np.int64(0)})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        phit, _ = _sorted_hits(ray.get(pk_ref),
+                               df["l_partkey"].to_numpy(np.int64))
+        shit, snat = _lookup(df["l_suppkey"].to_numpy(np.int64),
+                             supp_ref)
+        keep = phit & shit
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        c4 = (cents * (100 - disc))[keep]
+        snat_all = np.full(len(ok), -1, np.int64)
+        snat_all[shit] = snat
+        is_tgt = snat_all[keep] == target_key
+        g = (pd.DataFrame({"okey": ok[keep], "c4": c4,
+                           "tgt": np.where(is_tgt, c4, 0)})
+             .groupby("okey", as_index=False)
+             .agg(tgt=("tgt", "sum"), c4=("c4", "sum")))
+        return g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                        year=np.int64(-1), side=np.int64(1))[
+            ["bucket", "okey", "year", "side", "tgt", "c4"]]
+
+    def join_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 0][["okey", "year"]]
+        li = (g[g.side == 1].groupby("okey", as_index=False)
+              .agg(tgt=("tgt", "sum"), c4=("c4", "sum")))
+        j = o.merge(li, on="okey", how="inner")
+        return (j.groupby("year", as_index=False)
+                .agg(tgt=("tgt", "sum"), c4=("c4", "sum")))
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pads.field("o_orderdate") >= Q8_D1)
+                           & (pads.field("o_orderdate") < Q8_D2))
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]
+               ).map_batches(l_partial, batch_format="pandas")
+    agg = (orders.union(li)
+           .groupby("bucket").map_groups(join_kern,
+                                         batch_format="pandas")
+           .groupby("year").aggregate(
+               Sum("tgt", alias_name="target_c4"),
+               Sum("c4", alias_name="total_c4")))
+    df = agg.to_pandas()
+    if "year" not in df.columns or not len(df):
+        return pa.table({
+            "o_year": pa.array([], pa.int64()),
+            "target_c4": pa.array([], pa.int64()),
+            "total_c4": pa.array([], pa.int64()),
+            "mkt_share": pa.array([], pa.float64())})
+    df = df.sort_values("year", ignore_index=True)
+    tgt = df.target_c4.to_numpy(np.int64)
+    tot = df.total_c4.to_numpy(np.int64)
+    share = round6(tgt.astype(np.float64) / tot.astype(np.float64))
+    return pa.table({
+        "o_year": pa.array(df.year.to_numpy(np.int64), pa.int64()),
+        "target_c4": pa.array(tgt, pa.int64()),
+        "total_c4": pa.array(tot, pa.int64()),
+        "mkt_share": pa.array(share, pa.float64()),
+    })
+
+
+def sql_market_share() -> str:
+    return f"""
+WITH f AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS c4,
+         ns.n_name AS snation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{Q8_D1:%Y-%m-%d}'
+    AND o_orderdate < TIMESTAMP '{Q8_D2:%Y-%m-%d}'
+)
+SELECT o_year::BIGINT AS o_year,
+       sum(CASE WHEN snation = '{Q8_TARGET}' THEN c4 ELSE 0 END)
+         ::BIGINT AS target_c4,
+       sum(c4)::BIGINT AS total_c4,
+       round(sum(CASE WHEN snation = '{Q8_TARGET}' THEN c4 ELSE 0 END)
+             ::DOUBLE / sum(c4), 6) AS mkt_share
+FROM f GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---- Q9 shape: product-line profit by supplier nation and year ----
+
+Q9_WORD = "widget"
+
+
+@fmt_doc(w=Q9_WORD)
+def product_profit(sf_dir: str) -> pa.Table:
+    """TPC-H-Q9-shaped product-line profit: c4 revenue of lines whose
+    part name contains '{w}', grouped by (supplier nation, order
+    year). (The schema has no partsupp/ps_supplycost, so profit is
+    the price-side term of Q9's expression — the join/rollup shape is
+    the point.)
+
+    Shape: '{w}' partkeys (substring match on the dimension read) and
+    the supplier nation map broadcast once; orders emit (okey, year);
+    lineitem keeps matching parts and collapses map-side to per-
+    (okey, snat) c4 partials; ONE orderkey-bucketed exchange joins
+    them and the final aggregate is (nation x year)-cardinality.
+    Names attach driver-side (nation is O(25) rows)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from raysearch.hashing import auto_buckets
+
+    names = _nation_names(sf_dir)
+    supp_ref = _nation_dim(sf_dir, "supplier.parquet",
+                           "s_suppkey", "s_nationkey", names)
+    pk_ref = _partkeys_ref(sf_dir, name_contains=Q9_WORD)
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        yr = df["o_orderdate"].dt.year.to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok, "year": yr,
+            "snat": np.int64(-1), "side": np.int64(0),
+            "nl": np.int64(0), "c4": np.int64(0)})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        phit, _ = _sorted_hits(ray.get(pk_ref),
+                               df["l_partkey"].to_numpy(np.int64))
+        shit, snat = _lookup(df["l_suppkey"].to_numpy(np.int64),
+                             supp_ref)
+        keep = phit & shit
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        c4 = (cents * (100 - disc))[keep]
+        snat_all = np.full(len(ok), -1, np.int64)
+        snat_all[shit] = snat
+        g = (pd.DataFrame({"okey": ok[keep], "snat": snat_all[keep],
+                           "c4": c4})
+             .groupby(["okey", "snat"], as_index=False)
+             .agg(nl=("c4", "size"), c4=("c4", "sum")))
+        g["nl"] = g["nl"].astype(np.int64)
+        return g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                        year=np.int64(-1), side=np.int64(1))[
+            ["bucket", "okey", "year", "snat", "side", "nl", "c4"]]
+
+    def join_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 0][["okey", "year"]]
+        li = (g[g.side == 1]
+              .groupby(["okey", "snat"], as_index=False)
+              .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+        j = o.merge(li, on="okey", how="inner")
+        return (j.groupby(["snat", "year"], as_index=False)
+                .agg(nl=("nl", "sum"), c4=("c4", "sum")))
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_orderdate"]
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]
+               ).map_batches(l_partial, batch_format="pandas")
+    agg = (orders.union(li)
+           .groupby("bucket").map_groups(join_kern,
+                                         batch_format="pandas")
+           .groupby(["snat", "year"]).aggregate(
+               Sum("nl", alias_name="n_lines"),
+               Sum("c4", alias_name="profit_c4")))
+    df = agg.to_pandas()
+    if "snat" not in df.columns or not len(df):
+        return pa.table({
+            "nation": pa.array([], pa.string()),
+            "o_year": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+            "profit_c4": pa.array([], pa.int64())})
+    df["nation"] = df.snat.map(names)
+    df = df.sort_values(["nation", "year"], ignore_index=True)
+    return pa.table({
+        "nation": pa.array(df.nation.tolist(), pa.string()),
+        "o_year": pa.array(df.year.to_numpy(np.int64), pa.int64()),
+        "n_lines": pa.array(df.n_lines.to_numpy(np.int64), pa.int64()),
+        "profit_c4": pa.array(df.profit_c4.to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def sql_product_profit() -> str:
+    return f"""
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       count(*)::BIGINT AS n_lines,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+           )::BIGINT AS profit_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{Q9_WORD}%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "returned_item_customers": returned_item_customers,
     "nation_trade_volume": nation_trade_volume,
@@ -1124,6 +1427,8 @@ QUERIES = {
     "min_cost_supplier": min_cost_supplier,
     "important_parts": important_parts,
     "fk_integrity": fk_integrity,
+    "market_share": market_share,
+    "product_profit": product_profit,
 }
 
 ORACLE_SQL = {
@@ -1136,4 +1441,6 @@ ORACLE_SQL = {
     "min_cost_supplier": sql_min_cost_supplier(),
     "important_parts": sql_important_parts(),
     "fk_integrity": sql_fk_integrity(),
+    "market_share": sql_market_share(),
+    "product_profit": sql_product_profit(),
 }

@@ -301,3 +301,70 @@ def test_disjunct_revenue_term_boundaries(ray_session, tmp_path,
     assert df.revenue_c4.tolist() == [
         10000 * 100 + 20000 * 95 + 40000 * 100]
     _assert_parity(out, sf, RX.sql_disjunct_revenue())
+
+
+T_Q8_IN = int(pd.Timestamp("1996-07-01").value // 1000)
+T_Q8_EDGE = int(pd.Timestamp("1998-01-01").value // 1000)  # excluded
+T_Q8_97 = int(pd.Timestamp("1997-03-01").value // 1000)
+
+
+def test_market_share_case_numerator(ray_session, tmp_path, monkeypatch):
+    """Q8 shape: in-region/in-window gating, dangling-FK drops, and
+    the CASE-numerator share per year."""
+    monkeypatch.setattr(RX, "Q8_TYPE", "STANDARD")
+    monkeypatch.setattr(RX, "Q8_TARGET", "NATION_2")
+    sf = _star(
+        tmp_path,
+        customers=[(1, 3, 0.0), (2, 0, 0.0), (3, 8, 0.0)],
+        # nation 3 and 8 are EUROPE (regionkey 3); nation 0 is not
+        suppliers=[(1, 2), (2, 5), (3, 99)],   # s3: dangling nation
+        parts=[(1, "B"), (2, "B")],
+        orders=[(10, 1, T_Q8_IN),    # in region, 1996
+                (11, 2, T_Q8_IN),    # out of region
+                (12, 3, T_Q8_EDGE),  # boundary date: excluded
+                (13, 1, T_Q8_97),    # in region, 1997
+                (14, 999, T_Q8_IN)],  # dangling custkey
+        lineitems=[
+            (10, 1, 1, 1, 100.0, 0.0, T_IN, "N"),   # target 1996
+            (10, 2, 2, 1, 300.0, 0.0, T_IN, "N"),   # non-target 1996
+            (13, 1, 2, 1, 500.0, 0.0, T_IN, "N"),   # non-target 1997
+            (13, 2, 3, 1, 700.0, 0.0, T_IN, "N"),   # dangling supp
+            (11, 1, 1, 1, 900.0, 0.0, T_IN, "N"),   # out-of-region
+            (12, 1, 1, 1, 1100.0, 0.0, T_IN, "N"),  # excluded date
+            (14, 1, 1, 1, 1300.0, 0.0, T_IN, "N"),  # dangling cust
+        ])
+    out = RX.market_share(sf)
+    _assert_parity(out, sf, RX.sql_market_share())
+    df = out.to_pandas().set_index("o_year")
+    assert df.loc[1996, "target_c4"] == 100 * 100 * 100
+    assert df.loc[1996, "total_c4"] == (100 + 300) * 100 * 100
+    assert df.loc[1996, "mkt_share"] == 0.25
+    assert df.loc[1997, "target_c4"] == 0       # CASE numerator zero
+    assert df.loc[1997, "mkt_share"] == 0.0
+    assert set(df.index) == {1996, 1997}
+
+
+def test_product_profit_substring_and_dangling(ray_session, tmp_path,
+                                               monkeypatch):
+    """Q9 shape: substring part-name match (P1 also matches P12) and
+    dangling supplier drop; (nation, year) rollup."""
+    monkeypatch.setattr(RX, "Q9_WORD", "P1")
+    sf = _star(
+        tmp_path,
+        customers=[(1, 3, 0.0)],
+        suppliers=[(1, 1), (2, 99)],            # s2: dangling nation
+        parts=[(1, "B"), (2, "B"), (12, "B")],  # names P1, P2, P12
+        orders=[(10, 1, T_Q8_IN), (11, 1, T_Q8_97)],
+        lineitems=[
+            (10, 1, 1, 1, 100.0, 0.0, T_IN, "N"),   # P1 1996
+            (10, 2, 1, 1, 300.0, 0.0, T_IN, "N"),   # P2: name miss
+            (11, 12, 1, 1, 500.0, 0.0, T_IN, "N"),  # P12 matches 'P1'
+            (11, 1, 2, 1, 700.0, 0.0, T_IN, "N"),   # dangling supp
+        ])
+    out = RX.product_profit(sf)
+    _assert_parity(out, sf, RX.sql_product_profit())
+    df = out.to_pandas()
+    assert df.nation.tolist() == ["NATION_1", "NATION_1"]
+    assert df.o_year.tolist() == [1996, 1997]
+    assert df.profit_c4.tolist() == [100 * 100 * 100, 500 * 100 * 100]
+    assert df.n_lines.tolist() == [1, 1]
