@@ -143,4 +143,14 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
         out_dir, merged, config,
         {"input_id": input_id, "config_hash": config_hash},
         extra={"vocab_size": vocab,
-               "parts": sorted(int(r["part"]) for r in out_rows)})
+               "parts": sorted(int(r["part"]) for r in out_rows),
+               # same per-part partial record the build writes — an
+               # append onto a merged index can then stat-merge from
+               # metadata alone (maintenance._part_partials)
+               "parts_detail": sorted(
+                   ({"part": int(r["part"]), "n_docs": int(r["n_docs"]),
+                     "n_terms": int(r["n_terms"]),
+                     "n_postings": int(r["n_postings"]),
+                     "sum_dl": int(r["sum_dl"]),
+                     "total_tf": int(r["total_tf"])} for r in out_rows),
+                   key=lambda d: d["part"])})
