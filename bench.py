@@ -86,7 +86,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 4, second wave: scoring mode + index lifecycle
           "dirichlet_topk", "appended_topk", "deleted_topk",
           "compacted_topk", "paged_topk", "facet_counts",
-          "highlight_topk", "market_share", "product_profit"]
+          "highlight_topk", "market_share", "product_profit",
+          "synonym_topk"]
 
 
 def run_quality(sf_dir: str) -> dict:

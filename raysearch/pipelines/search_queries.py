@@ -185,15 +185,18 @@ def _topk_rounded(sf_dir: str, mode: str) -> pa.Table:
 
 def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
                            rank_hi: int = TOPK,
-                           buffer: int = _TOPK_BUFFER) -> pa.Table:
+                           buffer: int = _TOPK_BUFFER,
+                           queries=None) -> pa.Table:
     """DOC_QUERIES top-k over an already-built index with the oracle's
     rounding/tie contract — shared by the sf_dir-cached entries here,
-    the index-lifecycle entries (pipelines/lifecycle.py), and the
+    the index-lifecycle entries (pipelines/lifecycle.py), the
     deep-pagination entry (rank_lo..rank_hi window; the per-part raw
-    buffer must exceed rank_hi by the rounding-tie slack)."""
+    buffer must exceed rank_hi by the rounding-tie slack), and the
+    synonym-expansion entry (pre-tokenized ``queries`` override)."""
     from raysearch.query import query_index
 
-    raw = query_index(idx, DOC_QUERIES, k=buffer, mode=mode)
+    raw = query_index(idx, queries if queries is not None
+                      else DOC_QUERIES, k=buffer, mode=mode)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],
@@ -528,6 +531,42 @@ def highlight_topk(sf_dir: str) -> pa.Table:
     })
 
 
+# analyzer synonym table: query-side expansion at equal weight (the
+# classic synonym token filter). Entries whose synonym is absent from
+# the corpus exercise the posting-miss path.
+SYNONYMS: dict[str, tuple[str, ...]] = {
+    "sort": ("order",),
+    "stream": ("batch",),
+    "row": ("line",),
+    "big": ("large",),      # absent from the corpus vocabulary
+    "merge": ("combine",),  # absent
+}
+
+
+def expanded_qweights(query: str) -> list[tuple[str, int]]:
+    """query_term_weights plus each term's synonyms at the SAME
+    multiplicity; collisions sum; ascending unique-term order (the
+    accumulation contract is unchanged, so per-segment scores stay
+    final)."""
+    agg: dict[str, int] = {}
+    for t, w in query_term_weights(query):
+        agg[t] = agg.get(t, 0) + w
+        for s in SYNONYMS.get(t, ()):
+            agg[s] = agg.get(s, 0) + w
+    return sorted(agg.items())
+
+
+def synonym_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k with query-side synonym expansion — the analyzer
+    chain's synonym filter as a query rewrite: each query term also
+    matches its SYNONYMS entries at equal weight. Pre-tokenized
+    weights flow through the same broadcast/scorer plan as bm25_topk
+    (expansion widens the posting reads, never the corpus)."""
+    qw = [expanded_qweights(q) for q in DOC_QUERIES]
+    return topk_rounded_for_index(cached_index(sf_dir), "bm25",
+                                  queries=qw)
+
+
 MU = 2000.0  # Dirichlet smoothing prior (Zhai & Lafferty 2001 default)
 
 
@@ -613,12 +652,15 @@ WHERE tf.term IN ({terms})
 
 
 def sql_bm25_topk(rel: str = "documents", scores_where: str = "",
-                  rank_lo: int = 1, rank_hi: int = TOPK) -> str:
+                  rank_lo: int = 1, rank_hi: int = TOPK,
+                  qvalues: str | None = None) -> str:
     """BM25 oracle. ``rel`` swaps the corpus relation (lifecycle
     oracles score a filtered corpus with recomputed stats);
     ``scores_where`` restricts only the SCORED candidate rows while
     df/N/avgdl stay whole-corpus — the tombstone (stale-stats)
-    semantics; ``rank_lo``/``rank_hi`` select a pagination window."""
+    semantics; ``rank_lo``/``rank_hi`` select a pagination window;
+    ``qvalues`` overrides the query-term VALUES rows (synonym
+    expansion)."""
     where = f"WHERE {scores_where}" if scores_where else ""
     return f"""
 WITH {_tok_ctes(rel)},
@@ -628,7 +670,7 @@ stats AS (
          (SELECT sum(dl) FROM dl)::DOUBLE
            / (SELECT count(*) FROM {rel}) AS avgdl
 ),
-q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+q(query_id, term, w) AS (VALUES {qvalues or _qterms_values(True)}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
          sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -705,6 +747,18 @@ FROM ranked WHERE rank <= {TOPK}
 
 def sql_paged_topk() -> str:
     return sql_bm25_topk(rank_lo=PAGE2_LO, rank_hi=PAGE2_HI)
+
+
+def _qterms_values_expanded() -> str:
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for term, w in expanded_qweights(q):
+            rows.append(f"({qid}, '{term}', {float(w)!r})")
+    return ", ".join(rows)
+
+
+def sql_synonym_topk() -> str:
+    return sql_bm25_topk(qvalues=_qterms_values_expanded())
 
 
 def sql_highlight_topk() -> str:
@@ -1386,6 +1440,7 @@ QUERIES = {
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
     "highlight_topk": highlight_topk,
+    "synonym_topk": synonym_topk,
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
@@ -1408,6 +1463,7 @@ ORACLE_SQL = {
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),
     "highlight_topk": sql_highlight_topk(),
+    "synonym_topk": sql_synonym_topk(),
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),

@@ -101,3 +101,36 @@ def test_facet_counts_adversarial(ray_session, tmp_path):
     q0 = e[e.query_id == 0]
     # facet counts must add back up to the page size (10 hits)
     assert q0.n_docs.sum() == 10
+
+
+def test_synonym_expansion_semantics(ray_session, tmp_path, monkeypatch):
+    """Synonym filter: expanded term matches docs lacking the original;
+    weights sum on collision; absent synonyms are inert."""
+    from raysearch.pipelines import search_queries as sq
+
+    monkeypatch.setattr(sq, "SYNONYMS", {"hash": ("digest",),
+                                         "join": ("zzznever",)})
+    d = _write_docs(tmp_path, [
+        ("digest only document here", "en", "a"),   # matches via synonym
+        ("hash only document here", "en", "a"),     # matches via original
+        ("hash digest both in one", "en", "a"),     # both contribute
+        ("unrelated filler words", "en", "a"),
+    ])
+    con = _oracle(d)
+    e = _assert_parity(sq.synonym_topk(d), con, sq.sql_synonym_topk())
+    q0 = e[e.query_id == 0]  # "Fast hash join?"
+    assert {0, 1, 2} <= set(q0.doc_id)          # synonym-only doc ranked
+    plain = sq.bm25_topk(d).to_pandas()
+    assert 0 not in set(plain[plain.query_id == 0].doc_id)
+
+
+def test_expanded_qweights_collision_sum():
+    from raysearch.pipelines import search_queries as sq
+
+    orig = sq.SYNONYMS
+    try:
+        sq.SYNONYMS = {"hash": ("join",)}   # synonym collides with term
+        qw = dict(sq.expanded_qweights("hash join join"))
+        assert qw == {"hash": 1, "join": 3}  # 2 original + 1 expanded
+    finally:
+        sq.SYNONYMS = orig
