@@ -383,7 +383,8 @@ def main(argv=None) -> None:
     s = sub.add_parser("serve")
     s.add_argument("--index", required=True)
     s.add_argument("--k", type=int, default=10)
-    s.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
+    s.add_argument("--mode", choices=["bm25", "overlap", "dirichlet"],
+                   default="bm25")
     s.add_argument("--actors", type=int, default=None)
     s.set_defaults(fn=cmd_serve)
 
@@ -409,7 +410,8 @@ def main(argv=None) -> None:
                    help="index dir (default: fresh temp dir)")
     e.add_argument("--parts", type=int, default=4)
     e.add_argument("--k", type=int, default=10)
-    e.add_argument("--mode", choices=["bm25", "overlap"], default="bm25")
+    e.add_argument("--mode", choices=["bm25", "overlap", "dirichlet"],
+                   default="bm25")
     e.set_defaults(fn=cmd_evaluate)
 
     mo = sub.add_parser("monitor")

@@ -36,6 +36,7 @@ from collections import OrderedDict
 import pandas as pd
 
 from raysearch.query import (
+    lexicon_cf,
     lexicon_df,
     merge_candidates,
     as_qweights,
@@ -58,6 +59,7 @@ class _SegmentServerImpl:
         self.parts = list(parts)
         self.n_docs = st["n_docs"]
         self.avgdl = st["avgdl"]
+        self.total_tokens = st.get("total_tokens", 0)
         self.k1, self.b = cfg["k1"], cfg["b"]
         self.cache_terms = cache_terms
         # tombstones snapshot AS OF session creation (the documented
@@ -119,7 +121,9 @@ class _SegmentServerImpl:
     # -- serving --
 
     def query_batch(self, queries: list[str], k: int, mode: str,
-                    df: dict[str, int], prune: bool = False) -> pd.DataFrame:
+                    df: dict[str, int], prune: bool = False,
+                    cf: dict[str, int] | None = None,
+                    mu: float = 2000.0) -> pd.DataFrame:
         qweights = [as_qweights(q) for q in queries]
         all_terms = sorted({t for qw in qweights for t, _ in qw})
         frames = []
@@ -127,7 +131,8 @@ class _SegmentServerImpl:
             postings, max_tfs = self._ensure_terms(part, all_terms)
             tbl = score_queries_over_postings(
                 qweights, postings, max_tfs, df, self.n_docs,
-                self.avgdl, self.k1, self.b, k, mode, prune)
+                self.avgdl, self.k1, self.b, k, mode, prune,
+                cf=cf, total_tokens=self.total_tokens, mu=mu)
             frames.append(tbl.to_pandas())
         if not frames:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
@@ -201,7 +206,9 @@ class QuerySession:
         qweights = [as_qweights(q) for q in queries]
         all_terms = sorted({t for qw in qweights for t, _ in qw})
         df = lexicon_df(self.index_dir, all_terms)
-        refs = [a.query_batch.remote(queries, k, mode, df, prune)
+        cf = (lexicon_cf(self.index_dir, all_terms)
+              if mode == "dirichlet" else None)
+        refs = [a.query_batch.remote(queries, k, mode, df, prune, cf)
                 for a in self._actors]
         if refs:
             cand = pd.concat(ray.get(refs), ignore_index=True)

@@ -103,3 +103,27 @@ def test_scores_negative_and_tf_monotone():
     by = dict(zip(d.tolist(), s.tolist()))
     assert all(v < 0 for v in by.values())
     assert by[2] > by[1]
+
+
+def test_resident_dirichlet_identity(ray_session, tmp_path):
+    """The resident serving path supports dirichlet and is
+    bit-identical to the one-shot scorer and the oracle."""
+    import ray.data
+
+    from raysearch.build import build_index
+    from raysearch.config import IndexConfig
+    from raysearch.corpus import QUERIES, generate_corpus
+    from raysearch.oracle import Oracle
+    from raysearch.query import query_index
+    from raysearch.serve import QuerySession
+
+    corpus = generate_corpus(600, seed=707, labeled=True)
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(corpus), idx,
+                IndexConfig(num_parts=5), input_id="rand-707")
+    golden = Oracle(corpus).search_all(QUERIES, k=10, mode="dirichlet")
+    one_shot = query_index(idx, QUERIES, k=10, mode="dirichlet")
+    with QuerySession(idx, num_actors=2) as s:
+        resident = s.query_batch(QUERIES, k=10, mode="dirichlet")
+    assert one_shot.equals(golden)
+    assert resident.equals(golden)
