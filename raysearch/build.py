@@ -169,6 +169,24 @@ def _make_segment_writer(index_dir: str, config: IndexConfig,
     return write_segment
 
 
+def _exchange_width(num_parts: int) -> int:
+    """Physical block width for the triples shuffle: the sort exchange
+    creates (map blocks x reduce partitions) intermediate objects —
+    QUADRATIC in block count (measured: P=64 blocks 13.5 s, P=128
+    blocks 45 s on a 1M-doc corpus) — so the width is capped
+    independently of num_parts. Reduce groups (one per gkey) are
+    unaffected: any number of logical groups flows through a bounded
+    physical exchange. Shared by build_index and
+    maintenance.append_index (ONE place for the cap)."""
+    try:
+        import ray as _ray
+
+        n_cpus = int(_ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        n_cpus = 32
+    return min(max(num_parts, n_cpus), 64)
+
+
 def _prune_orphan_segments(index_dir: str, keep: set[int]) -> int:
     """Remove segment dirs not in ``keep``. A rebuild with fewer parts
     (or a crashed append with a different source) leaves orphaned
@@ -347,19 +365,7 @@ def build_index(
                 and set(st.get("parts", [])) <= valid):
             return BuildResult(index_dir, st, 0, len(st.get("parts", [])))
 
-    # Bound the shuffle's physical width: the sort exchange creates
-    # (map blocks x reduce partitions) intermediate objects —
-    # QUADRATIC in block count (measured: P=64 blocks 13.5s, P=128
-    # blocks 45s on a 1M-doc corpus) — so the width is capped
-    # independently of num_parts. Reduce groups (one per gkey) are
-    # unaffected: any number of logical groups flows through a bounded
-    # physical exchange.
-    try:
-        import ray as _ray
-        n_cpus = int(_ray.cluster_resources().get("CPU", 32))
-    except Exception:
-        n_cpus = 32
-    width = min(max(config.num_parts, n_cpus), 64)
+    width = _exchange_width(config.num_parts)
     if plain_source:
         # Shape the block count AT THE READ instead of paying a
         # separate repartition exchange of every triple row (measured:

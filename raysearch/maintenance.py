@@ -40,7 +40,6 @@ import re
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from raysearch import checkpoint
@@ -66,14 +65,26 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     one. Returns the total number of distinct tombstoned docs."""
     ddir = _deletes_dir(index_dir)
     os.makedirs(ddir, exist_ok=True)
-    existing = [m for f in os.listdir(ddir)
-                if (m := _DELETE_FILE_RE.fullmatch(f))]
-    nxt = 1 + max((int(m.group(1)) for m in existing), default=-1)
     arr = np.unique(np.asarray(list(doc_ids), np.int64))
-    path = os.path.join(ddir, f"delete-{nxt:05d}.parquet")
-    tmp = path + f".tmp-{os.getpid()}"
+    tmp = os.path.join(ddir, f".tmp-{os.getpid()}")
     pq.write_table(pa.table({"doc_id": pa.array(arr, pa.int64())}), tmp)
-    os.replace(tmp, path)
+    try:
+        while True:
+            existing = [m for f in os.listdir(ddir)
+                        if (m := _DELETE_FILE_RE.fullmatch(f))]
+            nxt = 1 + max((int(m.group(1)) for m in existing),
+                          default=-1)
+            path = os.path.join(ddir, f"delete-{nxt:05d}.parquet")
+            try:
+                # link (not rename): fails with EEXIST if a concurrent
+                # deleter claimed the same number, so nobody's
+                # tombstones are ever silently overwritten
+                os.link(tmp, path)
+                break
+            except FileExistsError:
+                continue
+    finally:
+        os.unlink(tmp)
     return len(load_deletes(index_dir))
 
 
@@ -312,6 +323,7 @@ def append_index(
 
     from raysearch.build import (
         _auto_parts,
+        _exchange_width,
         _footer_rows,
         _make_segment_writer,
         _write_lexicon,
@@ -357,13 +369,7 @@ def append_index(
             part_dirname(index_dir, part_offset + p), config_hash,
             append_id))
 
-    try:
-        import ray as _ray
-
-        n_cpus = int(_ray.cluster_resources().get("CPU", 32))
-    except Exception:
-        n_cpus = 32
-    width = min(max(num_parts, n_cpus), 64)
+    width = _exchange_width(num_parts)
     if plain_source:
         ds = ray.data.read_parquet(source,
                                    columns=["doc_id", "lang", "content"],

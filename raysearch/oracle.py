@@ -51,6 +51,8 @@ class Oracle:
         self.total_tokens = int(sum(self.doc_lens.values()))
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 0.0
         self.df = {t: len(p[0]) for t, p in self.postings.items()}
+        self.cf = {t: int(p[1].sum())
+                   for t, p in self._np_postings.items()}
 
     def search(self, query: str, k: int = 10, mode: str = "bm25",
                mu: float = 2000.0) -> list[tuple[int, float]]:
@@ -58,9 +60,9 @@ class Oracle:
         if mode == "dirichlet":
             from raysearch.score import dirichlet_scores
 
-            cf = {t: int(p[1].sum()) for t, p in self._np_postings.items()}
             docs, scores = dirichlet_scores(
-                qw, self._np_postings.get, cf, self.total_tokens, mu)
+                qw, self._np_postings.get, self.cf,
+                self.total_tokens, mu)
         else:
             docs, scores = score_postings(
                 qw, self._np_postings.get, self.df, self.n_docs,

@@ -46,28 +46,34 @@ _NUM_PARTS = 8
 
 
 def _corpus_reader(sf_dir: str):
+    """Same column contract as search_queries._corpus_ds: (doc_id,
+    content) ONLY — no lang column, so every row takes the plain
+    whitespace tokenizer that matches the \\S+ oracle CTEs (a lang
+    value like 'json'/'html' would otherwise route rows to the
+    structured tokenizers and break oracle equivalence)."""
     import ray.data
 
     ds = ray.data.read_parquet(_docs_path(sf_dir),
-                               columns=["doc_id", "lang", "text"])
+                               columns=["doc_id", "text"])
     return ds.map_batches(
-        lambda b: b.rename_columns(["doc_id", "lang", "content"]),
+        lambda b: b.rename_columns(["doc_id", "content"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _split_reader(sf_dir: str, parity: int):
     """Streaming corpus reader restricted to doc_id % 2 == parity —
     the append split, filtered inside map_batches (no driver
-    materialization)."""
+    materialization). Same (doc_id, content) contract as
+    _corpus_reader."""
     def pick(b: pa.Table) -> pa.Table:
-        b = b.rename_columns(["doc_id", "lang", "content"])
+        b = b.rename_columns(["doc_id", "content"])
         keep = pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity)
         return b.filter(keep)
 
     import ray.data
 
     ds = ray.data.read_parquet(_docs_path(sf_dir),
-                               columns=["doc_id", "lang", "text"])
+                               columns=["doc_id", "text"])
     return ds.map_batches(pick, batch_format="pyarrow",
                           zero_copy_batch=True)
 

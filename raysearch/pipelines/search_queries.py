@@ -475,12 +475,15 @@ HL_BEFORE, HL_LEN = 20, 60  # highlight window: 20 chars of left context
 
 def highlight_topk(sf_dir: str) -> pa.Table:
     """Hit highlighting: for each BM25 top-k hit, the first query-term
-    occurrence position (1-based, min over the query's terms as
-    substrings of lower(text)) and a 60-char window starting 20 chars
-    before it. Text fetch is the snippet broadcast-join shape
-    (k-bounded ids filter a pruned documents read); position search is
-    pyarrow find_substring per query term over that query's <= k hit
-    texts — never a corpus scan."""
+    occurrence position (1-based CHARACTER position, min over the
+    query's terms as substrings of lower(text)) and a 60-char window
+    starting 20 chars before it. Text fetch is the snippet
+    broadcast-join shape (k-bounded ids filter a pruned documents
+    read); the position search runs driver-side over that query's
+    <= k hit texts in Python's character domain (str.find), the same
+    unit DuckDB's strpos/substr use — pyarrow's find_substring
+    returns BYTE offsets and would diverge on non-ASCII text. The
+    per-row work is k-bounded by construction, never a corpus scan."""
     import ray.data
 
     res = bm25_topk(sf_dir).to_pandas()
@@ -503,25 +506,18 @@ def highlight_topk(sf_dir: str) -> pa.Table:
            "first_hit": [], "window": []}
     for qid, grp in res.groupby("query_id", sort=True):
         grp = grp.sort_values("rank")
-        texts = pa.array([text_by_id[d] for d in grp.doc_id],
-                         pa.string())
-        low = pc.utf8_lower(texts)
-        firsts = np.full(len(grp), np.iinfo(np.int64).max, np.int64)
-        for term, _ in query_term_weights(DOC_QUERIES[qid]):
-            f = pc.find_substring(low, pattern=term).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            f = np.where(f < 0, np.iinfo(np.int64).max, f + 1)
-            firsts = np.minimum(firsts, f)
-        starts = np.maximum(1, firsts - HL_BEFORE)
-        wins = [pc.utf8_slice_codeunits(
-            texts.slice(i, 1), int(starts[i] - 1),
-            int(starts[i] - 1 + HL_LEN))[0].as_py()
-            for i in range(len(grp))]
+        terms = [t for t, _ in query_term_weights(DOC_QUERIES[qid])]
+        for did in grp.doc_id:
+            text = text_by_id[did]
+            low = text.lower()
+            hits = [p for p in (low.find(t) for t in terms) if p >= 0]
+            first = min(hits) + 1  # a BM25 hit always contains a term
+            start = max(1, first - HL_BEFORE)
+            out["first_hit"].append(first)
+            out["window"].append(text[start - 1:start - 1 + HL_LEN])
         out["query_id"].extend([qid] * len(grp))
         out["rank"].extend(grp["rank"].tolist())
         out["doc_id"].extend(grp.doc_id.tolist())
-        out["first_hit"].extend(firsts.tolist())
-        out["window"].extend(wins)
     return pa.table({
         "query_id": pa.array(out["query_id"], pa.int64()),
         "rank": pa.array(out["rank"], pa.int64()),

@@ -164,7 +164,9 @@ def dirichlet_scores(
     dl_mu = dl + mu
     c = float(total_tokens)
     for term, w in present:  # ascending-term accumulation contract
-        p_mu = mu * (cf[term] / c)
+        # left-to-right (mu * cf) / c — the exact float rounding order
+        # of the oracle SQL's `MU * cf.cf / tot.c`
+        p_mu = mu * cf[term] / c
         tf_vec = np.zeros(len(cand), np.float64)
         got = matched.get(term)
         if got is not None:

@@ -134,3 +134,20 @@ def test_expanded_qweights_collision_sum():
         assert qw == {"hash": 1, "join": 3}  # 2 original + 1 expanded
     finally:
         sq.SYNONYMS = orig
+
+
+def test_highlight_non_ascii_char_positions(ray_session, tmp_path):
+    """first_hit is a CHARACTER position: multi-byte UTF-8 before the
+    hit must not shift it (byte offsets would)."""
+    from raysearch.pipelines import search_queries as sq
+
+    d = _write_docs(tmp_path, [
+        ("héllo wörld hash join", "en", "a"),   # 2 multi-byte chars
+        ("日本語テキスト hash merge sort", "ja", "a"),
+    ])
+    con = _oracle(d)
+    e = _assert_parity(sq.highlight_topk(d), con, sq.sql_highlight_topk())
+    q0 = e[e.query_id == 0].set_index("doc_id")
+    assert q0.loc[0, "first_hit"] == 13   # chars, not bytes (15)
+    assert q0.loc[1, "first_hit"] == 9
+    assert q0.loc[0, "window"].startswith("héllo wörld hash")
