@@ -113,6 +113,135 @@ def blob_meta(sf_dir: str) -> pa.Table:
     })
 
 
+class PPMDecoder:
+    """REAL image decode — no codec library needed: binary P6 PPM is
+    a whitespace-tokenized header (magic, width, height, maxval;
+    ``#`` comments allowed) followed by raw h*w*3 RGB bytes, so numpy
+    alone decodes actual pixels. This closes the decode seam for one
+    real format; compressed formats (JPEG/PNG/...) keep the
+    strict-mode stub in MediaDecoder. Same actor-pool shape: header
+    parser built once per actor, per-batch decode vectorized after
+    the (tiny) header scan."""
+
+    _WS = b" \t\r\n"
+
+    def _header(self, p: bytes) -> tuple[int, int, int, int]:
+        """Parse (width, height, maxval, pixel_offset) from a P6
+        header. Raises ValueError on malformed payloads."""
+        toks, i, n = [], 0, len(p)
+        while len(toks) < 4 and i < n:
+            c = p[i:i + 1]
+            if c in (b"#",):
+                while i < n and p[i:i + 1] != b"\n":
+                    i += 1
+            elif c in (b" ", b"\t", b"\r", b"\n"):
+                i += 1
+            else:
+                j = i
+                while j < n and p[j:j + 1] not in (b" ", b"\t", b"\r",
+                                                   b"\n"):
+                    j += 1
+                toks.append(p[i:j])
+                i = j
+        if len(toks) < 4 or toks[0] != b"P6":
+            raise ValueError("not a binary P6 PPM payload")
+        w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+        return w, h, maxval, i + 1  # single whitespace after maxval
+
+    def decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        w, h, maxval, off = self._header(payload)
+        need = w * h * 3
+        px = np.frombuffer(payload, np.uint8, count=need, offset=off)
+        return w, h, px.reshape(h, w, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raysearch.numutil import round6
+
+        ids, ws, hs, means = [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            w, h, img = self.decode(p)
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            means.append(round6(img.astype(np.float64)
+                                .mean(axis=(0, 1))))
+        m = np.asarray(means, np.float64).reshape(len(ids), 3)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_r": pa.array(m[:, 0], pa.float64()),
+            "mean_g": pa.array(m[:, 1], pa.float64()),
+            "mean_b": pa.array(m[:, 2], pa.float64()),
+        })
+
+
+def ppm_stats(sf_dir: str) -> pa.Table:
+    """Real-decode image statistics: each document becomes a valid
+    binary P6 PPM (dims from doc_id, pixels tiled from the text
+    bytes), the PPMDecoder actor pool parses the HEADER FROM THE
+    PAYLOAD (it never sees the dims out-of-band) and reports
+    per-channel pixel means. The DuckDB oracle recomputes the same
+    means from the tiling rule under the module's ASCII corpus
+    contract (frame_sample's byte==char equivalence)."""
+    import ray.data
+
+    def to_ppm(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for did, t in zip(ids, b["text"].to_pylist()):
+            w, h = 4 + int(did) % 5, 3 + int(did) % 4
+            need = w * h * 3
+            raw = t.encode()
+            if raw:
+                px = (raw * (need // len(raw) + 1))[:need]
+            else:
+                px = bytes(need)
+            payloads.append(b"P6\n# synthetic\n%d %d\n255\n" % (w, h)
+                            + px)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "text"])
+    out = (ds.map_batches(to_ppm, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(PPMDecoder, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4), num_cpus=1))
+    return (pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+            .sort_by([("doc_id", "ascending")]))
+
+
+def sql_ppm_stats() -> str:
+    # byte i of the tiled pixel buffer = text byte (i mod len); under
+    # the ASCII corpus contract ascii(substr(...)) IS that byte.
+    # channel c = positions i % 3 == c. Empty text -> zero pixels.
+    return """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         text, length(text) AS len
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, w * h * 3)) AS i,
+         CASE WHEN len = 0 THEN 0
+              ELSE ascii(substr(text, (1 + i % len)::INT, 1)) END AS b
+  FROM dims
+)
+SELECT doc_id, any_value(w)::BIGINT AS width,
+       any_value(h)::BIGINT AS height,
+       round(avg(b) FILTER (WHERE i % 3 = 0), 6) AS mean_r,
+       round(avg(b) FILTER (WHERE i % 3 = 1), 6) AS mean_g,
+       round(avg(b) FILTER (WHERE i % 3 = 2), 6) AS mean_b
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 FRAME_BYTES = 256
 FRAME_STRIDE = 4  # keep every 4th frame
 
@@ -285,7 +414,8 @@ FROM documents
 
 
 QUERIES = {"blob_meta": blob_meta, "frame_sample": frame_sample,
-           "media_header": media_header}
+           "media_header": media_header, "ppm_stats": ppm_stats}
 ORACLE_SQL = {"blob_meta": sql_blob_meta(),
               "frame_sample": sql_frame_sample(),
-              "media_header": sql_media_header()}
+              "media_header": sql_media_header(),
+              "ppm_stats": sql_ppm_stats()}

@@ -107,3 +107,44 @@ def test_media_header_oracle_edge_docs(ray_session, tmp_path):
     eng = media_header(str(tmp_path)).to_pandas()
     ora = con.execute(sql_media_header()).df()
     pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_ppm_decoder_real_pixels():
+    """PPMDecoder parses the header FROM the payload (comments
+    included) and decodes actual pixel values."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raysearch.pipelines.multimodal import PPMDecoder
+
+    w, h = 3, 2
+    px = bytes(range(w * h * 3))
+    payload = b"P6\n# a comment\n3 2\n255\n" + px
+    dec = PPMDecoder()
+    ww, hh, img = dec.decode(payload)
+    assert (ww, hh) == (w, h)
+    assert img.shape == (h, w, 3)
+    assert img[0, 0].tolist() == [0, 1, 2]
+    assert img[1, 2].tolist() == [15, 16, 17]
+
+    batch = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "media_type": pa.array(["image"], pa.string()),
+        "payload": pa.array([payload], pa.large_binary()),
+    })
+    out = dec(batch).to_pandas().iloc[0]
+    assert out.width == 3 and out.height == 2
+    flat = np.frombuffer(px, np.uint8)
+    assert out.mean_r == round(float(np.mean(flat[0::3])), 6)
+    assert out.mean_b == round(float(np.mean(flat[2::3])), 6)
+
+
+def test_ppm_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from raysearch.pipelines.multimodal import PPMDecoder
+
+    dec = PPMDecoder()
+    for bad in (b"P5\n1 1\n255\n\x00", b"P6\n1 1", b"", b"JFIF...."):
+        with _pytest.raises(ValueError):
+            dec.decode(bad)
