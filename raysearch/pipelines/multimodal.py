@@ -1,13 +1,16 @@
 """Multimodal columns: opaque ``binary`` payloads with typed metadata,
 processed by actor-pool map_batches stages.
 
-The image/audio codec libraries are not available in this environment,
-so the DECODE KERNEL is stubbed (deterministic fake, or
-NotImplementedError in strict mode) — but everything Ray-side is real
-and tested: the binary-column schema, small-batch sizing for wide
-rows, the actor signature (model/codec "loaded" once in __init__), and
-the output layout (one metadata row per payload, features as a
-fixed-width list<float> column).
+Two decode paths are REAL with no external codec library: PPMDecoder
+parses binary P6 PPM images (header from the payload, raw RGB pixels
+in numpy) and WavDecoder reads RIFF/WAVE 16-bit PCM through the
+stdlib ``wave`` module. Compressed formats (JPEG/PNG/MP3/...) need
+libraries this environment lacks, so THAT kernel stays stubbed
+(deterministic fake, or NotImplementedError in strict mode) — while
+everything Ray-side is real and tested: the binary-column schema,
+small-batch sizing for wide rows, the actor signature (codec "loaded"
+once in __init__), and the output layout (one metadata row per
+payload, features as a fixed-width list<float> column).
 
 ``blob_meta`` is the exactly-checkable slice of this: payload byte
 length + sha256 computed by the same actor-pool stage shape, with a
@@ -242,6 +245,115 @@ FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 
+WAV_BASE_SAMPLES = 400
+
+
+class WavDecoder:
+    """REAL audio decode via the stdlib ``wave`` module — a genuine
+    RIFF/WAVE parser, no external codec: per payload it reads the
+    header (channels, sample rate, frame count) and the 16-bit PCM
+    frames, and reports the RMS amplitude. Same actor-pool stage
+    shape as the image decoders."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        from raysearch.numutil import round6
+
+        ids, rates, frames, rms = [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            with wave.open(io.BytesIO(p)) as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                n = w.getnframes()
+                pcm = np.frombuffer(w.readframes(n), np.int16)
+            ids.append(mid)
+            rates.append(w.getframerate())
+            frames.append(n)
+            rms.append(round6(float(np.sqrt(
+                np.mean(pcm.astype(np.float64) ** 2)))))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "n_frames": pa.array(frames, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+        })
+
+
+def wav_stats(sf_dir: str) -> pa.Table:
+    """Real-decode audio statistics: each document becomes a valid
+    mono 16-bit PCM WAV (rate and length from doc_id, samples
+    (byte - 128) * 256 tiled from the text bytes), the WavDecoder
+    actor pool parses the RIFF header FROM the payload via the stdlib
+    wave module and reports rate / frame count / RMS. Oracle
+    recomputes RMS from the tiling rule (exact-integer squares under
+    float64, ASCII corpus contract)."""
+    import io
+    import wave
+
+    import ray.data
+
+    def to_wav(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for did, t in zip(ids, b["text"].to_pylist()):
+            n = WAV_BASE_SAMPLES + int(did) % 200
+            raw = t.encode()
+            if raw:
+                by = np.frombuffer((raw * (n // len(raw) + 1))[:n],
+                                   np.uint8)
+            else:
+                by = np.zeros(n, np.uint8)
+            pcm = ((by.astype(np.int16) - 128) * 256).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000 + (int(did) % 4) * 4000)
+                w.writeframes(pcm.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "text"])
+    out = (ds.map_batches(to_wav, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(WavDecoder, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4), num_cpus=1))
+    return (pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+            .sort_by([("doc_id", "ascending")]))
+
+
+def sql_wav_stats() -> str:
+    # sample i = (byte(i mod len) - 128) * 256; squares are exact
+    # integers < 2^30, their float64 sum is exact, so rms is
+    # deterministic on both engines
+    return f"""
+WITH dims AS (
+  SELECT doc_id, {WAV_BASE_SAMPLES} + doc_id % 200 AS n,
+         8000 + (doc_id % 4) * 4000 AS rate,
+         text, length(text) AS len
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate, unnest(range(0, n)) AS i,
+         (CASE WHEN len = 0 THEN 0
+               ELSE ascii(substr(text, (1 + i % len)::INT, 1)) END
+          - 128) * 256 AS sample
+  FROM dims
+)
+SELECT doc_id, any_value(rate)::BIGINT AS sample_rate,
+       any_value(n)::BIGINT AS n_frames,
+       round(sqrt(avg(power(sample, 2))), 6) AS rms
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 FRAME_BYTES = 256
 FRAME_STRIDE = 4  # keep every 4th frame
 
@@ -414,8 +526,10 @@ FROM documents
 
 
 QUERIES = {"blob_meta": blob_meta, "frame_sample": frame_sample,
-           "media_header": media_header, "ppm_stats": ppm_stats}
+           "media_header": media_header, "ppm_stats": ppm_stats,
+           "wav_stats": wav_stats}
 ORACLE_SQL = {"blob_meta": sql_blob_meta(),
               "frame_sample": sql_frame_sample(),
               "media_header": sql_media_header(),
-              "ppm_stats": sql_ppm_stats()}
+              "ppm_stats": sql_ppm_stats(),
+              "wav_stats": sql_wav_stats()}

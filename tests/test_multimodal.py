@@ -148,3 +148,33 @@ def test_ppm_decoder_rejects_malformed():
     for bad in (b"P5\n1 1\n255\n\x00", b"P6\n1 1", b"", b"JFIF...."):
         with _pytest.raises(ValueError):
             dec.decode(bad)
+
+
+def test_wav_decoder_real_riff():
+    """WavDecoder reads a genuine RIFF/WAVE container written by the
+    stdlib wave module — header fields and PCM RMS."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from raysearch.pipelines.multimodal import WavDecoder
+
+    pcm = np.array([0, 256, -256, 512], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    batch = pa.table({
+        "media_id": pa.array([3], pa.int64()),
+        "media_type": pa.array(["audio"], pa.string()),
+        "payload": pa.array([buf.getvalue()], pa.large_binary()),
+    })
+    out = WavDecoder()(batch).to_pandas().iloc[0]
+    assert out.sample_rate == 16000
+    assert out.n_frames == 4
+    expect = round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 6)
+    assert out.rms == expect
