@@ -87,7 +87,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "dirichlet_topk", "appended_topk", "deleted_topk",
           "compacted_topk", "paged_topk", "facet_counts",
           "highlight_topk", "market_share", "product_profit",
-          "synonym_topk", "ppm_stats", "wav_stats"]
+          "synonym_topk", "ppm_stats", "wav_stats", "ppm_resize"]
 
 
 def run_quality(sf_dir: str) -> dict:

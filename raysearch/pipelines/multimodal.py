@@ -180,6 +180,28 @@ class PPMDecoder:
         })
 
 
+def _ppm_payloads(b: pa.Table) -> pa.Table:
+    """documents batch -> valid binary P6 PPM payloads (dims from
+    doc_id, pixels tiled from the text bytes) — the shared synthesis
+    for ppm_stats and ppm_resize."""
+    ids = b["doc_id"].to_numpy()
+    payloads = []
+    for did, t in zip(ids, b["text"].to_pylist()):
+        w, h = 4 + int(did) % 5, 3 + int(did) % 4
+        need = w * h * 3
+        raw = t.encode()
+        if raw:
+            px = (raw * (need // len(raw) + 1))[:need]
+        else:
+            px = bytes(need)
+        payloads.append(b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + px)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(["image"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+
+
 def ppm_stats(sf_dir: str) -> pa.Table:
     """Real-decode image statistics: each document becomes a valid
     binary P6 PPM (dims from doc_id, pixels tiled from the text
@@ -190,28 +212,9 @@ def ppm_stats(sf_dir: str) -> pa.Table:
     contract (frame_sample's byte==char equivalence)."""
     import ray.data
 
-    def to_ppm(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        payloads = []
-        for did, t in zip(ids, b["text"].to_pylist()):
-            w, h = 4 + int(did) % 5, 3 + int(did) % 4
-            need = w * h * 3
-            raw = t.encode()
-            if raw:
-                px = (raw * (need // len(raw) + 1))[:need]
-            else:
-                px = bytes(need)
-            payloads.append(b"P6\n# synthetic\n%d %d\n255\n" % (w, h)
-                            + px)
-        return pa.table({
-            "media_id": pa.array(ids, pa.int64()),
-            "media_type": pa.array(["image"] * len(ids), pa.string()),
-            "payload": pa.array(payloads, pa.large_binary()),
-        })
-
     ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
                                columns=["doc_id", "text"])
-    out = (ds.map_batches(to_ppm, batch_format="pyarrow",
+    out = (ds.map_batches(_ppm_payloads, batch_format="pyarrow",
                           zero_copy_batch=True)
            .map_batches(PPMDecoder, batch_format="pyarrow",
                         batch_size=128, concurrency=(1, 4), num_cpus=1))
@@ -242,6 +245,77 @@ SELECT doc_id, any_value(w)::BIGINT AS width,
        round(avg(b) FILTER (WHERE i % 3 = 1), 6) AS mean_g,
        round(avg(b) FILTER (WHERE i % 3 = 2), 6) AS mean_b
 FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ppm_resize(sf_dir: str) -> pa.Table:
+    """Real image RESIZE: decode each synthetic P6 PPM (same payloads
+    as ppm_stats), downsample 2x by nearest neighbor (numpy stride
+    slicing img[::2, ::2] — actual pixel work), and report the
+    resized dims + per-channel means of the RESIZED image. The oracle
+    reconstructs which source pixels survive (even row, even column)
+    from the tiling rule and averages the same bytes."""
+    import ray.data
+
+    from raysearch.numutil import round6
+
+    class _Resizer(PPMDecoder):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ws, hs, means = [], [], [], []
+            for mid, p in zip(batch["media_id"].to_pylist(),
+                              batch["payload"].to_pylist()):
+                _, _, img = self.decode(p)
+                small = img[::2, ::2]
+                ids.append(mid)
+                hs.append(small.shape[0])
+                ws.append(small.shape[1])
+                means.append(round6(small.astype(np.float64)
+                                    .mean(axis=(0, 1))))
+            m = np.asarray(means, np.float64).reshape(len(ids), 3)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "out_w": pa.array(ws, pa.int64()),
+                "out_h": pa.array(hs, pa.int64()),
+                "mean_r": pa.array(m[:, 0], pa.float64()),
+                "mean_g": pa.array(m[:, 1], pa.float64()),
+                "mean_b": pa.array(m[:, 2], pa.float64()),
+            })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["doc_id", "text"])
+    out = (ds.map_batches(_ppm_payloads, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(_Resizer, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4), num_cpus=1))
+    return (pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+            .sort_by([("doc_id", "ascending")]))
+
+
+def sql_ppm_resize() -> str:
+    # pixel byte i -> (row, col, channel) = ((i//3)//w, (i//3)%w, i%3);
+    # nearest-neighbor 2x keeps even rows and even columns
+    return """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         text, length(text) AS len
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, w * h * 3)) AS i,
+         CASE WHEN len = 0 THEN 0
+              ELSE ascii(substr(text, (1 + i % len)::INT, 1)) END AS b
+  FROM dims
+)
+SELECT doc_id,
+       any_value((w + 1) // 2)::BIGINT AS out_w,
+       any_value((h + 1) // 2)::BIGINT AS out_h,
+       round(avg(b) FILTER (WHERE i % 3 = 0), 6) AS mean_r,
+       round(avg(b) FILTER (WHERE i % 3 = 1), 6) AS mean_g,
+       round(avg(b) FILTER (WHERE i % 3 = 2), 6) AS mean_b
+FROM px
+WHERE ((i // 3) // w) % 2 = 0 AND ((i // 3) % w) % 2 = 0
+GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -527,9 +601,10 @@ FROM documents
 
 QUERIES = {"blob_meta": blob_meta, "frame_sample": frame_sample,
            "media_header": media_header, "ppm_stats": ppm_stats,
-           "wav_stats": wav_stats}
+           "ppm_resize": ppm_resize, "wav_stats": wav_stats}
 ORACLE_SQL = {"blob_meta": sql_blob_meta(),
               "frame_sample": sql_frame_sample(),
               "media_header": sql_media_header(),
               "ppm_stats": sql_ppm_stats(),
+              "ppm_resize": sql_ppm_resize(),
               "wav_stats": sql_wav_stats()}

@@ -178,3 +178,30 @@ def test_wav_decoder_real_riff():
     assert out.n_frames == 4
     expect = round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 6)
     assert out.rms == expect
+
+
+def test_ppm_resize_nearest_neighbor(ray_session, tmp_path):
+    """2x nearest-neighbor keeps even rows/columns: verify against a
+    hand-computed image through the full pipeline + oracle."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raysearch.pipelines.multimodal import ppm_resize, sql_ppm_resize
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 7], pa.int64()),
+        "text": pa.array(["abcdef", "", "x"], pa.string()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    eng = ppm_resize(str(tmp_path)).to_pandas()
+    ora = con.execute(sql_ppm_resize()).df()
+    pd.testing.assert_frame_equal(eng, ora, check_exact=True)
+    # doc 0: w=4,h=3 -> out 2x2; doc 1 (empty text): all-zero pixels
+    r0 = eng.set_index("doc_id")
+    assert (r0.loc[0, "out_w"], r0.loc[0, "out_h"]) == (2, 2)
+    assert r0.loc[1, ["mean_r", "mean_g", "mean_b"]].tolist() == [0, 0, 0]
