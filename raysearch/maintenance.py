@@ -60,13 +60,18 @@ def _deletes_dir(index_dir: str) -> str:
 
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone ``doc_ids`` (iterable of ints). Append-only: each call
-    writes one new parquet file (atomic tmp+rename), so concurrent
+    writes one new parquet file, claimed via hard-link (EEXIST retry)
+    so concurrent deleters can never overwrite each other's files;
     readers see either the old or the new tombstone set, never a torn
-    one. Returns the total number of distinct tombstoned docs."""
+    one. On filesystems without hard links the claim falls back to
+    atomic rename (tear-free, but concurrent same-number writers can
+    race on such mounts). Returns the total number of distinct
+    tombstoned docs."""
     ddir = _deletes_dir(index_dir)
     os.makedirs(ddir, exist_ok=True)
     arr = np.unique(np.asarray(list(doc_ids), np.int64))
-    tmp = os.path.join(ddir, f".tmp-{os.getpid()}")
+    # unique per CALL (pid alone would collide across threads)
+    tmp = os.path.join(ddir, f".tmp-{os.getpid()}-{os.urandom(4).hex()}")
     pq.write_table(pa.table({"doc_id": pa.array(arr, pa.int64())}), tmp)
     try:
         while True:
@@ -83,8 +88,16 @@ def delete_docs(index_dir: str, doc_ids) -> int:
                 break
             except FileExistsError:
                 continue
+            except OSError:
+                # filesystem without hard links (FAT, some NFS/FUSE):
+                # fall back to atomic-rename; the cross-process
+                # numbering race returns on such mounts, but deletes
+                # still never tear (readers see old or new bytes)
+                os.replace(tmp, path)
+                return len(load_deletes(index_dir))
     finally:
-        os.unlink(tmp)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return len(load_deletes(index_dir))
 
 

@@ -51,8 +51,16 @@ class Oracle:
         self.total_tokens = int(sum(self.doc_lens.values()))
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 0.0
         self.df = {t: len(p[0]) for t, p in self.postings.items()}
-        self.cf = {t: int(p[1].sum())
-                   for t, p in self._np_postings.items()}
+        self._cf: dict[str, int] | None = None  # lazy (dirichlet only)
+
+    @property
+    def cf(self) -> dict[str, int]:
+        """Collection frequencies, computed on first dirichlet use —
+        the common bm25/overlap paths never pay the O(vocab) pass."""
+        if self._cf is None:
+            self._cf = {t: int(p[1].sum())
+                        for t, p in self._np_postings.items()}
+        return self._cf
 
     def search(self, query: str, k: int = 10, mode: str = "bm25",
                mu: float = 2000.0) -> list[tuple[int, float]]:

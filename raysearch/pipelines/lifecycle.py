@@ -78,10 +78,17 @@ def _split_reader(sf_dir: str, parity: int):
                           zero_copy_batch=True)
 
 
+# BUMP when the lifecycle build contract changes (tokenizer routing,
+# split rule, delete predicate...) — the sentinel embeds it, so warm
+# /tmp caches built under an older contract rebuild instead of being
+# served stale (v2: lang column dropped from the corpus readers)
+_CONTRACT_VERSION = "v2"
+
+
 def _lifecycle_dir(sf_dir: str, kind: str) -> tuple[str, str]:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     idx = os.path.join("/tmp", "raysearch_cache", f"lifecycle-{kind}-{key}")
-    fp = _source_fingerprint(_docs_path(sf_dir))
+    fp = f"{_CONTRACT_VERSION}:{_source_fingerprint(_docs_path(sf_dir))}"
     sentinel = os.path.join(idx, f".done-{hashlib.md5(fp.encode()).hexdigest()[:12]}")
     return idx, sentinel
 

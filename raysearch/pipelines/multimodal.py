@@ -153,7 +153,16 @@ class PPMDecoder:
 
     def decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         w, h, maxval, off = self._header(payload)
+        if w <= 0 or h <= 0:
+            raise ValueError(f"invalid PPM dimensions {w}x{h}")
+        if not 0 < maxval <= 255:
+            # maxval > 255 means 2-byte big-endian samples (spec);
+            # reading them as uint8 would silently produce garbage
+            raise ValueError(
+                f"unsupported PPM maxval {maxval} (8-bit only)")
         need = w * h * 3
+        if len(payload) - off < need:
+            raise ValueError("truncated PPM pixel data")
         px = np.frombuffer(payload, np.uint8, count=need, offset=off)
         return w, h, px.reshape(h, w, 3)
 
@@ -339,7 +348,14 @@ class WavDecoder:
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
             with wave.open(io.BytesIO(p)) as w:
-                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    # reinterpreting stereo/8-bit frames as mono int16
+                    # would yield a silently wrong RMS — fail loudly
+                    # (same contract as PPMDecoder's ValueError)
+                    raise ValueError(
+                        f"unsupported WAV layout: channels="
+                        f"{w.getnchannels()} sampwidth="
+                        f"{w.getsampwidth()} (mono 16-bit only)")
                 n = w.getnframes()
                 pcm = np.frombuffer(w.readframes(n), np.int16)
             ids.append(mid)

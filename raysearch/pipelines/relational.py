@@ -108,15 +108,18 @@ def _lookup(keys: np.ndarray, ref) -> tuple[np.ndarray, np.ndarray]:
     return hit, vs[pos]
 
 
-def _region_nations(sf_dir: str) -> tuple[np.ndarray, dict[int, str]]:
-    """nationkeys inside Q5_REGION + the full key->name map (nation
-    and region are O(100) rows — driver-side by design)."""
+def _region_nations(sf_dir: str, region_name: str | None = None
+                    ) -> tuple[np.ndarray, dict[int, str]]:
+    """nationkeys inside ``region_name`` (default Q5_REGION) + the
+    full key->name map (nation and region are O(100) rows —
+    driver-side by design). The ONE region-membership helper, shared
+    with relational_ext (Q8)."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
     rk = {r["r_name"]: r["r_regionkey"]
-          for r in region.to_pylist()}[Q5_REGION]
+          for r in region.to_pylist()}[region_name or Q5_REGION]
     nk = nation["n_nationkey"].to_numpy().astype(np.int64)
     reg = nation["n_regionkey"].to_numpy().astype(np.int64)
     names = dict(zip(nk.tolist(), nation["n_name"].to_pylist()))

@@ -387,17 +387,10 @@ def small_qty_revenue(sf_dir: str) -> pa.Table:
 
     from raysearch.numutil import round6
 
-    n_part = _n_rows(sf_dir, "part.parquet")
-    if n_part > JOIN_BROADCAST_CAP:
-        raise ValueError(
-            f"part ({n_part} rows) exceeds the broadcast cap; use the "
-            "bucketed-shuffle membership join (joins.revenue_by_nation"
-            "'s >cap path) with the brand filter pushed into the read")
-    bp = pq.read_table(os.path.join(sf_dir, "part.parquet"),
-                       columns=["p_partkey"],
-                       filters=[("p_brand", "==", Q17_BRAND)])
-    pk = np.sort(bp["p_partkey"].to_numpy().astype(np.int64))
-    pk_ref = ray.put(pk)
+    # shared filtered-partkey broadcast (ONE place for the cap rule)
+    pk_ref = _partkeys_ref(sf_dir,
+                           filters=[("p_brand", "==", Q17_BRAND)])
+    pk = ray.get(pk_ref)  # zero-copy view of the local put
 
     from raysearch.hashing import auto_buckets
 
@@ -1124,18 +1117,11 @@ Q8_D2 = datetime.datetime(1998, 1, 1)
 
 
 def _region_nationkeys(sf_dir: str, region_name: str) -> list[int]:
-    """nationkeys of one region (region x nation are O(5)/O(25) rows —
-    driver-side metadata)."""
-    import pyarrow.parquet as pq
+    """nationkeys of one region — delegates to relational.py's
+    _region_nations (the one region-membership helper)."""
+    from raysearch.pipelines.relational import _region_nations
 
-    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
-    rmap = dict(zip(region["r_name"].to_pylist(),
-                    region["r_regionkey"].to_numpy().tolist()))
-    rkey = rmap[region_name]
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                           columns=["n_nationkey", "n_regionkey"])
-    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
-    return nk[nation["n_regionkey"].to_numpy() == rkey].tolist()
+    return _region_nations(sf_dir, region_name)[0].tolist()
 
 
 def _partkeys_ref(sf_dir: str, filters=None, name_contains=None):

@@ -199,7 +199,8 @@ class QuerySession:
                         for a in assign if a]
 
     def query_batch(self, queries: list[str], k: int = 10,
-                    mode: str = "bm25", prune: bool = False):
+                    mode: str = "bm25", prune: bool = False,
+                    mu: float = 2000.0):
         """Top-k per query: (query_id, rank, doc_id, score) pa.Table."""
         import ray
 
@@ -208,7 +209,7 @@ class QuerySession:
         df = lexicon_df(self.index_dir, all_terms)
         cf = (lexicon_cf(self.index_dir, all_terms)
               if mode == "dirichlet" else None)
-        refs = [a.query_batch.remote(queries, k, mode, df, prune, cf)
+        refs = [a.query_batch.remote(queries, k, mode, df, prune, cf, mu)
                 for a in self._actors]
         if refs:
             cand = pd.concat(ray.get(refs), ignore_index=True)
