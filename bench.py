@@ -87,7 +87,10 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "dirichlet_topk", "appended_topk", "deleted_topk",
           "compacted_topk", "paged_topk", "facet_counts",
           "highlight_topk", "market_share", "product_profit",
-          "synonym_topk", "ppm_stats", "wav_stats", "ppm_resize"]
+          "synonym_topk", "ppm_stats", "wav_stats", "ppm_resize",
+          # round 4, third wave
+          "shipping_priority", "part_supplier_breadth",
+          "excess_suppliers"]
 
 
 def run_quality(sf_dir: str) -> dict:

@@ -41,6 +41,7 @@ import pyarrow as pa
 from raysearch.pipelines.joins import (
     JOIN_BROADCAST_CAP,
     _cents,
+    _epoch_us,
     _half_away,
     _n_rows,
     _read,
@@ -1403,6 +1404,342 @@ ORDER BY 1, 2
 """
 
 
+# ---- Q3 shape: unshipped-revenue shipping priority ----
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = datetime.datetime(1998, 6, 1)
+Q3_K = 10
+
+
+@fmt_doc(seg=Q3_SEGMENT, d=Q3_DATE, k=Q3_K)
+def shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-shaped shipping priority: the {k} highest-revenue
+    orders placed by '{seg}' customers BEFORE {d:%Y-%m-%d} whose
+    revenue counts only lines still unshipped at that date
+    (l_shipdate > cutoff) — revenue in exact int64 c4.
+
+    Shape: the '{seg}' customer membership broadcasts once (sorted
+    custkeys); both date predicates push into the parquet reads
+    (orders keeps the pre-cutoff window, lineitem the post-cutoff
+    one). Orders emit (okey, orderdate) for member customers;
+    lineitem collapses map-side to per-okey c4 partials; ONE
+    orderkey-bucketed exchange joins the sides and each bucket kernel
+    emits its local top-{k} under the total order
+    (revenue DESC, okey ASC) — exact int64 revenue, so boundary ties
+    resolve identically everywhere — bounding the driver merge at
+    n_buckets x {k} rows."""
+    import pyarrow.dataset as pads
+
+    from raysearch.hashing import auto_buckets
+
+    cust_ref = _broadcast_dim(
+        sf_dir, "customer.parquet", "c_custkey", "c_nationkey",
+        filters=[("c_mktsegment", "==", Q3_SEGMENT)])
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        hit, _ = _lookup(df["o_custkey"].to_numpy(np.int64), cust_ref)
+        ok = ok[hit]
+        od = _epoch_us(df["o_orderdate"])[hit]
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok, "odate_us": od,
+            "side": np.int64(0), "c4": np.int64(0)})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["l_extendedprice"].to_numpy(np.float64))
+        disc = _half_away(df["l_discount"].to_numpy(np.float64) * 100.0)
+        g = (pd.DataFrame({
+                "okey": df["l_orderkey"].to_numpy(np.int64),
+                "c4": cents * (100 - disc)})
+             .groupby("okey", as_index=False).agg(c4=("c4", "sum")))
+        return g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                        odate_us=np.int64(-1), side=np.int64(1))[
+            ["bucket", "okey", "odate_us", "side", "c4"]]
+
+    def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 0][["okey", "odate_us"]]
+        li = (g[g.side == 1].groupby("okey", as_index=False)
+              .agg(revenue_c4=("c4", "sum")))
+        j = o.merge(li, on="okey", how="inner")
+        return j.sort_values(["revenue_c4", "okey"],
+                             ascending=[False, True]).head(Q3_K)
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=pads.field("o_orderdate") < Q3_DATE
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=pads.field("l_shipdate") > Q3_DATE
+               ).map_batches(l_partial, batch_format="pandas")
+    df = (orders.union(li)
+          .groupby("bucket").map_groups(join_topk,
+                                        batch_format="pandas")
+          ).to_pandas()
+    if "okey" not in df.columns or not len(df):
+        return pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "revenue_c4": pa.array([], pa.int64())})
+    df = (df.sort_values(["revenue_c4", "okey"],
+                         ascending=[False, True], ignore_index=True)
+          .head(Q3_K))
+    return pa.table({
+        "l_orderkey": pa.array(df.okey.to_numpy(np.int64), pa.int64()),
+        "o_orderdate": pa.array(
+            df.odate_us.to_numpy(np.int64).astype("datetime64[us]"),
+            pa.timestamp("us")),
+        "revenue_c4": pa.array(df.revenue_c4.to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def sql_shipping_priority() -> str:
+    return f"""
+SELECT l_orderkey,
+       o_orderdate,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+           )::BIGINT AS revenue_c4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE:%Y-%m-%d}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE:%Y-%m-%d}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c4 DESC, l_orderkey
+LIMIT {Q3_K}
+"""
+
+
+# ---- Q16 shape: supplier breadth per part group ----
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+Q16_MIN_BAL = 2000.0
+
+
+@fmt_doc(xb=Q16_EXCL_BRAND, sizes=Q16_SIZES, bal=Q16_MIN_BAL)
+def part_supplier_breadth(sf_dir: str) -> pa.Table:
+    """TPC-H-Q16-shaped supplier breadth: how many DISTINCT suppliers
+    ship each (brand, type, size) part group, over parts that are not
+    '{xb}' and whose size is in {sizes}, excluding low-standing
+    suppliers (s_acctbal < {bal} — the schema's stand-in for Q16's
+    complaint list). lineitem is the part-supplier bridge (the schema
+    has no partsupp).
+
+    Shape: the filtered part dimension maps partkey -> a dense group
+    id (one id per distinct (brand, type, size)) driver-side and
+    broadcasts (sorted partkeys, gid) once; the excluded-supplier set
+    broadcasts as a sorted array. Each lineitem batch keeps bridged
+    pairs, dedups (gid, suppkey) map-side, and ONE group-bucketed
+    exchange carries only distinct pairs (<= n_groups x n_suppliers
+    rows globally, and per-group mass is bounded by the supplier
+    count — the count-distinct never ships raw fact rows). A group id
+    lives in exactly one bucket, so in-bucket distinct counts are
+    final; the driver attaches the O(groups) attribute strings."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from raysearch.hashing import auto_buckets
+
+    n_part = _n_rows(sf_dir, "part.parquet")
+    if n_part > JOIN_BROADCAST_CAP:
+        raise ValueError(
+            f"part ({n_part} rows) exceeds the broadcast cap; use the "
+            "bucketed-shuffle membership join with the part filter "
+            "pushed into the read")
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filters=[("p_brand", "!=", Q16_EXCL_BRAND),
+                 ("p_size", "in", list(Q16_SIZES))]).to_pandas()
+    part = part.sort_values("p_partkey", ignore_index=True)
+    gid, groups = pd.factorize(
+        pd.Series(list(zip(part.p_brand, part.p_type,
+                           part.p_size.astype(np.int64)))), sort=True)
+    pk_gid_ref = ray.put((part.p_partkey.to_numpy(np.int64),
+                          gid.astype(np.int64)))
+    excl = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"],
+        filters=[("s_acctbal", "<", Q16_MIN_BAL)])
+    excl_ref = ray.put(np.sort(
+        excl["s_suppkey"].to_numpy().astype(np.int64)))
+    nb = auto_buckets(len(groups), docs_per_bucket=16)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        pk, gv = ray.get(pk_gid_ref)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        sup = df["l_suppkey"].to_numpy(np.int64)
+        hit, pos = _sorted_hits(pk, keys)
+        xhit, _ = _sorted_hits(ray.get(excl_ref), sup)
+        keep_sup = sup[hit][~xhit[hit]]
+        keep_gid = gv[pos[~xhit[hit]]]
+        out = (pd.DataFrame({"gid": keep_gid, "supp": keep_sup})
+               .drop_duplicates(ignore_index=True))
+        out["bucket"] = out.gid.to_numpy(np.int64) & (nb - 1)
+        return out[["bucket", "gid", "supp"]]
+
+    def count_kern(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["gid", "supp"])
+        out = (d.groupby("gid", as_index=False)
+               .agg(supplier_cnt=("supp", "size")))
+        out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+        return out
+
+    df = (_read(sf_dir, "lineitem.parquet",
+                columns=["l_partkey", "l_suppkey"])
+          .map_batches(pairs, batch_format="pandas")
+          .groupby("bucket").map_groups(count_kern,
+                                        batch_format="pandas")
+          ).to_pandas()
+    if "gid" not in df.columns or not len(df):
+        return pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "p_type": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "supplier_cnt": pa.array([], pa.int64())})
+    attrs = [groups[int(i)] for i in df.gid]
+    df = df.assign(p_brand=[a[0] for a in attrs],
+                   p_type=[a[1] for a in attrs],
+                   p_size=np.array([a[2] for a in attrs], np.int64))
+    df = df.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], ignore_index=True)
+    return pa.table({
+        "p_brand": pa.array(df.p_brand.tolist(), pa.string()),
+        "p_type": pa.array(df.p_type.tolist(), pa.string()),
+        "p_size": pa.array(df.p_size.to_numpy(np.int64), pa.int64()),
+        "supplier_cnt": pa.array(df.supplier_cnt.to_numpy(np.int64),
+                                 pa.int64()),
+    })
+
+
+def sql_part_supplier_breadth() -> str:
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_size IN ({sizes})
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_MIN_BAL})
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---- Q20 shape: dominant suppliers of a part line ----
+
+Q20_WORD = "widget"
+Q20_D1 = datetime.datetime(1998, 1, 1)
+Q20_D2 = datetime.datetime(1999, 1, 1)
+
+
+@fmt_doc(w=Q20_WORD, d1=Q20_D1, d2=Q20_D2)
+def excess_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H-Q20-shaped dominant-supplier audit: suppliers who shipped
+    MORE THAN HALF of some '{w}'-part's total {d1:%Y} quantity
+    (2 * qty_supplier_part > qty_part, exact integer quantities) —
+    the correlated per-part threshold, adapted to lineitem as the
+    part-supplier bridge (no partsupp/availqty in the schema).
+
+    Shape: '{w}' partkeys broadcast once; the ship window pushes into
+    the read. ONE lineitem pass collapses map-side to per-(partkey,
+    suppkey) integer quantity partials; ONE partkey-bucketed exchange
+    groups them — a partkey lives in exactly one bucket, so each
+    kernel finalizes both the per-(part, supp) sums AND the per-part
+    totals locally and applies the threshold with no second fact
+    pass. Winners (<= n_suppliers ids) merge driver-side; names and
+    nations attach via a key-filtered supplier read."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from raysearch.hashing import auto_buckets
+
+    names = _nation_names(sf_dir)
+    pk_ref = _partkeys_ref(sf_dir, name_contains=Q20_WORD)
+    nb = auto_buckets(_n_rows(sf_dir, "part.parquet"))
+
+    def sp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["l_partkey"].to_numpy(np.int64)
+        hit, _ = _sorted_hits(ray.get(pk_ref), keys)
+        qty = _half_away(df["l_quantity"].to_numpy(np.float64))
+        g = (pd.DataFrame({"pkey": keys[hit],
+                           "supp": df["l_suppkey"].to_numpy(
+                               np.int64)[hit],
+                           "qty": qty[hit]})
+             .groupby(["pkey", "supp"], as_index=False)
+             .agg(qty=("qty", "sum")))
+        g["bucket"] = g.pkey.to_numpy(np.int64) & (nb - 1)
+        return g[["bucket", "pkey", "supp", "qty"]]
+
+    def threshold_kern(g: pd.DataFrame) -> pd.DataFrame:
+        sp = (g.groupby(["pkey", "supp"], as_index=False)
+              .agg(qty=("qty", "sum")))
+        tot = sp.groupby("pkey")["qty"].transform("sum")
+        win = sp[2 * sp.qty > tot]
+        return pd.DataFrame({
+            "supp": np.unique(win.supp.to_numpy(np.int64))})
+
+    df = (_read(sf_dir, "lineitem.parquet",
+                columns=["l_partkey", "l_suppkey", "l_quantity"],
+                filter=((pads.field("l_shipdate") >= Q20_D1)
+                        & (pads.field("l_shipdate") < Q20_D2)))
+          .map_batches(sp_partial, batch_format="pandas")
+          .groupby("bucket").map_groups(threshold_kern,
+                                        batch_format="pandas")
+          ).to_pandas()
+    if "supp" not in df.columns or not len(df):
+        return pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string())})
+    winners = np.unique(df.supp.to_numpy(np.int64))
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+        filters=[("s_suppkey", "in", [int(k) for k in winners]),
+                 ("s_nationkey", "in", [int(k) for k in names])]
+        ).to_pandas()
+    supp["n_name"] = [names[int(n)] for n in supp.s_nationkey]
+    supp = supp.sort_values(["s_name", "s_suppkey"],
+                            ignore_index=True)
+    return pa.table({
+        "s_suppkey": pa.array(supp.s_suppkey.to_numpy(np.int64),
+                              pa.int64()),
+        "s_name": pa.array(supp.s_name.tolist(), pa.string()),
+        "n_name": pa.array(supp.n_name.tolist(), pa.string()),
+    })
+
+
+def sql_excess_suppliers() -> str:
+    return f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(round(l_quantity, 0) AS BIGINT)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%{Q20_WORD}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_D1:%Y-%m-%d}'
+    AND l_shipdate < TIMESTAMP '{Q20_D2:%Y-%m-%d}'
+  GROUP BY l_suppkey, l_partkey
+), pq AS (
+  SELECT l_partkey, sum(q) AS tot FROM sp GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM sp
+JOIN pq USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE 2 * q > tot
+ORDER BY s_name, s_suppkey
+"""
+
+
 QUERIES = {
     "returned_item_customers": returned_item_customers,
     "nation_trade_volume": nation_trade_volume,
@@ -1415,6 +1752,9 @@ QUERIES = {
     "fk_integrity": fk_integrity,
     "market_share": market_share,
     "product_profit": product_profit,
+    "shipping_priority": shipping_priority,
+    "part_supplier_breadth": part_supplier_breadth,
+    "excess_suppliers": excess_suppliers,
 }
 
 ORACLE_SQL = {
@@ -1429,4 +1769,7 @@ ORACLE_SQL = {
     "fk_integrity": sql_fk_integrity(),
     "market_share": sql_market_share(),
     "product_profit": sql_product_profit(),
+    "shipping_priority": sql_shipping_priority(),
+    "part_supplier_breadth": sql_part_supplier_breadth(),
+    "excess_suppliers": sql_excess_suppliers(),
 }

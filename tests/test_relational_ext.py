@@ -368,3 +368,110 @@ def test_product_profit_substring_and_dangling(ray_session, tmp_path,
     assert df.o_year.tolist() == [1996, 1997]
     assert df.profit_c4.tolist() == [100 * 100 * 100, 500 * 100 * 100]
     assert df.n_lines.tolist() == [1, 1]
+
+
+T_Q3_LATE = int(pd.Timestamp("1998-07-01").value // 1000)
+T_Q3_EDGE = int(pd.Timestamp("1998-06-01").value // 1000)  # cutoff
+
+
+def test_shipping_priority_window_and_ties(ray_session, tmp_path,
+                                           monkeypatch):
+    """Q3 shape: strict date boundaries on BOTH sides (an order placed
+    AT the cutoff and a line shipped AT the cutoff are excluded),
+    dangling-custkey drop, and the k-boundary revenue tie resolving by
+    okey ASC."""
+    monkeypatch.setattr(RX, "Q3_K", 1)
+    sf = _star(
+        tmp_path,
+        customers=[(1, 3, 0.0), (2, 0, 0.0)],
+        suppliers=[(1, 1)],
+        parts=[(1, "B")],
+        orders=[(10, 1, T_IN),        # in window
+                (11, 1, T_Q3_EDGE),   # placed AT cutoff: excluded
+                (12, 999, T_IN),      # dangling custkey
+                (13, 2, T_IN)],       # in window, ties order 10
+        lineitems=[
+            (10, 1, 1, 1, 100.0, 0.0, T_Q3_LATE, "N"),  # counted
+            (10, 1, 1, 1, 900.0, 0.0, T_IN, "N"),       # shipped early
+            (10, 1, 1, 1, 900.0, 0.0, T_Q3_EDGE, "N"),  # AT cutoff
+            (11, 1, 1, 1, 700.0, 0.0, T_Q3_LATE, "N"),  # order at edge
+            (12, 1, 1, 1, 500.0, 0.0, T_Q3_LATE, "N"),  # dangling cust
+            (13, 1, 1, 1, 100.0, 0.0, T_Q3_LATE, "N"),  # tie with 10
+        ])
+    out = RX.shipping_priority(sf)
+    _assert_parity(out, sf, RX.sql_shipping_priority())
+    df = out.to_pandas()
+    # orders 10 and 13 both have revenue 100.00; okey ASC wins at k=1
+    assert df.l_orderkey.tolist() == [10]
+    assert df.revenue_c4.tolist() == [100 * 100 * 100]
+
+
+def test_part_supplier_breadth_dedup_and_exclusion(ray_session,
+                                                   tmp_path,
+                                                   monkeypatch):
+    """Q16 shape: (part, supplier) pair dedup across repeated lines,
+    one supplier spanning two parts of the SAME group counted once,
+    excluded brand and excluded (low-balance) supplier dropped, and a
+    dangling suppkey (no supplier row) still counted — NOT IN
+    semantics on both engines."""
+    monkeypatch.setattr(RX, "Q16_EXCL_BRAND", "BX")
+    monkeypatch.setattr(RX, "Q16_SIZES", (1,))
+    monkeypatch.setattr(RX, "Q16_MIN_BAL", 0.0)
+    sf = _star(
+        tmp_path,
+        customers=[(1, 3, 0.0)],
+        suppliers=[(1, 1), (2, 2), (3, 3)],
+        parts=[(1, "B"), (2, "B"), (3, "BX")],
+        orders=[(10, 1, T_IN)],
+        lineitems=[
+            (10, 1, 1, 1, 1.0, 0.0, T_IN, "N"),   # s1 x p1
+            (10, 1, 1, 1, 1.0, 0.0, T_IN, "N"),   # dup pair
+            (10, 2, 1, 1, 1.0, 0.0, T_IN, "N"),   # s1 x p2: same group
+            (10, 1, 2, 1, 1.0, 0.0, T_IN, "N"),   # s2 x p1
+            (10, 1, 3, 1, 1.0, 0.0, T_IN, "N"),   # s3: excluded bal
+            (10, 3, 2, 1, 1.0, 0.0, T_IN, "N"),   # brand BX: excluded
+            (10, 1, 99, 1, 1.0, 0.0, T_IN, "N"),  # dangling suppkey
+        ])
+    # rewrite supplier with balances: s3 negative -> excluded at 0.0
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+        "s_nationkey": pa.array([1, 2, 3], pa.int32()),
+        "s_acctbal": pa.array([5.0, 5.0, -5.0], pa.float64())}),
+        os.path.join(sf, "supplier.parquet"))
+    out = RX.part_supplier_breadth(sf)
+    _assert_parity(out, sf, RX.sql_part_supplier_breadth())
+    df = out.to_pandas()
+    assert df.p_brand.tolist() == ["B"]
+    assert df.supplier_cnt.tolist() == [3]  # s1, s2, dangling 99
+
+
+def test_excess_suppliers_threshold(ray_session, tmp_path,
+                                    monkeypatch):
+    """Q20 shape: the strict 2*q > tot integer threshold (exactly half
+    loses), per-part correlation, and a dominant supplier with a
+    dangling nation dropped by the name join on both engines."""
+    import datetime as _dt
+
+    monkeypatch.setattr(RX, "Q20_WORD", "P")
+    monkeypatch.setattr(RX, "Q20_D1", _dt.datetime(1995, 1, 1))
+    monkeypatch.setattr(RX, "Q20_D2", _dt.datetime(1999, 1, 1))
+    sf = _star(
+        tmp_path,
+        customers=[(1, 3, 0.0)],
+        suppliers=[(1, 1), (2, 2), (3, 99)],   # s3: dangling nation
+        parts=[(1, "B"), (2, "B"), (4, "B")],
+        orders=[(10, 1, T_IN)],
+        lineitems=[
+            (10, 1, 1, 6.0, 1.0, 0.0, T_IN, "N"),   # p1: s1 6 of 10
+            (10, 1, 2, 4.0, 1.0, 0.0, T_IN, "N"),   # p1: s2 4 of 10
+            (10, 2, 3, 10.0, 1.0, 0.0, T_IN, "N"),  # p2: s3 dominant
+                                                    # but nation 99
+            (10, 4, 1, 5.0, 1.0, 0.0, T_IN, "N"),   # p4: exactly half
+            (10, 4, 2, 5.0, 1.0, 0.0, T_IN, "N"),   # p4: exactly half
+        ])
+    out = RX.excess_suppliers(sf)
+    _assert_parity(out, sf, RX.sql_excess_suppliers())
+    df = out.to_pandas()
+    assert df.s_suppkey.tolist() == [1]
+    assert df.n_name.tolist() == ["NATION_1"]
