@@ -93,6 +93,65 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "excess_suppliers"]
 
 
+# exact-mode per-op results stashed for the ivf-consumer agreement
+# block (avoids re-running the O(N^2) exact path a second time)
+KEEP_FOR_QUALITY = ("pagerank_topk", "label_prop", "triangle_stats",
+                    "knn_label_eval", "text_emb_consistency")
+
+
+def _ivf_consumer_quality(sf_dir: str, exact: dict) -> dict:
+    """Sub-quadratic-backbone evidence for the five kNN-graph
+    consumers beyond knn_graph itself (round-3 VERDICT item 1): each
+    runs on backbone='ivf', timed, and compared against its stashed
+    exact-mode result — so BENCH shows both the ivf timing and how
+    close the approximate graph's DOWNSTREAM answers stay."""
+    from raysearch.pipelines import crossmodal as X
+    from raysearch.pipelines import graph as G
+    from raysearch.pipelines import knn as KN
+
+    out: dict[str, float] = {}
+
+    def timed(key, fn):
+        t0 = time.perf_counter()
+        r = fn(sf_dir, backbone="ivf").to_pandas()
+        out[f"{key}_ivf_sec"] = round(time.perf_counter() - t0, 3)
+        return r
+
+    if "pagerank_topk" in exact:
+        pe = exact["pagerank_topk"]
+        pi = timed("pagerank", G.pagerank_topk)
+        out["pagerank_ivf_topk_overlap"] = round(
+            len(set(pe.vec_id) & set(pi.vec_id)) / max(len(pe), 1), 3)
+    if "label_prop" in exact:
+        le = exact["label_prop"].set_index("vec_id")
+        li = timed("label_prop", G.label_prop).set_index("vec_id")
+        j = le.join(li, rsuffix="_ivf", how="inner")
+        out["label_prop_ivf_label_agree"] = round(
+            float((j.label == j.label_ivf).mean()), 3)
+    if "triangle_stats" in exact:
+        te = exact["triangle_stats"].set_index("vec_id")
+        ti = timed("triangle", G.triangle_stats).set_index("vec_id")
+        j = te.join(ti, rsuffix="_ivf", how="inner")
+        out["triangle_ivf_count_agree"] = round(
+            float((j.n_triangles == j.n_triangles_ivf).mean()), 3)
+    if "knn_label_eval" in exact:
+        def acc(cm):
+            tot = cm.n.sum()
+            return float(cm[cm.true_label == cm.pred_label].n.sum()
+                         / max(tot, 1))
+        ae = acc(exact["knn_label_eval"])
+        ai = acc(timed("knn_label_eval", KN.knn_label_eval))
+        out["knn_label_eval_ivf_acc_delta"] = round(abs(ae - ai), 4)
+    if "text_emb_consistency" in exact:
+        ce = exact["text_emb_consistency"].set_index("doc_id")
+        ci = timed("text_emb", X.text_emb_consistency
+                   ).set_index("doc_id")
+        j = ce.join(ci, rsuffix="_ivf", how="inner")
+        out["text_emb_ivf_1nn_agree"] = round(
+            float((j.nbr_id == j.nbr_id_ivf).mean()), 3)
+    return out
+
+
 def run_quality(sf_dir: str) -> dict:
     """Driver-visible quality numbers for the approximate (no-oracle)
     operators — recall/precision vs their exact counterparts and the
@@ -292,15 +351,19 @@ def run_bench() -> dict:
     qmap = entrymod.queries()
     if os.environ.get("RAY_GRAFT_SKIP_PEROP"):
         qmap = {}
+    exact_results: dict = {}
     for name in PER_OP:
         fn = qmap.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()
-        fn(sf_dir)
+        res = fn(sf_dir)
         per_query[name] = round(time.perf_counter() - t0, 3)
+        if name in KEEP_FOR_QUALITY:
+            exact_results[name] = res.to_pandas()
     if qmap:
         quality = run_quality(sf_dir)
+        quality.update(_ivf_consumer_quality(sf_dir, exact_results))
 
     # partition skew: largest / median posting mass across segments
     detail = res.stats.get("parts_detail") or []

@@ -43,7 +43,8 @@ from raysearch.pipelines.similarity import _n_emb
 JACC_NGRAM = 3
 
 
-def text_emb_consistency(sf_dir: str) -> pa.Table:
+def text_emb_consistency(sf_dir: str, backbone: str | None = None
+                         ) -> pa.Table:
     """(doc_id, nbr_id, cos, jaccard): every vector's exact 1-NN and
     the 3-gram Jaccard of the two texts, sorted by doc_id."""
     import os
@@ -85,7 +86,7 @@ def text_emb_consistency(sf_dir: str) -> pa.Table:
             "h": np.int64(0), "size": np.int64(0),
             "side": np.int64(0)})
 
-    pairs = (_knn_partials_ds(sf_dir)
+    pairs = (_knn_partials_ds(sf_dir, backbone)
              .groupby("bucket").map_groups(pair_kern,
                                            batch_format="pandas"))
 

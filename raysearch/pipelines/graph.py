@@ -64,7 +64,7 @@ PR_K = 20
 _COLS = ["bucket", "a", "b", "deg", "p", "side"]
 
 
-def _edges_ds(sf_dir: str, nb: int):
+def _edges_ds(sf_dir: str, nb: int, backbone: str | None = None):
     """(bucket=src-hash, a=src, b=dst, deg=src out-degree) edge rows
     from the shared knn fan-out, in the unified superstep schema."""
 
@@ -78,7 +78,7 @@ def _edges_ds(sf_dir: str, nb: int):
             "deg": deg.to_numpy(np.int64),
             "p": np.int64(0), "side": np.int64(0)})[_COLS]
 
-    return (_knn_partials_ds(sf_dir)
+    return (_knn_partials_ds(sf_dir, backbone)
             .groupby("bucket").map_groups(edge_kern,
                                           batch_format="pandas")
             .materialize())
@@ -90,7 +90,8 @@ def _edges_ds(sf_dir: str, nb: int):
          dn=PR_D_NUM,
          dd=PR_D_DEN,
          scale=PR_SCALE)
-def pagerank_topk(sf_dir: str) -> pa.Table:
+def pagerank_topk(sf_dir: str, backbone: str | None = None
+                  ) -> pa.Table:
     """The {k} most central vectors of the exact cosine {knnk}-NN
     graph after {iters} fixed-point PageRank supersteps (damping
     {dn}/{dd}, mass units of 1/{scale}), ties broken by vec_id."""
@@ -114,7 +115,7 @@ def pagerank_topk(sf_dir: str) -> pa.Table:
         return pa.table({"vec_id": pa.array(vid, pa.int64()),
                          "p": pa.array([teleport], pa.int64())})
 
-    edges = _edges_ds(sf_dir, nb)
+    edges = _edges_ds(sf_dir, nb, backbone)
 
     # p0 comes from the vec_id column itself (unique by schema) — a
     # map-only pass, and immune to a source's edge rows ever being
@@ -237,7 +238,7 @@ LP_ITERS = 2
 
 
 @fmt_doc(iters=LP_ITERS, k=KNN_K)
-def label_prop(sf_dir: str) -> pa.Table:
+def label_prop(sf_dir: str, backbone: str | None = None) -> pa.Table:
     """Semi-supervised label propagation over the same exact k-NN
     graph (Zhu & Ghahramani 2002, hard-label variant): for {iters}
     synchronous rounds, every node adopts the MAJORITY label of its
@@ -283,7 +284,7 @@ def label_prop(sf_dir: str) -> pa.Table:
             "deg": np.int64(0), "p": np.int64(0),
             "side": np.int64(0)})[_COLS]
 
-    edges = (_knn_partials_ds(sf_dir)
+    edges = (_knn_partials_ds(sf_dir, backbone)
              .groupby("bucket").map_groups(dst_kern,
                                            batch_format="pandas")
              .materialize())
@@ -437,7 +438,8 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray, nb: int) -> np.ndarray:
     return (h & np.uint64(nb - 1)).astype(np.int64)
 
 
-def triangle_stats(sf_dir: str) -> pa.Table:
+def triangle_stats(sf_dir: str, backbone: str | None = None
+                   ) -> pa.Table:
     """Per-node triangle count and local clustering coefficient over
     the UNDIRECTED exact k-NN graph — the standard graph-quality
     probe (a high coefficient marks tight semantic clusters; the
@@ -483,7 +485,7 @@ def triangle_stats(sf_dir: str) -> pa.Table:
         # instead of re-hashing the whole edge set
         return g.drop_duplicates(["u", "v"])[["bucket", "u", "v"]]
 
-    und = (_knn_partials_ds(sf_dir)
+    und = (_knn_partials_ds(sf_dir, backbone)
            .groupby("bucket").map_groups(und_rows,
                                          batch_format="pandas")
            .groupby("bucket").map_groups(dedup_kern,

@@ -147,3 +147,43 @@ def test_knn_ivf_env_switch_consumers(ray_session, monkeypatch):
     lp = label_prop(sf).to_pandas()
     assert len(lp) == 500
     assert (lp.changed == (lp.label != lp.label0).astype(int)).all()
+
+
+def test_ivf_backbone_param_consumers(ray_session):
+    """The explicit backbone= parameter (round-4: threaded through
+    every consumer, not just the env switch) produces schema-identical
+    tables on all four graph/crossmodal consumers, and the two
+    metric-style consumers stay close to exact at the driver-scale
+    table: knn_label_eval accuracy within 0.05, text_emb_consistency
+    1-NN agreement >= 0.85 (measured 0.008 / 0.926 at sf0.01 on the
+    adversarial near-uniform embeddings)."""
+    from raysearch.pipelines.crossmodal import text_emb_consistency
+    from raysearch.pipelines.graph import (
+        label_prop,
+        pagerank_topk,
+        triangle_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (pagerank_topk, label_prop, triangle_stats):
+        ex, ap = fn(sf).to_pandas(), fn(sf, backbone="ivf").to_pandas()
+        assert list(ex.columns) == list(ap.columns)
+        assert [str(t) for t in ex.dtypes] == [str(t) for t in ap.dtypes]
+        assert len(ap) > 0
+
+    sf = "/root/testdata/sf0.01"
+
+    def acc(cm):
+        return float(cm[cm.true_label == cm.pred_label].n.sum()
+                     / max(cm.n.sum(), 1))
+
+    d = abs(acc(K.knn_label_eval(sf).to_pandas())
+            - acc(K.knn_label_eval(sf, backbone="ivf").to_pandas()))
+    assert d <= 0.05, f"ivf knn_label_eval accuracy delta {d:.4f}"
+
+    ce = text_emb_consistency(sf).to_pandas().set_index("doc_id")
+    ci = (text_emb_consistency(sf, backbone="ivf").to_pandas()
+          .set_index("doc_id"))
+    j = ce.join(ci, rsuffix="_ivf", how="inner")
+    agree = float((j.nbr_id == j.nbr_id_ivf).mean())
+    assert agree >= 0.85, f"ivf 1-NN agreement {agree:.3f}"
