@@ -1237,6 +1237,44 @@ NEAR_QUERIES = [
 NEAR_W = 4
 
 
+def _and_candidate_ids(idx: str, parts, queries) -> np.ndarray:
+    """Phase-1 candidate generation shared by near_topk / slop_topk:
+    per segment, AND-intersect the two terms' posting lists for every
+    2-term query — work proportional to min(df), never a corpus scan —
+    and return the distinct candidate doc ids."""
+    import ray.data
+    from raysearch.segments import (decode_posting_row, part_dirname,
+                                    read_postings)
+
+    all_terms = sorted({t for q in queries for t in q})
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        dids = []
+        for part in batch["part"].to_pylist():
+            tbl = read_postings(part_dirname(idx, int(part)), all_terms)
+            docs = {t: decode_posting_row(tbl, i)[0]
+                    for i, t in enumerate(tbl["term"].to_pylist())}
+            for ta, tb in queries:
+                if ta not in docs or tb not in docs:
+                    continue
+                cand = docs[ta][np.isin(docs[ta], docs[tb],
+                                        assume_unique=True)]
+                if len(cand):
+                    dids.append(cand)
+        if not dids:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(dids), pa.int64())})
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    cand = pa.concat_tables(
+        parts_ds.map_batches(candidates, batch_format="pyarrow",
+                             batch_size=max(1, len(parts) // 16))
+        .iter_batches(batch_format="pyarrow"))
+    return np.unique(cand["doc_id"].to_numpy()) \
+        if cand.num_rows else np.array([], np.int64)
+
+
 @fmt_doc(w=NEAR_W, k=TOPK)
 def near_topk(sf_dir: str) -> pa.Table:
     """NEAR/{w} proximity search — the unordered within-window
@@ -1256,48 +1294,18 @@ def near_topk(sf_dir: str) -> pa.Table:
     doc-boundary guards, and np.minimum.at / np.add.at scatters onto
     docs. No per-token Python anywhere."""
     import ray.data
-    from raysearch.segments import (decode_posting_row, part_dirname,
-                                    read_postings)
     from raysearch.stats import load_stats
 
     idx = cached_index(sf_dir)
     parts = load_stats(idx)["parts"]
-    all_terms = sorted({t for q in NEAR_QUERIES for t in q})
-
-    def candidates(batch: pa.Table) -> pa.Table:
-        qids, dids = [], []
-        for part in batch["part"].to_pylist():
-            tbl = read_postings(part_dirname(idx, int(part)), all_terms)
-            docs = {t: decode_posting_row(tbl, i)[0]
-                    for i, t in enumerate(tbl["term"].to_pylist())}
-            for qid, (ta, tb) in enumerate(NEAR_QUERIES):
-                if ta not in docs or tb not in docs:
-                    continue
-                cand = docs[ta][np.isin(docs[ta], docs[tb],
-                                        assume_unique=True)]
-                if len(cand):
-                    qids.append(np.full(len(cand), qid, dtype=np.int64))
-                    dids.append(cand)
-        if not qids:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64())})
-        return pa.table({
-            "query_id": pa.array(np.concatenate(qids), pa.int64()),
-            "doc_id": pa.array(np.concatenate(dids), pa.int64())})
-
-    parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    cand = pa.concat_tables(
-        parts_ds.map_batches(candidates, batch_format="pyarrow",
-                             batch_size=max(1, len(parts) // 16))
-        .iter_batches(batch_format="pyarrow"))
+    cand_ids = _and_candidate_ids(idx, parts, NEAR_QUERIES)
     empty = pa.table({"query_id": pa.array([], pa.int64()),
                       "doc_id": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.int64()),
                       "min_dist": pa.array([], pa.int64()),
                       "win_count": pa.array([], pa.int64())})
-    if cand.num_rows == 0:
+    if not len(cand_ids):
         return empty
-    cand_ids = np.unique(cand["doc_id"].to_numpy())
 
     def verify(b: pa.Table) -> pa.Table:
         from raysearch.pipelines.textops import _list_parents, _tokens
@@ -1390,6 +1398,158 @@ def near_topk(sf_dir: str) -> pa.Table:
     })
 
 
+SLOP_W = 3
+
+
+@fmt_doc(w=SLOP_W, k=TOPK)
+def slop_topk(sf_dir: str) -> pa.Table:
+    """Ordered proximity search ("a b"~{w}, the Lucene sloppy-phrase
+    shape): for each 2-term query, documents where the FIRST term is
+    followed by the second within {w} tokens (order matters, unlike
+    near_topk), top-{k} ranked by (within-{w} ordered-pair count DESC,
+    min ordered gap ASC, doc_id).
+
+    Same two-phase plan as near_topk/phrase_topk (candidates by
+    AND-intersecting posting lists per segment — work proportional to
+    min(df) — then position verification on a candidate-id-filtered
+    documents read). The verify kernel reuses the flat-position
+    machinery but looks only RIGHTWARD: for each a-occurrence, the
+    nearest b strictly after it (searchsorted, doc-boundary-guarded)
+    gives the ordered gap, and the b-count in (a, a+{w}] clipped to
+    a's own doc gives the pair count. A doc is a hit only if some
+    ordered pair lands within {w} — min-gap-only docs (b too far
+    right) are filtered exactly like the oracle's HAVING."""
+    import pyarrow.dataset as pads
+    import ray.data
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    parts = load_stats(idx)["parts"]
+    cand_ids = _and_candidate_ids(idx, parts, NEAR_QUERIES)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "min_gap": pa.array([], pa.int64()),
+                      "pair_count": pa.array([], pa.int64())})
+    if not len(cand_ids):
+        return empty
+
+    def verify(b: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import _list_parents, _tokens
+
+        toks = _tokens(b)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        parents = _list_parents(toks)
+        doc_ids = b["doc_id"].to_numpy()
+        codes, uniq = pd.factorize(flat, sort=False)
+        code_of = {t: c for c, t in enumerate(uniq)}
+        out_q, out_d, out_m, out_w = [], [], [], []
+        big = np.iinfo(np.int64).max
+        for qid, (ta, tb) in enumerate(NEAR_QUERIES):
+            ca, cb = code_of.get(ta, -1), code_of.get(tb, -1)
+            if ca < 0 or cb < 0:
+                continue
+            ia = np.flatnonzero(codes == ca)     # sorted global pos
+            ib = np.flatnonzero(codes == cb)
+            if not len(ia) or not len(ib):
+                continue
+            pa_, pb_ = parents[ia], parents[ib]
+            # nearest b STRICTLY AFTER each a, same-doc-guarded
+            lo = np.searchsorted(ib, ia, side="right")
+            gap = np.full(len(ia), big, np.int64)
+            r = np.flatnonzero(lo < len(ib))
+            r = r[pb_[lo[r]] == pa_[r]]
+            gap[r] = ib[lo[r]] - ia[r]
+            # ordered pairs within (a, a+W], clipped to a's doc
+            hi_i = np.searchsorted(ib, ia + SLOP_W, side="right")
+            doc_hi = np.searchsorted(pb_, pa_, side="right")
+            cnt = (np.minimum(hi_i, doc_hi) - lo).clip(min=0)
+            wc = np.zeros(len(doc_ids), np.int64)
+            np.add.at(wc, pa_, cnt)
+            mind = np.full(len(doc_ids), big, np.int64)
+            valid = gap < big
+            if valid.any():
+                np.minimum.at(mind, pa_[valid], gap[valid])
+            hit = np.flatnonzero(wc > 0)   # the oracle's HAVING
+            if not len(hit):
+                continue
+            out_q.append(np.full(len(hit), qid, dtype=np.int64))
+            out_d.append(doc_ids[hit])
+            out_m.append(mind[hit])
+            out_w.append(wc[hit])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "min_gap": pa.array([], pa.int64()),
+                             "pair_count": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "min_gap": pa.array(np.concatenate(out_m), pa.int64()),
+            "pair_count": pa.array(np.concatenate(out_w), pa.int64())})
+
+    docs_ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(cand_ids))
+    rows = pa.concat_tables(
+        docs_ds.map_batches(verify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    if rows.empty:
+        return empty
+    rows = rows.sort_values(
+        ["query_id", "pair_count", "min_gap", "doc_id"],
+        ascending=[True, False, True, True])
+    rows["rank"] = rows.groupby("query_id").cumcount() + 1
+    rows = rows[rows["rank"] <= TOPK]
+    return pa.table({
+        "query_id": pa.array(rows.query_id.to_numpy(np.int64),
+                             pa.int64()),
+        "doc_id": pa.array(rows.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(rows["rank"].to_numpy(np.int64), pa.int64()),
+        "min_gap": pa.array(rows.min_gap.to_numpy(np.int64),
+                            pa.int64()),
+        "pair_count": pa.array(rows.pair_count.to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
+def sql_slop_topk() -> str:
+    rows = ", ".join(f"({qid}, '{ta}', '{tb}')"
+                     for qid, (ta, tb) in enumerate(NEAR_QUERIES))
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(len(toks)))::BIGINT AS p
+        FROM t),
+q(query_id, ta, tb) AS (VALUES {rows}),
+j AS (
+  SELECT q.query_id, a.doc_id, b.p - a.p AS d
+  FROM q
+  JOIN pos a ON a.tok = q.ta
+  JOIN pos b ON b.tok = q.tb AND b.doc_id = a.doc_id
+  WHERE b.p > a.p
+),
+agg AS (
+  SELECT query_id, doc_id, min(d)::BIGINT AS min_gap,
+         sum(CASE WHEN d <= {SLOP_W} THEN 1 ELSE 0 END)::BIGINT
+           AS pair_count
+  FROM j GROUP BY query_id, doc_id
+  HAVING sum(CASE WHEN d <= {SLOP_W} THEN 1 ELSE 0 END) >= 1
+),
+ranked AS (
+  SELECT query_id, doc_id, min_gap, pair_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pair_count DESC, min_gap, doc_id
+                            )::BIGINT AS rank
+  FROM agg
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, min_gap, pair_count
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def sql_near_topk() -> str:
     rows = ", ".join(f"({qid}, '{ta}', '{tb}')"
                      for qid, (ta, tb) in enumerate(NEAR_QUERIES))
@@ -1441,6 +1601,7 @@ QUERIES = {
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
     "near_topk": near_topk,
+    "slop_topk": slop_topk,
     "blocklist_docs": blocklist_docs,
     "bool_and_docs": bool_and_docs,
     "more_like_this": more_like_this,
@@ -1464,6 +1625,7 @@ ORACLE_SQL = {
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),
     "near_topk": sql_near_topk(),
+    "slop_topk": sql_slop_topk(),
     "blocklist_docs": sql_blocklist_docs(),
     "bool_and_docs": sql_bool_and_docs(),
     "more_like_this": sql_more_like_this(),
