@@ -186,7 +186,7 @@ def _topk_rounded(sf_dir: str, mode: str) -> pa.Table:
 def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
                            rank_hi: int = TOPK,
                            buffer: int = _TOPK_BUFFER,
-                           queries=None) -> pa.Table:
+                           queries=None, boost=None) -> pa.Table:
     """DOC_QUERIES top-k over an already-built index with the oracle's
     rounding/tie contract — shared by the sf_dir-cached entries here,
     the index-lifecycle entries (pipelines/lifecycle.py), the
@@ -196,7 +196,8 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
     from raysearch.query import query_index
 
     raw = query_index(idx, queries if queries is not None
-                      else DOC_QUERIES, k=buffer, mode=mode)
+                      else DOC_QUERIES, k=buffer, mode=mode,
+                      boost=boost)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],
@@ -224,6 +225,49 @@ def overlap_topk(sf_dir: str) -> pa.Table:
     """The reference's integer overlap-tf score, top-10 per query
     (src/lib.rs:374-411 semantics, deterministic tie order)."""
     return _topk_rounded(sf_dir, "overlap")
+
+
+# static boost: documents containing this term rank-boost by the
+# factor (a "sponsored/editorial" list SOURCED FROM THE INDEX — the
+# boost set is df-bounded, never a corpus scan; 1.5 is exactly
+# representable so engine and oracle multiply bit-identically)
+BOOST_TERM = "spark"
+BOOST_FACTOR = 1.5
+
+
+@fmt_doc(t=BOOST_TERM, f=BOOST_FACTOR, k=TOPK)
+def boosted_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-{k} with a static document boost (the Lucene
+    query-time boost shape): docs containing '{t}' score x{f}. The
+    boost list is read FROM the posting lists (work proportional to
+    the term's df), sorted, and handed to every segment scorer, which
+    multiplies the FINAL accumulated score of member docs BEFORE its
+    local top-k — so the boosted ranking is exact, not a post-hoc
+    reorder of an unboosted top-k (a boosted doc outside the raw
+    top-k can enter the boosted one). At a larger boost-list scale
+    the ids would ray.put once like the snippet candidate set."""
+    from raysearch.segments import (decode_posting_row, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    parts = load_stats(idx)["parts"]
+    dids = []
+    for part in parts:
+        tbl = read_postings(part_dirname(idx, int(part)), [BOOST_TERM])
+        for i in range(tbl.num_rows):
+            dids.append(decode_posting_row(tbl, i)[0])
+    ids = (np.unique(np.concatenate(dids)) if dids
+           else np.array([], np.int64))
+    return topk_rounded_for_index(idx, "bm25",
+                                  boost=(ids, BOOST_FACTOR))
+
+
+def sql_boosted_topk() -> str:
+    return sql_bm25_topk(boost_expr=(
+        f" * (CASE WHEN doc_id IN (SELECT DISTINCT doc_id FROM tf "
+        f"WHERE term = '{BOOST_TERM}') THEN {BOOST_FACTOR} "
+        f"ELSE 1 END)"))
 
 
 SNIPPET_CHARS = 80
@@ -649,14 +693,16 @@ WHERE tf.term IN ({terms})
 
 def sql_bm25_topk(rel: str = "documents", scores_where: str = "",
                   rank_lo: int = 1, rank_hi: int = TOPK,
-                  qvalues: str | None = None) -> str:
+                  qvalues: str | None = None,
+                  boost_expr: str = "") -> str:
     """BM25 oracle. ``rel`` swaps the corpus relation (lifecycle
     oracles score a filtered corpus with recomputed stats);
     ``scores_where`` restricts only the SCORED candidate rows while
     df/N/avgdl stay whole-corpus — the tombstone (stale-stats)
     semantics; ``rank_lo``/``rank_hi`` select a pagination window;
     ``qvalues`` overrides the query-term VALUES rows (synonym
-    expansion)."""
+    expansion); ``boost_expr`` multiplies the UNROUNDED accumulated
+    score before the round-then-rank step (static doc boost)."""
     where = f"WHERE {scores_where}" if scores_where else ""
     return f"""
 WITH {_tok_ctes(rel)},
@@ -681,9 +727,10 @@ scores AS (
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
-  SELECT query_id, doc_id, round(score, 6) AS score,
+  SELECT query_id, doc_id, round(score{boost_expr}, 6) AS score,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+                            ORDER BY round(score{boost_expr}, 6) DESC,
+                                     doc_id) AS rank
   FROM scores
 )
 SELECT query_id::BIGINT AS query_id, doc_id, rank, score
@@ -1592,6 +1639,7 @@ QUERIES = {
     "postings": postings,
     "bm25_topk": bm25_topk,
     "overlap_topk": overlap_topk,
+    "boosted_topk": boosted_topk,
     "dirichlet_topk": dirichlet_topk,
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
@@ -1616,6 +1664,7 @@ ORACLE_SQL = {
     "postings": sql_postings(),
     "bm25_topk": sql_bm25_topk(),
     "overlap_topk": sql_overlap_topk(),
+    "boosted_topk": sql_boosted_topk(),
     "dirichlet_topk": sql_dirichlet_topk(),
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),

@@ -94,17 +94,39 @@ def lexicon_cf(index_dir: str, terms: list[str]) -> dict[str, int]:
     return dict(zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist()))
 
 
+def _apply_boost(docs: np.ndarray, sc: np.ndarray, boost):
+    """Static document boost (Lucene-style query-time boost list):
+    multiply the FINAL accumulated score of every doc in the sorted
+    boost-id array by the factor — before top-k truncation, so the
+    boosted ranking is exact, not a post-hoc reorder of an unboosted
+    top-k. ``boost`` is (sorted int64 ids, float factor) or None."""
+    if boost is None or not len(docs):
+        return sc
+    bids, bf = boost
+    pos = np.searchsorted(bids, docs)
+    ok = pos < len(bids)
+    hit = np.zeros(len(docs), dtype=bool)
+    hit[ok] = bids[pos[ok]] == docs[ok]
+    sc = sc.astype(np.float64, copy=True)
+    sc[hit] *= bf
+    return sc
+
+
 def score_queries_over_postings(
         qweights, postings: dict, max_tfs: dict, df: dict,
         n_docs: int, avgdl: float, k1: float, b: float, k: int,
         mode: str, prune: bool = False,
         cf: dict | None = None, total_tokens: int = 0,
-        mu: float = 2000.0) -> pa.Table:
+        mu: float = 2000.0, boost=None) -> pa.Table:
     """Score a query batch against one segment's (already decoded)
     postings — the shared kernel behind both the one-shot SegmentScorer
     and the resident SegmentServer actors (raysearch/serve.py).
     Doc-hash partitioning makes these per-segment scores FINAL, so
     per-segment top-k is exact (see module docstring)."""
+    if boost is not None and prune:
+        # MaxScore bounds don't account for per-doc boost factors; the
+        # boosted path uses the exhaustive (still df-bounded) scorer
+        raise ValueError("boost requires prune=False")
     qids, ranks, dids, scores = [], [], [], []
     for qid, qw in enumerate(qweights):
         if mode == "dirichlet":
@@ -112,6 +134,7 @@ def score_queries_over_postings(
 
             docs, sc = dirichlet_scores(qw, postings.get, cf or {},
                                         total_tokens, mu)
+            sc = _apply_boost(docs, sc, boost)
             d, s = topk(docs, sc, k)
             qids.extend([qid] * len(d))
             ranks.extend(range(1, len(d) + 1))
@@ -141,6 +164,7 @@ def score_queries_over_postings(
                 contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
             per_term.append((docs, contrib))
         docs, sc = accumulate_scores(per_term)
+        sc = _apply_boost(docs, sc, boost)
         d, s = topk(docs, sc, k)
         qids.extend([qid] * len(d))
         ranks.extend(range(1, len(d) + 1))
@@ -189,13 +213,15 @@ class SegmentScorer:
                  k1: float, b: float, prune: bool = False,
                  cf: dict[str, int] | None = None, total_tokens: int = 0,
                  mu: float = 2000.0,
-                 deleted: np.ndarray | None = None):
+                 deleted: np.ndarray | None = None,
+                 boost=None):
         self.index_dir = index_dir
         self.k, self.mode = k, mode
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
         self.k1, self.b = k1, b
         self.prune = prune
         self.cf, self.total_tokens, self.mu = cf, total_tokens, mu
+        self.boost = boost
         # sorted unique tombstoned doc_ids (maintenance.delete_docs),
         # broadcast once per actor. Stats stay build-time — the
         # standard stale-stats-until-compaction semantics — but
@@ -228,7 +254,8 @@ class SegmentScorer:
         return score_queries_over_postings(
             self.qweights, postings, max_tfs, self.df, self.n_docs,
             self.avgdl, self.k1, self.b, self.k, self.mode, self.prune,
-            cf=self.cf, total_tokens=self.total_tokens, mu=self.mu)
+            cf=self.cf, total_tokens=self.total_tokens, mu=self.mu,
+            boost=self.boost)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = [self._score_part(int(p)) for p in batch["part"].to_pylist()]
@@ -244,6 +271,7 @@ def query_index(
     use_actors: bool = False,
     prune: bool = False,
     mu: float = 2000.0,
+    boost=None,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
     the deterministic total order (-score, doc_id).
@@ -273,6 +301,12 @@ def query_index(
         index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
         n_docs=stats["n_docs"], avgdl=stats["avgdl"],
         k1=cfg["k1"], b=cfg["b"], prune=prune)
+    if boost is not None:
+        if prune:
+            raise ValueError(
+                "boost requires prune=False (MaxScore bounds don't "
+                "account for per-doc boost factors)")
+        scorer_kwargs["boost"] = boost
     if mode == "dirichlet":
         scorer_kwargs["cf"] = lexicon_cf(index_dir, all_terms)
         scorer_kwargs["total_tokens"] = stats["total_tokens"]
