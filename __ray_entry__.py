@@ -31,7 +31,7 @@ _PIPELINE_MODULES = (
     "winnow", "mixing", "dsir", "packing", "profile", "bpe",
     "relational", "knn", "semistructured", "wildcard", "fuzzy",
     "relational_ext", "graph", "perplexity", "stats", "quantize",
-    "crossmodal", "embstats", "lifecycle",
+    "crossmodal", "embstats", "lifecycle", "nbayes",
 )
 
 

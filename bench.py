@@ -90,7 +90,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "synonym_topk", "ppm_stats", "wav_stats", "ppm_resize",
           # round 4, third wave
           "shipping_priority", "part_supplier_breadth",
-          "excess_suppliers", "slop_topk", "boosted_topk"]
+          "excess_suppliers", "slop_topk", "boosted_topk",
+          "nb_lang_eval"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -1,0 +1,101 @@
+"""nb_lang_eval (distributed multinomial Naive Bayes): adversarial
+parity vs the DuckDB log-likelihood oracle — separable vocabularies,
+token-less docs unscored, the rounded-argmax tie falling to the
+smallest class name, and Laplace smoothing on tokens absent from a
+class."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raysearch.pipelines import nbayes as NB
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _docs(tmp_path, rows):
+    """rows: (text, lang)."""
+    n = len(rows)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([t for t, _ in rows], pa.string()),
+        "lang": pa.array([g for _, g in rows], pa.string()),
+        "source": pa.array(["t"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t, _ in rows], pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def _parity(sf):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    eng = _norm(NB.nb_lang_eval(sf).to_pandas())
+    ora = _norm(con.execute(NB.sql_nb_lang_eval()).df())
+    assert [str(t) for t in eng.dtypes] == [str(t) for t in ora.dtypes]
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    return eng
+
+
+def test_nb_separable_and_edge_docs(ray_session, tmp_path):
+    """Fully separable vocabularies classify perfectly; a token-less
+    doc is unscored on both engines; a test doc mixing both
+    vocabularies goes to the class winning the smoothed likelihood."""
+    sf = _docs(tmp_path, [
+        ("alpha beta alpha", "aa"),
+        ("beta alpha beta alpha", "aa"),
+        ("gamma delta gamma", "bb"),
+        ("delta gamma delta delta", "bb"),
+        ("", "aa"),                      # token-less: unscored
+        ("   ", "bb"),                   # whitespace-only: unscored
+        ("alpha gamma alpha", "bb"),     # mixed vocab: trains INTO bb
+        # (train-on-all), so bb's smoothed likelihood wins despite the
+        # alpha majority — pinned below
+    ])
+    eng = _parity(sf)
+    m = eng.set_index(["true_lang", "pred_lang"]).n
+    assert m.get(("aa", "aa"), 0) == 2
+    assert m.get(("bb", "bb"), 0) == 3   # incl. the mixed doc
+    assert int(eng.n.sum()) == 5         # 2 empty docs never scored
+
+
+def test_nb_tie_breaks_to_smallest_class(ray_session, tmp_path):
+    """Identical docs split across two classes: every class-score pair
+    ties exactly, so every prediction falls to the lexicographically
+    smallest class on both engines."""
+    sf = _docs(tmp_path, [
+        ("same words here", "xx"),
+        ("same words here", "yy"),
+    ])
+    eng = _parity(sf)
+    assert set(eng.pred_lang) == {"xx"}
+    assert int(eng.n.sum()) == 2
+
+
+def test_nb_smoothing_on_unseen_tokens(ray_session, tmp_path):
+    """A doc whose tokens NEVER appear in one class's training rows
+    still gets a finite score there (Laplace floor), and the
+    class-count lookup returns zero (not a neighbor) for misses —
+    parity proves both."""
+    sf = _docs(tmp_path, [
+        ("aaa bbb ccc", "p"),
+        ("ddd eee fff", "q"),
+        ("ggg hhh", "p"),   # none of these tokens occur in class q
+    ])
+    _parity(sf)
+    # direct kernel check: misses return 0, never a neighbor's count
+    h = np.array([10, 20, 30], np.uint64)
+    n = np.array([5, 6, 7], np.int64)
+    got = NB._class_counts(h, n, np.array([5, 10, 25, 30, 99],
+                                          np.uint64))
+    assert got.tolist() == [0.0, 5.0, 0.0, 7.0, 0.0]
