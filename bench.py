@@ -91,7 +91,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 4, third wave
           "shipping_priority", "part_supplier_breadth",
           "excess_suppliers", "slop_topk", "boosted_topk",
-          "nb_lang_eval"]
+          "nb_lang_eval", "heavy_hitters_ss"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement
@@ -244,6 +244,21 @@ def run_quality(sf_dir: str) -> dict:
     out["hll_max_rel_err"] = round(float(
         (abs(apd.n_users_est - exd.n_users)
          / exd.n_users.clip(lower=1)).max()), 5)
+
+    hh = K.heavy_hitters(sf_dir).to_pandas()
+    ss = K.heavy_hitters_ss(sf_dir).to_pandas()
+    if len(hh):
+        # sketch top-k vs the TRUE top-k (exact list truncated the
+        # same way) — measures sketch error, not the k cutoff
+        top = set(hh.sort_values(["cnt", "term"],
+                                 ascending=[False, True])
+                  .head(len(ss)).term)
+        out["hh_ss_recall_topk"] = round(
+            len(top & set(ss.term)) / max(len(top), 1), 3)
+    if len(ss):
+        out["hh_ss_interval_rel_width"] = round(float(
+            ((ss.cnt_hi - ss.cnt_lo) / ss.cnt_lo.clip(lower=1))
+            .max()), 5)
     return out
 
 

@@ -294,6 +294,74 @@ HAVING count(*) * {HH_S} > tot.n
 """
 
 
+SS_CAP = 64   # SpaceSaving counters per batch summary
+SS_K = 20     # reported top-k
+
+
+@fmt_doc(c=SS_CAP, k=SS_K)
+def heavy_hitters_ss(sf_dir: str) -> pa.Table:
+    """Mergeable SpaceSaving-style top-{k} terms in ONE pass
+    (Agarwal et al., "Mergeable Summaries"): each batch compresses its
+    exact term counts to {c} counters (top-{c} by count, ties by
+    term) plus one marker row carrying the batch's max DISCARDED
+    count; a narrow groupby merges summaries by summing counts.
+    A merged candidate's sum is a guaranteed LOWER bound (per-batch
+    summary counts are exact for kept terms); the global upper bound
+    adds E = sum of per-batch discarded maxima (a term absent from a
+    batch's summary had at most that batch's discarded-max there).
+    Output: top-{k} by (cnt_lo DESC, term) with [cnt_lo, cnt_hi].
+
+    Deterministic guarantees (pinned in pytest): true count is inside
+    [cnt_lo, cnt_hi] for every reported term, and any term whose true
+    count exceeds E cannot be missed (discarded-everywhere implies
+    true <= E). vs the exact heavy_hitters two-pass scheme this does
+    ONE pass and ships a fixed {c}-row summary per batch — the sketch
+    path when a second corpus pass is too expensive. Approximate by
+    construction -> rows-only driver check; recall/error vs the exact
+    operator reported in the bench quality block. Merged-candidate
+    cardinality is <= {c} x n_batches narrow rows; at extreme block
+    counts the final selection composes with grouped_topk's
+    n_blocks x k bound."""
+    from ray.data.aggregate import Sum
+
+    def summarize(batch: pa.Table) -> pd.DataFrame:
+        terms, cnts = _batch_term_counts(batch)
+        if not len(terms):
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        # top-C under (cnt DESC, term ASC): lexsort on (term) then
+        # stable argsort on -cnt keeps the tie order deterministic
+        order = np.lexsort((terms, -cnts))
+        keep, drop = order[:SS_CAP], order[SS_CAP:]
+        err = int(cnts[drop].max()) if len(drop) else 0
+        return pd.DataFrame({
+            "term": np.concatenate([np.array([""], dtype=object),
+                                    terms[keep]]),
+            "cnt": np.concatenate([np.array([err], dtype=np.int64),
+                                   cnts[keep].astype(np.int64)]),
+        })
+
+    merged = (_read(sf_dir, _DOCS, ["doc_id", "text"])
+              .map_batches(summarize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+              ).to_pandas()
+    if "term" not in merged.columns or not len(merged):
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt_lo": pa.array([], pa.int64()),
+                         "cnt_hi": pa.array([], pa.int64())})
+    err_total = int(merged.loc[merged.term == "", "cnt"].sum())
+    cand = merged[merged.term != ""].copy()
+    cand = cand.sort_values(["cnt", "term"],
+                            ascending=[False, True]).head(SS_K)
+    lo = cand.cnt.to_numpy(np.int64)
+    return pa.table({
+        "term": pa.array(cand.term.tolist(), pa.string()),
+        "cnt_lo": pa.array(lo, pa.int64()),
+        "cnt_hi": pa.array(lo + err_total, pa.int64()),
+    })
+
+
 # ---- per-group top-k without a global sort ----
 
 TOPK_PER_GROUP = 3
@@ -497,6 +565,7 @@ QUERIES = {
     "distinct_users": distinct_users,
     "hll_distinct_users": hll_distinct_users,
     "heavy_hitters": heavy_hitters,
+    "heavy_hitters_ss": heavy_hitters_ss,
     "grouped_topk": grouped_topk,
     "rolling_active_users": rolling_active_users,
     "cohort_retention": cohort_retention,
@@ -509,4 +578,6 @@ ORACLE_SQL = {
     "rolling_active_users": sql_rolling_active_users(),
     "cohort_retention": sql_cohort_retention(),
     # hll_distinct_users: approximate by construction -> rows-only
+    # heavy_hitters_ss: approximate by construction -> rows-only;
+    #   containment/no-miss guarantees pinned in tests/test_sketches.py
 }

@@ -662,3 +662,43 @@ def test_script_stats_adversarial(ray_session, tmp_path):
     assert byid.loc[3, "dominant"] == "none"
     assert byid.loc[4, "dominant"] == "none"
     assert byid.loc[5, "dominant"] == "digit"
+
+
+def test_heavy_hitters_ss_bounds(ray_session, tmp_path, monkeypatch):
+    """SpaceSaving guarantees on a forced-compression corpus
+    (SS_CAP=3 < vocab): every reported term's true count lies in
+    [cnt_lo, cnt_hi], and no term with true count > E (= total
+    discarded-max) is missed."""
+    monkeypatch.setattr(S, "SS_CAP", 3)
+    monkeypatch.setattr(S, "SS_K", 100)
+    texts = [
+        "big big big big mid mid small rare1",
+        "big big big mid mid mid small rare2",
+        "big big mid small small rare3 rare4 rare5",
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = S.heavy_hitters_ss(d).to_pandas()
+    # exact truth from the raw texts
+    import collections
+    truth = collections.Counter(" ".join(texts).split())
+    for _, r in got.iterrows():
+        assert r.cnt_lo <= truth[r.term] <= r.cnt_hi, \
+            (r.term, truth[r.term], r.cnt_lo, r.cnt_hi)
+    err_total = int(got.cnt_hi.iloc[0] - got.cnt_lo.iloc[0])
+    missed = set(truth) - set(got.term)
+    for t in missed:
+        assert truth[t] <= err_total, (t, truth[t], err_total)
+    # the two dominant terms are always found and ordered first
+    assert got.term.iloc[0] == "big" and got.term.iloc[1] == "mid"
+
+
+def test_heavy_hitters_ss_exact_when_under_cap(ray_session, tmp_path):
+    """vocab <= SS_CAP: nothing is ever discarded, so E = 0 and
+    cnt_lo == cnt_hi == the exact count for every term."""
+    texts = ["aa aa bb", "aa bb cc", "cc cc cc aa"]
+    d = _write_docs(tmp_path, texts)
+    got = S.heavy_hitters_ss(d).to_pandas()
+    import collections
+    truth = collections.Counter(" ".join(texts).split())
+    assert (got.cnt_lo == got.cnt_hi).all()
+    assert {t: int(n) for t, n in zip(got.term, got.cnt_lo)} == dict(truth)
