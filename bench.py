@@ -91,7 +91,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 4, third wave
           "shipping_priority", "part_supplier_breadth",
           "excess_suppliers", "slop_topk", "boosted_topk",
-          "nb_lang_eval", "heavy_hitters_ss"]
+          "nb_lang_eval", "heavy_hitters_ss", "user_daily_fill"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -920,8 +920,143 @@ FROM agg ORDER BY event_type
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def user_daily_fill(sf_dir: str) -> pa.Table:
+    """Per-user daily resample with forward fill (LOCF — the gap-fill
+    primitive of every time-series feature pipeline): one row per
+    (user, calendar day) from the user's first to last active day;
+    ``value`` is the value of the user's LAST event at-or-before that
+    day's end under the shared (ts, event_id) total order, carried
+    VERBATIM (no arithmetic, so engine and oracle are bit-identical
+    doubles); ``n_events`` counts that day's events (0 on gap days).
+
+    Combiner shape: "last event of (user, day)" and the day's count
+    are both mergeable, so each batch collapses map-side to one row
+    per (user, day) it saw — the exchange carries at most
+    users x active-days rows, never raw events — and ONE coarse
+    user-bucket groupby finishes the merge, builds each user's day
+    grid (vectorized repeat/cumsum, no per-user Python loop) and
+    forward-fills. Output cardinality is bounded by users x span
+    days."""
+    from raysearch.hashing import auto_buckets
+
+    n_upart = auto_buckets(_n_events(sf_dir))
+
+    def batch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        tus = _epoch_us(df["ts"])
+        eid = df["event_id"].to_numpy(np.int64)
+        day = (tus // _DAY_US) * _DAY_US
+        # per-(user, day) last row under (ts_us, event_id): lexsort
+        # then keep segment ends
+        order = np.lexsort((eid, tus, day, uid))
+        key_u, key_d = uid[order], day[order]
+        seg_end = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            seg_end[:-1] = (key_u[:-1] != key_u[1:]) | \
+                           (key_d[:-1] != key_d[1:])
+        starts = np.flatnonzero(
+            np.concatenate([[True], seg_end[:-1]]))
+        n = np.diff(np.concatenate([starts, [len(order)]]))
+        last_rows = order[seg_end]
+        return pd.DataFrame({
+            "upart": uid[last_rows] & (n_upart - 1),
+            "user_id": uid[last_rows],
+            "day_us": day[last_rows],
+            "ts_us": tus[last_rows],
+            "event_id": eid[last_rows],
+            "value": df["value"].to_numpy(np.float64)[last_rows],
+            "n": n.astype(np.int64)})
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        # merge partials: per (user, day) keep max (ts_us, event_id)
+        # row, sum counts
+        g = g.sort_values(["user_id", "day_us", "ts_us", "event_id"])
+        n = (g.groupby(["user_id", "day_us"], as_index=False)
+             .agg(n=("n", "sum")))
+        last = g.drop_duplicates(["user_id", "day_us"], keep="last")
+        daily = n.merge(last[["user_id", "day_us", "value"]],
+                        on=["user_id", "day_us"])
+        # vectorized per-user day grid (d0..d1 inclusive)
+        span = (daily.groupby("user_id", as_index=False)
+                .agg(d0=("day_us", "min"), d1=("day_us", "max")))
+        counts = ((span.d1.to_numpy(np.int64)
+                   - span.d0.to_numpy(np.int64)) // _DAY_US + 1)
+        uid_g = np.repeat(span.user_id.to_numpy(np.int64), counts)
+        base = np.repeat(span.d0.to_numpy(np.int64), counts)
+        run_start = np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        day_g = base + (np.arange(counts.sum()) - run_start) * _DAY_US
+        grid = pd.DataFrame({"user_id": uid_g, "day_us": day_g})
+        out = grid.merge(daily, on=["user_id", "day_us"], how="left")
+        out["value"] = out.groupby("user_id")["value"].ffill()
+        out["n"] = out["n"].fillna(0).astype(np.int64)
+        return out[["user_id", "day_us", "value", "n"]]
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    df = (ds.map_batches(batch_partial, batch_format="pandas")
+          .groupby("upart").map_groups(kern, batch_format="pandas")
+          ).to_pandas()
+    if "user_id" not in df.columns or not len(df):
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "day": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+            "n_events": pa.array([], pa.int64())})
+    df = df.sort_values(["user_id", "day_us"], ignore_index=True)
+    return pa.table({
+        "user_id": pa.array(df.user_id.to_numpy(np.int64), pa.int64()),
+        "day": pa.array(df.day_us.to_numpy(np.int64)
+                        .astype("datetime64[us]"), pa.timestamp("us")),
+        "value": pa.array(df.value.to_numpy(np.float64), pa.float64()),
+        "n_events": pa.array(df.n.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_user_daily_fill() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, ts, event_id, value,
+         date_trunc('day', ts) AS day
+  FROM events
+),
+daily AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+),
+cnt AS (
+  SELECT user_id, day, count(*)::BIGINT AS n_events
+  FROM ev GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+)
+SELECT g.user_id, g.day,
+       last_value(daily.value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value,
+       coalesce(cnt.n_events, 0) AS n_events
+FROM grid g
+LEFT JOIN daily ON daily.user_id = g.user_id AND daily.day = g.day
+LEFT JOIN cnt ON cnt.user_id = g.user_id AND cnt.day = g.day
+ORDER BY g.user_id, g.day
+"""
+
+
 QUERIES = {
     "latest_events": latest_events,
+    "user_daily_fill": user_daily_fill,
     "winsor_stats": winsor_stats,
     "events_window": events_window,
     "user_sessions": user_sessions,
@@ -933,6 +1068,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "latest_events": sql_latest_events(),
+    "user_daily_fill": sql_user_daily_fill(),
     "winsor_stats": sql_winsor_stats(),
     "events_hopping": sql_events_hopping(),
     "events_window": sql_events_window(),

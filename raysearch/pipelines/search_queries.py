@@ -57,6 +57,17 @@ def _docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+
+def _concat_ds(ds, empty: pa.Table) -> pa.Table:
+    """pa.concat_tables over a Dataset's batches, tolerating ZERO
+    batches: Ray Data may drop all-empty blocks entirely, and
+    pa.concat_tables([]) raises — `empty` supplies the typed schema
+    for that case (every no-hit path must still return the contract
+    schema)."""
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else empty
+
+
 def _corpus_ds(sf_dir: str):
     """documents -> engine corpus schema (doc_id, content); column-pruned
     read, no lang column (all natural-language rows tokenize as plain)."""
@@ -390,10 +401,11 @@ def phrase_topk(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(np.concatenate(dids), pa.int64())})
 
     parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    cand = pa.concat_tables(
+    cand = _concat_ds(
         parts_ds.map_batches(candidates, batch_format="pyarrow",
-                             batch_size=max(1, len(parts) // 16))
-        .iter_batches(batch_format="pyarrow"))
+                             batch_size=max(1, len(parts) // 16)),
+        pa.table({"phrase_id": pa.array([], pa.int64()),
+                  "doc_id": pa.array([], pa.int64())}))
     empty = pa.table({"phrase_id": pa.array([], pa.int64()),
                       "doc_id": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.int64()),
@@ -442,10 +454,12 @@ def phrase_topk(sf_dir: str) -> pa.Table:
     docs_ds = ray.data.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(cand_ids))
-    counts = pa.concat_tables(
+    counts = _concat_ds(
         docs_ds.map_batches(verify, batch_format="pyarrow",
-                            zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")).to_pandas()
+                            zero_copy_batch=True),
+        pa.table({"phrase_id": pa.array([], pa.int64()),
+                  "doc_id": pa.array([], pa.int64()),
+                  "tf": pa.array([], pa.int64())})).to_pandas()
     if counts.empty:
         return empty
     counts = counts.sort_values(["phrase_id", "tf", "doc_id"],
@@ -927,10 +941,11 @@ def blocklist_docs(sf_dir: str) -> pa.Table:
                                                pa.int64())})
 
     parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    out = pa.concat_tables(
+    out = _concat_ds(
         parts_ds.map_batches(hits, batch_format="pyarrow",
-                             batch_size=max(1, len(parts) // 16))
-        .iter_batches(batch_format="pyarrow"))
+                             batch_size=max(1, len(parts) // 16)),
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "n_blocked": pa.array([], pa.int64())}))
     return out.sort_by("doc_id")
 
 
@@ -1162,10 +1177,11 @@ def bool_and_docs(sf_dir: str) -> pa.Table:
         })
 
     parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    out = pa.concat_tables(
+    out = _concat_ds(
         parts_ds.map_batches(hits, batch_format="pyarrow",
-                             batch_size=max(1, len(parts) // 16))
-        .iter_batches(batch_format="pyarrow"))
+                             batch_size=max(1, len(parts) // 16)),
+        pa.table({"query_id": pa.array([], pa.int64()),
+                  "doc_id": pa.array([], pa.int64())}))
     return out.sort_by([("query_id", "ascending"),
                         ("doc_id", "ascending")])
 
@@ -1314,10 +1330,10 @@ def _and_candidate_ids(idx: str, parts, queries) -> np.ndarray:
             "doc_id": pa.array(np.concatenate(dids), pa.int64())})
 
     parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    cand = pa.concat_tables(
+    cand = _concat_ds(
         parts_ds.map_batches(candidates, batch_format="pyarrow",
-                             batch_size=max(1, len(parts) // 16))
-        .iter_batches(batch_format="pyarrow"))
+                             batch_size=max(1, len(parts) // 16)),
+        pa.table({"doc_id": pa.array([], pa.int64())}))
     return np.unique(cand["doc_id"].to_numpy()) \
         if cand.num_rows else np.array([], np.int64)
 
@@ -1422,10 +1438,13 @@ def near_topk(sf_dir: str) -> pa.Table:
     docs_ds = ray.data.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(cand_ids))
-    rows = pa.concat_tables(
+    rows = _concat_ds(
         docs_ds.map_batches(verify, batch_format="pyarrow",
-                            zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")).to_pandas()
+                            zero_copy_batch=True),
+        pa.table({"query_id": pa.array([], pa.int64()),
+                  "doc_id": pa.array([], pa.int64()),
+                  "min_dist": pa.array([], pa.int64()),
+                  "win_count": pa.array([], pa.int64())})).to_pandas()
     if rows.empty:
         return empty
     rows = rows.sort_values(
@@ -1538,10 +1557,13 @@ def slop_topk(sf_dir: str) -> pa.Table:
     docs_ds = ray.data.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(cand_ids))
-    rows = pa.concat_tables(
+    rows = _concat_ds(
         docs_ds.map_batches(verify, batch_format="pyarrow",
-                            zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")).to_pandas()
+                            zero_copy_batch=True),
+        pa.table({"query_id": pa.array([], pa.int64()),
+                  "doc_id": pa.array([], pa.int64()),
+                  "min_gap": pa.array([], pa.int64()),
+                  "pair_count": pa.array([], pa.int64())})).to_pandas()
     if rows.empty:
         return empty
     rows = rows.sort_values(

@@ -104,14 +104,15 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "normalize_text", "pii_scrub", "stratified_sample", "lang_confusion",
             "script_stats",
             "heavy_hitters", "grouped_topk", "sample_split", "mix_sample",
-            "bpe_merges", "bpe_encode", "shuffle_positions"]
+            "bpe_merges", "bpe_encode", "shuffle_positions",
+            "nb_lang_eval", "slop_topk", "boosted_topk"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
             "distinct_users", "window_top_events", "asof_join",
             "running_user_value", "event_transitions",
             "range_join_events", "latest_events", "winsor_stats",
-            "user_paths"]
+            "user_paths", "user_daily_fill"]
 _SEEDS = [1117, 2223]
 
 
@@ -216,11 +217,16 @@ def _gen_tpch(rng: np.random.Generator, n_orders: int, n_lines: int):
         "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
         "s_name": pa.array([f"s{i}" for i in range(n_supp)]),
         "s_nationkey": pa.array(s_nat),
-        "s_acctbal": pa.array(np.zeros(n_supp)),
+        # straddles Q16's 2000.0 exclusion threshold
+        "s_acctbal": pa.array(
+            rng.integers(-100_000, 500_000, n_supp) / 100.0),
     })
     part = pa.table({
         "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
-        "p_name": pa.array([f"p{i}" for i in range(n_part)]),
+        # 'widget' substring present so the Q9/Q20 name filters bite
+        "p_name": pa.array(
+            [f"p{i} " + ("widget" if i % 3 == 0 else "bolt")
+             for i in range(n_part)]),
         # Brand#4 present so small_qty_revenue's filter is non-empty
         "p_brand": pa.array(rng.choice(
             ["Brand#1", "Brand#4", "Brand#9"], n_part,
@@ -297,7 +303,10 @@ _TPCH_OPS = ["order_priority_counts", "pricing_summary",
              "cust_order_dist", "top_suppliers",
              # seventh wave
              "returned_item_customers", "nation_trade_volume",
-             "small_qty_revenue", "qty_price_corr", "disjunct_revenue"]
+             "small_qty_revenue", "qty_price_corr", "disjunct_revenue",
+             # round 4, third wave
+             "market_share", "product_profit", "shipping_priority",
+             "part_supplier_breadth", "excess_suppliers"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")
