@@ -91,7 +91,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 4, third wave
           "shipping_priority", "part_supplier_breadth",
           "excess_suppliers", "slop_topk", "boosted_topk",
-          "nb_lang_eval", "heavy_hitters_ss", "user_daily_fill"]
+          "nb_lang_eval", "heavy_hitters_ss", "user_daily_fill",
+          "kmeans_clusters", "mmr_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

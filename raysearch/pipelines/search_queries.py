@@ -1464,6 +1464,100 @@ def near_topk(sf_dir: str) -> pa.Table:
     })
 
 
+MMR_LAMBDA = 0.7
+MMR_POOL = 2 * TOPK  # candidate pool per query (bm25 top-20)
+
+
+@fmt_doc(lam=MMR_LAMBDA, k=TOPK, pool=MMR_POOL)
+def mmr_topk(sf_dir: str) -> pa.Table:
+    """Diversified ranking — Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998) re-rank of the BM25 top-{pool} pool: greedily pick
+    argmax {lam}·rel − (1−{lam})·max-cos-to-already-selected, where
+    rel is the query's bm25 score normalized to [0, 1] and cos comes
+    from the embeddings table (a doc without an embedding row is
+    treated as orthogonal to everything, sim 0). Scores round6, ties
+    (mmr DESC, doc_id ASC); the first pick is rank 1 of the bm25
+    order by construction.
+
+    Distribution shape: the candidate POOL is the distributed bm25
+    scorer's k-bounded output; embeddings ship via ONE
+    candidate-id-filtered read (row-group pruned — never the table);
+    the greedy loop itself runs driver-side over ≤ {pool} candidates
+    × {k} steps per query, k-bounded by contract like every
+    driver merge in query.py. Iterative greedy selection has no
+    closed SQL form -> rows-only driver check; pytest pins an
+    independent brute-force re-implementation and the
+    diversity-vs-bm25 property."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    idx = cached_index(sf_dir)
+    pool = topk_rounded_for_index(idx, "bm25", rank_lo=1,
+                                  rank_hi=MMR_POOL,
+                                  buffer=2 * MMR_POOL).to_pandas()
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "mmr_score": pa.array([], pa.float64())})
+    if pool.empty:
+        return empty
+    cand_ids = np.unique(pool.doc_id.to_numpy(np.int64))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb: dict[int, np.ndarray] = {}
+    if os.path.exists(emb_path):
+        ds = ray.data.read_parquet(
+            emb_path, columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id").isin(cand_ids))
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        if batches:
+            from raysearch.pipelines.similarity import _emb_matrix
+
+            ids, mat = _emb_matrix(pa.concat_tables(batches))
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            emb = {int(i): mat[j] for j, i in enumerate(ids)}
+
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, g in pool.groupby("query_id"):
+        g = g.sort_values("rank")
+        dids = g.doc_id.to_numpy(np.int64)
+        rel = g.score.to_numpy(np.float64)
+        mx = rel.max()
+        rel_n = round6(rel / mx) if mx > 0 else np.zeros(len(rel))
+        vecs = [emb.get(int(d)) for d in dids]
+        n = len(dids)
+        # pairwise cos (0 where either side lacks an embedding)
+        sim = np.zeros((n, n))
+        have = [i for i, v in enumerate(vecs) if v is not None]
+        if have:
+            m = np.stack([vecs[i] for i in have])
+            sim[np.ix_(have, have)] = round6(m @ m.T)
+        chosen: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        for rank in range(1, min(TOPK, n) + 1):
+            if chosen:
+                maxsim = sim[:, chosen].max(axis=1)
+            else:
+                maxsim = np.zeros(n)
+            mmr = round6(MMR_LAMBDA * rel_n
+                         - (1 - MMR_LAMBDA) * maxsim)
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = mmr_masked.max()
+            tied = np.flatnonzero(mmr_masked == best)
+            pick = int(tied[np.argmin(dids[tied])])
+            chosen.append(pick)
+            avail[pick] = False
+            out_q.append(int(qid))
+            out_r.append(rank)
+            out_d.append(int(dids[pick]))
+            out_s.append(float(mmr[pick]))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "mmr_score": pa.array(out_s, pa.float64()),
+    })
+
+
 SLOP_W = 3
 
 
@@ -1671,6 +1765,7 @@ QUERIES = {
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
     "near_topk": near_topk,
+    "mmr_topk": mmr_topk,
     "slop_topk": slop_topk,
     "blocklist_docs": blocklist_docs,
     "bool_and_docs": bool_and_docs,

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raysearch.numutil import round6
+from raysearch.numutil import fmt_doc, round6
 
 _EMB = "embeddings.parquet"
 
@@ -688,8 +688,60 @@ def embedding_pc1(sf_dir: str) -> pa.Table:
     })
 
 
+@fmt_doc(k=IVF_CENTROIDS, iters=IVF_LLOYD_ITERS)
+def kmeans_clusters(sf_dir: str) -> pa.Table:
+    """First-class clustering output: (vec_id, cluster_id, cos) — the
+    deterministic distributed spherical k-means ({k} centroids,
+    {iters} Lloyd rounds) that already powers ann_ivf / semdedup /
+    the knn ivf backbone, exposed as its own table so a pipeline can
+    partition downstream work by semantic cluster (the
+    cluster-then-X pattern). Training is _ivf_train's combiner shape
+    (per-batch (K x dim) partial sums, driver reduces K rows);
+    assignment is one map pass against the broadcast centroids with
+    argmax ties to the SMALLEST cluster id. Iterative algorithm ->
+    rows-only driver check; determinism, assignment optimality, and
+    cos correctness are pinned in tests/test_similarity.py."""
+    import ray
+    import ray.data
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    if _n_emb(sf_dir) == 0:
+        return empty
+    cents = _ivf_train(sf_dir)
+    if not len(cents):
+        return empty
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _emb_matrix(batch)
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = round6(n @ c.T)
+        cid = np.argmax(sims, axis=1)  # first max = smallest cid
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "cluster_id": pa.array(cid.astype(np.int64), pa.int64()),
+            "cos": pa.array(sims[np.arange(len(cid)), cid],
+                            pa.float64())})
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, _EMB),
+                                 columns=["vec_id", "embedding"])
+           .map_batches(assign, batch_format="pyarrow",
+                        zero_copy_batch=True)).to_pandas()
+    out = out.sort_values("vec_id", ignore_index=True)
+    return pa.table({
+        "vec_id": pa.array(out.vec_id.to_numpy(np.int64), pa.int64()),
+        "cluster_id": pa.array(out.cluster_id.to_numpy(np.int64),
+                               pa.int64()),
+        "cos": pa.array(out.cos.to_numpy(np.float64), pa.float64()),
+    })
+
+
 QUERIES = {
     "ann_topk": ann_topk,
+    "kmeans_clusters": kmeans_clusters,
     "semdedup": semdedup,
     "embedding_pc1": embedding_pc1,
     "embedding_dups": embedding_dups,

@@ -247,3 +247,30 @@ def test_embedding_pc1_matches_eigh(ray_session):
     # projections carry the top-eigenvalue variance
     var = got.pc1_proj.to_numpy().var() * len(got)
     assert abs(var - w[-1]) / w[-1] < 1.0e-3
+
+
+def test_kmeans_clusters_deterministic_optimal(ray_session):
+    """kmeans_clusters: same table twice -> identical assignment;
+    every vector present exactly once; each row's cluster is the
+    argmax (ties to smallest id) against the trainer's centroids and
+    cos matches the recomputed rounded similarity."""
+    import pyarrow.parquet as pq
+
+    from raysearch.numutil import round6
+
+    sf = "/root/testdata/sf0.001"
+    a = S.kmeans_clusters(sf).to_pandas()
+    b = S.kmeans_clusters(sf).to_pandas()
+    assert a.equals(b)
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids, mat = S._emb_matrix(t)
+    assert sorted(a.vec_id) == sorted(ids.tolist())
+    cents = S._ivf_train(sf)
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = round6(n @ cents.T)
+    cid = np.argmax(sims, axis=1)
+    order = np.argsort(ids)
+    assert (a.cluster_id.to_numpy() == cid[order]).all()
+    assert np.array_equal(a.cos.to_numpy(),
+                          sims[np.arange(len(cid)), cid][order])
