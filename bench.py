@@ -374,10 +374,10 @@ def run_bench() -> dict:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        res = fn(sf_dir)
+        qres = fn(sf_dir)
         per_query[name] = round(time.perf_counter() - t0, 3)
         if name in KEEP_FOR_QUALITY:
-            exact_results[name] = res.to_pandas()
+            exact_results[name] = qres.to_pandas()
     if qmap:
         quality = run_quality(sf_dir)
         quality.update(_ivf_consumer_quality(sf_dir, exact_results))

@@ -946,6 +946,12 @@ def user_daily_fill(sf_dir: str) -> pa.Table:
 
     def batch_partial(df: pd.DataFrame) -> pd.DataFrame:
         uid = df["user_id"].to_numpy(np.int64)
+        if not len(uid):  # zero-row block: diff-of-starts below would
+            return pd.DataFrame({  # emit a length-mismatched frame
+                "upart": uid, "user_id": uid, "day_us": uid,
+                "ts_us": uid, "event_id": uid,
+                "value": np.array([], np.float64),
+                "n": np.array([], np.int64)})
         tus = _epoch_us(df["ts"])
         eid = df["event_id"].to_numpy(np.int64)
         day = (tus // _DAY_US) * _DAY_US

@@ -95,9 +95,15 @@ def _train_nb(sf_dir: str):
               .aggregate(Sum("n", alias_name="n"))).to_pandas()
     tok_rows = counts[counts.kind == 0]
     doc_rows = counts[counts.kind == 1]
-    split = tok_rows.key.str.split("\x1f", n=1, expand=True)
-    cls_of = split[0].to_numpy(object)
-    tok_of = split[1].to_numpy(object)
+    if len(tok_rows):
+        split = tok_rows.key.str.split("\x1f", n=1, expand=True)
+        cls_of = split[0].to_numpy(object)
+        tok_of = split[1].to_numpy(object)
+    else:
+        # all-token-less corpus: split(expand=True) on an empty Series
+        # yields a ZERO-column frame, so index it only when non-empty
+        cls_of = np.array([], dtype=object)
+        tok_of = np.array([], dtype=object)
     n_of = tok_rows.n.to_numpy(np.int64)
     classes = sorted(doc_rows.key.tolist())
     doc_n = dict(zip(doc_rows.key, doc_rows.n.astype(int)))
@@ -149,15 +155,25 @@ class NBClassifier:
             return pa.table({"true_lang": pa.array([], pa.string()),
                              "pred_lang": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
+        # candidate classes = those with >= 1 training token: the
+        # oracle's inner JOIN ctot drops token-less classes from the
+        # candidate set entirely, so a class nobody could have trained
+        # a likelihood for must never win the argmax here either
+        cand = [ci for ci in range(len(self.classes))
+                if self.per_class[ci][2] > 0]
+        if not cand:
+            return pa.table({"true_lang": pa.array([], pa.string()),
+                             "pred_lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
         h = md5_prefix_ints(flat, _HASH_HEX)
-        scores = np.empty((n_rows, len(self.classes)), np.float64)
-        for ci in range(len(self.classes)):
+        scores = np.empty((n_rows, len(cand)), np.float64)
+        for k, ci in enumerate(cand):
             hc, nc, tot = self.per_class[ci]
             lp = np.log((_class_counts(hc, nc, h) + 1.0)
                         / (tot + self.vocab))
             col = np.zeros(n_rows, np.float64)
             np.add.at(col, parents, lp)
-            scores[:, ci] = col + np.log(self.priors[ci])
+            scores[:, k] = col + np.log(self.priors[ci])
         # rounded argmax, ties to the smallest class name (classes are
         # sorted, argmax keeps the first max) — the oracle's
         # (round6 DESC, cand ASC) row_number order
@@ -166,8 +182,9 @@ class NBClassifier:
         np.add.at(ntok, parents, 1)
         keep = ntok > 0                     # token-less docs unscored
         labels = np.asarray(batch[NB_LABEL].to_pylist(), dtype=object)
-        pair = labels[keep] + "\x1f" + np.array(
-            self.classes, object)[pred[keep]]
+        cand_names = np.array([self.classes[ci] for ci in cand],
+                              object)
+        pair = labels[keep] + "\x1f" + cand_names[pred[keep]]
         up, nn = np.unique(pair, return_counts=True)
         tl = [p.split("\x1f", 1)[0] for p in up]
         pl = [p.split("\x1f", 1)[1] for p in up]

@@ -257,19 +257,14 @@ def boosted_topk(sf_dir: str) -> pa.Table:
     reorder of an unboosted top-k (a boosted doc outside the raw
     top-k can enter the boosted one). At a larger boost-list scale
     the ids would ray.put once like the snippet candidate set."""
-    from raysearch.segments import (decode_posting_row, part_dirname,
-                                    read_postings)
     from raysearch.stats import load_stats
 
     idx = cached_index(sf_dir)
     parts = load_stats(idx)["parts"]
-    dids = []
-    for part in parts:
-        tbl = read_postings(part_dirname(idx, int(part)), [BOOST_TERM])
-        for i in range(tbl.num_rows):
-            dids.append(decode_posting_row(tbl, i)[0])
-    ids = (np.unique(np.concatenate(dids)) if dids
-           else np.array([], np.int64))
+    # a term ANDed with itself = its posting list — reuses the
+    # distributed per-part candidate fan-out instead of a serial
+    # driver loop over segments
+    ids = _and_candidate_ids(idx, parts, [(BOOST_TERM, BOOST_TERM)])
     return topk_rounded_for_index(idx, "bm25",
                                   boost=(ids, BOOST_FACTOR))
 

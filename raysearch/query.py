@@ -127,6 +127,12 @@ def score_queries_over_postings(
         # MaxScore bounds don't account for per-doc boost factors; the
         # boosted path uses the exhaustive (still df-bounded) scorer
         raise ValueError("boost requires prune=False")
+    if boost is not None and mode == "dirichlet":
+        # dirichlet scores are NEGATIVE log-likelihood sums — a
+        # multiplicative factor > 1 would DEMOTE boosted docs; refuse
+        # rather than silently invert the Lucene-boost semantics
+        raise ValueError("boost supports bm25/overlap only "
+                         "(dirichlet scores are negative log sums)")
     qids, ranks, dids, scores = [], [], [], []
     for qid, qw in enumerate(qweights):
         if mode == "dirichlet":
@@ -134,7 +140,6 @@ def score_queries_over_postings(
 
             docs, sc = dirichlet_scores(qw, postings.get, cf or {},
                                         total_tokens, mu)
-            sc = _apply_boost(docs, sc, boost)
             d, s = topk(docs, sc, k)
             qids.extend([qid] * len(d))
             ranks.extend(range(1, len(d) + 1))
@@ -306,6 +311,11 @@ def query_index(
             raise ValueError(
                 "boost requires prune=False (MaxScore bounds don't "
                 "account for per-doc boost factors)")
+        if mode == "dirichlet":
+            raise ValueError(
+                "boost supports bm25/overlap only (dirichlet scores "
+                "are negative log sums; a factor would invert the "
+                "intended promotion)")
         scorer_kwargs["boost"] = boost
     if mode == "dirichlet":
         scorer_kwargs["cf"] = lexicon_cf(index_dir, all_terms)

@@ -93,3 +93,15 @@ def test_boost_rejects_prune(ray_session, tmp_path):
     with pytest.raises(ValueError, match="prune"):
         query_index(idx, ["hash join"], k=5, mode="bm25", prune=True,
                     boost=(np.array([1], np.int64), 1.5))
+
+
+def test_boost_rejects_dirichlet(ray_session, tmp_path):
+    """Dirichlet scores are negative log sums — a multiplicative boost
+    would invert the promotion, so the API refuses it."""
+    from raysearch.query import query_index
+
+    sf = _docs(tmp_path, ["hash join", "hash spark"])
+    idx = SQ.cached_index(sf)
+    with pytest.raises(ValueError, match="dirichlet"):
+        query_index(idx, ["hash join"], k=5, mode="dirichlet",
+                    boost=(np.array([1], np.int64), 1.5))

@@ -99,3 +99,21 @@ def test_nb_smoothing_on_unseen_tokens(ray_session, tmp_path):
     got = NB._class_counts(h, n, np.array([5, 10, 25, 30, 99],
                                           np.uint64))
     assert got.tolist() == [0.0, 5.0, 0.0, 7.0, 0.0]
+
+
+def test_nb_tokenless_class_never_predicted(ray_session, tmp_path):
+    """A class whose docs are all whitespace has NO likelihood rows:
+    the oracle's inner JOIN ctot drops it from the candidate set, and
+    the engine must match (never predict it) — parity on the planted
+    case, plus the all-token-less corpus returns the empty table on
+    both engines."""
+    sf = _docs(tmp_path, [
+        ("aaa rare", "p"),
+        ("bbb bbb", "p"),
+        ("   ", "zz"),        # class zz trains on zero tokens
+        ("", "zz"),
+        ("rare", "q"),
+    ])
+    eng = _parity(sf)
+    assert "zz" not in set(eng.pred_lang)
+    assert int(eng.n.sum()) == 3  # the two zz docs are unscored too
