@@ -92,7 +92,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "shipping_priority", "part_supplier_breadth",
           "excess_suppliers", "slop_topk", "boosted_topk",
           "nb_lang_eval", "heavy_hitters_ss", "user_daily_fill",
-          "kmeans_clusters", "mmr_topk"]
+          "kmeans_clusters", "mmr_topk", "ship_delay_priority"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -1740,8 +1740,136 @@ ORDER BY s_name, s_suppkey
 """
 
 
+# ---- Q12 shape: priority counts per shipping class ----
+# (the schema has no l_shipmode/commitdate/receiptdate; Q12's CASE-
+# counting essence maps onto shipping-DELAY classes instead)
+
+Q12_D1 = datetime.datetime(1996, 1, 1)
+Q12_D2 = datetime.datetime(1998, 1, 1)
+Q12_FAST_DAYS = 30
+Q12_REG_DAYS = 90
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+_DAY_US = 86_400_000_000
+
+
+@fmt_doc(d1=Q12_D1, d2=Q12_D2, f=Q12_FAST_DAYS, r=Q12_REG_DAYS)
+def ship_delay_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q12-shaped priority audit: line counts of HIGH
+    (1-URGENT/2-HIGH) vs other orders per shipping class — FAST
+    (shipped within {f} days of the order), REGULAR (within {r}),
+    SLOW (later) — over {d1:%Y}..{d2:%Y} ship dates. (No l_shipmode
+    in the schema; the delay class plays Q12's mode role while
+    keeping its CASE-counting aggregate exactly.)
+
+    Shape: the ship window pushes into the lineitem read; the delay
+    needs each line's shipdate AGAINST its order's date, so orders
+    emit (okey, odate, is_high) rows and lineitem collapses map-side
+    to per-(okey, ship_day) line counts — the exchange carries
+    day-collapsed partials, never raw lines. ONE orderkey-bucketed
+    exchange joins the sides and classifies (floor-day difference ==
+    DuckDB date_diff('day') for any timestamps, midnight-aligned or
+    not, because both count midnight boundaries); the final aggregate
+    is 3x2-cardinality."""
+    import pyarrow.dataset as pads
+
+    from raysearch.hashing import auto_buckets
+
+    nb = auto_buckets(_n_rows(sf_dir, "orders.parquet"))
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        od = _epoch_us(df["o_orderdate"])
+        hi = df["o_orderpriority"].isin(Q12_HIGH).to_numpy()
+        return pd.DataFrame({
+            "bucket": ok & (nb - 1), "okey": ok, "odate_us": od,
+            "high": hi.astype(np.int64), "ship_day": np.int64(-1),
+            "side": np.int64(0), "nl": np.int64(0)})
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        sday = _epoch_us(df["l_shipdate"]) // _DAY_US
+        g = (pd.DataFrame({"okey": ok, "ship_day": sday})
+             .groupby(["okey", "ship_day"], as_index=False)
+             .agg(nl=("ship_day", "size")))
+        g["nl"] = g["nl"].astype(np.int64)
+        return g.assign(bucket=g.okey.to_numpy() & (nb - 1),
+                        odate_us=np.int64(-1), high=np.int64(0),
+                        side=np.int64(1))[
+            ["bucket", "okey", "odate_us", "high", "ship_day",
+             "side", "nl"]]
+
+    def class_kern(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g.side == 0][["okey", "odate_us", "high"]]
+        li = (g[g.side == 1]
+              .groupby(["okey", "ship_day"], as_index=False)
+              .agg(nl=("nl", "sum")))
+        j = li.merge(o, on="okey", how="inner")
+        delay = (j.ship_day.to_numpy(np.int64)
+                 - j.odate_us.to_numpy(np.int64) // _DAY_US)
+        cls = np.where(delay <= Q12_FAST_DAYS, "FAST",
+                       np.where(delay <= Q12_REG_DAYS,
+                                "REGULAR", "SLOW"))
+        hi = j.high.to_numpy(np.int64)
+        nl = j.nl.to_numpy(np.int64)
+        return (pd.DataFrame({"ship_class": cls,
+                              "hi": hi * nl, "lo": (1 - hi) * nl})
+                .groupby("ship_class", as_index=False)
+                .agg(hi=("hi", "sum"), lo=("lo", "sum")))
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders.parquet",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]
+                   ).map_batches(o_rows, batch_format="pandas")
+    li = _read(sf_dir, "lineitem.parquet",
+               columns=["l_orderkey", "l_shipdate"],
+               filter=((pads.field("l_shipdate") >= Q12_D1)
+                       & (pads.field("l_shipdate") < Q12_D2))
+               ).map_batches(l_partial, batch_format="pandas")
+    df = (orders.union(li)
+          .groupby("bucket").map_groups(class_kern,
+                                        batch_format="pandas")
+          .groupby("ship_class").aggregate(
+              Sum("hi", alias_name="high_line_count"),
+              Sum("lo", alias_name="low_line_count"))).to_pandas()
+    if "ship_class" not in df.columns or not len(df):
+        return pa.table({
+            "ship_class": pa.array([], pa.string()),
+            "high_line_count": pa.array([], pa.int64()),
+            "low_line_count": pa.array([], pa.int64())})
+    df = df.sort_values("ship_class", ignore_index=True)
+    return pa.table({
+        "ship_class": pa.array(df.ship_class.tolist(), pa.string()),
+        "high_line_count": pa.array(
+            df.high_line_count.to_numpy(np.int64), pa.int64()),
+        "low_line_count": pa.array(
+            df.low_line_count.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_ship_delay_priority() -> str:
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                 <= {Q12_FAST_DAYS} THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate)
+                 <= {Q12_REG_DAYS} THEN 'REGULAR'
+            ELSE 'SLOW' END AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ({hi})
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ({hi})
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_D1:%Y-%m-%d}'
+  AND l_shipdate < TIMESTAMP '{Q12_D2:%Y-%m-%d}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "returned_item_customers": returned_item_customers,
+    "ship_delay_priority": ship_delay_priority,
     "nation_trade_volume": nation_trade_volume,
     "small_qty_revenue": small_qty_revenue,
     "disjunct_revenue": disjunct_revenue,
@@ -1759,6 +1887,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "returned_item_customers": sql_returned_item_customers(),
+    "ship_delay_priority": sql_ship_delay_priority(),
     "nation_trade_volume": sql_nation_trade_volume(),
     "small_qty_revenue": sql_small_qty_revenue(),
     "disjunct_revenue": sql_disjunct_revenue(),

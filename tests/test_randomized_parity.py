@@ -306,7 +306,8 @@ _TPCH_OPS = ["order_priority_counts", "pricing_summary",
              "small_qty_revenue", "qty_price_corr", "disjunct_revenue",
              # round 4, third wave
              "market_share", "product_profit", "shipping_priority",
-             "part_supplier_breadth", "excess_suppliers"]
+             "part_supplier_breadth", "excess_suppliers",
+             "ship_delay_priority"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")

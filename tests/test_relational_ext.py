@@ -475,3 +475,37 @@ def test_excess_suppliers_threshold(ray_session, tmp_path,
     df = out.to_pandas()
     assert df.s_suppkey.tolist() == [1]
     assert df.n_name.tolist() == ["NATION_1"]
+
+
+def test_ship_delay_priority_boundaries(ray_session, tmp_path):
+    """Q12 shape: delay exactly at the FAST/REGULAR boundaries is
+    inclusive, a line shipped BEFORE its order (negative delay) is
+    FAST, and NON-midnight timestamps classify by midnight-boundary
+    count (DuckDB date_diff('day') semantics) — e.g. 23:00 to 01:00
+    next day is delay 1, while 47 hours within-day-boundary is
+    delay 1 too."""
+    day = 86_400_000_000
+    base = int(pd.Timestamp("1996-03-01").value // 1000)
+    late = base + 23 * 3600 * 1_000_000          # 23:00 same day
+    sf = _star(
+        tmp_path,
+        customers=[(1, 3, 0.0)],
+        suppliers=[(1, 1)],
+        parts=[(1, "B")],
+        orders=[(10, 1, base),                    # 1-URGENT (fixture)
+                (11, 1, late)],
+        lineitems=[
+            (10, 1, 1, 1, 1.0, 0.0, base + 30 * day, "N"),  # ==30 FAST
+            (10, 1, 1, 1, 1.0, 0.0, base + 31 * day, "N"),  # 31 REG
+            (10, 1, 1, 1, 1.0, 0.0, base + 90 * day, "N"),  # ==90 REG
+            (10, 1, 1, 1, 1.0, 0.0, base + 91 * day, "N"),  # 91 SLOW
+            (10, 1, 1, 1, 1.0, 0.0, base - day, "N"),       # -1 FAST
+            (11, 1, 1, 1, 1.0, 0.0, late + 2 * 3600 * 1_000_000, "N"),
+            # ^ 23:00 -> 01:00 next day: one midnight crossed, delay 1
+        ])
+    out = RX.ship_delay_priority(sf)
+    _assert_parity(out, sf, RX.sql_ship_delay_priority())
+    df = out.to_pandas().set_index("ship_class")
+    assert df.loc["FAST", "high_line_count"] == 3   # 30d, -1d, 23->01
+    assert df.loc["REGULAR", "high_line_count"] == 2
+    assert df.loc["SLOW", "high_line_count"] == 1
