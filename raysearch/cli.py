@@ -88,8 +88,22 @@ def cmd_query(args) -> None:
         queries = read_queries(args.queries_file)
     else:
         queries = [args.query]
+    boost = None
+    if getattr(args, "boost_term", None):
+        # Lucene-style static boost list sourced from the index: docs
+        # containing --boost-term score x --boost-factor, applied
+        # pre-truncation in every segment scorer (exact ranking)
+        from raysearch.pipelines.search_queries import (
+            _and_candidate_ids,
+        )
+        from raysearch.stats import load_stats
+
+        parts = load_stats(args.index)["parts"]
+        ids = _and_candidate_ids(args.index, parts,
+                                 [(args.boost_term, args.boost_term)])
+        boost = (ids, args.boost_factor)
     out = query_index(args.index, queries, k=args.k, mode=args.mode,
-                      prune=args.prune)
+                      prune=args.prune, boost=boost)
     if args.out:
         import pyarrow.parquet as pq
 
@@ -376,6 +390,10 @@ def main(argv=None) -> None:
     q.add_argument("--mode", choices=["bm25", "overlap", "dirichlet"],
                    default="bm25")
     q.add_argument("--prune", action="store_true")
+    q.add_argument("--boost-term", default=None,
+                   help="docs containing this term score x "
+                        "--boost-factor (bm25/overlap, not --prune)")
+    q.add_argument("--boost-factor", type=float, default=1.5)
     q.add_argument("--out", default=None,
                    help="write results parquet here instead of stdout")
     q.set_defaults(fn=cmd_query)

@@ -64,3 +64,40 @@ def test_cli_lifecycle_roundtrip(tmp_path):
 
     d = _run(["compact", "--index", idx])
     assert d["n_docs"] == 397
+
+
+@pytest.mark.timeout(600)
+def test_cli_query_boost(tmp_path):
+    """--boost-term/--boost-factor: boosting the query's own term
+    scales every hit's score by exactly the factor (positive
+    control), an absent boost term is inert, and --prune with boost
+    is refused."""
+    corpus = str(tmp_path / "c.parquet")
+    idx = str(tmp_path / "idx")
+    _run(["gen-corpus", "--out", corpus, "--docs", "200"])
+    _run(["build", "--corpus", corpus, "--index", idx, "--parts", "4"])
+
+    def rows(extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "raysearch.cli", "query",
+             "--index", idx, "--query", "parser", "--k", "3", *extra],
+            capture_output=True, text=True, cwd=REPO, timeout=240,
+            env={**os.environ, "PYTHONPATH": REPO})
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(ln) for ln in r.stdout.splitlines()
+                if ln.startswith("{")]
+
+    plain = rows([])
+    boosted = rows(["--boost-term", "parser", "--boost-factor", "2.0"])
+    assert [b["doc_id"] for b in boosted] == [p["doc_id"] for p in plain]
+    for p, b in zip(plain, boosted):
+        assert abs(b["score"] - 2.0 * p["score"]) < 1e-9
+    inert = rows(["--boost-term", "zzznothingzzz"])
+    assert inert == plain
+
+    r = subprocess.run(
+        [sys.executable, "-m", "raysearch.cli", "query", "--index", idx,
+         "--query", "parser", "--boost-term", "parser", "--prune"],
+        capture_output=True, text=True, cwd=REPO, timeout=240,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert r.returncode != 0 and "prune" in r.stderr
