@@ -90,18 +90,24 @@ def cmd_query(args) -> None:
         queries = [args.query]
     boost = None
     if getattr(args, "boost_term", None):
+        # validate the combination BEFORE the distributed boost-list
+        # derivation: a clean fast failure, not a wasted fan-out
+        # followed by a traceback from query_index
+        if args.prune:
+            raise SystemExit(
+                "--boost-term requires prune=False (MaxScore bounds "
+                "don't account for per-doc boost factors)")
+        if args.mode == "dirichlet":
+            raise SystemExit(
+                "--boost-term supports bm25/overlap only (dirichlet "
+                "scores are negative log sums)")
         # Lucene-style static boost list sourced from the index: docs
         # containing --boost-term score x --boost-factor, applied
         # pre-truncation in every segment scorer (exact ranking)
-        from raysearch.pipelines.search_queries import (
-            _and_candidate_ids,
-        )
-        from raysearch.stats import load_stats
+        from raysearch.pipelines.search_queries import static_boost_ids
 
-        parts = load_stats(args.index)["parts"]
-        ids = _and_candidate_ids(args.index, parts,
-                                 [(args.boost_term, args.boost_term)])
-        boost = (ids, args.boost_factor)
+        boost = (static_boost_ids(args.index, args.boost_term),
+                 args.boost_factor)
     out = query_index(args.index, queries, k=args.k, mode=args.mode,
                       prune=args.prune, boost=boost)
     if args.out:

@@ -246,6 +246,30 @@ BOOST_TERM = "spark"
 BOOST_FACTOR = 1.5
 
 
+def static_boost_ids(index_dir: str, term: str) -> np.ndarray:
+    """Sorted doc ids containing ``term`` — the static boost list,
+    read FROM the index's posting lists via the distributed per-part
+    candidate fan-out (a term ANDed with itself is its posting list).
+    The term is normalized through the QUERY tokenizer so a
+    capitalized/padded input matches the same postings the query
+    side would ('Parser' boosts 'parser' docs, never a silent no-op);
+    a multi-word input is rejected rather than silently dropped.
+    Shared by boosted_topk and `cli query --boost-term`."""
+    from raysearch.segments import list_segment_parts
+    from raysearch.stats import load_stats
+    from raysearch.tokenize import tokenize_query
+
+    toks = tokenize_query(term)
+    if len(toks) != 1:
+        raise ValueError(
+            f"boost term must normalize to exactly one token, "
+            f"got {toks!r} from {term!r}")
+    parts = load_stats(index_dir).get("parts")
+    if parts is None:
+        parts = list_segment_parts(index_dir)
+    return _and_candidate_ids(index_dir, parts, [(toks[0], toks[0])])
+
+
 @fmt_doc(t=BOOST_TERM, f=BOOST_FACTOR, k=TOPK)
 def boosted_topk(sf_dir: str) -> pa.Table:
     """BM25 top-{k} with a static document boost (the Lucene
@@ -257,14 +281,8 @@ def boosted_topk(sf_dir: str) -> pa.Table:
     reorder of an unboosted top-k (a boosted doc outside the raw
     top-k can enter the boosted one). At a larger boost-list scale
     the ids would ray.put once like the snippet candidate set."""
-    from raysearch.stats import load_stats
-
     idx = cached_index(sf_dir)
-    parts = load_stats(idx)["parts"]
-    # a term ANDed with itself = its posting list — reuses the
-    # distributed per-part candidate fan-out instead of a serial
-    # driver loop over segments
-    ids = _and_candidate_ids(idx, parts, [(BOOST_TERM, BOOST_TERM)])
+    ids = static_boost_ids(idx, BOOST_TERM)
     return topk_rounded_for_index(idx, "bm25",
                                   boost=(ids, BOOST_FACTOR))
 

@@ -95,9 +95,25 @@ def test_cli_query_boost(tmp_path):
     inert = rows(["--boost-term", "zzznothingzzz"])
     assert inert == plain
 
+    # term normalization: a capitalized boost term matches the same
+    # postings the lowercased query side would
+    capped = rows(["--boost-term", "Parser", "--boost-factor", "2.0"])
+    assert capped == boosted
+
+    def fails(extra, needle):
+        r = subprocess.run(
+            [sys.executable, "-m", "raysearch.cli", "query",
+             "--index", idx, "--query", "parser",
+             "--boost-term", "parser", *extra],
+            capture_output=True, text=True, cwd=REPO, timeout=240,
+            env={**os.environ, "PYTHONPATH": REPO})
+        assert r.returncode != 0 and needle in r.stderr, r.stderr[-500:]
+
+    fails(["--prune"], "prune")
+    fails(["--mode", "dirichlet"], "dirichlet")
     r = subprocess.run(
         [sys.executable, "-m", "raysearch.cli", "query", "--index", idx,
-         "--query", "parser", "--boost-term", "parser", "--prune"],
+         "--query", "parser", "--boost-term", "two words"],
         capture_output=True, text=True, cwd=REPO, timeout=240,
         env={**os.environ, "PYTHONPATH": REPO})
-    assert r.returncode != 0 and "prune" in r.stderr
+    assert r.returncode != 0 and "one token" in r.stderr
