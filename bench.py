@@ -475,11 +475,16 @@ def _emit(result: dict) -> None:
     truncated to fit the capture window."""
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_PEROP.json")
-    try:
-        with open(sidecar, "w") as f:
-            json.dump(result, f, indent=1, sort_keys=True)
-    except OSError:
+    if not result.get("queries"):
+        # scaling subprocesses run with RAY_GRAFT_SKIP_PEROP and must
+        # not clobber the rich per-op sidecar with an empty record
         sidecar = None
+    if sidecar:
+        try:
+            with open(sidecar, "w") as f:
+                json.dump(result, f, indent=1, sort_keys=True)
+        except OSError:
+            sidecar = None
     print(json.dumps(result))  # full record, own (possibly long) line
 
     headline = dict(result)
