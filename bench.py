@@ -121,8 +121,8 @@ def _ivf_consumer_quality(sf_dir: str, exact: dict) -> dict:
 
     if "pagerank_topk" in exact:
         pe = exact["pagerank_topk"]
-        pi = timed("pagerank", G.pagerank_topk)
-        out["pagerank_ivf_topk_overlap"] = round(
+        pi = timed("pagerank_topk", G.pagerank_topk)
+        out["pagerank_topk_ivf_topk_overlap"] = round(
             len(set(pe.vec_id) & set(pi.vec_id)) / max(len(pe), 1), 3)
     if "label_prop" in exact:
         le = exact["label_prop"].set_index("vec_id")
@@ -132,9 +132,9 @@ def _ivf_consumer_quality(sf_dir: str, exact: dict) -> dict:
             float((j.label == j.label_ivf).mean()), 3)
     if "triangle_stats" in exact:
         te = exact["triangle_stats"].set_index("vec_id")
-        ti = timed("triangle", G.triangle_stats).set_index("vec_id")
+        ti = timed("triangle_stats", G.triangle_stats).set_index("vec_id")
         j = te.join(ti, rsuffix="_ivf", how="inner")
-        out["triangle_ivf_count_agree"] = round(
+        out["triangle_stats_ivf_count_agree"] = round(
             float((j.n_triangles == j.n_triangles_ivf).mean()), 3)
     if "knn_label_eval" in exact:
         def acc(cm):
@@ -146,10 +146,10 @@ def _ivf_consumer_quality(sf_dir: str, exact: dict) -> dict:
         out["knn_label_eval_ivf_acc_delta"] = round(abs(ae - ai), 4)
     if "text_emb_consistency" in exact:
         ce = exact["text_emb_consistency"].set_index("doc_id")
-        ci = timed("text_emb", X.text_emb_consistency
+        ci = timed("text_emb_consistency", X.text_emb_consistency
                    ).set_index("doc_id")
         j = ce.join(ci, rsuffix="_ivf", how="inner")
-        out["text_emb_ivf_1nn_agree"] = round(
+        out["text_emb_consistency_ivf_1nn_agree"] = round(
             float((j.nbr_id == j.nbr_id_ivf).mean()), 3)
     return out
 

@@ -101,6 +101,10 @@ def cmd_query(args) -> None:
             raise SystemExit(
                 "--boost-term supports bm25/overlap only (dirichlet "
                 "scores are negative log sums)")
+        if args.boost_factor <= 0:
+            raise SystemExit(
+                "--boost-factor must be > 0 (0 zeroes boosted docs "
+                "and a negative factor inverts their ranking)")
         # Lucene-style static boost list sourced from the index: docs
         # containing --boost-term score x --boost-factor, applied
         # pre-truncation in every segment scorer (exact ranking)

@@ -45,8 +45,11 @@ JACC_NGRAM = 3
 
 def text_emb_consistency(sf_dir: str, backbone: str | None = None
                          ) -> pa.Table:
-    """(doc_id, nbr_id, cos, jaccard): every vector's exact 1-NN and
-    the 3-gram Jaccard of the two texts, sorted by doc_id."""
+    """(doc_id, nbr_id, cos, jaccard): every vector's 1-NN and the
+    3-gram Jaccard of the two texts, sorted by doc_id. 1-NN comes
+    from the pluggable kNN backbone: exact by default (the oracle
+    contract); backbone="ivf" / RAYSEARCH_KNN_BACKBONE=ivf selects
+    the sub-quadratic IVF candidate generator."""
     import os
 
     import ray.data

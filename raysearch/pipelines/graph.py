@@ -1,7 +1,10 @@
-"""Distributed PageRank over the exact cosine k-NN graph — the
-iterative graph algorithm (Brin & Page 1998) expressed as Pregel-style
+"""Distributed PageRank over the cosine k-NN graph — the iterative
+graph algorithm (Brin & Page 1998) expressed as Pregel-style
 supersteps on Ray Data, and a centrality ranking for the embedding
 corpus (which documents sit in the densest semantic neighborhoods).
+All consumers here take the pluggable kNN backbone: exact (default,
+the oracle contract) or the sub-quadratic IVF candidate generator
+(backbone="ivf" / RAYSEARCH_KNN_BACKBONE=ivf; see knn.py).
 
 The whole computation runs in FIXED-POINT INTEGER arithmetic (prob
 mass in units of 1e-12, damping as the exact rational 85/100, floor
@@ -92,9 +95,12 @@ def _edges_ds(sf_dir: str, nb: int, backbone: str | None = None):
          scale=PR_SCALE)
 def pagerank_topk(sf_dir: str, backbone: str | None = None
                   ) -> pa.Table:
-    """The {k} most central vectors of the exact cosine {knnk}-NN
-    graph after {iters} fixed-point PageRank supersteps (damping
-    {dn}/{dd}, mass units of 1/{scale}), ties broken by vec_id."""
+    """The {k} most central vectors of the cosine {knnk}-NN graph
+    after {iters} fixed-point PageRank supersteps (damping {dn}/{dd},
+    mass units of 1/{scale}), ties broken by vec_id. The graph comes
+    from the pluggable kNN backbone: default "exact" (the oracle
+    contract); backbone="ivf" / RAYSEARCH_KNN_BACKBONE=ivf swaps in
+    the sub-quadratic IVF candidate generator (knn.py module doc)."""
     import ray.data
 
     from raysearch.hashing import auto_buckets
@@ -239,8 +245,10 @@ LP_ITERS = 2
 
 @fmt_doc(iters=LP_ITERS, k=KNN_K)
 def label_prop(sf_dir: str, backbone: str | None = None) -> pa.Table:
-    """Semi-supervised label propagation over the same exact k-NN
-    graph (Zhu & Ghahramani 2002, hard-label variant): for {iters}
+    """Semi-supervised label propagation over the same k-NN graph
+    (exact by default — the oracle contract; backbone="ivf" /
+    RAYSEARCH_KNN_BACKBONE=ivf selects the sub-quadratic IVF
+    backbone) (Zhu & Ghahramani 2002, hard-label variant): for {iters}
     synchronous rounds, every node adopts the MAJORITY label of its
     {k} nearest neighbors' current labels (ties -> smallest label);
     a node with no out-edges keeps its own. Votes are integer counts
@@ -441,9 +449,11 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray, nb: int) -> np.ndarray:
 def triangle_stats(sf_dir: str, backbone: str | None = None
                    ) -> pa.Table:
     """Per-node triangle count and local clustering coefficient over
-    the UNDIRECTED exact k-NN graph — the standard graph-quality
-    probe (a high coefficient marks tight semantic clusters; the
-    wedge-closure algorithm is the classic distributed formulation).
+    the UNDIRECTED k-NN graph (exact backbone by default — the oracle
+    contract; backbone="ivf" / RAYSEARCH_KNN_BACKBONE=ivf selects the
+    sub-quadratic IVF backbone) — the standard graph-quality probe (a
+    high coefficient marks tight semantic clusters; the wedge-closure
+    algorithm is the classic distributed formulation).
 
     Shape: (1) directed knn edges collapse to distinct undirected
     pairs (u < v) in one pair-bucketed dedup exchange ((a, b) and

@@ -369,9 +369,12 @@ def knn_label_eval(sf_dir: str,
                    backbone: str | None = None) -> pa.Table:
     """Leave-one-out k-NN classification eval over the labeled
     embedding table: predict each vector's label by majority vote of
-    its {k} exact nearest neighbors' labels (ties -> smallest label)
-    and report the confusion matrix (true_label, pred_label, n) —
-    the standard embedding-quality probe."""
+    its {k} nearest neighbors' labels (ties -> smallest label) and
+    report the confusion matrix (true_label, pred_label, n) — the
+    standard embedding-quality probe. Neighbors come from the
+    pluggable backbone: exact by default (the oracle contract);
+    backbone="ivf" / RAYSEARCH_KNN_BACKBONE=ivf selects the
+    sub-quadratic IVF candidate generator."""
     from ray.data.aggregate import Sum
 
     ds = _knn_partials_ds(sf_dir, backbone)

@@ -371,7 +371,11 @@ def _ivf_train(sf_dir: str, k: int = IVF_CENTROIDS) -> np.ndarray:
     # with vec_id < K): every shape below derives from len(seeds) so
     # the trainer degrades gracefully instead of raising
     K = len(seeds)
-    cents = seeds / np.linalg.norm(seeds, axis=1, keepdims=True)
+    # zero-norm clip (same contract as the assign/partials kernels): a
+    # zero seed stays a zero centroid instead of NaN-poisoning every
+    # assignment round
+    cents = seeds / np.maximum(
+        np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
 
     for _ in range(IVF_LLOYD_ITERS):
         import ray
@@ -388,7 +392,10 @@ def _ivf_train(sf_dir: str, k: int = IVF_CENTROIDS) -> np.ndarray:
                     "cid": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
                     "vsum": pa.array([], pa.list_(pa.float64()))})
-            bn = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+            # same zero-norm clip as kmeans_clusters.assign: all-zero
+            # training vectors contribute a zero row, not NaNs
+            bn = bmat / np.maximum(
+                np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
             assign = np.argmax(bn @ c.T, axis=1)
             sums = np.zeros((len(c), bn.shape[1]))
             np.add.at(sums, assign, bn)
@@ -717,7 +724,11 @@ def kmeans_clusters(sf_dir: str) -> pa.Table:
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         ids, mat = _emb_matrix(batch)
-        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero vector gets cos 0 to every
+        # centroid and deterministically lands in cluster 0 (first
+        # argmax), instead of NaN cos + ill-defined argmax
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        n = mat / np.maximum(norms, 1e-12)
         sims = round6(n @ c.T)
         cid = np.argmax(sims, axis=1)  # first max = smallest cid
         return pa.table({

@@ -111,6 +111,8 @@ def test_cli_query_boost(tmp_path):
 
     fails(["--prune"], "prune")
     fails(["--mode", "dirichlet"], "dirichlet")
+    fails(["--boost-factor", "0"], "must be > 0")
+    fails(["--boost-factor", "-2.0"], "must be > 0")
     r = subprocess.run(
         [sys.executable, "-m", "raysearch.cli", "query", "--index", idx,
          "--query", "parser", "--boost-term", "two words"],
