@@ -48,7 +48,8 @@ def cmd_build(args) -> None:
     from raysearch.config import IndexConfig
 
     cfg = IndexConfig(num_parts=args.parts, salt=args.salt,
-                      k1=args.k1, b=args.b)
+                      k1=args.k1, b=args.b,
+                      with_positions=args.with_positions)
     res = build_index(
         args.corpus, args.index, cfg, input_id=args.corpus,
         supported_langs=frozenset(args.langs.split(","))
@@ -388,6 +389,10 @@ def main(argv=None) -> None:
     b.add_argument("--langs", default=None,
                    help="comma-separated lang whitelist (M6 filter)")
     b.add_argument("--dedup-input", action="store_true")
+    b.add_argument("--with-positions", action="store_true",
+                   help="store per-term within-doc positions "
+                        "(delta+varint pos_enc column) for index-only "
+                        "phrase/NEAR/slop verification")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")

@@ -101,6 +101,60 @@ def decode_ints(buf: bytes) -> np.ndarray:
     return varint_decode(buf).astype(np.int64)
 
 
+def binary_from_offsets(buf: bytes, offsets: np.ndarray):
+    """Zero-copy pyarrow large_binary array: per-value slices of one
+    buffer (offsets len = n + 1). Lives here, not segments.py, so
+    triples.py can build per-(doc, term) position blobs without an
+    import cycle."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
+         pa.py_buffer(buf)])
+
+
+def varint_run_byte_offsets(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Byte offsets (len = n_runs + 1) cutting a varint stream into
+    runs of ``counts`` values each — run j's bytes are
+    buf[off[j]:off[j+1]]. Used to split a posting row's concatenated
+    per-doc position blobs along its tf array WITHOUT decoding (the
+    per-doc blobs are independently delta-encoded, so byte-level
+    slices stay self-contained and re-concatenable)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    counts = np.asarray(counts, dtype=np.int64)
+    cum = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=cum[1:])
+    if len(b) == 0:
+        if cum[-1] != 0:
+            raise ValueError("empty varint stream for nonzero counts")
+        return np.zeros(len(counts) + 1, dtype=np.int64)
+    end_idx = np.flatnonzero((b & 0x80) == 0)  # terminal byte per value
+    if cum[-1] != len(end_idx):
+        raise ValueError(
+            f"varint stream has {len(end_idx)} values, counts sum to "
+            f"{cum[-1]}")
+    starts = np.zeros(len(end_idx) + 1, dtype=np.int64)
+    starts[1:] = end_idx + 1  # value k starts right after value k-1 ends
+    return starts[cum]
+
+
+def decode_pos_runs(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Decode concatenated per-run delta+varint position blobs (delta
+    resets at every run start, same layout bulk_encode_segmented
+    writes) to flat ABSOLUTE positions, vectorized: one varint pass +
+    one cumsum with per-run base subtraction."""
+    vals = varint_decode(buf).astype(np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(vals) == 0:
+        return vals
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    s = np.cumsum(vals)
+    base = s[starts] - vals[starts]
+    return s - np.repeat(base, counts)
+
+
 # ---- segmented bulk encode: one numpy pass for a whole column, then ----
 # ---- per-run byte slicing (used by the segment builder)             ----
 

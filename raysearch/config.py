@@ -32,6 +32,14 @@ class IndexConfig:
     salt: int = 1
     k1: float = 1.2
     b: float = 0.75
+    # Opt-in positional postings (Lucene-style): each posting row
+    # gains a pos_enc column — per-doc within-doc token positions,
+    # delta+varint with the SAME codec as doc gaps, concatenated in
+    # doc order and split by the tf array. Costs extra shuffle payload
+    # and segment bytes, buys index-only phrase/NEAR/slop verification
+    # (no candidate-doc re-tokenize). Part of the config hash, so
+    # positional and plain indexes never share checkpoints.
+    with_positions: bool = False
     # BUMP whenever tokenizer semantics change — the hash invalidates
     # every cached/checkpointed segment built under older semantics.
     # v2: drop arrow's empty edge tokens (match str.split exactly).

@@ -164,11 +164,15 @@ class _CompactWorker:
 
         part_dir = part_dirname(self.index_dir, part)
         post = read_postings(part_dir)
+        has_pos = "pos_enc" in post.column_names
         # rows whose posting list contains no tombstoned doc pass
         # through with their encoded bytes untouched; only hit rows
-        # decode -> filter -> re-encode (typically a small fraction)
+        # decode -> filter -> re-encode (typically a small fraction).
+        # Per-doc position blobs survive verbatim (deleting whole docs
+        # never renumbers the survivors' within-doc positions): byte
+        # slices of the live docs, re-concatenated by the rebuild.
         keep_idx: list[int] = []
-        terms, d_all, t_all, l_all = [], [], [], []
+        terms, d_all, t_all, l_all, p_all = [], [], [], [], []
         for i in range(post.num_rows):
             docs, tfs, dls = decode_posting_row(post, i)
             live = tombstone_mask(docs, self.deleted)
@@ -177,6 +181,11 @@ class _CompactWorker:
                 continue
             if not live.any():
                 continue
+            if has_pos:
+                from raysearch.segments import split_posting_positions
+
+                blobs = split_posting_positions(post, i, tfs)
+                p_all.extend(b for b, lv in zip(blobs, live) if lv)
             docs, tfs, dls = docs[live], tfs[live], dls[live]
             terms.append(pa.array([post["term"][i].as_py()] * len(docs),
                                   pa.large_string()))
@@ -191,7 +200,9 @@ class _CompactWorker:
                 pa.concat_arrays(terms),
                 np.concatenate(d_all),
                 np.concatenate(t_all).astype(np.int64),
-                np.concatenate(l_all).astype(np.int64))
+                np.concatenate(l_all).astype(np.int64),
+                pos=pa.array(p_all, pa.large_binary()) if has_pos
+                else None)
             parts_out.append(rebuilt.cast(post.schema))
         if parts_out:
             new_post = (pa.concat_tables(parts_out)
@@ -361,7 +372,8 @@ def append_index(
     cfg2 = IndexConfig(num_parts=num_parts, salt=base_cfg.salt,
                        k1=base_cfg.k1, b=base_cfg.b,
                        tokenizer_version=base_cfg.tokenizer_version,
-                       codec_version=base_cfg.codec_version)
+                       codec_version=base_cfg.codec_version,
+                       with_positions=base_cfg.with_positions)
     config_hash = cfg2.config_hash()
     append_key = (f"append:{input_id or default_id}"
                   + (f"#rows={n_new}" if n_new is not None else ""))

@@ -43,11 +43,13 @@ def _merge_one_part(part: int, srcs: list[str], out_dir: str,
     present = [s for s in srcs if os.path.isdir(part_dirname(s, part))]
     if not present:
         return None
-    t_list, d_list, f_list, l_list = [], [], [], []
+    t_list, d_list, f_list, l_list, p_list = [], [], [], [], []
+    has_pos = False
     dl_docs, dl_lens, dl_shas = [], [], []
     for s in present:
         pdir = part_dirname(s, part)
         tbl = read_postings(pdir)
+        has_pos = "pos_enc" in tbl.column_names
         for i in range(tbl.num_rows):
             docs, tfs, dls = decode_posting_row(tbl, i)
             t_list.append(np.full(len(docs), tbl["term"][i].as_py(),
@@ -55,6 +57,10 @@ def _merge_one_part(part: int, srcs: list[str], out_dir: str,
             d_list.append(docs)
             f_list.append(tfs)
             l_list.append(dls)
+            if has_pos:
+                from raysearch.segments import split_posting_positions
+
+                p_list.extend(split_posting_positions(tbl, i, tfs))
         dl = read_doclens(pdir)
         dl_docs.append(dl["doc_id"].to_numpy())
         dl_lens.append(dl["dl"].to_numpy())
@@ -65,19 +71,27 @@ def _merge_one_part(part: int, srcs: list[str], out_dir: str,
             f"part {part}: input indexes share doc_ids — merge requires "
             "disjoint corpus slices")
     if t_list:
-        trip = pa.table({
+        tcols = {
             "term": pa.array(np.concatenate(t_list), pa.large_string()),
             "doc_id": pa.array(np.concatenate(d_list), pa.int64()),
             "tf": pa.array(np.concatenate(f_list), pa.int64()),
             "dl": pa.array(np.concatenate(l_list), pa.int64()),
-        }).sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        }
+        if has_pos:
+            # per-doc blobs re-sort with their triples; delta resets
+            # per doc so byte-level re-concat needs no re-encode
+            tcols["pos"] = pa.array(p_list, pa.large_binary())
+        trip = pa.table(tcols).sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")])
         postings = postings_from_sorted_triples(
             trip["term"].combine_chunks(), trip["doc_id"].to_numpy(),
-            trip["tf"].to_numpy(), trip["dl"].to_numpy())
+            trip["tf"].to_numpy(), trip["dl"].to_numpy(),
+            pos=trip["pos"] if has_pos else None)
     else:
-        from raysearch.segments import POSTINGS_SCHEMA
+        from raysearch.segments import POSTINGS_SCHEMA, POSTINGS_SCHEMA_POS
 
-        postings = POSTINGS_SCHEMA.empty_table()
+        postings = (POSTINGS_SCHEMA_POS if has_pos
+                    else POSTINGS_SCHEMA).empty_table()
     order = np.argsort(docs_all, kind="stable")
     doclens = pa.table({
         "doc_id": pa.array(docs_all[order], pa.int64()),

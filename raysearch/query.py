@@ -47,7 +47,8 @@ from raysearch.score import (
     bm25_idf,
     topk,
 )
-from raysearch.segments import decode_posting_row, part_dirname, read_postings
+from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                part_dirname, read_postings)
 from raysearch.stats import load_stats
 
 RESULT_SCHEMA = pa.schema([
@@ -243,7 +244,8 @@ class SegmentScorer:
         part_dir = part_dirname(self.index_dir, part)
         if not os.path.isdir(part_dir):
             return RESULT_SCHEMA.empty_table()
-        tbl = read_postings(part_dir, self.all_terms)
+        tbl = read_postings(part_dir, self.all_terms,
+                            columns=SCORER_COLUMNS)
         postings = {}
         max_tfs = {}
         for i, t in enumerate(tbl["term"].to_pylist()):

@@ -35,7 +35,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from raysearch.codec import bulk_encode_segmented, decode_doc_ids, decode_ints
+from raysearch.codec import (
+    binary_from_offsets,
+    bulk_encode_segmented,
+    decode_doc_ids,
+    decode_ints,
+    decode_pos_runs,
+    varint_run_byte_offsets,
+)
 from raysearch.triples import KIND_DOCLEN, KIND_POSTING
 
 _SHA_HEX_LEN = 64
@@ -62,22 +69,57 @@ POSTINGS_SCHEMA = pa.schema([
     ("dls_enc", pa.large_binary()),
 ])
 
+# positional variants (config.with_positions): pos_enc is the
+# concatenation, in doc order, of each doc's delta+varint-encoded
+# within-doc positions — split along the tf array (value counts) or
+# varint_run_byte_offsets (byte slices), delta resetting per doc so
+# per-doc blobs are independently decodable and byte-concatenable
+PARTIAL_SCHEMA_POS = PARTIAL_SCHEMA.append(
+    pa.field("pos_enc", pa.large_binary()))
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA.append(
+    pa.field("pos_enc", pa.large_binary()))
 
-def _binary_from_offsets(buf: bytes, offsets: np.ndarray) -> pa.Array:
-    """Zero-copy large_binary array: per-value slices of one buffer."""
+
+def _pos_value_offsets(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """(absolute value byte offsets, data buffer) of a large_binary
+    array, honoring a nonzero array offset."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return off, data
+
+
+def _concat_blob_runs(arr: pa.Array, bounds: np.ndarray) -> pa.Array:
+    """Concatenate consecutive blob values into per-run blobs by byte
+    slicing (zero-copy): run i = values [bounds[i], bounds[i+1])."""
+    off, data = _pos_value_offsets(arr)
+    b0 = off[bounds]
+    newoff = b0 - b0[0]
     return pa.Array.from_buffers(
-        pa.large_binary(), len(offsets) - 1,
-        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
-         pa.py_buffer(buf)])
+        pa.large_binary(), len(b0) - 1,
+        [None, pa.py_buffer(newoff.astype(np.int64).tobytes()),
+         pa.py_buffer(bytes(data[b0[0]:b0[-1]]))])
+
+
+_binary_from_offsets = binary_from_offsets  # canonical impl: codec.py
 
 
 def postings_from_sorted_triples(
     terms: pa.Array, doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+    pos: pa.Array | None = None,
 ) -> pa.Table:
-    """Build encoded posting rows from (term, doc_id)-sorted triples."""
+    """Build encoded posting rows from (term, doc_id)-sorted triples.
+    ``pos``, when given, is a large_binary array aligned with the
+    triples: each value is that (term, doc)'s already-encoded
+    within-doc position blob; per-term pos_enc is the byte-level
+    concatenation over the term's doc run (no re-encode)."""
     n = len(doc_ids)
     if n == 0:
-        return POSTINGS_SCHEMA.empty_table()
+        return (POSTINGS_SCHEMA_POS if pos is not None
+                else POSTINGS_SCHEMA).empty_table()
     dict_arr = pc.dictionary_encode(terms)
     # terms sorted => dictionary is in first-appearance = sorted order
     # and codes are monotonically nondecreasing
@@ -91,7 +133,7 @@ def postings_from_sorted_triples(
     docs_buf, docs_off = bulk_encode_segmented(doc_ids, starts, delta=True)
     tfs_buf, tfs_off = bulk_encode_segmented(tfs, starts, delta=False)
     dls_buf, dls_off = bulk_encode_segmented(dls, starts, delta=False)
-    return pa.table({
+    cols = {
         "term": pc.cast(uniq_terms, pa.large_string()),
         "df": pa.array(df, pa.int64()),
         "cf": pa.array(cf.astype(np.int64), pa.int64()),
@@ -99,7 +141,10 @@ def postings_from_sorted_triples(
         "docs_enc": _binary_from_offsets(docs_buf, docs_off),
         "tfs_enc": _binary_from_offsets(tfs_buf, tfs_off),
         "dls_enc": _binary_from_offsets(dls_buf, dls_off),
-    })
+    }
+    if pos is not None:
+        cols["pos_enc"] = _concat_blob_runs(pos, bounds)
+    return pa.table(cols)
 
 
 def build_partials(group: pa.Table) -> pa.Table:
@@ -117,6 +162,8 @@ def build_partials(group: pa.Table) -> pa.Table:
             group.schema.get_field_index("term"), "term",
             pc.cast(tcol, pa.large_string()))
 
+    has_pos = "pos" in group.column_names
+    schema = PARTIAL_SCHEMA_POS if has_pos else PARTIAL_SCHEMA
     out_tables = []
     post = group.filter(pc.equal(group["kind"], KIND_POSTING))
     if post.num_rows:
@@ -125,7 +172,8 @@ def build_partials(group: pa.Table) -> pa.Table:
             post["term"].combine_chunks(),
             post["doc_id"].to_numpy(),
             post["tf"].to_numpy().astype(np.int64),
-            post["dl"].to_numpy().astype(np.int64))
+            post["dl"].to_numpy().astype(np.int64),
+            pos=post["pos"] if has_pos else None)
         tbl = tbl.add_column(0, "dpart", pa.array([dpart] * tbl.num_rows, pa.int32()))
         tbl = tbl.add_column(1, "kind", pa.array([KIND_POSTING] * tbl.num_rows, pa.int8()))
         out_tables.append(tbl)
@@ -141,7 +189,7 @@ def build_partials(group: pa.Table) -> pa.Table:
         dls_buf, _ = bulk_encode_segmented(dls, one, delta=False)
         sha_buf = "".join(s if s is not None else "0" * _SHA_HEX_LEN
                           for s in shas).encode()
-        out_tables.append(pa.table({
+        dcols = {
             "dpart": pa.array([dpart], pa.int32()),
             "kind": pa.array([KIND_DOCLEN], pa.int8()),
             "term": pa.array([""], pa.large_string()),
@@ -151,10 +199,13 @@ def build_partials(group: pa.Table) -> pa.Table:
             "docs_enc": pa.array([docs_buf], pa.large_binary()),
             "tfs_enc": pa.array([sha_buf], pa.large_binary()),
             "dls_enc": pa.array([dls_buf], pa.large_binary()),
-        }))
+        }
+        if has_pos:
+            dcols["pos_enc"] = pa.array([b""], pa.large_binary())
+        out_tables.append(pa.table(dcols))
     if not out_tables:
-        return PARTIAL_SCHEMA.empty_table()
-    return pa.concat_tables([t.cast(PARTIAL_SCHEMA) for t in out_tables])
+        return schema.empty_table()
+    return pa.concat_tables([t.cast(schema) for t in out_tables])
 
 
 def merge_partials(rows: pa.Table) -> tuple[pa.Table, pa.Table]:
@@ -166,6 +217,8 @@ def merge_partials(rows: pa.Table) -> tuple[pa.Table, pa.Table]:
     concatenated (doc sets are disjoint across salt subgroups) and
     rebuilt through the same vectorized core.
     """
+    has_pos = "pos_enc" in rows.column_names
+    out_schema = POSTINGS_SCHEMA_POS if has_pos else POSTINGS_SCHEMA
     post = rows.filter(pc.equal(rows["kind"], KIND_POSTING)) \
                .sort_by([("term", "ascending")])
     terms = post["term"]
@@ -181,29 +234,43 @@ def merge_partials(rows: pa.Table) -> tuple[pa.Table, pa.Table]:
     if dup_mask.any():
         keep = post.filter(pa.array(~dup_mask))
         dups = post.filter(pa.array(dup_mask))
-        # decode duplicated runs back to triples and rebuild
-        t_list, d_list, f_list, l_list = [], [], [], []
+        # decode duplicated runs back to triples and rebuild; per-doc
+        # position blobs are byte-sliced along the tf array and ride
+        # the triples untouched (delta resets per doc, so a blob is
+        # valid wherever it lands after the doc-order re-sort)
+        t_list, d_list, f_list, l_list, p_list = [], [], [], [], []
         for i in range(dups.num_rows):
             d = decode_doc_ids(dups["docs_enc"][i].as_py())
             t_list.append(np.full(len(d), dups["term"][i].as_py(),
                                   dtype=object))
             d_list.append(d)
-            f_list.append(decode_ints(dups["tfs_enc"][i].as_py()))
+            f = decode_ints(dups["tfs_enc"][i].as_py())
+            f_list.append(f)
             l_list.append(decode_ints(dups["dls_enc"][i].as_py()))
-        trip = pa.table({
+            if has_pos:
+                blob = dups["pos_enc"][i].as_py()
+                boff = varint_run_byte_offsets(blob, f)
+                p_list.extend(blob[boff[j]:boff[j + 1]]
+                              for j in range(len(f)))
+        tcols = {
             "term": pa.array(np.concatenate(t_list), pa.large_string()),
             "doc_id": pa.array(np.concatenate(d_list), pa.int64()),
             "tf": pa.array(np.concatenate(f_list), pa.int64()),
             "dl": pa.array(np.concatenate(l_list), pa.int64()),
-        }).sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        }
+        if has_pos:
+            tcols["pos"] = pa.array(p_list, pa.large_binary())
+        trip = pa.table(tcols).sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")])
         rebuilt = postings_from_sorted_triples(
             trip["term"].combine_chunks(), trip["doc_id"].to_numpy(),
-            trip["tf"].to_numpy(), trip["dl"].to_numpy())
-        keep = keep.drop_columns(["dpart", "kind"]).cast(POSTINGS_SCHEMA)
+            trip["tf"].to_numpy(), trip["dl"].to_numpy(),
+            pos=trip["pos"] if has_pos else None)
+        keep = keep.drop_columns(["dpart", "kind"]).cast(out_schema)
         postings = pa.concat_tables([keep, rebuilt]) \
                      .sort_by([("term", "ascending")])
     else:
-        postings = post.drop_columns(["dpart", "kind"]).cast(POSTINGS_SCHEMA)
+        postings = post.drop_columns(["dpart", "kind"]).cast(out_schema)
 
     dlen = rows.filter(pc.equal(rows["kind"], KIND_DOCLEN))
     docs_l, dls_l, sha_l = [], [], []
@@ -298,12 +365,22 @@ def write_segment_files(part_dir: str, postings: pa.Table,
     }
 
 
-def read_postings(part_dir: str, terms: list[str] | None = None) -> pa.Table:
+# what a relevance scorer needs from a posting row — pass as
+# read_postings(columns=...) so scoring a positional index never
+# deserializes pos_enc (its widest column)
+SCORER_COLUMNS = ["term", "max_tf", "docs_enc", "tfs_enc", "dls_enc"]
+
+
+def read_postings(part_dir: str, terms: list[str] | None = None,
+                  columns: list[str] | None = None) -> pa.Table:
+    """``columns`` prunes at the read — pass it on positional indexes
+    whenever pos_enc isn't needed (it is the widest column)."""
     path = os.path.join(part_dir, "postings.parquet")
     if terms is None:
-        return pq.read_table(path)
+        return pq.read_table(path, columns=columns)
     import pyarrow.dataset as pads
-    return pq.read_table(path, filters=pads.field("term").isin(terms))
+    return pq.read_table(path, columns=columns,
+                         filters=pads.field("term").isin(terms))
 
 
 def read_doclens(part_dir: str, columns: list[str] | None = None) -> pa.Table:
@@ -316,3 +393,22 @@ def decode_posting_row(tbl: pa.Table, i: int
     return (decode_doc_ids(tbl["docs_enc"][i].as_py()),
             decode_ints(tbl["tfs_enc"][i].as_py()),
             decode_ints(tbl["dls_enc"][i].as_py()))
+
+
+def decode_posting_positions(tbl: pa.Table, i: int,
+                             tfs: np.ndarray | None = None) -> np.ndarray:
+    """Flat ABSOLUTE within-doc positions for posting row i, in doc
+    order; split into per-doc runs with the row's tf array (pass it if
+    already decoded to skip a second tfs_enc decode)."""
+    if tfs is None:
+        tfs = decode_ints(tbl["tfs_enc"][i].as_py())
+    return decode_pos_runs(tbl["pos_enc"][i].as_py(), tfs)
+
+
+def split_posting_positions(tbl: pa.Table, i: int,
+                            tfs: np.ndarray) -> list[bytes]:
+    """Per-doc ENCODED position blobs for posting row i (byte slices,
+    no decode) — the unit compaction/merge shuffles around."""
+    blob = tbl["pos_enc"][i].as_py()
+    boff = varint_run_byte_offsets(blob, tfs)
+    return [blob[boff[j]:boff[j + 1]] for j in range(len(tfs))]

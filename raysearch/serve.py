@@ -78,8 +78,8 @@ class _SegmentServerImpl:
     def _ensure_terms(self, part: int, terms: list[str]) -> tuple[dict, dict]:
         """Return (postings, max_tfs) for ``terms`` of ``part``,
         reading only the cache misses from the segment files."""
-        from raysearch.segments import (decode_posting_row, part_dirname,
-                                        read_postings)
+        from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                        part_dirname, read_postings)
 
         postings, max_tfs = {}, {}
         missing = []
@@ -97,7 +97,8 @@ class _SegmentServerImpl:
             self.misses += len(missing)
             part_dir = part_dirname(self.index_dir, part)
             if os.path.isdir(part_dir):
-                tbl = read_postings(part_dir, missing)
+                tbl = read_postings(part_dir, missing,
+                                    columns=SCORER_COLUMNS)
                 found = set()
                 for i, t in enumerate(tbl["term"].to_pylist()):
                     decoded = decode_posting_row(tbl, i)

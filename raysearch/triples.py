@@ -94,11 +94,55 @@ def _sha256_hex_column(arr: pa.Array) -> list[str]:
             for i in range(len(arr))]
 
 
+def _positional_groups(flat_terms: pa.Array, tok_doc_idx: np.ndarray,
+                       dl: np.ndarray
+                       ) -> tuple[pa.Array, np.ndarray, np.ndarray, pa.Array]:
+    """Group flat tokens to (doc, term) runs CARRYING positions:
+    returns (terms_per_run, run_doc_index, tf_per_run, pos_blobs)
+    where pos_blobs[i] is the delta+varint encoding of run i's
+    within-doc token positions (ascending). One lexsort + one bulk
+    varint pass — no per-token Python. Replaces the hash groupby of
+    the non-positional path (run lengths ARE the tf counts)."""
+    import pyarrow.compute as _pc
+
+    total = int(dl.sum())
+    doc_starts = np.zeros(len(dl), dtype=np.int64)
+    np.cumsum(dl[:-1], out=doc_starts[1:])
+    local_pos = (np.arange(total, dtype=np.int64)
+                 - np.repeat(doc_starts, dl))
+    dict_arr = _pc.dictionary_encode(
+        _pc.cast(flat_terms, pa.large_string()))
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    # stable lexsort: primary doc, secondary term code; ties keep
+    # token order, so positions stay ascending inside each run
+    order = np.lexsort((codes, tok_doc_idx))
+    sdi = tok_doc_idx[order]
+    sc = codes[order]
+    sp = local_pos[order]
+    if total:
+        chg = np.flatnonzero((sdi[1:] != sdi[:-1]) | (sc[1:] != sc[:-1]))
+        rstarts = np.concatenate([[0], chg + 1]).astype(np.int64)
+    else:
+        rstarts = np.zeros(0, dtype=np.int64)
+    rbounds = np.append(rstarts, total)
+    tf_run = np.diff(rbounds)
+    from raysearch.codec import binary_from_offsets, bulk_encode_segmented
+
+    pos_buf, pos_off = bulk_encode_segmented(sp, rstarts, delta=True)
+    terms_run = dict_arr.dictionary.take(
+        pa.array(sc[rstarts], pa.int64())) if len(rstarts) else \
+        pa.array([], pa.large_string())
+    return (terms_run, sdi[rstarts] if len(rstarts) else
+            np.zeros(0, np.int64), tf_run,
+            binary_from_offsets(pos_buf, pos_off))
+
+
 def make_triple_fn(config: IndexConfig, with_sha: bool = True):
     """Returns the map_batches UDF (a plain function -> stateless Ray
     tasks; no per-task state worth an actor here)."""
 
     num_parts, salt = config.num_parts, config.salt
+    with_positions = getattr(config, "with_positions", False)
 
     def make_triples(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -118,13 +162,22 @@ def make_triple_fn(config: IndexConfig, with_sha: bool = True):
         n = len(doc_id)
         dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
         flat_terms = toks.flatten()
-        # tf per (doc, term): pyarrow native hash aggregation
+        # tf per (doc, term): pyarrow native hash aggregation — or,
+        # with positions on, the run-based grouping that carries each
+        # run's encoded within-doc positions (run length == tf)
         tok_doc_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
-        grouped = pa.table({
-            "di": pa.array(tok_doc_idx, pa.int64()),
-            "term": pc.cast(flat_terms, pa.large_string()),
-        }).group_by(["di", "term"]).aggregate([([], "count_all")])
-        di = grouped["di"].to_numpy()
+        if with_positions:
+            g_terms, di, g_tf, pos_blobs = _positional_groups(
+                flat_terms, tok_doc_idx, dl)
+        else:
+            grouped = pa.table({
+                "di": pa.array(tok_doc_idx, pa.int64()),
+                "term": pc.cast(flat_terms, pa.large_string()),
+            }).group_by(["di", "term"]).aggregate([([], "count_all")])
+            di = grouped["di"].to_numpy()
+            g_terms = grouped["term"].combine_chunks()
+            g_tf = grouped["count_all"].to_numpy().astype(np.int64)
+            pos_blobs = None
         g_doc = doc_id[di]
         g_dpart = doc_partition(g_doc, num_parts)
         g_salt = doc_salt(g_doc, salt)
@@ -138,7 +191,7 @@ def make_triple_fn(config: IndexConfig, with_sha: bool = True):
         else:
             shas = [None] * n
 
-        return pa.table({
+        cols = {
             "gkey": pa.array(np.concatenate([g_dpart * salt + g_salt,
                                              d_dpart * salt + d_salt]),
                              pa.int64()),
@@ -146,14 +199,18 @@ def make_triple_fn(config: IndexConfig, with_sha: bool = True):
             "kind": pa.array(np.concatenate([
                 np.zeros(n_trip, np.int8), np.ones(n, np.int8)]), pa.int8()),
             "term": pc.dictionary_encode(pa.concat_arrays([
-                grouped["term"].combine_chunks(),
+                g_terms.combine_chunks() if isinstance(
+                    g_terms, pa.ChunkedArray) else g_terms,
                 pa.array([""] * n, pa.large_string())])),
             "doc_id": pa.array(np.concatenate([g_doc, doc_id]), pa.int64()),
             "tf": pa.array(np.concatenate([
-                grouped["count_all"].to_numpy().astype(np.int64),
-                np.zeros(n, np.int64)]), pa.int32()),
+                g_tf, np.zeros(n, np.int64)]), pa.int32()),
             "dl": pa.array(np.concatenate([dl[di], dl]), pa.int32()),
             "sha": pa.array([None] * n_trip + shas, pa.string()),
-        })
+        }
+        if pos_blobs is not None:
+            cols["pos"] = pa.concat_arrays([
+                pos_blobs, pa.array([b""] * n, pa.large_binary())])
+        return pa.table(cols)
 
     return make_triples
