@@ -92,13 +92,124 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "shipping_priority", "part_supplier_breadth",
           "excess_suppliers", "slop_topk", "boosted_topk",
           "nb_lang_eval", "heavy_hitters_ss", "user_daily_fill",
-          "kmeans_clusters", "mmr_topk", "ship_delay_priority"]
+          "kmeans_clusters", "mmr_topk", "ship_delay_priority",
+          # round 5: the 16 previously-untimed registry ops (round-4
+          # VERDICT item 4) — every queries() entry now has a per-op
+          # wall-time in the sidecar
+          "ann_lsh", "blob_meta", "chunk_dedup_stats",
+          "collection_stats", "embedding_dups", "embedding_dups_lsh",
+          "events_hopping", "fingerprint", "frame_sample",
+          "phrase_counts", "postings", "snippet_topk",
+          "snippet_lines_topk", "source_stats", "top_terms_tfidf",
+          "window_top_events"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement
 # block (avoids re-running the O(N^2) exact path a second time)
 KEEP_FOR_QUALITY = ("pagerank_topk", "label_prop", "triangle_stats",
                     "knn_label_eval", "text_emb_consistency")
+
+
+def _proximity_quality(sf_dir: str) -> dict:
+    """Positional-postings evidence (round-4 VERDICT item 1 done):
+    the per-op timings already measure the DEFAULT positional plan —
+    index-only verification, zero documents.parquet bytes — so this
+    block times the retired text-scan plan (positions=False) for the
+    same three ops and asserts result identity. The *_scan_sec /
+    per-op delta IS the cost the positional index removes."""
+    from raysearch.pipelines import search_queries as SQ
+
+    out: dict = {"proximity_default_plan": "positional-index-only"}
+    for name, fn in (("phrase_topk", SQ.phrase_topk),
+                     ("near_topk", SQ.near_topk),
+                     ("slop_topk", SQ.slop_topk)):
+        t0 = time.perf_counter()
+        scan = fn(sf_dir, positions=False)
+        out[f"{name}_scan_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        pos = fn(sf_dir, positions=True)
+        out[f"{name}_positional_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_plans_identical"] = pos.equals(scan)
+    return out
+
+
+# clustered ivf fixture: real embedding corpora cluster; sf0.1's 2000
+# near-uniform vectors sit BELOW the ivf crossover and are its
+# adversarial case (round-4 VERDICT item 5), so the consumer-agreement
+# numbers there never show the regime ivf targets. This deterministic
+# N=10k/20-cluster fixture does.
+CLUSTERED_N = 10_000
+CLUSTERED_DIM = 32
+CLUSTERED_K = 20
+
+
+def ensure_clustered_fixture() -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(BENCH_ROOT, f"clustered-{CLUSTERED_N}")
+    path = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(99)
+        centers = rng.standard_normal((CLUSTERED_K, CLUSTERED_DIM)) * 3.0
+        lab = rng.integers(0, CLUSTERED_K, CLUSTERED_N)
+        emb = (centers[lab]
+               + rng.standard_normal((CLUSTERED_N, CLUSTERED_DIM)) * 0.4)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(CLUSTERED_N), pa.int64()),
+            "embedding": pa.array(emb.tolist(),
+                                  pa.list_(pa.float32())),
+            "label": pa.array(lab.astype(np.int32), pa.int32()),
+        }), path)
+    return d
+
+
+def _clustered_ivf_quality() -> dict:
+    """ivf-vs-exact agreement + speedup in the clustered regime the
+    backbone targets: knn 1-NN edge recall, pagerank top-k overlap,
+    label_prop agreement, at N=CLUSTERED_N over CLUSTERED_K gaussian
+    clusters."""
+    from raysearch.pipelines import graph as G
+    from raysearch.pipelines import knn as KN
+
+    sf = ensure_clustered_fixture()
+    out: dict = {"clustered_fixture_n": CLUSTERED_N,
+                 "clustered_fixture_k": CLUSTERED_K}
+
+    def timed(key, fn, **kw):
+        t0 = time.perf_counter()
+        r = fn(sf, **kw).to_pandas()
+        out[key] = round(time.perf_counter() - t0, 3)
+        return r
+
+    kex = timed("clustered_knn_exact_sec", KN.knn_graph)
+    kiv = timed("clustered_knn_ivf_sec", KN.knn_graph, backbone="ivf")
+    e1 = set(map(tuple, kex[kex["rank"] == 1][["vec_id", "nbr_id"]]
+                 .values.tolist()))
+    a1 = set(map(tuple, kiv[kiv["rank"] == 1][["vec_id", "nbr_id"]]
+                 .values.tolist()))
+    out["clustered_knn_ivf_1nn_recall"] = round(
+        len(e1 & a1) / max(len(e1), 1), 3)
+    out["clustered_knn_ivf_speedup"] = round(
+        out["clustered_knn_exact_sec"]
+        / max(out["clustered_knn_ivf_sec"], 1e-9), 2)
+
+    pe = timed("clustered_pagerank_exact_sec", G.pagerank_topk)
+    pi = timed("clustered_pagerank_ivf_sec", G.pagerank_topk,
+               backbone="ivf")
+    out["clustered_pagerank_ivf_topk_overlap"] = round(
+        len(set(pe.vec_id) & set(pi.vec_id)) / max(len(pe), 1), 3)
+
+    le = timed("clustered_label_prop_exact_sec", G.label_prop
+               ).set_index("vec_id")
+    li = timed("clustered_label_prop_ivf_sec", G.label_prop,
+               backbone="ivf").set_index("vec_id")
+    j = le.join(li, rsuffix="_ivf", how="inner")
+    out["clustered_label_prop_ivf_label_agree"] = round(
+        float((j.label == j.label_ivf).mean()), 3)
+    return out
 
 
 def _ivf_consumer_quality(sf_dir: str, exact: dict) -> dict:
@@ -381,6 +492,8 @@ def run_bench() -> dict:
     if qmap:
         quality = run_quality(sf_dir)
         quality.update(_ivf_consumer_quality(sf_dir, exact_results))
+        quality.update(_proximity_quality(sf_dir))
+        quality.update(_clustered_ivf_quality())
 
     # partition skew: largest / median posting mass across segments
     detail = res.stats.get("parts_detail") or []
