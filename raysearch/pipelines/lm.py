@@ -20,13 +20,19 @@ has c2 >= 1 — no smoothing needed and the oracle is exact SQL.
 At 100 TB the model is the corpus's bigram vocabulary, which grows
 with the data (unlike a fixed-size KenLM artifact). The broadcast
 path here holds while the hashed model fits a worker heap (16 B/gram:
-~60 GB per 4e9 distinct bigrams — beyond that, either (a) cap the
-vocabulary map-side by count-min-sketch thresholding of rare grams,
-or (b) replace the broadcast lookup with a shuffle-join: hash-
-partition both the model rows and the per-doc gram rows on
-hash(gram) % P and join inside each group, then groupby(doc_id) to
-re-assemble the per-doc mean. The two-pass streaming shape is
-unchanged either way.)
+~60 GB per 4e9 distinct bigrams). Beyond that, pass ``vocab_cap=K``:
+the model keeps only the K most frequent grams per kind (exact global
+top-K — every gram's TOTAL count lives in exactly one post-groupby
+row, so per-batch top-K over the grouped stream, unioned and re-capped
+on the driver, is the exact global top-K with the driver never
+holding more than n_batches x K candidate rows), and scoring treats a
+dropped rare gram as count 1 (the rarest a kept model could report)
+with the per-gram ratio clamped to <= 0 so a dropped numerator over a
+dropped denominator can never manufacture a positive logprob. Model
+bytes are then constant in corpus size. Default None = exact
+(oracle-checkable) model; the alternative for exactness past the heap
+is a shuffle-join of model rows against per-doc gram rows on
+hash(gram) % P — same two-pass streaming shape either way.
 """
 
 from __future__ import annotations
@@ -79,10 +85,39 @@ def _hash_sorted(grams: np.ndarray, counts: np.ndarray):
     return h[order], counts[order].astype(np.int64)
 
 
-def _train(sf_dir: str):
+def _cap_counts(grouped, cap: int) -> pd.DataFrame:
+    """Exact global top-``cap`` grams per kind out of a post-groupby
+    (kind, gram, n) Dataset WITHOUT materializing the full vocabulary
+    on the driver. Exactness: after the groupby every gram's TOTAL
+    count is exactly one row, and no batching of that stream can split
+    or duplicate a row — so any gram in the global top-cap of its kind
+    is in its batch's top-cap, and the driver's re-cap over the
+    <= n_batches x cap x 2 surviving rows is the exact answer. Ties at
+    the cutoff break (n DESC, gram ASC), deterministic on any engine."""
+    def blocktop(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        keep = [sub.sort_values(["n", "gram"], ascending=[False, True])
+                .head(cap) for _, sub in df.groupby("kind")]
+        if not keep:
+            return tbl
+        return pa.Table.from_pandas(pd.concat(keep, ignore_index=True),
+                                    preserve_index=False)
+
+    cand = grouped.map_batches(blocktop,
+                               batch_format="pyarrow").to_pandas()
+    out = [sub.sort_values(["n", "gram"], ascending=[False, True])
+           .head(cap) for _, sub in cand.groupby("kind")]
+    return (pd.concat(out, ignore_index=True) if out
+            else cand)
+
+
+def _train(sf_dir: str, vocab_cap: int | None = None):
     """Global (c1_first, c2) counts via map-side partials + one
     groupby; returns a ray.put ref to the broadcast model — four
-    plain numpy arrays (zero-copy out of the object store)."""
+    plain numpy arrays (zero-copy out of the object store). With
+    ``vocab_cap`` the model keeps only the cap most frequent grams per
+    kind (see module docstring): constant broadcast bytes at any
+    corpus scale."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -98,11 +133,13 @@ def _train(sf_dir: str):
             "n": pa.array(np.concatenate([n1, n2]), pa.int64()),
         })
 
-    counts = (_read_docs(sf_dir)
-              .map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby(["kind", "gram"])
-              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    grouped = (_read_docs(sf_dir)
+               .map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby(["kind", "gram"])
+               .aggregate(Sum("n", alias_name="n")))
+    counts = (_cap_counts(grouped, vocab_cap) if vocab_cap
+              else grouped.to_pandas())
     one = counts[counts.kind == 1]
     two = counts[counts.kind == 2]
     h1, n1 = _hash_sorted(one["gram"].to_numpy(object),
@@ -121,15 +158,32 @@ def _lookup(h_sorted: np.ndarray, n: np.ndarray,
     return n[idx].astype(np.float64)
 
 
+def _lookup_capped(h_sorted: np.ndarray, n: np.ndarray,
+                   keys: np.ndarray) -> np.ndarray:
+    """Capped-model lookup: a gram dropped by vocab_cap reads as
+    count 1 — the rarest count a kept gram could have had (every kept
+    count is >= the cutoff >= 1), i.e. the rare-gram floor."""
+    if not len(h_sorted):
+        return np.ones(len(keys), np.float64)
+    idx = np.searchsorted(h_sorted, keys)
+    ok = idx < len(h_sorted)
+    out = np.ones(len(keys), np.float64)
+    sel = np.flatnonzero(ok)
+    sel = sel[h_sorted[idx[sel]] == keys[sel]]
+    out[sel] = n[idx[sel]]
+    return out
+
+
 class BigramScorer:
     """Actor-pool scoring stage: the broadcast model is ray.get ONCE
     per actor here in __init__ (zero-copy numpy views over the shared
     object-store buffer), never per batch."""
 
-    def __init__(self, model_ref) -> None:
+    def __init__(self, model_ref, capped: bool = False) -> None:
         import ray
 
         self.h1, self.n1, self.h2, self.n2 = ray.get(model_ref)
+        self.capped = capped
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from raysearch.pipelines.textops import md5_prefix_ints
@@ -140,9 +194,17 @@ class BigramScorer:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_bigrams": pa.array([], pa.int64()),
                              "logprob": pa.array([], pa.float64())})
+        look = _lookup_capped if self.capped else _lookup
         lp = np.log(
-            _lookup(self.h2, self.n2, md5_prefix_ints(bg, _HASH_HEX))
-            / _lookup(self.h1, self.n1, md5_prefix_ints(w1, _HASH_HEX)))
+            look(self.h2, self.n2, md5_prefix_ints(bg, _HASH_HEX))
+            / look(self.h1, self.n1, md5_prefix_ints(w1, _HASH_HEX)))
+        if self.capped:
+            # a dropped bigram over a kept frequent w1 already reads
+            # ln(1/c1) < 0, but a dropped bigram over a dropped w1
+            # would read ln(1/1) = 0 and a kept bigram over a dropped
+            # w1 could read > 0 — impossible under the exact model
+            # (c2 <= c1 always), so clamp preserves the invariant
+            lp = np.minimum(lp, 0.0)
         sums = np.zeros(n_docs)
         np.add.at(sums, doc_idx, lp)
         cnt = np.zeros(n_docs, dtype=np.int64)
@@ -157,14 +219,19 @@ class BigramScorer:
         })
 
 
-def bigram_logprob(sf_dir: str) -> pa.Table:
+def bigram_logprob(sf_dir: str,
+                   vocab_cap: int | None = None) -> pa.Table:
     """(doc_id, n_bigrams, logprob): mean ln c2(w1w2)/c1(w1) per doc.
     Scoring runs as an autoscaling actor pool (never fixed-size: a
-    fixed pool equal to session CPUs starves the upstream read)."""
-    model_ref = _train(sf_dir)
+    fixed pool equal to session CPUs starves the upstream read).
+    ``vocab_cap`` bounds the broadcast model at cap grams per kind
+    (constant bytes at any corpus scale; default None = exact)."""
+    model_ref = _train(sf_dir, vocab_cap=vocab_cap)
 
     out = _read_docs(sf_dir).map_batches(
-        BigramScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        BigramScorer,
+        fn_constructor_kwargs={"model_ref": model_ref,
+                               "capped": vocab_cap is not None},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 8), num_cpus=1)
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
@@ -220,10 +287,10 @@ def _doc_trigrams(batch: pa.Table):
     return doc_idx[:-2][same], ctx, tg
 
 
-def _train3(sf_dir: str):
+def _train3(sf_dir: str, vocab_cap: int | None = None):
     """Global (trigram-context, trigram) counts — same transport as
     _train: map-side partials, one groupby, four broadcast numpy
-    arrays."""
+    arrays (capped exactly like _train when vocab_cap is set)."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -239,11 +306,13 @@ def _train3(sf_dir: str):
             "n": pa.array(np.concatenate([n1, n2]), pa.int64()),
         })
 
-    counts = (_read_docs(sf_dir)
-              .map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby(["kind", "gram"])
-              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    grouped = (_read_docs(sf_dir)
+               .map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby(["kind", "gram"])
+               .aggregate(Sum("n", alias_name="n")))
+    counts = (_cap_counts(grouped, vocab_cap) if vocab_cap
+              else grouped.to_pandas())
     one = counts[counts.kind == 1]
     two = counts[counts.kind == 2]
     h1, n1 = _hash_sorted(one["gram"].to_numpy(object),
@@ -257,10 +326,11 @@ class TrigramScorer:
     """Actor-pool scoring stage for the trigram model: broadcast
     model ray.get ONCE per actor (zero-copy numpy views)."""
 
-    def __init__(self, model_ref) -> None:
+    def __init__(self, model_ref, capped: bool = False) -> None:
         import ray
 
         self.h1, self.n1, self.h2, self.n2 = ray.get(model_ref)
+        self.capped = capped
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from raysearch.pipelines.textops import md5_prefix_ints
@@ -271,10 +341,13 @@ class TrigramScorer:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_trigrams": pa.array([], pa.int64()),
                              "logprob": pa.array([], pa.float64())})
+        look = _lookup_capped if self.capped else _lookup
         lp = np.log(
-            _lookup(self.h2, self.n2, md5_prefix_ints(tg, _HASH_HEX))
-            / _lookup(self.h1, self.n1,
-                      md5_prefix_ints(ctx, _HASH_HEX)))
+            look(self.h2, self.n2, md5_prefix_ints(tg, _HASH_HEX))
+            / look(self.h1, self.n1,
+                   md5_prefix_ints(ctx, _HASH_HEX)))
+        if self.capped:
+            lp = np.minimum(lp, 0.0)  # c3 <= c2ctx under the exact model
         sums = np.zeros(n_docs)
         np.add.at(sums, doc_idx, lp)
         cnt = np.zeros(n_docs, dtype=np.int64)
@@ -289,17 +362,22 @@ class TrigramScorer:
         })
 
 
-def trigram_logprob(sf_dir: str) -> pa.Table:
+def trigram_logprob(sf_dir: str,
+                    vocab_cap: int | None = None) -> pa.Table:
     """(doc_id, n_trigrams, logprob): mean ln c3(w1w2w3)/c2(w1w2 as
     trigram context) per doc — the order-3 companion to
     bigram_logprob (same two-pass shape, same zero-copy broadcast
     transport, same no-smoothing exactness: the model is trained on
     the corpus being scored, so every scored trigram was counted).
-    Docs with < 3 tokens are excluded on both sides."""
-    model_ref = _train3(sf_dir)
+    Docs with < 3 tokens are excluded on both sides. ``vocab_cap``
+    bounds the broadcast model at cap grams per kind (constant bytes
+    at any corpus scale; default None = exact)."""
+    model_ref = _train3(sf_dir, vocab_cap=vocab_cap)
 
     out = _read_docs(sf_dir).map_batches(
-        TrigramScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        TrigramScorer,
+        fn_constructor_kwargs={"model_ref": model_ref,
+                               "capped": vocab_cap is not None},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 8), num_cpus=1)
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))

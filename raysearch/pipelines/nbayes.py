@@ -12,9 +12,11 @@ Two passes over the documents table, both budget-clean at 100 TB:
    them. The model is (class, token) counts + per-class token totals
    + per-class doc priors + the global vocab size: vocab x classes
    cardinality, broadcast ONCE via ray.put and ray.get per actor
-   (zero-copy). At open-vocabulary scale the vocab caps exactly like
-   lm.py's bigram model (count-min thresholding of rare tokens); this
-   corpus's vocabulary is tiny.
+   (zero-copy). At open-vocabulary scale pass ``vocab_cap=K`` — the
+   likelihood tables keep the exact top-K tokens per class while the
+   smoothing scalars (tot_c, V) stay exact, so model bytes are
+   constant in corpus size (see _train_nb); this corpus's vocabulary
+   is tiny, so the default is the exact model.
 2. CLASSIFY — an actor-pool map pass scores every document against
    every class with add-one (Laplace) smoothing,
    score(d, c) = ln P(c) + sum_tok tf * ln((n_tc + 1) / (tot_c + V)),
@@ -65,10 +67,24 @@ def _read_docs(sf_dir: str):
                                  columns=["doc_id", "text", NB_LABEL])
 
 
-def _train_nb(sf_dir: str):
+def _train_nb(sf_dir: str, vocab_cap: int | None = None):
     """(classes, per-class sorted token-hash arrays + counts, token
-    totals, doc counts, vocab size, N) — broadcast once."""
+    totals, doc counts, vocab size, N) — broadcast once.
+
+    ``vocab_cap``: keep only the cap most frequent tokens PER CLASS in
+    the broadcast likelihood tables — constant model bytes at any
+    corpus scale. The per-class top-cap is exact (each (class, token)
+    total is one post-groupby row; per-batch top-cap unioned + driver
+    re-cap = global top-cap), and the smoothing scalars stay EXACT:
+    tot_c comes from per-batch kind=3 partial sums, V from counting
+    the post-groupby kind=2 per-token rows batch-side (each distinct
+    token is exactly one such row). Dropped rare tokens score at the
+    +1 Laplace floor — the same floor _class_counts already gives
+    never-seen tokens — so capping only moves rare-token likelihoods
+    to the floor, it never changes smoothing mass. Default None =
+    exact model (the oracle contract)."""
     import ray
+    import pandas as pd
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -81,18 +97,69 @@ def _train_nb(sf_dir: str):
         uk, nk = np.unique(key, return_counts=True)
         # per-class document counts (kind=1 rows, token field empty)
         ul, nl = np.unique(labels, return_counts=True)
+        kinds = [0] * len(uk) + [1] * len(ul)
+        keys = [uk, ul]
+        ns = [nk, nl]
+        if vocab_cap:
+            # kind=2: one row per distinct token (n irrelevant, the
+            # post-groupby ROW COUNT is the exact global vocab);
+            # kind=3: per-class token totals (exact smoothing denom)
+            ut = np.unique(flat)
+            uc, ncnt = np.unique(labels[parents], return_counts=True)
+            kinds += [2] * len(ut) + [3] * len(uc)
+            keys += [ut, uc]
+            ns += [np.ones(len(ut), np.int64), ncnt]
         return pa.table({
-            "kind": pa.array([0] * len(uk) + [1] * len(ul), pa.int64()),
-            "key": pa.array(np.concatenate([uk, ul]).tolist(),
-                            pa.string()),
-            "n": pa.array(np.concatenate([nk, nl]), pa.int64()),
+            "kind": pa.array(kinds, pa.int64()),
+            "key": pa.array(np.concatenate(keys).tolist(), pa.string()),
+            "n": pa.array(np.concatenate(ns), pa.int64()),
         })
 
-    counts = (_read_docs(sf_dir)
-              .map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby(["kind", "key"])
-              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    grouped = (_read_docs(sf_dir)
+               .map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby(["kind", "key"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    vocab_exact = None
+    tot_exact: dict | None = None
+    if vocab_cap:
+        def blocktop(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            toks = df[df.kind == 0]
+            if len(toks):
+                split = toks.key.str.split("\x1f", n=1, expand=True)
+                toks = (toks.assign(_c=split[0])
+                        .sort_values(["n", "key"],
+                                     ascending=[False, True])
+                        .groupby("_c", sort=False).head(vocab_cap)
+                        .drop(columns="_c"))
+            n2 = int((df.kind == 2).sum())
+            keep = [toks, df[df.kind.isin((1, 3))],
+                    pd.DataFrame({"kind": [4], "key": [""],
+                                  "n": [n2]})]
+            return pa.Table.from_pandas(
+                pd.concat(keep, ignore_index=True), preserve_index=False)
+
+        counts = grouped.map_batches(
+            blocktop, batch_format="pyarrow").to_pandas()
+        vocab_exact = int(counts[counts.kind == 4].n.sum())
+        t3 = counts[counts.kind == 3]
+        tot_exact = dict(zip(t3.key, t3.n.astype(int)))
+        tok_cand = counts[counts.kind == 0]
+        if len(tok_cand):
+            split = tok_cand.key.str.split("\x1f", n=1, expand=True)
+            counts = pd.concat([
+                (tok_cand.assign(_c=split[0])
+                 .sort_values(["n", "key"], ascending=[False, True])
+                 .groupby("_c", sort=False).head(vocab_cap)
+                 .drop(columns="_c")),
+                counts[counts.kind == 1]], ignore_index=True)
+        else:
+            counts = counts[counts.kind.isin((0, 1))]
+    else:
+        counts = grouped.to_pandas()
+
     tok_rows = counts[counts.kind == 0]
     doc_rows = counts[counts.kind == 1]
     if len(tok_rows):
@@ -107,14 +174,18 @@ def _train_nb(sf_dir: str):
     n_of = tok_rows.n.to_numpy(np.int64)
     classes = sorted(doc_rows.key.tolist())
     doc_n = dict(zip(doc_rows.key, doc_rows.n.astype(int)))
-    vocab = len(np.unique(tok_of)) if len(tok_of) else 0
+    if vocab_exact is not None:
+        vocab = vocab_exact
+    else:
+        vocab = len(np.unique(tok_of)) if len(tok_of) else 0
     per_class = []
     for c in classes:
         m = cls_of == c
         h = md5_prefix_ints(tok_of[m], _HASH_HEX)
         order = np.argsort(h)
-        per_class.append((h[order], n_of[m][order],
-                          int(n_of[m].sum())))
+        tot = (int(tot_exact.get(c, 0)) if tot_exact is not None
+               else int(n_of[m].sum()))
+        per_class.append((h[order], n_of[m][order], tot))
     n_docs = int(sum(doc_n.values()))
     priors = np.array([doc_n[c] / n_docs for c in classes], np.float64)
     return ray.put((classes, per_class, priors, float(vocab)))
@@ -196,15 +267,19 @@ class NBClassifier:
 
 
 @fmt_doc(label=NB_LABEL)
-def nb_lang_eval(sf_dir: str) -> pa.Table:
+def nb_lang_eval(sf_dir: str,
+                 vocab_cap: int | None = None) -> pa.Table:
     """Multinomial-NB {label} classifier trained ON the corpus and
     evaluated against the labeled column: the confusion matrix
     (true_lang, pred_lang, n). Train = one counts pass + one groupby;
     classify = actor-pool map with the broadcast model; the result
-    aggregate is classes^2-cardinality."""
+    aggregate is classes^2-cardinality. ``vocab_cap`` bounds the
+    broadcast likelihood tables at cap tokens per class with exact
+    smoothing scalars (see _train_nb; default None = exact model,
+    the oracle contract)."""
     from ray.data.aggregate import Sum
 
-    model_ref = _train_nb(sf_dir)
+    model_ref = _train_nb(sf_dir, vocab_cap=vocab_cap)
     agg = (_read_docs(sf_dir)
            .map_batches(NBClassifier,
                         fn_constructor_kwargs={"model_ref": model_ref},

@@ -57,8 +57,8 @@ class _LangScorer(BigramScorer):
     carried batch-locally (the parent's keep-filter is re-joined on
     doc_id inside the batch)."""
 
-    def __init__(self, model_ref, rate) -> None:
-        super().__init__(model_ref)
+    def __init__(self, model_ref, rate, capped: bool = False) -> None:
+        super().__init__(model_ref, capped=capped)
         self.rate = rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -83,19 +83,23 @@ class _LangScorer(BigramScorer):
         })
 
 
-def perplexity_buckets(sf_dir: str) -> pa.Table:
+def perplexity_buckets(sf_dir: str,
+                       vocab_cap: int | None = None) -> pa.Table:
     """(doc_id, lang, logprob, bucket): every scored doc's CCNet
     head/middle/tail assignment under the per-lang sampled-tertile
-    thresholds documented in the module docstring."""
+    thresholds documented in the module docstring. ``vocab_cap``
+    bounds the broadcast LM model exactly as in lm.bigram_logprob
+    (default None = exact, the oracle contract)."""
     import ray.data
 
     rate = _sample_rate(sf_dir)
-    model_ref = _train(sf_dir)
+    model_ref = _train(sf_dir, vocab_cap=vocab_cap)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, _DOCS),
         columns=["doc_id", "text", "lang"]).map_batches(
         _LangScorer,
-        fn_constructor_kwargs={"model_ref": model_ref, "rate": rate},
+        fn_constructor_kwargs={"model_ref": model_ref, "rate": rate,
+                               "capped": vocab_cap is not None},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 8), num_cpus=1)
     scored = pa.concat_tables(
