@@ -805,6 +805,87 @@ def highlight_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def hit_positions_topk(sf_dir: str) -> pa.Table:
+    """Positional highlighting FROM THE INDEX: for each BM25 top-k
+    hit, the 1-based TOKEN position of the earliest occurrence of any
+    of the query's terms (``first_pos``) and the total query-term
+    occurrence count (``n_hits``) — both computed entirely from the
+    positional index's pos_enc/tf columns via the same term-filtered,
+    row-group-pruned per-segment reads the proximity family uses.
+    Zero documents.parquet bytes: this is the positions-make-text-
+    reads-optional half of highlighting; highlight_topk keeps the
+    char-domain window contract, which genuinely needs the text.
+
+    Scale contract: work ∝ the query terms' posting+position bytes
+    restricted to k candidate docs per query — never a corpus scan.
+    The reference has no positions at all (src/lib.rs:341-343)."""
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir, with_positions=True)
+    res = topk_rounded_for_index(idx, "bm25").to_pandas()
+    qterms = [sorted({t for t, _ in query_term_weights(q)})
+              for q in DOC_QUERIES]
+    cand_by_q = {int(qid): np.unique(g.doc_id.to_numpy(np.int64))
+                 for qid, g in res.groupby("query_id")}
+    all_terms = sorted({t for ts in qterms for t in ts})
+    parts = load_stats(idx)["parts"]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "first_pos": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_p, out_n = [], [], [], []
+        for part in batch["part"].to_pylist():
+            data = _read_positional(idx, part, all_terms)
+            for qid, terms in enumerate(qterms):
+                cand = cand_by_q.get(qid)
+                if cand is None or not len(cand):
+                    continue
+                first = np.full(len(cand), np.iinfo(np.int64).max,
+                                np.int64)
+                nh = np.zeros(len(cand), np.int64)
+                for t in terms:
+                    if t not in data:
+                        continue
+                    docs, tfs, pos = data[t]
+                    sel = np.isin(docs, cand, assume_unique=True)
+                    if not sel.any():
+                        continue
+                    starts = np.zeros(len(docs), np.int64)
+                    np.cumsum(tfs[:-1], out=starts[1:])
+                    ranks = np.searchsorted(cand, docs[sel])
+                    np.minimum.at(first, ranks, pos[starts[sel]])
+                    np.add.at(nh, ranks, tfs[sel])
+                hit = np.flatnonzero(nh > 0)
+                if not len(hit):
+                    continue
+                out_q.append(np.full(len(hit), qid, np.int64))
+                out_d.append(cand[hit])
+                out_p.append(first[hit] + 1)   # 0-based ordinal -> 1-based
+                out_n.append(nh[hit])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "first_pos": pa.array(np.concatenate(out_p), pa.int64()),
+            "n_hits": pa.array(np.concatenate(out_n), pa.int64())})
+
+    rows = _parts_fanout(idx, parts, kern, empty)
+    merged = res.merge(rows, on=["query_id", "doc_id"], how="inner") \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    return pa.table({
+        "query_id": pa.array(merged.query_id.to_numpy(np.int64),
+                             pa.int64()),
+        "doc_id": pa.array(merged.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(merged["rank"].to_numpy(np.int64), pa.int64()),
+        "first_pos": pa.array(merged.first_pos.to_numpy(np.int64),
+                              pa.int64()),
+        "n_hits": pa.array(merged.n_hits.to_numpy(np.int64), pa.int64()),
+    })
+
+
 # analyzer synonym table: query-side expansion at equal weight (the
 # classic synonym token filter). Entries whose synonym is absent from
 # the corpus exercise the posting-miss path.
@@ -1056,6 +1137,28 @@ SELECT h.query_id, h.rank, h.doc_id, h.first_hit,
        substr(d.text, greatest(1, h.first_hit - {HL_BEFORE})::INT,
               {HL_LEN}) AS window
 FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+"""
+
+
+def sql_hit_positions_topk() -> str:
+    return rf"""
+WITH b AS ({sql_bm25_topk()}),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+agg AS (
+  SELECT q.query_id, p.doc_id, min(p.pos)::BIGINT AS first_pos,
+         count(*)::BIGINT AS n_hits
+  FROM q JOIN ptok p ON p.tok = q.term
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT b.query_id, b.doc_id, b.rank, a.first_pos, a.n_hits
+FROM b JOIN agg a ON a.query_id = b.query_id AND a.doc_id = b.doc_id
 """
 
 
@@ -1989,6 +2092,7 @@ QUERIES = {
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
     "highlight_topk": highlight_topk,
+    "hit_positions_topk": hit_positions_topk,
     "synonym_topk": synonym_topk,
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
@@ -2015,6 +2119,7 @@ ORACLE_SQL = {
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),
     "highlight_topk": sql_highlight_topk(),
+    "hit_positions_topk": sql_hit_positions_topk(),
     "synonym_topk": sql_synonym_topk(),
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),

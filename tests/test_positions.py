@@ -240,3 +240,37 @@ def test_proximity_positional_equals_scan(ray_session, tmp_path, op):
         scan = fn(sf_real, positions=False).to_pandas()
         pd.testing.assert_frame_equal(pos, scan, check_exact=True)
         assert len(pos) > 0
+
+
+def test_hit_positions_topk_oracle_parity(ray_session):
+    """hit_positions_topk (index-only token-position highlighting) ==
+    its DuckDB oracle at sf0.001; first_pos is 1-based and every BM25
+    hit carries >= 1 query-term occurrence."""
+    import duckdb
+    import pandas as pd
+
+    from raysearch.pipelines.search_queries import (
+        ORACLE_SQL,
+        hit_positions_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata missing")
+    eng = hit_positions_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(ORACLE_SQL["hit_positions_topk"]).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()),
+        check_exact=True)
+    assert (eng.first_pos >= 1).all() and (eng.n_hits >= 1).all()
+    # exactly the BM25 top-k rows, positionally annotated
+    from raysearch.pipelines.search_queries import bm25_topk
+
+    base = bm25_topk(sf).to_pandas()
+    assert len(eng) == len(base)
