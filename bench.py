@@ -166,6 +166,92 @@ def ensure_clustered_fixture() -> str:
     return d
 
 
+LONGPOST_DOCS = 400_000
+LONGPOST_NEEDLES = 120  # ~15 per segment: >= k so every part seeds theta
+
+
+def ensure_longposting_fixture() -> str:
+    """Deterministic long-posting corpus (the MaxScore skip shape): a
+    'common' term in every doc, a high-tf 'needle' in a few — block-max
+    pruning must keep most of common's ~{LONGPOST_DOCS} postings
+    undecoded."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(BENCH_ROOT,
+                     f"longpost-{LONGPOST_DOCS}-{LONGPOST_NEEDLES}")
+    path = os.path.join(d, "documents.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(17)
+        needle = set(rng.choice(LONGPOST_DOCS, LONGPOST_NEEDLES,
+                                replace=False).tolist())
+        fill = rng.integers(0, 20000, (LONGPOST_DOCS, 6))
+        reps = rng.integers(1, 4, LONGPOST_DOCS)
+        texts = [
+            " ".join(["common"] * int(reps[i])
+                     + [f"f{v}" for v in fill[i]]
+                     + (["needle"] * 8 if i in needle else []))
+            for i in range(LONGPOST_DOCS)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(LONGPOST_DOCS)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * LONGPOST_DOCS),
+            "source": pa.array(["t"] * LONGPOST_DOCS),
+        }), path)
+    return d
+
+
+def _blockmax_quality() -> dict:
+    """Stored block-max (BMW) evidence — round-4 VERDICT item 8: on
+    the long-posting fixture, the pruned path must (a) return
+    bit-identical top-k and (b) VALUE-decode a small fraction of the
+    query terms' postings, and the wall-clock win is reported."""
+    from raysearch.pipelines.search_queries import cached_index
+    from raysearch.query import lexicon_df, query_index
+    from raysearch.score import query_term_weights
+    from raysearch.segments import (SCORER_COLUMNS_BMW, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+    from raysearch.wand import LazyPostings, pruned_topk_blockmax
+
+    sf = ensure_longposting_fixture()
+    idx = cached_index(sf)
+    q = "needle common"
+    out: dict = {"blockmax_fixture_docs": LONGPOST_DOCS}
+
+    def best2(label, **kw):
+        secs, res = [], None
+        for _ in range(2):     # best-of-2: one-shot scheduling noise
+            t0 = time.perf_counter()
+            res = query_index(idx, [q] * 10, k=10, mode="bm25", **kw)
+            secs.append(time.perf_counter() - t0)
+        out[label] = round(min(secs), 3)
+        return res
+
+    full = best2("blockmax_full_sec", prune=False)
+    pruned = best2("blockmax_pruned_sec", prune=True)
+    out["blockmax_identical"] = full.equals(pruned)
+
+    st = load_stats(idx)
+    qw = query_term_weights(q)
+    terms = sorted({t for t, _ in qw})
+    df = lexicon_df(idx, terms)
+    total_df = decoded = 0
+    for part in st["parts"]:
+        tbl = read_postings(part_dirname(idx, part), terms,
+                            columns=SCORER_COLUMNS_BMW)
+        lazy = LazyPostings(tbl)
+        pruned_topk_blockmax(qw, lazy, df, st["n_docs"], st["avgdl"],
+                             st["config"]["k1"], st["config"]["b"],
+                             10, "bm25")
+        total_df += int(tbl["df"].to_pandas().sum())
+        decoded += lazy.decoded_entries
+    out["blockmax_decode_fraction"] = round(decoded / max(total_df, 1), 4)
+    return out
+
+
 def _clustered_ivf_quality() -> dict:
     """ivf-vs-exact agreement + speedup in the clustered regime the
     backbone targets: knn 1-NN edge recall, pagerank top-k overlap,
@@ -494,6 +580,7 @@ def run_bench() -> dict:
         quality.update(_ivf_consumer_quality(sf_dir, exact_results))
         quality.update(_proximity_quality(sf_dir))
         quality.update(_clustered_ivf_quality())
+        quality.update(_blockmax_quality())
 
     # partition skew: largest / median posting mass across segments
     detail = res.stats.get("parts_detail") or []

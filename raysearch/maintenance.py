@@ -203,7 +203,10 @@ class _CompactWorker:
                 np.concatenate(l_all).astype(np.int64),
                 pos=pa.array(p_all, pa.large_binary()) if has_pos
                 else None)
-            parts_out.append(rebuilt.cast(post.schema))
+            # a pre-blockmax index compacts to its own (old) schema:
+            # select drops the block-meta columns the rebuild now emits
+            parts_out.append(
+                rebuilt.select(post.schema.names).cast(post.schema))
         if parts_out:
             new_post = (pa.concat_tables(parts_out)
                         .sort_by([("term", "ascending")]))

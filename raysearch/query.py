@@ -47,7 +47,8 @@ from raysearch.score import (
     bm25_idf,
     topk,
 )
-from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+from raysearch.segments import (SCORER_COLUMNS, SCORER_COLUMNS_BMW,
+                                decode_posting_row, has_block_meta,
                                 part_dirname, read_postings)
 from raysearch.stats import load_stats
 
@@ -244,6 +245,31 @@ class SegmentScorer:
         part_dir = part_dirname(self.index_dir, part)
         if not os.path.isdir(part_dir):
             return RESULT_SCHEMA.empty_table()
+        if (self.prune and self.deleted is None
+                and self.mode != "dirichlet" and has_block_meta(part_dir)):
+            # stored block-max skip path: posting rows stay ENCODED;
+            # wand.pruned_topk_blockmax decodes only the blocks its
+            # interval sweep proves can matter. Tombstones fall back
+            # to the eager path (filtering needs the full arrays).
+            from raysearch.wand import LazyPostings, pruned_topk_blockmax
+
+            lazy = LazyPostings(read_postings(part_dir, self.all_terms,
+                                              columns=SCORER_COLUMNS_BMW))
+            qids, ranks, dids, scores = [], [], [], []
+            for qid, qw in enumerate(self.qweights):
+                d, s = pruned_topk_blockmax(
+                    qw, lazy, self.df, self.n_docs, self.avgdl,
+                    self.k1, self.b, self.k, self.mode)
+                qids.extend([qid] * len(d))
+                ranks.extend(range(1, len(d) + 1))
+                dids.extend(d.tolist())
+                scores.extend(float(x) for x in s)
+            return pa.table({
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            })
         tbl = read_postings(part_dir, self.all_terms,
                             columns=SCORER_COLUMNS)
         postings = {}

@@ -47,6 +47,15 @@ from raysearch.triples import KIND_DOCLEN, KIND_POSTING
 
 _SHA_HEX_LEN = 64
 
+# block-max metadata granularity (Lucene-style BMW skip data): every
+# posting row carries, per BLOCK-entry block, the absolute first doc
+# (bfirst_enc, delta+varint) and the block max tf (bmax_enc, varint).
+# ~2/BLOCK size overhead; lets the MaxScore path (wand.py) prune and
+# DECODE whole blocks selectively — the stored first doc makes any
+# block independently decodable from the unchanged row blob (the
+# block's leading delta is replaced by the stored absolute value).
+BLOCK = 128
+
 PARTIAL_SCHEMA = pa.schema([
     ("dpart", pa.int32()),
     ("kind", pa.int8()),
@@ -57,6 +66,8 @@ PARTIAL_SCHEMA = pa.schema([
     ("docs_enc", pa.large_binary()),
     ("tfs_enc", pa.large_binary()),
     ("dls_enc", pa.large_binary()),
+    ("bfirst_enc", pa.large_binary()),
+    ("bmax_enc", pa.large_binary()),
 ])
 
 POSTINGS_SCHEMA = pa.schema([
@@ -67,6 +78,8 @@ POSTINGS_SCHEMA = pa.schema([
     ("docs_enc", pa.large_binary()),
     ("tfs_enc", pa.large_binary()),
     ("dls_enc", pa.large_binary()),
+    ("bfirst_enc", pa.large_binary()),
+    ("bmax_enc", pa.large_binary()),
 ])
 
 # positional variants (config.with_positions): pos_enc is the
@@ -133,6 +146,23 @@ def postings_from_sorted_triples(
     docs_buf, docs_off = bulk_encode_segmented(doc_ids, starts, delta=True)
     tfs_buf, tfs_off = bulk_encode_segmented(tfs, starts, delta=False)
     dls_buf, dls_off = bulk_encode_segmented(dls, starts, delta=False)
+    # per-term block metadata: ceil(df/BLOCK) blocks per term; for each
+    # block its first (absolute) doc and its max tf. One reduceat, one
+    # bulk varint pass — same no-Python-loop discipline as the blobs.
+    nb = (df + BLOCK - 1) // BLOCK
+    brow_starts = np.zeros(len(nb), dtype=np.int64)
+    np.cumsum(nb[:-1], out=brow_starts[1:])
+    total_blocks = int(nb.sum())
+    within = ((np.arange(total_blocks, dtype=np.int64)
+               - np.repeat(brow_starts, nb)) * BLOCK)
+    bstarts = np.repeat(bounds[:-1], nb) + within
+    bfirst = doc_ids[bstarts]
+    bmax = (np.maximum.reduceat(tfs, bstarts) if total_blocks
+            else np.zeros(0, np.int64))
+    bfirst_buf, bfirst_off = bulk_encode_segmented(
+        bfirst, brow_starts, delta=True)
+    bmax_buf, bmax_off = bulk_encode_segmented(
+        bmax.astype(np.int64), brow_starts, delta=False)
     cols = {
         "term": pc.cast(uniq_terms, pa.large_string()),
         "df": pa.array(df, pa.int64()),
@@ -141,6 +171,8 @@ def postings_from_sorted_triples(
         "docs_enc": _binary_from_offsets(docs_buf, docs_off),
         "tfs_enc": _binary_from_offsets(tfs_buf, tfs_off),
         "dls_enc": _binary_from_offsets(dls_buf, dls_off),
+        "bfirst_enc": _binary_from_offsets(bfirst_buf, bfirst_off),
+        "bmax_enc": _binary_from_offsets(bmax_buf, bmax_off),
     }
     if pos is not None:
         cols["pos_enc"] = _concat_blob_runs(pos, bounds)
@@ -199,6 +231,8 @@ def build_partials(group: pa.Table) -> pa.Table:
             "docs_enc": pa.array([docs_buf], pa.large_binary()),
             "tfs_enc": pa.array([sha_buf], pa.large_binary()),
             "dls_enc": pa.array([dls_buf], pa.large_binary()),
+            "bfirst_enc": pa.array([b""], pa.large_binary()),
+            "bmax_enc": pa.array([b""], pa.large_binary()),
         }
         if has_pos:
             dcols["pos_enc"] = pa.array([b""], pa.large_binary())
@@ -369,6 +403,9 @@ def write_segment_files(part_dir: str, postings: pa.Table,
 # read_postings(columns=...) so scoring a positional index never
 # deserializes pos_enc (its widest column)
 SCORER_COLUMNS = ["term", "max_tf", "docs_enc", "tfs_enc", "dls_enc"]
+# the block-skip pruned path additionally reads df + the tiny block
+# metadata blobs (wand.LazyPostings decodes row blobs on demand)
+SCORER_COLUMNS_BMW = SCORER_COLUMNS + ["df", "bfirst_enc", "bmax_enc"]
 
 
 def read_postings(part_dir: str, terms: list[str] | None = None,
@@ -393,6 +430,54 @@ def decode_posting_row(tbl: pa.Table, i: int
     return (decode_doc_ids(tbl["docs_enc"][i].as_py()),
             decode_ints(tbl["tfs_enc"][i].as_py()),
             decode_ints(tbl["dls_enc"][i].as_py()))
+
+
+def has_block_meta(part_dir: str) -> bool:
+    """Whether this segment stores BMW block metadata (indexes built
+    before the blockmax upgrade don't; readers fall back to eager
+    whole-row decode)."""
+    path = os.path.join(part_dir, "postings.parquet")
+    return "bfirst_enc" in pq.read_schema(path).names
+
+
+def read_block_meta(tbl: pa.Table, i: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(per-block absolute first doc, per-block max tf) for posting
+    row i — decoded from the tiny bfirst_enc/bmax_enc blobs only, the
+    row's posting blobs untouched."""
+    return (decode_doc_ids(tbl["bfirst_enc"][i].as_py()),
+            decode_ints(tbl["bmax_enc"][i].as_py()))
+
+
+def decode_posting_blocks(tbl: pa.Table, i: int, df: int,
+                          chosen: np.ndarray, bfirst: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(docs, tfs, dls) of ONLY the ``chosen`` blocks of posting row i
+    (sorted block indices). The row blobs are byte-sliced at block
+    boundaries (one high-bit scan via varint_run_byte_offsets — no
+    value decode of skipped blocks); each chosen doc block rebases on
+    its stored absolute first doc, so the leading cross-block delta in
+    the unchanged row encoding is never needed."""
+    nb = (df + BLOCK - 1) // BLOCK
+    counts = np.full(nb, BLOCK, np.int64)
+    counts[-1] = df - BLOCK * (nb - 1)
+    if len(chosen) == nb:            # everything survives: plain decode
+        return decode_posting_row(tbl, i)
+    ccounts = counts[chosen]
+
+    def blocks_of(blob: bytes) -> bytes:
+        boff = varint_run_byte_offsets(blob, counts)
+        return b"".join(blob[boff[j]:boff[j + 1]] for j in chosen)
+
+    vals = decode_ints(blocks_of(tbl["docs_enc"][i].as_py()))
+    cstarts = np.zeros(len(chosen), np.int64)
+    np.cumsum(ccounts[:-1], out=cstarts[1:])
+    s = np.cumsum(vals)
+    base = s[cstarts] - bfirst[chosen]   # rebase each block's cumsum
+    docs = s - np.repeat(base, ccounts)
+    tfs = decode_ints(blocks_of(tbl["tfs_enc"][i].as_py()))
+    dls = decode_ints(blocks_of(tbl["dls_enc"][i].as_py()))
+    return docs, tfs, dls
 
 
 def decode_posting_positions(tbl: pa.Table, i: int,
