@@ -101,7 +101,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "events_hopping", "fingerprint", "frame_sample",
           "phrase_counts", "postings", "snippet_topk",
           "snippet_lines_topk", "source_stats", "top_terms_tfidf",
-          "window_top_events", "hit_positions_topk"]
+          "window_top_events", "hit_positions_topk", "msm_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -1140,6 +1140,40 @@ FROM hits h JOIN documents d ON h.doc_id = d.doc_id
 """
 
 
+def sql_msm_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) >= {MSM_M}
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def sql_hit_positions_topk() -> str:
     return rf"""
 WITH b AS ({sql_bm25_topk()}),
@@ -1450,6 +1484,106 @@ ranked AS (
 SELECT src_doc_id, doc_id, rank, score
 FROM ranked WHERE rank <= {TOPK}
 """
+
+
+MSM_M = 2  # minimum_should_match: docs must hold >= 2 distinct terms
+
+
+@fmt_doc(m=MSM_M)
+def msm_topk(sf_dir: str) -> pa.Table:
+    """Lucene-style ``minimum_should_match`` retrieval: BM25 top-10
+    per query over only the documents containing at least {m} DISTINCT
+    query terms — the standard middle ground between the pure
+    disjunction (bm25_topk) and the full conjunction (bool_and_docs).
+
+    Plan: per segment, decode the query terms' posting lists once,
+    count distinct matching terms per doc (one np.unique over the
+    concatenated doc arrays), mask ``n_match >= {m}``, then accumulate
+    BM25 contributions in the canonical ascending-term order for the
+    eligible docs only and keep a raw per-(part, query) buffer; the
+    driver applies the shared round6 -> (-score, doc_id) rank
+    contract. Doc-hash partitioning keeps per-segment scores FINAL, so
+    this is one fan-out + a k-bounded merge, zero exchanges — work is
+    bounded by the query terms' df, never a corpus scan.
+    """
+    import ray.data
+
+    from raysearch.query import lexicon_df
+    from raysearch.score import (accumulate_scores, bm25_contrib,
+                                 bm25_idf, query_term_weights, topk)
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    parts = st["parts"]
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    k1, b = st["config"]["k1"], st["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    df = lexicon_df(idx, all_terms)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            tbl = read_postings(part_dirname(idx, int(part)), all_terms,
+                                columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, qw in enumerate(qweights):
+                present = [(t, w) for t, w in qw if t in post]
+                if len(present) < MSM_M:
+                    continue
+                uniq, cnt = np.unique(
+                    np.concatenate([post[t][0] for t, _ in present]),
+                    return_counts=True)
+                elig = uniq[cnt >= MSM_M]
+                if not len(elig):
+                    continue
+                per_term = []
+                for t, w in present:    # ascending-term accumulation
+                    docs, tfs, dls = post[t]
+                    pos = np.searchsorted(docs, elig)
+                    pos_c = np.clip(pos, 0, len(docs) - 1)
+                    hit = docs[pos_c] == elig
+                    sel = pos_c[hit]
+                    if hit.any():
+                        per_term.append((elig[hit], bm25_contrib(
+                            tfs[sel], dls[sel],
+                            bm25_idf(df.get(t, 0), n_docs),
+                            w, k1, b, avgdl)))
+                docs, sc = accumulate_scores(per_term)
+                d, s = topk(docs, sc, _TOPK_BUFFER)
+                out_q.extend([qid] * len(d))
+                out_d.extend(d.tolist())
+                out_s.extend(float(x) for x in s)
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    cand = _concat_ds(
+        parts_ds.map_batches(kern, batch_format="pyarrow",
+                             batch_size=max(1, len(parts) // 16)),
+        empty).to_pandas()
+    cand["score"] = round6(cand["score"].to_numpy(np.float64))
+    cand = cand.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+    cand["rank"] = cand.groupby("query_id").cumcount() + 1
+    cand = cand[cand["rank"] <= TOPK]
+    return pa.table({
+        "query_id": pa.array(cand.query_id.to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(cand.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(cand["rank"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(cand.score.to_numpy(np.float64), pa.float64()),
+    })
 
 
 def bool_and_docs(sf_dir: str) -> pa.Table:
@@ -2093,6 +2227,7 @@ QUERIES = {
     "facet_counts": facet_counts,
     "highlight_topk": highlight_topk,
     "hit_positions_topk": hit_positions_topk,
+    "msm_topk": msm_topk,
     "synonym_topk": synonym_topk,
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
@@ -2120,6 +2255,7 @@ ORACLE_SQL = {
     "facet_counts": sql_facet_counts(),
     "highlight_topk": sql_highlight_topk(),
     "hit_positions_topk": sql_hit_positions_topk(),
+    "msm_topk": sql_msm_topk(),
     "synonym_topk": sql_synonym_topk(),
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),

@@ -151,3 +151,45 @@ def test_highlight_non_ascii_char_positions(ray_session, tmp_path):
     assert q0.loc[0, "first_hit"] == 13   # chars, not bytes (15)
     assert q0.loc[1, "first_hit"] == 9
     assert q0.loc[0, "window"].startswith("héllo wörld hash")
+
+
+def test_msm_topk_oracle_parity_and_semantics(ray_session):
+    """minimum_should_match: oracle parity at sf0.001 plus the
+    semantic sandwich — every msm hit holds >= MSM_M distinct query
+    terms (it is a subset of the disjunctive candidates and a superset
+    of the conjunctive bool_and hits for queries with 2 terms)."""
+    import duckdb
+    import os
+    import pandas as pd
+
+    from raysearch.pipelines.search_queries import (
+        DOC_QUERIES,
+        MSM_M,
+        ORACLE_SQL,
+        msm_topk,
+    )
+    from raysearch.score import query_term_weights
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("testdata missing")
+    eng = msm_topk(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(ORACLE_SQL["msm_topk"]).df()
+    cols = sorted(eng.columns)
+    pd.testing.assert_frame_equal(
+        eng[cols].sort_values(cols, ignore_index=True),
+        ora[cols].sort_values(cols, ignore_index=True)
+        .astype(eng[cols].dtypes.to_dict()),
+        check_exact=True)
+    # semantics: every hit really contains >= MSM_M distinct terms
+    docs = con.execute("SELECT doc_id, lower(text) t FROM documents").df()
+    txt = dict(zip(docs.doc_id, docs.t))
+    for row in eng.itertuples():
+        terms = [t for t, _ in query_term_weights(DOC_QUERIES[row.query_id])]
+        n = sum(1 for t in terms if t in txt[row.doc_id].split())
+        assert n >= MSM_M, (row.query_id, row.doc_id, n)
