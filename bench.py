@@ -101,7 +101,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "events_hopping", "fingerprint", "frame_sample",
           "phrase_counts", "postings", "snippet_topk",
           "snippet_lines_topk", "source_stats", "top_terms_tfidf",
-          "window_top_events", "hit_positions_topk", "msm_topk"]
+          "window_top_events", "hit_positions_topk", "msm_topk",
+          # round 5, second wave: filter/PRF/cascade retrieval
+          "filtered_topk", "rm3_topk", "rescore_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -202,7 +202,8 @@ def _topk_rounded(sf_dir: str, mode: str) -> pa.Table:
 def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
                            rank_hi: int = TOPK,
                            buffer: int = _TOPK_BUFFER,
-                           queries=None, boost=None) -> pa.Table:
+                           queries=None, boost=None,
+                           keep=None) -> pa.Table:
     """DOC_QUERIES top-k over an already-built index with the oracle's
     rounding/tie contract — shared by the sf_dir-cached entries here,
     the index-lifecycle entries (pipelines/lifecycle.py), the
@@ -213,7 +214,7 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
 
     raw = query_index(idx, queries if queries is not None
                       else DOC_QUERIES, k=buffer, mode=mode,
-                      boost=boost)
+                      boost=boost, keep=keep)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],
@@ -2213,6 +2214,321 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+FILTER_LANG = "en"   # metadata filter for filtered_topk
+
+
+@fmt_doc(lang=FILTER_LANG)
+def filtered_topk(sf_dir: str) -> pa.Table:
+    """Lucene filter-query retrieval: BM25 top-10 per query over only
+    the documents with ``lang = '{lang}'`` — the filter restricts the
+    SCORED candidates while df/N/avgdl stay whole-corpus (identical to
+    the tombstone stale-stats contract, mirrored as an allowlist).
+
+    Plan: ONE column-pruned predicate-pushdown read of the metadata
+    column (doc_id where lang matches — row groups without the value
+    never leave storage), normalized to a sorted unique array and
+    broadcast once per scorer; each segment masks its decoded posting
+    rows with a vectorized searchsorted membership test
+    (query.keep_postings) before scoring. Work stays proportional to
+    the query terms' df; the corpus text is never read. At 100 TB a
+    standing filter would be stored as a per-segment attribute bitmap
+    at build time (the tombstone layout); the broadcast-array form is
+    the ad-hoc query-time path."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_docs_path(sf_dir), columns=["doc_id"],
+                      filters=[("lang", "=", FILTER_LANG)])
+    keep = t["doc_id"].to_numpy()
+    return topk_rounded_for_index(cached_index(sf_dir), "bm25",
+                                  keep=keep)
+
+
+def sql_filtered_topk() -> str:
+    return sql_bm25_topk(
+        scores_where=("tf.doc_id IN (SELECT doc_id FROM documents "
+                      f"WHERE lang = '{FILTER_LANG}')"))
+
+
+# RM3-style pseudo-relevance feedback: expand each query with the top
+# feedback terms of its first-pass top documents, at a flat weight
+# (Rocchio with a binary expansion vector — deterministic, no float
+# weight normalization to drift against the oracle)
+FB_DOCS = 5     # feedback depth: first-pass docs mined per query
+FB_TERMS = 8    # expansion width: feedback terms added per query
+RM3_W = 0.5     # weight of each expansion term in the second pass
+
+
+@fmt_doc(fb=FB_DOCS, e=FB_TERMS, w=RM3_W)
+def rm3_topk(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback retrieval (RM3/Rocchio shape): run
+    BM25, mine the top-{fb} feedback docs per query for their top-{e}
+    tf-idf terms (original query terms excluded), re-run BM25 with the
+    expanded query (original weights + {w} per expansion term).
+
+    Plan: pass 1 is the standard segment fan-out; feedback-doc text is
+    a k-bounded predicate-pushdown read (<= {fb} x |queries| docs);
+    term selection is driver-side over that tiny set with ONE filtered
+    lexicon scan for df; pass 2 re-enters the same fan-out with
+    pre-tokenized weights. Both passes are index-backed — the corpus
+    is never scanned, and the expansion only widens posting reads.
+    Selection ties and scores follow the shared round6 ->
+    (-value, term/doc_id) contract on both engine and oracle sides."""
+    import pyarrow.parquet as pq
+
+    from raysearch.query import lexicon_df
+    from raysearch.stats import load_stats
+    from raysearch.tokenize import tokenize_plain
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+
+    base = topk_rounded_for_index(idx, "bm25", rank_hi=FB_DOCS)
+    fb_by_q: dict[int, list[int]] = {}
+    for qid, did in zip(base["query_id"].to_pylist(),
+                        base["doc_id"].to_pylist()):
+        fb_by_q.setdefault(int(qid), []).append(int(did))
+    all_fb = sorted({d for ds in fb_by_q.values() for d in ds})
+
+    src = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", all_fb)])
+    tf_by_doc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for i in range(src.num_rows):
+        toks = tokenize_plain(src["text"][i].as_py())
+        terms, tf = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        tf_by_doc[int(src["doc_id"][i].as_py())] = (terms, tf)
+
+    dfs = lexicon_df(idx, sorted({str(t) for terms, _ in tf_by_doc.values()
+                                  for t in terms}))
+    n_docs = float(st["n_docs"])
+    qweights = []
+    for qid, q in enumerate(DOC_QUERIES):
+        orig = query_term_weights(q)
+        orig_terms = {t for t, _ in orig}
+        mass: dict[str, float] = {}
+        for did in fb_by_q.get(qid, ()):
+            terms, tf = tf_by_doc[did]
+            for t, c in zip(terms, tf):
+                t = str(t)
+                if t in orig_terms:
+                    continue
+                # indexed doc => term present in the lexicon; a miss is
+                # tokenizer drift and must fail loudly (KeyError)
+                mass[t] = mass.get(t, 0.0) + float(c) * float(
+                    np.log(n_docs / float(dfs[t])))
+        picked = sorted(((-round6(m), t) for t, m in mass.items())
+                        )[:FB_TERMS]
+        merged = {t: float(w) for t, w in orig}
+        merged.update({t: RM3_W for _, t in picked})
+        qweights.append(sorted(merged.items()))
+    return topk_rounded_for_index(idx, "bm25", queries=qweights)
+
+
+def sql_rm3_topk() -> str:
+    return f"""
+WITH fb AS ({sql_bm25_topk(rank_hi=FB_DOCS)}),
+{_TOK_CTES},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+mass AS (
+  SELECT fb.query_id, tf.term,
+         round(sum(tf.tf * ln(s.n_docs / dfq.df)), 6) AS m
+  FROM fb
+  JOIN tf ON tf.doc_id = fb.doc_id
+  JOIN dfq ON dfq.term = tf.term
+  CROSS JOIN stats s
+  LEFT JOIN q ON q.query_id = fb.query_id AND q.term = tf.term
+  WHERE q.term IS NULL
+  GROUP BY fb.query_id, tf.term
+),
+exp AS (
+  SELECT query_id, term, {RM3_W} AS w FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY m DESC, term) AS r
+    FROM mass) WHERE r <= {FB_TERMS}
+),
+q2 AS (SELECT * FROM q UNION ALL SELECT * FROM exp),
+scores AS (
+  SELECT q2.query_id, tf.doc_id,
+         sum(q2.w * ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+           AS score
+  FROM q2
+  JOIN tf ON q2.term = tf.term
+  JOIN dfq ON q2.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q2.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id)
+           AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+RESCORE_R = 50  # first-pass (cheap-scorer) candidate depth
+
+
+@fmt_doc(r=RESCORE_R)
+def rescore_topk(sf_dir: str) -> pa.Table:
+    """Cascade ranking (Lucene Rescorer shape): a CHEAP first pass —
+    the reference's integer overlap·tf scorer — retrieves the top-{r}
+    candidates per query; an expensive second pass rescores ONLY those
+    candidates with BM25 and returns the top-10 by the rescored order.
+    Results can legitimately differ from full BM25: a doc outside the
+    cheap top-{r} is never rescored (the cascade contract).
+
+    Plan: pass 1 is the standard fan-out (integer scores, exact ties
+    by doc_id — no rounding step). The {r} x |queries| candidate ids
+    ride the pass-2 task closure; each segment scores the candidates
+    that live in it (doc-hash partitioning makes per-doc scores final
+    in their home part) via searchsorted intersection of the decoded
+    query-term postings — work is bounded by the candidate count and
+    the query terms' df, never the corpus."""
+    import ray.data
+
+    from raysearch.query import lexicon_df, query_index
+    from raysearch.score import (accumulate_scores, bm25_contrib,
+                                 bm25_idf)
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    parts = st["parts"]
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    k1, b = st["config"]["k1"], st["config"]["b"]
+
+    first = query_index(idx, DOC_QUERIES, k=RESCORE_R, mode="overlap")
+    cand: dict[int, np.ndarray] = {
+        int(qid): np.sort(g["doc_id"].to_numpy(np.int64))
+        for qid, g in first.to_pandas().groupby("query_id")}
+
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    df = lexicon_df(idx, all_terms)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            tbl = read_postings(part_dirname(idx, int(part)), all_terms,
+                                columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, qw in enumerate(qweights):
+                elig = cand.get(qid)
+                if elig is None or not len(elig):
+                    continue
+                per_term = []
+                for t, w in qw:     # ascending-term accumulation
+                    if t not in post:
+                        continue
+                    docs, tfs, dls = post[t]
+                    pos = np.searchsorted(docs, elig)
+                    pos_c = np.clip(pos, 0, max(0, len(docs) - 1))
+                    hit = (docs[pos_c] == elig) if len(docs) else \
+                        np.zeros(len(elig), bool)
+                    sel = pos_c[hit]
+                    if hit.any():
+                        per_term.append((elig[hit], bm25_contrib(
+                            tfs[sel], dls[sel],
+                            bm25_idf(df.get(t, 0), n_docs),
+                            w, k1, b, avgdl)))
+                docs, sc = accumulate_scores(per_term)
+                out_q.extend([qid] * len(docs))
+                out_d.extend(docs.tolist())
+                out_s.extend(float(x) for x in sc)
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(np.asarray(out_d, np.int64), pa.int64()),
+            "score": pa.array(np.asarray(out_s, np.float64),
+                              pa.float64())})
+
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    raw = _concat_ds(parts_ds.map_batches(
+        kern, batch_format="pyarrow",
+        batch_size=max(1, len(parts) // 16)), empty).to_pandas()
+    raw["score"] = round6(raw["score"].to_numpy(np.float64))
+    raw = raw.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    raw["rank"] = raw.groupby("query_id").cumcount() + 1
+    raw = raw[raw["rank"] <= TOPK]
+    return pa.table({
+        "query_id": pa.array(raw.query_id.to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(raw.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(raw["rank"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(raw.score.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_rescore_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+qi(query_id, term, w) AS (VALUES {_qterms_values(False)}),
+ov AS (
+  SELECT qi.query_id, tf.doc_id, sum(qi.w * tf.tf)::BIGINT AS s
+  FROM qi JOIN tf ON qi.term = tf.term
+  GROUP BY qi.query_id, tf.doc_id
+),
+cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id) AS r
+    FROM ov) WHERE r <= {RESCORE_R}
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+           AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN cand ON cand.query_id = q.query_id AND cand.doc_id = tf.doc_id
+  JOIN dfq ON q.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id)
+           AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "doc_lengths": doc_lengths,
     "hybrid_topk": hybrid_topk,
@@ -2221,6 +2537,9 @@ QUERIES = {
     "postings": postings,
     "bm25_topk": bm25_topk,
     "overlap_topk": overlap_topk,
+    "filtered_topk": filtered_topk,
+    "rm3_topk": rm3_topk,
+    "rescore_topk": rescore_topk,
     "boosted_topk": boosted_topk,
     "dirichlet_topk": dirichlet_topk,
     "paged_topk": paged_topk,
@@ -2249,6 +2568,9 @@ ORACLE_SQL = {
     "postings": sql_postings(),
     "bm25_topk": sql_bm25_topk(),
     "overlap_topk": sql_overlap_topk(),
+    "filtered_topk": sql_filtered_topk(),
+    "rm3_topk": sql_rm3_topk(),
+    "rescore_topk": sql_rescore_topk(),
     "boosted_topk": sql_boosted_topk(),
     "dirichlet_topk": sql_dirichlet_topk(),
     "paged_topk": sql_paged_topk(),

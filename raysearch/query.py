@@ -211,6 +211,22 @@ def merge_candidates(cand: pd.DataFrame, n_queries: int, k: int) -> pa.Table:
     })
 
 
+def keep_postings(decoded: tuple, keep: np.ndarray) -> tuple:
+    """Restrict one decoded posting row (docs, tfs, dls) to the
+    ALLOWLISTED docs. ``keep`` sorted unique; an empty allowlist
+    matches nothing (the caller passes None for "no filter")."""
+    docs, tfs, dls = decoded
+    if len(keep) == 0:
+        z = np.zeros(0, docs.dtype)
+        return z, tfs[:0], dls[:0]
+    idx = np.searchsorted(keep, docs)
+    idx[idx == len(keep)] = len(keep) - 1
+    m = keep[idx] == docs
+    if m.all():
+        return decoded
+    return docs[m], tfs[m], dls[m]
+
+
 class SegmentScorer:
     """Actor-pool stage: one actor scores many segments, state
     (queries, global df, stats) loaded once per actor."""
@@ -221,7 +237,8 @@ class SegmentScorer:
                  cf: dict[str, int] | None = None, total_tokens: int = 0,
                  mu: float = 2000.0,
                  deleted: np.ndarray | None = None,
-                 boost=None):
+                 boost=None,
+                 keep: np.ndarray | None = None):
         self.index_dir = index_dir
         self.k, self.mode = k, mode
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
@@ -236,6 +253,16 @@ class SegmentScorer:
         # scoring, so top-k back-fills from live docs.
         self.deleted = (deleted if deleted is not None and len(deleted)
                         else None)
+        # sorted unique ALLOWLIST of doc_ids (Lucene filter-query
+        # semantics: df/N/avgdl stay whole-corpus, only eligible docs
+        # are scored — the mirror image of the tombstone path). None
+        # means no filter; an EMPTY array legitimately matches nothing.
+        # Broadcast once per actor like `deleted`; at 100 TB a
+        # high-cardinality filter should instead be stored as a
+        # per-segment attribute bitmap at build time (same layout as
+        # the tombstone files) — this array form is for query-time
+        # ad-hoc filters whose id set fits an object-store broadcast.
+        self.keep = keep
         # raw strings or pre-tokenized [(term, weight), ...] lists
         # (query-by-document callers build weights themselves)
         self.qweights = [as_qweights(q) for q in queries]
@@ -245,7 +272,7 @@ class SegmentScorer:
         part_dir = part_dirname(self.index_dir, part)
         if not os.path.isdir(part_dir):
             return RESULT_SCHEMA.empty_table()
-        if (self.prune and self.deleted is None
+        if (self.prune and self.deleted is None and self.keep is None
                 and self.mode != "dirichlet" and has_block_meta(part_dir)):
             # stored block-max skip path: posting rows stay ENCODED;
             # wand.pruned_topk_blockmax decodes only the blocks its
@@ -280,6 +307,8 @@ class SegmentScorer:
                 from raysearch.maintenance import filter_postings
 
                 decoded = filter_postings(decoded, self.deleted)
+            if self.keep is not None:
+                decoded = keep_postings(decoded, self.keep)
             postings[t] = decoded
             # max_tf stays the stored value: for live docs it is still
             # a valid UPPER bound, which is all the pruning path needs
@@ -305,6 +334,7 @@ def query_index(
     prune: bool = False,
     mu: float = 2000.0,
     boost=None,
+    keep: np.ndarray | None = None,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
     the deterministic total order (-score, doc_id).
@@ -345,6 +375,11 @@ def query_index(
                 "are negative log sums; a factor would invert the "
                 "intended promotion)")
         scorer_kwargs["boost"] = boost
+    if keep is not None:
+        # normalize once driver-side so every scorer shares the sorted
+        # unique form keep_postings' searchsorted requires
+        scorer_kwargs["keep"] = np.unique(
+            np.asarray(keep, dtype=np.int64))
     if mode == "dirichlet":
         scorer_kwargs["cf"] = lexicon_cf(index_dir, all_terms)
         scorer_kwargs["total_tokens"] = stats["total_tokens"]
