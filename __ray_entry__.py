@@ -31,7 +31,8 @@ _PIPELINE_MODULES = (
     "winnow", "mixing", "dsir", "packing", "profile", "bpe",
     "relational", "knn", "semistructured", "wildcard", "fuzzy",
     "relational_ext", "graph", "perplexity", "stats", "quantize",
-    "crossmodal", "embstats", "lifecycle", "nbayes",
+    "crossmodal", "embstats", "lifecycle", "nbayes", "grouping",
+    "cooccur",
 )
 
 

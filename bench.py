@@ -102,8 +102,10 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "phrase_counts", "postings", "snippet_topk",
           "snippet_lines_topk", "source_stats", "top_terms_tfidf",
           "window_top_events", "hit_positions_topk", "msm_topk",
-          # round 5, second wave: filter/PRF/cascade retrieval
-          "filtered_topk", "rm3_topk", "rescore_topk"]
+          # round 5, second wave: filter/PRF/cascade retrieval,
+          # grouping, co-occurrence
+          "filtered_topk", "rm3_topk", "rescore_topk",
+          "collapse_topk", "query_hit_counts", "pmi_pairs"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement
