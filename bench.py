@@ -105,7 +105,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 5, second wave: filter/PRF/cascade retrieval,
           # grouping, co-occurrence
           "filtered_topk", "rm3_topk", "rescore_topk",
-          "collapse_topk", "query_hit_counts", "pmi_pairs"]
+          "collapse_topk", "query_hit_counts", "pmi_pairs", "pq_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement
@@ -378,6 +378,11 @@ def run_quality(sf_dir: str) -> dict:
 
     out[f"ann_ivf_recall_at_{S.TOPK}"] = recall(
         S.ann_ivf(sf_dir).to_pandas())
+    from raysearch.pipelines import pq as PQ
+
+    out[f"pq_topk_recall_at_{S.TOPK}"] = recall(
+        PQ.pq_topk(sf_dir).to_pandas())
+    out["pq_code_bytes_per_vec"] = PQ.PQ_M  # vs 4 x dim float32
     # the multiprobe recall/scan curve: default depth + one shallower
     # point, so the knob's tradeoff is visible in the artifact
     for probes in (S.LSH_PROBES, max(1, S.LSH_PROBES // 4)):
