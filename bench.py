@@ -105,7 +105,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round 5, second wave: filter/PRF/cascade retrieval,
           # grouping, co-occurrence
           "filtered_topk", "rm3_topk", "rescore_topk",
-          "collapse_topk", "query_hit_counts", "pmi_pairs", "pq_topk"]
+          "collapse_topk", "query_hit_counts", "pmi_pairs", "pq_topk",
+          "explain_topk", "scorer_agreement", "jsonl_roundtrip"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

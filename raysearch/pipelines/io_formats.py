@@ -1,0 +1,79 @@
+"""Alternate source-format coverage (SURVEY §2.1 S1 widening): the
+corpus loaders beyond parquet. The reference ingests loose files from
+a directory walk (/root/reference/src/lib.rs:303-339); the Ray-native
+equivalents are ray.data.read_json / read_csv over partitioned shard
+directories. jsonl_roundtrip proves the JSONL path end-to-end: write
+the documents table as JSONL shards (one file per block — the
+resumable partitioned-output layout), read it back with
+ray.data.read_json, and content-hash every document; the oracle hashes
+the original table, so any encoding/escaping/row-loss defect in the
+write->read path breaks parity byte-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+
+def jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """(doc_id, text_md5) for every document after a JSONL write ->
+    read round trip. Shard dir is content-fingerprinted (same cache
+    contract as the index cache) and rebuilt only when the corpus
+    changes; the hash pass is the dedup_exact content-hash shape
+    (per-row md5 over utf-8 — work ∝ corpus bytes, one streaming
+    pass, no exchange)."""
+    import hashlib
+
+    import ray.data
+
+    from raysearch.pipelines.search_queries import (_concat_ds,
+                                                    _docs_path,
+                                                    _source_fingerprint)
+
+    src = _docs_path(sf_dir)
+    shard_dir = os.path.join(
+        "/tmp/raysearch_cache",
+        f"jsonl-{_source_fingerprint(src)}")
+    # marker sits BESIDE the dir so read_json never sees a non-JSON file
+    done = shard_dir + ".done"
+    if not os.path.exists(done):
+        if os.path.isdir(shard_dir):
+            shutil.rmtree(shard_dir)  # half-written shards never serve
+        os.makedirs(shard_dir, exist_ok=True)
+        (ray.data.read_parquet(src, columns=["doc_id", "text"])
+         .write_json(shard_dir))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "text_md5": pa.array(
+                [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                pa.string())})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text_md5": pa.array([], pa.string())})
+    got = _concat_ds(
+        ray.data.read_json(shard_dir)
+        .map_batches(hash_rows, batch_format="pyarrow",
+                     zero_copy_batch=True), empty).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)
+    return pa.table({
+        "doc_id": pa.array(got.doc_id.to_numpy(np.int64), pa.int64()),
+        "text_md5": pa.array(got.text_md5.tolist(), pa.string()),
+    })
+
+
+def sql_jsonl_roundtrip() -> str:
+    return "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+
+QUERIES = {"jsonl_roundtrip": jsonl_roundtrip}
+ORACLE_SQL = {"jsonl_roundtrip": sql_jsonl_roundtrip()}
