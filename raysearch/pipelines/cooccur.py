@@ -3,10 +3,13 @@ term pairs over the documents table — the collocation/association
 primitive behind query suggestion, synonym mining and topic seeding.
 
 PMI(a, b) = ln(N * c_ab / (df_a * df_b)) over DOCUMENT-LEVEL presence
-(distinct terms per doc), restricted to terms with df >= MIN_DF (the
-knob that bounds per-doc pair fan-out: a doc with m eligible terms
-emits m*(m-1)/2 pairs) and pairs with c_ab >= MIN_CO (kills the
-log-of-rare-coincidence noise PMI is notorious for).
+(distinct terms per doc), restricted to terms with
+MIN_DF <= df <= MAX_DF_FRAC * N (the floor kills rare-coincidence
+noise sources, the stopword ceiling is what bounds per-doc pair
+fan-out at scale: a doc with m eligible terms emits m*(m-1)/2 pairs,
+and it is exactly the in-every-doc terms that blow m up) and pairs
+with c_ab >= MIN_CO (kills the log-of-rare-coincidence noise PMI is
+notorious for).
 
 Scale shape: the eligible vocabulary comes from ONE df-filtered
 pushdown read of the index lexicon (no corpus pass) and broadcasts
@@ -26,9 +29,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-MIN_DF = 5      # term eligibility: document frequency floor
-MIN_CO = 3      # pair support floor
-TOP_PAIRS = 50  # result size
+MIN_DF = 5          # term eligibility: document frequency floor
+MAX_DF_FRAC = 0.9   # eligibility ceiling: drop terms present in >90%
+#                     of docs (stopword guard — glue words dominate
+#                     every doc's pair fan-out yet carry ~zero
+#                     association signal; at web scale this is what
+#                     keeps per-doc m² sane). 0.9 keeps the synthetic
+#                     fixtures' full 31-term vocabulary (max df there
+#                     is 0.83) while excluding real the/a/of-grade
+#                     terms on natural corpora.
+MIN_CO = 3          # pair support floor
+TOP_PAIRS = 50      # result size
 
 
 def pmi_pairs(sf_dir: str) -> pa.Table:
@@ -55,7 +66,8 @@ def pmi_pairs(sf_dir: str) -> pa.Table:
     import pyarrow.dataset as pads
     lex = pads.dataset(f"{idx}/lexicon").to_table(
         columns=["term", "df"],
-        filter=pads.field("df") >= MIN_DF)
+        filter=(pads.field("df") >= MIN_DF)
+        & (pads.field("df") <= int(MAX_DF_FRAC * n_docs)))
     elig_terms = np.asarray(lex["term"].to_pylist(), dtype=object)
     order = np.argsort(elig_terms)
     elig_terms = elig_terms[order]
@@ -107,23 +119,33 @@ def pmi_pairs(sf_dir: str) -> pa.Table:
             "n_co": pa.array(part.n_co.to_numpy(np.int64), pa.int64()),
         })
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.table({"term_a": pa.array([], pa.string()),
+                           "term_b": pa.array([], pa.string()),
+                           "n_co": pa.array([], pa.int64()),
+                           "pmi": pa.array([], pa.float64())})
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        # arrow out (even when empty): typed empties keep Ray's block
+        # size estimator off the size-0 object-dtype path
         terms, dfs = ray.get(elig_ref)
         tot = (g.groupby(["term_a", "term_b"], as_index=False)
                ["n_co"].sum())
         tot = tot[tot.n_co >= MIN_CO]
         if not len(tot):
-            return pd.DataFrame({"term_a": np.array([], dtype="U1"),
-                                 "term_b": np.array([], dtype="U1"),
-                                 "n_co": np.array([], np.int64),
-                                 "pmi": np.array([], np.float64)})
+            return out_schema
         dfa = dfs[np.searchsorted(terms, tot.term_a.to_numpy(object))]
         dfb = dfs[np.searchsorted(terms, tot.term_b.to_numpy(object))]
         c = tot.n_co.to_numpy(np.float64)
         tot["pmi"] = round6(np.log((n_docs * c) / (dfa * dfb)))
         tot = tot.sort_values(["pmi", "term_a", "term_b"],
                               ascending=[False, True, True])
-        return tot.head(TOP_PAIRS)[["term_a", "term_b", "n_co", "pmi"]]
+        tot = tot.head(TOP_PAIRS)
+        return pa.table({
+            "term_a": pa.array(tot.term_a.tolist(), pa.string()),
+            "term_b": pa.array(tot.term_b.tolist(), pa.string()),
+            "n_co": pa.array(tot.n_co.to_numpy(np.int64), pa.int64()),
+            "pmi": pa.array(tot.pmi.to_numpy(np.float64),
+                            pa.float64())})
 
     ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
@@ -154,7 +176,10 @@ def sql_pmi_pairs() -> str:
 WITH {_TOK_CTES},
 pres AS (SELECT DISTINCT doc_id, term FROM tf),
 dfc AS (SELECT term, count(*)::DOUBLE AS df FROM pres GROUP BY term),
-elig AS (SELECT term, df FROM dfc WHERE df >= {MIN_DF}),
+elig AS (SELECT term, df FROM dfc
+         WHERE df >= {MIN_DF}
+           AND df <= floor({MAX_DF_FRAC}
+                           * (SELECT count(*) FROM documents))),
 pairs AS (
   SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_co
   FROM pres a

@@ -65,7 +65,8 @@ def test_hit_counts_match_candidate_semantics(ray_session):
 
 
 def test_pmi_respects_floors_and_order(ray_session):
-    from raysearch.pipelines.cooccur import (MIN_CO, MIN_DF, TOP_PAIRS,
+    from raysearch.pipelines.cooccur import (MAX_DF_FRAC, MIN_CO,
+                                             MIN_DF, TOP_PAIRS,
                                              pmi_pairs)
 
     res = pmi_pairs(SF).to_pandas()
@@ -80,6 +81,9 @@ def test_pmi_respects_floors_and_order(ray_session):
     lex = pads.dataset(os.path.join(cached_index(SF), "lexicon"))
     dfs = lex.to_table(columns=["term", "df"]).to_pandas()
     dfm = dict(zip(dfs.term, dfs.df))
+    import pyarrow.parquet as pq_
+    n_docs = pq_.read_metadata(
+        os.path.join(SF, "documents.parquet")).num_rows
     for t in np.concatenate([res.term_a.to_numpy(object),
                              res.term_b.to_numpy(object)]):
-        assert dfm[t] >= MIN_DF
+        assert MIN_DF <= dfm[t] <= int(MAX_DF_FRAC * n_docs)
