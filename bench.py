@@ -106,7 +106,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # grouping, co-occurrence
           "filtered_topk", "rm3_topk", "rescore_topk",
           "collapse_topk", "query_hit_counts", "pmi_pairs", "pq_topk",
-          "explain_topk", "scorer_agreement", "jsonl_roundtrip"]
+          "explain_topk", "scorer_agreement", "jsonl_roundtrip",
+          # round 5, third wave: dismax/fuzzy/MaxP retrieval + nDCG eval
+          "dismax_topk", "fuzzy_topk", "maxp_topk", "ndcg_eval"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

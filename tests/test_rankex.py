@@ -1,0 +1,118 @@
+"""Property tests for the ranking extensions (dismax, fuzzy, MaxP,
+nDCG). Oracle value parity is covered by test_entry_parity; these pin
+the structural contracts the oracles can't see."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_levenshtein_matches_duckdb():
+    import duckdb
+
+    from raysearch.pipelines.rankex import levenshtein
+
+    pairs = [("hash", "hach"), ("sort", "sart"), ("", "abc"),
+             ("abc", ""), ("kitten", "sitting"), ("table", "tabel"),
+             ("stream", "stram"), ("a", "a"), ("ab", "ba")]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_expansion_rules():
+    from raysearch.pipelines.rankex import fuzzy_expansions
+
+    vocab = ["sort", "part", "hash", "join", "the"]
+    # "sart" expands to BOTH sort and part; exact terms map to
+    # themselves; unexpandable terms drop
+    [exp] = fuzzy_expansions(["sart join zzzzzz"], vocab)
+    assert exp == [("join", 1), ("part", 1), ("sort", 1)]
+    # colliding expansions add multiplicities ("sort sart" -> sort x2)
+    [exp] = fuzzy_expansions(["sort sart"], vocab)
+    assert ("sort", 2) in exp and ("part", 1) in exp
+    # ascending unique-term order (the accumulation contract)
+    assert exp == sorted(exp)
+
+
+def test_dismax_bounded_by_sum_and_max(ray_session):
+    # TIE in (0,1) means: max contrib <= dismax score <= disjunction
+    # (sum) score for the same doc. Compare against a deep bm25 run.
+    from raysearch.pipelines.rankex import dismax_topk
+    from raysearch.pipelines.search_queries import (cached_index,
+                                                    topk_rounded_for_index)
+
+    dm = dismax_topk(SF).to_pandas()
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=500, buffer=600).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    assert len(dm) > 0
+    for q, d, s in zip(dm.query_id, dm.doc_id, dm.score):
+        assert (q, d) in full
+        # rounded values: allow the 1e-6 rounding quantum
+        assert s <= full[(q, d)] + 1e-6
+
+
+def test_maxp_passage_corpus_roundtrip(ray_session):
+    # passages re-tokenize to exactly the document's token windows and
+    # reassemble (in widx order) to the document's token stream
+    from raysearch.pipelines.rankex import (PASSAGE_STRIDE, PASSAGE_W,
+                                            _passage_corpus)
+
+    tbl = _passage_corpus(SF).take_all()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    want = {int(r.doc_id): r.text.lower().split()
+            for r in docs.itertuples()}
+    got: dict[int, dict[int, list[str]]] = {}
+    for row in tbl:
+        parent, widx = divmod(int(row["doc_id"]), PASSAGE_STRIDE)
+        got.setdefault(parent, {})[widx] = row["content"].split()
+    assert set(got) == {d for d, t in want.items() if t}
+    for parent, wins in got.items():
+        assert sorted(wins) == list(range(len(wins)))
+        joined = [t for w in sorted(wins) for t in wins[w]]
+        assert joined == want[parent]
+        assert all(len(wins[w]) == PASSAGE_W for w in sorted(wins)[:-1])
+        assert 1 <= len(wins[max(wins)]) <= PASSAGE_W
+
+
+def test_maxp_score_is_best_passage(ray_session):
+    # a doc's maxp score must equal the max BM25 over its passages,
+    # verified independently via a deep passage-level query
+    from raysearch.numutil import round6
+    from raysearch.pipelines.rankex import (PASSAGE_STRIDE,
+                                            cached_passage_index,
+                                            maxp_topk)
+    from raysearch.pipelines.search_queries import DOC_QUERIES
+    from raysearch.query import query_index
+
+    mx = maxp_topk(SF).to_pandas()
+    raw = query_index(cached_passage_index(SF), DOC_QUERIES,
+                      k=100_000).to_pandas()
+    raw["parent"] = raw.doc_id // PASSAGE_STRIDE
+    best = (raw.groupby(["query_id", "parent"]).score.max()
+            .to_dict())
+    assert len(mx) > 0
+    for q, d, s in zip(mx.query_id, mx.doc_id, mx.score):
+        assert s == float(round6(np.float64(best[(q, d)])))
+
+
+def test_ndcg_in_unit_interval_and_self_consistent(ray_session):
+    from raysearch.pipelines.rankex import ndcg_eval
+
+    nd = ndcg_eval(SF).to_pandas()
+    assert len(nd) == 10
+    assert (nd.ndcg >= 0).all() and (nd.ndcg <= 1.0 + 1e-9).all()
+    assert (nd.dcg <= nd.idcg + 1e-9).all()
+    # idcg > 0 whenever the query matched anything
+    assert (nd.idcg > 0).all()

@@ -89,15 +89,25 @@ def test_kill_and_resume(tmp_path):
     # a SIGKILL can leave behind): the resumed build must ignore AND
     # remove it — a loose filter would double-count its df/cf into the
     # lexicon (round-1 ADVICE, high)
+    # source the copy from a MANIFEST-committed part dir only: those
+    # are created by atomic rename and never written again, whereas a
+    # bare postings.parquet may live in a .tmp-* staging dir that an
+    # orphaned Ray worker (surviving the driver SIGKILL for a moment)
+    # is still writing — copying that races and flakes copytree
     seg_root = os.path.join(idx_int, "segments")
     done = [d for d in os.listdir(seg_root)
             if os.path.exists(os.path.join(seg_root, d,
-                                           "postings.parquet"))]
+                                           "_MANIFEST.json"))
+            and os.path.exists(os.path.join(seg_root, d,
+                                            "postings.parquet"))]
     stale = None
     if done:
         import shutil
         stale = os.path.join(seg_root, done[0] + ".tmp-99999")
         shutil.copytree(os.path.join(seg_root, done[0]), stale)
+        # a real interrupted staging dir has no manifest (the manifest
+        # is written only after the rename) — keep the fixture faithful
+        os.remove(os.path.join(stale, "_MANIFEST.json"))
 
     # resume to completion
     r2 = subprocess.run([sys.executable, "-c", _BUILD_SNIPPET, corpus,
