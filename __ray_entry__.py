@@ -32,7 +32,7 @@ _PIPELINE_MODULES = (
     "relational", "knn", "semistructured", "wildcard", "fuzzy",
     "relational_ext", "graph", "perplexity", "stats", "quantize",
     "crossmodal", "embstats", "lifecycle", "nbayes", "grouping",
-    "cooccur", "pq", "explain", "io_formats", "rankex",
+    "cooccur", "pq", "explain", "io_formats", "rankex", "trigram",
 )
 
 

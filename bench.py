@@ -108,7 +108,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "collapse_topk", "query_hit_counts", "pmi_pairs", "pq_topk",
           "explain_topk", "scorer_agreement", "jsonl_roundtrip",
           # round 5, third wave: dismax/fuzzy/MaxP retrieval + nDCG eval
-          "dismax_topk", "fuzzy_topk", "maxp_topk", "ndcg_eval"]
+          "dismax_topk", "fuzzy_topk", "maxp_topk", "ndcg_eval",
+          "negated_topk", "best_passage_topk", "regex_trigram_docs"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -530,6 +530,286 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---- scored boolean MUST_NOT ----
+
+# per-DOC_QUERIES negative term (Lucene BooleanClause.Occur.MUST_NOT):
+# common vocabulary words so the exclusion visibly reshapes each top-k
+NEG_TERMS: list[str] = ["scan", "row", "the", "batch", "group",
+                        "key", "line", "vector", "dup", "merge"]
+
+
+def negated_topk(sf_dir: str) -> pa.Table:
+    """Scored boolean MUST_NOT retrieval: BM25 top-10 per query over
+    documents NOT containing that query's negative term — the missing
+    member of the boolean family (bool_and_docs = unscored MUST,
+    msm_topk = SHOULD with a floor, this = SHOULD + MUST_NOT).
+
+    Plan: the negative term's posting list is read in the SAME
+    per-part fan-out as the positives (one extra term-filtered read,
+    work ∝ its df); exclusion is a sorted-membership mask over the
+    accumulated candidate array BEFORE top-k truncation, so the
+    negated ranking is exact. Per-segment scores stay final."""
+    import ray.data  # noqa: F401
+
+    from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
+                                                    DOC_QUERIES,
+                                                    cached_index)
+    from raysearch.query import lexicon_df
+    from raysearch.score import (query_term_weights, score_postings,
+                                 topk)
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    k1, b = st["config"]["k1"], st["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    pos_terms = sorted({t for qw in qweights for t, _ in qw})
+    all_terms = sorted(set(pos_terms) | set(NEG_TERMS))
+    df = lexicon_df(idx, pos_terms)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms,
+                                columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, qw in enumerate(qweights):
+                docs, sc = score_postings(qw, post.get, df, n_docs,
+                                          avgdl, k1, b, mode="bm25")
+                if not len(docs):
+                    continue
+                got = post.get(NEG_TERMS[qid])
+                if got is not None and len(got[0]):
+                    m = ~np.isin(docs, got[0], assume_unique=True)
+                    docs, sc = docs[m], sc[m]
+                d, s = topk(docs, sc, _TOPK_BUFFER)
+                out_q.extend([qid] * len(d))
+                out_d.extend(d.tolist())
+                out_s.extend(float(x) for x in s)
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    return _ranked_from_candidates(_parts_candidates(idx, kern))
+
+
+def sql_negated_topk() -> str:
+    from raysearch.pipelines.search_queries import (_TOK_CTES, B, K1,
+                                                    TOPK,
+                                                    _qterms_values)
+
+    nq = ", ".join(f"({qid}, '{t}')" for qid, t in enumerate(NEG_TERMS))
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+nq(query_id, term) AS (VALUES {nq}),
+neg AS (
+  SELECT DISTINCT nq.query_id, tf.doc_id
+  FROM nq JOIN tf ON tf.term = nq.term
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+kept AS (
+  SELECT sc.* FROM scores sc
+  WHERE NOT EXISTS (SELECT 1 FROM neg
+                    WHERE neg.query_id = sc.query_id
+                      AND neg.doc_id = sc.doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM kept
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# ---- best-passage highlighting ----
+
+def best_passage_topk(sf_dir: str) -> pa.Table:
+    """Lucene best-fragment highlighting, index-backed: for every BM25
+    top-10 hit, the ordinal and BM25 score of the document's
+    best-scoring {PASSAGE_W}-token passage (the fragment a highlighter
+    would render) — computed ENTIRELY from the passage index, zero
+    text bytes.
+
+    Plan: the doc-level top-k ids ride the passage-index fan-out; each
+    part scores its passages, keeps those whose PARENT is a candidate
+    (sorted-membership mask), and emits (query, parent, pidx, pscore)
+    rows — output bounded by k x Q x passages-per-doc. The driver
+    picks per (query, doc) the (round6(pscore) DESC, pidx ASC) champion
+    and attaches the doc-level rank."""
+    import ray.data  # noqa: F401
+
+    from raysearch.numutil import round6
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    bm25_topk)
+    from raysearch.query import lexicon_df
+    from raysearch.score import query_term_weights, score_postings
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    base = bm25_topk(sf_dir).to_pandas()
+    cand: dict[int, np.ndarray] = {
+        int(qid): np.sort(g["doc_id"].to_numpy(np.int64))
+        for qid, g in base.groupby("query_id")}
+
+    idx = cached_passage_index(sf_dir)
+    st = load_stats(idx)
+    n_pass, avgdl = st["n_docs"], st["avgdl"]
+    k1, b = st["config"]["k1"], st["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    df = lexicon_df(idx, all_terms)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "pidx": pa.array([], pa.int64()),
+                      "pscore": pa.array([], pa.float64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_p, out_s = [], [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms,
+                                columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, qw in enumerate(qweights):
+                elig = cand.get(qid)
+                if elig is None or not len(elig):
+                    continue
+                pids, sc = score_postings(qw, post.get, df, n_pass,
+                                          avgdl, k1, b, mode="bm25")
+                if not len(pids):
+                    continue
+                parents = pids // PASSAGE_STRIDE
+                pos = np.searchsorted(elig, parents)
+                pos_c = np.clip(pos, 0, len(elig) - 1)
+                hit = elig[pos_c] == parents
+                if not hit.any():
+                    continue
+                n = int(hit.sum())
+                out_q.extend([qid] * n)
+                out_d.extend(parents[hit].tolist())
+                out_p.extend((pids[hit] % PASSAGE_STRIDE).tolist())
+                out_s.extend(float(x) for x in sc[hit])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "pidx": pa.array(out_p, pa.int64()),
+            "pscore": pa.array(out_s, pa.float64())})
+
+    import ray.data
+
+    from raysearch.pipelines.search_queries import _concat_ds
+
+    parts = st["parts"]
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    rows = _concat_ds(parts_ds.map_batches(
+        kern, batch_format="pyarrow",
+        batch_size=max(1, len(parts) // 16)), empty).to_pandas()
+    rows["pscore"] = round6(rows["pscore"].to_numpy(np.float64))
+    rows = rows.sort_values(["query_id", "doc_id", "pscore", "pidx"],
+                            ascending=[True, True, False, True])
+    best = rows.groupby(["query_id", "doc_id"], as_index=False).first()
+    out = base.merge(best, on=["query_id", "doc_id"], how="inner")
+    out = out.sort_values(["query_id", "rank"])
+    return pa.table({
+        "query_id": pa.array(out.query_id.to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(out.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(out["rank"].to_numpy(np.int64), pa.int64()),
+        "pidx": pa.array(out.pidx.to_numpy(np.int64), pa.int64()),
+        "pscore": pa.array(out.pscore.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_best_passage_topk() -> str:
+    from raysearch.pipelines.search_queries import (B, K1,
+                                                    _qterms_values,
+                                                    sql_bm25_topk)
+
+    return rf"""
+WITH base AS ({sql_bm25_topk()}),
+t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+pass AS (SELECT doc_id, (pos - 1) // {PASSAGE_W} AS pidx, term FROM ptok),
+ptf AS (SELECT doc_id, pidx, term, count(*)::BIGINT AS tf
+        FROM pass GROUP BY doc_id, pidx, term),
+pdl AS (SELECT doc_id, pidx, count(*)::BIGINT AS dl
+        FROM pass GROUP BY doc_id, pidx),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM pdl)::DOUBLE AS n_pass,
+         (SELECT sum(dl) FROM pdl)::DOUBLE
+           / (SELECT count(*) FROM pdl) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+pscores AS (
+  SELECT q.query_id, ptf.doc_id, ptf.pidx,
+         sum(q.w * ln(1 + (s.n_pass - pdf.df + 0.5) / (pdf.df + 0.5))
+             * (ptf.tf * ({K1} + 1))
+             / (ptf.tf + {K1} * (1 - {B} + {B} * pdl.dl / s.avgdl)))
+           AS score
+  FROM q
+  JOIN ptf ON q.term = ptf.term
+  JOIN pdf ON q.term = pdf.term
+  JOIN pdl ON ptf.doc_id = pdl.doc_id AND ptf.pidx = pdl.pidx
+  CROSS JOIN stats s
+  GROUP BY q.query_id, ptf.doc_id, ptf.pidx
+),
+psel AS (
+  SELECT base.query_id, base.doc_id, base.rank,
+         p.pidx::BIGINT AS pidx, round(p.score, 6) AS pscore,
+         row_number() OVER (PARTITION BY base.query_id, base.doc_id
+                            ORDER BY round(p.score, 6) DESC, p.pidx)
+           AS rn
+  FROM base
+  JOIN pscores p ON p.query_id = base.query_id
+                AND p.doc_id = base.doc_id
+)
+SELECT query_id, doc_id, rank, pidx, pscore
+FROM psel WHERE rn = 1
+"""
+
+
 # ---- nDCG ranking evaluation ----
 
 def ndcg_eval(sf_dir: str) -> pa.Table:
@@ -684,6 +964,8 @@ QUERIES = {
     "fuzzy_topk": fuzzy_topk,
     "maxp_topk": maxp_topk,
     "ndcg_eval": ndcg_eval,
+    "negated_topk": negated_topk,
+    "best_passage_topk": best_passage_topk,
 }
 
 ORACLE_SQL = {
@@ -691,4 +973,6 @@ ORACLE_SQL = {
     "fuzzy_topk": sql_fuzzy_topk(),
     "maxp_topk": sql_maxp_topk(),
     "ndcg_eval": sql_ndcg_eval(),
+    "negated_topk": sql_negated_topk(),
+    "best_passage_topk": sql_best_passage_topk(),
 }

@@ -107,6 +107,58 @@ def test_maxp_score_is_best_passage(ray_session):
         assert s == float(round6(np.float64(best[(q, d)])))
 
 
+def test_negated_excludes_and_preserves_scores(ray_session):
+    # no result doc may contain its query's negative term, and every
+    # surviving (query, doc) keeps its EXACT unfiltered BM25 score
+    from raysearch.pipelines.rankex import NEG_TERMS, negated_topk
+    from raysearch.pipelines.search_queries import (cached_index,
+                                                    topk_rounded_for_index)
+
+    res = negated_topk(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(r.doc_id): set(r.text.lower().split())
+            for r in docs.itertuples()}
+    assert len(res) > 0
+    for q, d in zip(res.query_id, res.doc_id):
+        assert NEG_TERMS[q] not in toks[d]
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=500, buffer=600).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    for q, d, s in zip(res.query_id, res.doc_id, res.score):
+        assert full[(q, d)] == s
+
+
+def test_best_passage_aligns_with_topk(ray_session):
+    # exactly one best passage per bm25_topk row; the rank-1 doc's
+    # best-passage score equals the maxp table's score for that doc
+    from raysearch.pipelines.rankex import (PASSAGE_W,
+                                            best_passage_topk,
+                                            maxp_topk)
+    from raysearch.pipelines.search_queries import bm25_topk
+
+    bp = best_passage_topk(SF).to_pandas()
+    bm = bm25_topk(SF).to_pandas()
+    assert len(bp) == len(bm)
+    assert set(zip(bp.query_id, bp.doc_id)) == \
+        set(zip(bm.query_id, bm.doc_id))
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    npass = {int(r.doc_id): -(-len(r.text.split()) // PASSAGE_W)
+             for r in docs.itertuples()}
+    assert all(0 <= p < npass[d] for p, d in zip(bp.pidx, bp.doc_id))
+    mx = maxp_topk(SF).to_pandas()
+    mxmap = {(q, d): s for q, d, s in zip(mx.query_id, mx.doc_id,
+                                          mx.score)}
+    hits = 0
+    for q, d, s in zip(bp.query_id, bp.doc_id, bp.pscore):
+        if (q, d) in mxmap:
+            assert mxmap[(q, d)] == s
+            hits += 1
+    assert hits > 0
+
+
 def test_ndcg_in_unit_interval_and_self_consistent(ray_session):
     from raysearch.pipelines.rankex import ndcg_eval
 
