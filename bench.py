@@ -109,7 +109,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "explain_topk", "scorer_agreement", "jsonl_roundtrip",
           # round 5, third wave: dismax/fuzzy/MaxP retrieval + nDCG eval
           "dismax_topk", "fuzzy_topk", "maxp_topk", "ndcg_eval",
-          "negated_topk", "best_passage_topk", "regex_trigram_docs"]
+          "negated_topk", "best_passage_topk", "regex_trigram_docs",
+          "spanfirst_topk", "ann_filtered_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -810,6 +810,153 @@ FROM psel WHERE rn = 1
 """
 
 
+# ---- span-first retrieval (positions-gated) ----
+
+# a query term must occur within the first N tokens (1-based ordinal)
+SPANFIRST_N = 10
+
+
+@fmt_doc(SPANFIRST_N=SPANFIRST_N)
+def spanfirst_topk(sf_dir: str) -> pa.Table:
+    """Lucene SpanFirstQuery retrieval: BM25 top-10 restricted to
+    documents where at least one query term occurs within the first
+    {SPANFIRST_N} tokens — the "match near the start" gate (title/lead
+    proxy when the schema has one text field). Eligibility comes
+    ENTIRELY from the positional index: each term's first occurrence
+    per doc is the head of its position run (pos[run_start]), so the
+    gate costs one gather over the already-read pos_enc columns —
+    zero text bytes, work ∝ the query terms' df.
+
+    Scoring is whole-corpus BM25 over eligible docs only (df/N/avgdl
+    unrestricted — the filter-query stats contract, same as
+    filtered_topk); per-segment scores stay final."""
+    import ray.data  # noqa: F401
+
+    from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
+                                                    DOC_QUERIES,
+                                                    cached_index)
+    from raysearch.query import lexicon_df
+    from raysearch.score import (accumulate_scores, bm25_contrib,
+                                 bm25_idf, query_term_weights, topk)
+    from raysearch.segments import (decode_posting_positions,
+                                    decode_posting_row, part_dirname,
+                                    read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir, with_positions=True)
+    st = load_stats(idx)
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    k1, b = st["config"]["k1"], st["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    df = lexicon_df(idx, all_terms)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms)
+            post = {}
+            for i, t in enumerate(tbl["term"].to_pylist()):
+                docs, tfs, dls = decode_posting_row(tbl, i)
+                pos = decode_posting_positions(tbl, i, tfs)
+                starts = np.zeros(len(docs), np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+                # first occurrence per doc = head of its position run
+                # (stored positions are 0-based token ordinals)
+                post[t] = (docs, tfs, dls, pos[starts])
+            for qid, qw in enumerate(qweights):
+                elig_parts = [
+                    post[t][0][post[t][3] <= SPANFIRST_N - 1]
+                    for t, _ in qw if t in post]
+                if not elig_parts:
+                    continue
+                elig = np.unique(np.concatenate(elig_parts))
+                if not len(elig):
+                    continue
+                contribs = []
+                for t, w in qw:      # ascending-term accumulation
+                    got = post.get(t)
+                    if got is None:
+                        continue
+                    docs, tfs, dls, _ = got
+                    p = np.searchsorted(docs, elig)
+                    p_c = np.clip(p, 0, len(docs) - 1)
+                    hit = docs[p_c] == elig
+                    if not hit.any():
+                        continue
+                    sel = p_c[hit]
+                    contribs.append((elig[hit], bm25_contrib(
+                        tfs[sel], dls[sel],
+                        bm25_idf(df.get(t, 0), n_docs), w, k1, b,
+                        avgdl)))
+                docs, sc = accumulate_scores(contribs)
+                d, s = topk(docs, sc, _TOPK_BUFFER)
+                out_q.extend([qid] * len(d))
+                out_d.extend(d.tolist())
+                out_s.extend(float(x) for x in s)
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    return _ranked_from_candidates(_parts_candidates(idx, kern))
+
+
+def sql_spanfirst_topk() -> str:
+    from raysearch.pipelines.search_queries import (_TOK_CTES, B, K1,
+                                                    TOPK,
+                                                    _qterms_values)
+
+    return rf"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+       FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t2
+),
+elig AS (
+  SELECT DISTINCT q.query_id, p.doc_id
+  FROM q JOIN ptok p ON p.tok = q.term
+  WHERE p.pos <= {SPANFIRST_N}
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN elig ON elig.query_id = q.query_id AND elig.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # ---- nDCG ranking evaluation ----
 
 def ndcg_eval(sf_dir: str) -> pa.Table:
@@ -966,6 +1113,7 @@ QUERIES = {
     "ndcg_eval": ndcg_eval,
     "negated_topk": negated_topk,
     "best_passage_topk": best_passage_topk,
+    "spanfirst_topk": spanfirst_topk,
 }
 
 ORACLE_SQL = {
@@ -975,4 +1123,5 @@ ORACLE_SQL = {
     "ndcg_eval": sql_ndcg_eval(),
     "negated_topk": sql_negated_topk(),
     "best_passage_topk": sql_best_passage_topk(),
+    "spanfirst_topk": sql_spanfirst_topk(),
 }

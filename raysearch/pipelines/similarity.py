@@ -512,6 +512,104 @@ SELECT query_vec_id, vec_id, rank, cos FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# filtered vector search: metadata predicate applied BEFORE scoring
+# (the "filtered ANN" shape every modern vector store exposes)
+FILTER_LABELS = (1, 4, 7)
+
+
+def ann_filtered_topk(sf_dir: str) -> pa.Table:
+    """Filtered exact vector search: cosine top-10 per query vector
+    over ONLY the embeddings whose label is in FILTER_LABELS — the
+    metadata-predicate + vector-search composition (pre-filtering,
+    not post-filtering: the mask cuts each batch before the matmul,
+    so top-k never starves no matter how selective the predicate).
+
+    Same distributed shape as ann_topk: broadcast query matrix,
+    per-batch local top-k over the masked rows, k-bounded driver
+    merge under (round6(cos) DESC, vec_id ASC). At 100 TB a standing
+    label filter becomes a partition column on the embedding table
+    (partition pruning at the read); this is the query-time ad-hoc
+    form."""
+    import ray.data
+
+    labels = np.asarray(FILTER_LABELS, np.int64)
+    qids, qmat = _query_vectors(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batch: pa.Table) -> pa.Table:
+        keep = np.isin(batch["label"].to_numpy(), labels)
+        empty = pa.table({"query_vec_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if not keep.any():
+            return empty
+        sub = batch.filter(pa.array(keep))
+        ids, mat = _emb_matrix(sub.select(["vec_id", "embedding"]))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ qn.T
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[:, j]
+            kk = min(_BUFFER, len(ids))
+            top = np.argpartition(-col, kk - 1)[:kk] if kk else []
+            out_q.extend([int(qid)] * kk)
+            out_v.extend(int(x) for x in ids[top])
+            out_c.extend(float(x) for x in col[top])
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, _EMB),
+        columns=["vec_id", "embedding", "label"]).map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True)
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    df = pa.concat_tables(batches).to_pandas()
+    df["cos"] = round6(df["cos"].to_numpy(np.float64))
+    df = df.sort_values(["query_vec_id", "cos", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_vec_id").cumcount() + 1
+    df = df[df["rank"] <= TOPK]
+    return pa.table({
+        "query_vec_id": pa.array(df.query_vec_id.to_numpy(np.int64),
+                                 pa.int64()),
+        "vec_id": pa.array(df.vec_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+        "cos": pa.array(df.cos.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_ann_filtered_topk() -> str:
+    labels = ", ".join(str(l) for l in FILTER_LABELS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+           AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN ({labels})
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_vec_id, vec_id, rank, cos FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def sql_embedding_dups() -> str:
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -752,6 +850,7 @@ def kmeans_clusters(sf_dir: str) -> pa.Table:
 
 QUERIES = {
     "ann_topk": ann_topk,
+    "ann_filtered_topk": ann_filtered_topk,
     "kmeans_clusters": kmeans_clusters,
     "semdedup": semdedup,
     "embedding_pc1": embedding_pc1,
@@ -763,6 +862,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_topk": sql_ann_topk(),
+    "ann_filtered_topk": sql_ann_filtered_topk(),
     "embedding_dups": sql_embedding_dups(),
     # ann_lsh: approximate -> rows-only check, no SQL oracle
 }

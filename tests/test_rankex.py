@@ -159,6 +159,33 @@ def test_best_passage_aligns_with_topk(ray_session):
     assert hits > 0
 
 
+def test_spanfirst_gate_and_scores(ray_session):
+    # every result doc has a query term among its first N tokens
+    # (brute-force check) and keeps its exact unfiltered BM25 score
+    from raysearch.pipelines.rankex import SPANFIRST_N, spanfirst_topk
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    cached_index,
+                                                    topk_rounded_for_index)
+    from raysearch.score import query_term_weights
+
+    res = spanfirst_topk(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    heads = {int(r.doc_id): set(r.text.lower().split()[:SPANFIRST_N])
+             for r in docs.itertuples()}
+    qterms = [{t for t, _ in query_term_weights(q)}
+              for q in DOC_QUERIES]
+    assert len(res) > 0
+    for q, d in zip(res.query_id, res.doc_id):
+        assert qterms[q] & heads[d], (q, d)
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=500, buffer=600).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    for q, d, s in zip(res.query_id, res.doc_id, res.score):
+        assert full[(q, d)] == s
+
+
 def test_ndcg_in_unit_interval_and_self_consistent(ray_session):
     from raysearch.pipelines.rankex import ndcg_eval
 
