@@ -1106,6 +1106,262 @@ LEFT JOIN idcg ON idcg.query_id = qs.query_id
 """
 
 
+# ---- learning-to-rank feature export ----
+
+def ltr_features(sf_dir: str) -> pa.Table:
+    """Learning-to-rank training-data export: for every (query, doc)
+    in the BM25 top-10, the standard LTR feature row — bm25 score,
+    integer overlap score, doc length, matched-distinct-term count,
+    total query-term hits, and the first query-term token position —
+    every feature computed FROM THE INDEX (the export a ranking-model
+    training pipeline consumes; zero text bytes).
+
+    Plan: rides two existing k-bounded pipelines (bm25_topk for the
+    candidates + hit_positions_topk for n_hits/first_pos) plus ONE
+    explain-style posting∩candidate fan-out for overlap, dl and the
+    distinct-term count — work ∝ query-term df, output = k x Q rows."""
+    import ray.data  # noqa: F401
+
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    _concat_ds,
+                                                    cached_index,
+                                                    hit_positions_topk)
+    from raysearch.score import query_term_weights
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    base = hit_positions_topk(sf_dir).to_pandas()
+    # base: query_id, doc_id, rank, first_pos, n_hits — but not the
+    # bm25 score; re-attach it from the ranked pipeline
+    from raysearch.pipelines.search_queries import bm25_topk
+
+    bm = bm25_topk(sf_dir).to_pandas()
+    base = base.merge(bm[["query_id", "doc_id", "score"]],
+                      on=["query_id", "doc_id"])
+
+    idx = cached_index(sf_dir)
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    cand: dict[int, np.ndarray] = {
+        int(qid): np.sort(g["doc_id"].to_numpy(np.int64))
+        for qid, g in base.groupby("query_id")}
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "overlap": pa.array([], pa.int64()),
+                      "dl": pa.array([], pa.int64()),
+                      "n_terms_matched": pa.array([], pa.int64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_o, out_l, out_m = [], [], [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms,
+                                columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, qw in enumerate(qweights):
+                elig = cand.get(qid)
+                if elig is None or not len(elig):
+                    continue
+                ov = np.zeros(len(elig), np.int64)
+                dl = np.zeros(len(elig), np.int64)
+                nm = np.zeros(len(elig), np.int64)
+                for t, w in qw:
+                    got = post.get(t)
+                    if got is None:
+                        continue
+                    docs, tfs, dls = got
+                    pos = np.searchsorted(docs, elig)
+                    pos_c = np.clip(pos, 0, max(0, len(docs) - 1))
+                    hit = (docs[pos_c] == elig) if len(docs) else \
+                        np.zeros(len(elig), bool)
+                    if not hit.any():
+                        continue
+                    sel = pos_c[hit]
+                    ov[hit] += w * tfs[sel]
+                    dl[hit] = dls[sel]
+                    nm[hit] += 1
+                found = np.flatnonzero(nm > 0)
+                if not len(found):
+                    continue
+                out_q.extend([qid] * len(found))
+                out_d.extend(elig[found].tolist())
+                out_o.extend(ov[found].tolist())
+                out_l.extend(dl[found].tolist())
+                out_m.extend(nm[found].tolist())
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "overlap": pa.array(out_o, pa.int64()),
+            "dl": pa.array(out_l, pa.int64()),
+            "n_terms_matched": pa.array(out_m, pa.int64())})
+
+    import ray.data
+
+    parts = load_stats(idx)["parts"]
+    parts_ds = ray.data.from_items([{"part": p} for p in parts])
+    feats = _concat_ds(parts_ds.map_batches(
+        kern, batch_format="pyarrow",
+        batch_size=max(1, len(parts) // 16)), empty).to_pandas()
+    out = base.merge(feats, on=["query_id", "doc_id"], how="inner")
+    out = out.sort_values(["query_id", "rank"], ignore_index=True)
+    return pa.table({
+        "query_id": pa.array(out.query_id.to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(out.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(out["rank"].to_numpy(np.int64), pa.int64()),
+        "bm25": pa.array(out.score.to_numpy(np.float64), pa.float64()),
+        "overlap": pa.array(out.overlap.to_numpy(np.int64), pa.int64()),
+        "dl": pa.array(out.dl.to_numpy(np.int64), pa.int64()),
+        "n_terms_matched": pa.array(
+            out.n_terms_matched.to_numpy(np.int64), pa.int64()),
+        "n_hits": pa.array(out.n_hits.to_numpy(np.int64), pa.int64()),
+        "first_pos": pa.array(out.first_pos.to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def sql_ltr_features() -> str:
+    from raysearch.pipelines.search_queries import (_TOK_CTES,
+                                                    _qterms_values,
+                                                    sql_bm25_topk)
+
+    return f"""
+WITH b AS ({sql_bm25_topk()}),
+{_TOK_CTES},
+q(query_id, term, w) AS (VALUES {_qterms_values(False)}),
+t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+       FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t2
+),
+feat AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * tf.tf)::BIGINT AS overlap,
+         count(*)::BIGINT AS n_terms_matched
+  FROM q JOIN tf ON q.term = tf.term
+  GROUP BY q.query_id, tf.doc_id
+),
+posf AS (
+  SELECT q.query_id, p.doc_id, min(p.pos)::BIGINT AS first_pos,
+         count(*)::BIGINT AS n_hits
+  FROM q JOIN ptok p ON p.tok = q.term
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT b.query_id, b.doc_id, b.rank, b.score AS bm25,
+       feat.overlap, dl.dl, feat.n_terms_matched,
+       posf.n_hits, posf.first_pos
+FROM b
+JOIN feat ON feat.query_id = b.query_id AND feat.doc_id = b.doc_id
+JOIN dl ON dl.doc_id = b.doc_id
+JOIN posf ON posf.query_id = b.query_id AND posf.doc_id = b.doc_id
+"""
+
+
+# ---- percolation (reverse search) ----
+
+# the incoming-document stream: a deterministic 1-in-50 slice of the
+# corpus plays the "new documents" role
+PERCOLATE_MOD = 50
+
+
+@fmt_doc(PERCOLATE_MOD=PERCOLATE_MOD)
+def percolate_docs(sf_dir: str) -> pa.Table:
+    """Reverse search (the Lucene/Elasticsearch percolator): the
+    DOC_QUERIES set is STORED as alert subscriptions, and each
+    incoming document (doc_id % {PERCOLATE_MOD} == 0 plays the
+    stream) reports which stored queries it satisfies — conjunction
+    semantics, every distinct query term present in the document (the
+    percolator's candidate-match gate).
+
+    Plan: map-only — the tiny stored-query term sets broadcast in the
+    task closure; each batch tokenizes its docs once (the shared
+    Arrow kernel), builds one sorted unique term array per doc, and
+    checks each query with searchsorted membership. No index, no
+    exchange: percolation is a scan property of the incoming stream,
+    work ∝ stream bytes (at production scale the stored queries form
+    a term->query inverted index in each actor's __init__; with Q=10
+    the closure form is the same plan)."""
+    import ray.data
+
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    _concat_ds,
+                                                    _docs_path)
+    from raysearch.pipelines.textops import _tokens
+    from raysearch.score import query_term_weights
+
+    qterms = [sorted({t for t, _ in query_term_weights(q)})
+              for q in DOC_QUERIES]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "query_id": pa.array([], pa.int64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        keep = batch["doc_id"].to_numpy() % PERCOLATE_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return empty
+        toks = _tokens(sub)
+        ids = sub["doc_id"].to_numpy()
+        offs = np.asarray(toks.offsets)
+        flat = np.asarray(toks.values.to_pandas(), dtype=object)
+        out_d, out_q = [], []
+        for i in range(len(ids)):
+            terms = np.unique(flat[offs[i]:offs[i + 1]])
+            for qid, ts in enumerate(qterms):
+                p = np.searchsorted(terms, ts)
+                p_c = np.clip(p, 0, max(0, len(terms) - 1))
+                if len(terms) and (terms[p_c] == ts).all():
+                    out_d.append(int(ids[i]))
+                    out_q.append(qid)
+        if not out_d:
+            return empty
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "query_id": pa.array(out_q, pa.int64())})
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    out = _concat_ds(ds.map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True),
+        empty).to_pandas()
+    out = out.sort_values(["doc_id", "query_id"], ignore_index=True)
+    return pa.table({
+        "doc_id": pa.array(out.doc_id.to_numpy(np.int64), pa.int64()),
+        "query_id": pa.array(out.query_id.to_numpy(np.int64),
+                             pa.int64()),
+    })
+
+
+def sql_percolate_docs() -> str:
+    from raysearch.pipelines.search_queries import (_TOK_CTES,
+                                                    _qterms_values)
+
+    return f"""
+WITH {_TOK_CTES},
+q(query_id, term, w) AS (VALUES {_qterms_values(False)}),
+qsize AS (SELECT query_id, count(DISTINCT term) AS n FROM q
+          GROUP BY query_id),
+stream AS (SELECT DISTINCT doc_id FROM documents
+           WHERE doc_id % {PERCOLATE_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, q.query_id,
+         count(DISTINCT q.term)::BIGINT AS n_present
+  FROM stream s
+  JOIN tf ON tf.doc_id = s.doc_id
+  JOIN q ON q.term = tf.term
+  GROUP BY s.doc_id, q.query_id
+)
+SELECT h.doc_id, h.query_id::BIGINT AS query_id
+FROM hits h JOIN qsize ON qsize.query_id = h.query_id
+WHERE h.n_present = qsize.n
+"""
+
+
 QUERIES = {
     "dismax_topk": dismax_topk,
     "fuzzy_topk": fuzzy_topk,
@@ -1114,6 +1370,8 @@ QUERIES = {
     "negated_topk": negated_topk,
     "best_passage_topk": best_passage_topk,
     "spanfirst_topk": spanfirst_topk,
+    "ltr_features": ltr_features,
+    "percolate_docs": percolate_docs,
 }
 
 ORACLE_SQL = {
@@ -1124,4 +1382,6 @@ ORACLE_SQL = {
     "negated_topk": sql_negated_topk(),
     "best_passage_topk": sql_best_passage_topk(),
     "spanfirst_topk": sql_spanfirst_topk(),
+    "ltr_features": sql_ltr_features(),
+    "percolate_docs": sql_percolate_docs(),
 }

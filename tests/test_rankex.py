@@ -186,6 +186,50 @@ def test_spanfirst_gate_and_scores(ray_session):
         assert full[(q, d)] == s
 
 
+def test_ltr_features_consistency(ray_session):
+    # one feature row per bm25_topk hit; features agree with the
+    # sibling pipelines that compute them independently
+    from raysearch.pipelines.rankex import ltr_features
+    from raysearch.pipelines.search_queries import (bm25_topk,
+                                                    hit_positions_topk)
+
+    lt = ltr_features(SF).to_pandas()
+    bm = bm25_topk(SF).to_pandas()
+    assert len(lt) == len(bm)
+    assert (lt.n_terms_matched >= 1).all()
+    assert (lt.n_hits >= lt.n_terms_matched).all()
+    assert (lt.overlap >= lt.n_hits).all()  # weights >= 1 per hit
+    hp = hit_positions_topk(SF).to_pandas()
+    hmap = {(q, d): (f, n) for q, d, f, n in zip(
+        hp.query_id, hp.doc_id, hp.first_pos, hp.n_hits)}
+    for q, d, f, n in zip(lt.query_id, lt.doc_id, lt.first_pos,
+                          lt.n_hits):
+        assert hmap[(q, d)] == (f, n)
+
+
+def test_percolate_conjunction_gate(ray_session):
+    # brute-force the conjunction gate over the sampled stream
+    from raysearch.pipelines.rankex import PERCOLATE_MOD, percolate_docs
+    from raysearch.pipelines.search_queries import DOC_QUERIES
+    from raysearch.score import query_term_weights
+
+    got = percolate_docs(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    qterms = [{t for t, _ in query_term_weights(q)}
+              for q in DOC_QUERIES]
+    want = set()
+    for r in docs.itertuples():
+        if r.doc_id % PERCOLATE_MOD:
+            continue
+        toks = set(r.text.lower().split())
+        for qid, ts in enumerate(qterms):
+            if ts <= toks:
+                want.add((int(r.doc_id), qid))
+    assert set(zip(got.doc_id, got.query_id)) == want
+    assert len(want) > 0
+
+
 def test_ndcg_in_unit_interval_and_self_consistent(ray_session):
     from raysearch.pipelines.rankex import ndcg_eval
 
