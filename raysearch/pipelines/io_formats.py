@@ -75,5 +75,68 @@ def sql_jsonl_roundtrip() -> str:
     return "SELECT doc_id, md5(text) AS text_md5 FROM documents"
 
 
-QUERIES = {"jsonl_roundtrip": jsonl_roundtrip}
-ORACLE_SQL = {"jsonl_roundtrip": sql_jsonl_roundtrip()}
+def csv_roundtrip(sf_dir: str) -> pa.Table:
+    """(doc_id, text_md5) after a CSV write -> ray.data.read_csv round
+    trip — the second alternate source format. CSV is the adversarial
+    one: commas, quotes and newlines in text must survive the quoting
+    rules; the md5-vs-original-table oracle catches any mangling.
+    Same shard/caching/streaming shape as jsonl_roundtrip."""
+    import hashlib
+
+    import ray.data
+
+    from raysearch.pipelines.search_queries import (_concat_ds,
+                                                    _docs_path,
+                                                    _source_fingerprint)
+
+    src = _docs_path(sf_dir)
+    shard_dir = os.path.join(
+        "/tmp/raysearch_cache",
+        f"csv-{_source_fingerprint(src)}")
+    done = shard_dir + ".done"
+    if not os.path.exists(done):
+        if os.path.isdir(shard_dir):
+            shutil.rmtree(shard_dir)
+        os.makedirs(shard_dir, exist_ok=True)
+        (ray.data.read_parquet(src, columns=["doc_id", "text"])
+         .write_csv(shard_dir))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        # a fully-empty text column can be type-inferred as null by
+        # the CSV reader; '' is the round-trip value for such rows
+        texts = ["" if t is None else str(t)
+                 for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "text_md5": pa.array(
+                [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                pa.string())})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text_md5": pa.array([], pa.string())})
+    from pyarrow import csv as pacsv
+
+    got = _concat_ds(
+        ray.data.read_csv(
+            shard_dir,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True))
+        .map_batches(hash_rows, batch_format="pyarrow"), empty
+    ).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)
+    return pa.table({
+        "doc_id": pa.array(got.doc_id.to_numpy(np.int64), pa.int64()),
+        "text_md5": pa.array(got.text_md5.tolist(), pa.string()),
+    })
+
+
+def sql_csv_roundtrip() -> str:
+    return "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+
+QUERIES = {"jsonl_roundtrip": jsonl_roundtrip,
+           "csv_roundtrip": csv_roundtrip}
+ORACLE_SQL = {"jsonl_roundtrip": sql_jsonl_roundtrip(),
+              "csv_roundtrip": sql_csv_roundtrip()}
