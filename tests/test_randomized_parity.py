@@ -105,7 +105,18 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "script_stats",
             "heavy_hitters", "grouped_topk", "sample_split", "mix_sample",
             "bpe_merges", "bpe_encode", "shuffle_positions",
-            "nb_lang_eval", "slop_topk", "boosted_topk"]
+            "nb_lang_eval", "slop_topk", "boosted_topk",
+            # round-5 session-3 ops: retrieval extensions, derived
+            # indexes (passages, trigrams), eval + IO round trips
+            "dismax_topk", "fuzzy_topk", "maxp_topk", "ndcg_eval",
+            "negated_topk", "best_passage_topk", "spanfirst_topk",
+            "ltr_features", "percolate_docs", "regex_trigram_docs",
+            "csv_roundtrip",
+            # round-5 session-2 ops enrolled retroactively
+            "filtered_topk", "rm3_topk", "rescore_topk",
+            "collapse_topk", "query_hit_counts", "msm_topk",
+            "explain_topk", "scorer_agreement", "hit_positions_topk",
+            "jsonl_roundtrip", "pmi_pairs"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
