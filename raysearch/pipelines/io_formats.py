@@ -122,7 +122,14 @@ def csv_roundtrip(sf_dir: str) -> pa.Table:
     got = _concat_ds(
         ray.data.read_csv(
             shard_dir,
-            parse_options=pacsv.ParseOptions(newlines_in_values=True))
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            # pin the schema: without it each shard type-infers
+            # independently (an all-numeric shard becomes double —
+            # str(1.1) != "1.10" breaks md5 parity; an all-empty
+            # shard becomes null and breaks schema unification)
+            convert_options=pacsv.ConvertOptions(
+                column_types={"doc_id": pa.int64(),
+                              "text": pa.string()}))
         .map_batches(hash_rows, batch_format="pyarrow"), empty
     ).to_pandas()
     got = got.sort_values("doc_id", ignore_index=True)

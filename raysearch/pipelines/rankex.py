@@ -73,10 +73,13 @@ def _ranked_from_candidates(cand: pd.DataFrame, score_int: bool = False,
     })
 
 
-def _parts_candidates(idx: str, kern) -> pd.DataFrame:
+def _parts_candidates(idx: str, kern,
+                      empty: pa.Table | None = None) -> pd.DataFrame:
     """Fan one kernel out over the index's segment parts (several per
     task; per-part work is a term-filtered read + vectorized scoring)
-    and concatenate the k-bounded candidate rows."""
+    and concatenate the k-bounded rows. ``empty`` supplies the typed
+    schema for the zero-batches case (defaults to the candidate
+    schema)."""
     import ray.data
 
     from raysearch.pipelines.search_queries import _concat_ds
@@ -87,7 +90,7 @@ def _parts_candidates(idx: str, kern) -> pd.DataFrame:
     return _concat_ds(
         parts_ds.map_batches(kern, batch_format="pyarrow",
                              batch_size=max(1, len(parts) // 16)),
-        _EMPTY_CAND).to_pandas()
+        empty if empty is not None else _EMPTY_CAND).to_pandas()
 
 
 # ---- dismax ----
@@ -399,7 +402,10 @@ def cached_passage_index(sf_dir: str) -> str:
     idx = os.path.join("/tmp", "raysearch_cache", f"docidx-{key}-maxp")
     os.makedirs(idx, exist_ok=True)
     cfg = IndexConfig(num_parts=8, k1=K1, b=B)
-    input_id = (f"maxp:{PASSAGE_W}:{os.path.abspath(sf_dir)}"
+    # STRIDE is part of the stored passage-id encoding — changing it
+    # must invalidate the cache, not silently decode with the old one
+    input_id = (f"maxp:{PASSAGE_W}:{PASSAGE_STRIDE}:"
+                f"{os.path.abspath(sf_dir)}"
                 f"@{_source_fingerprint(_docs_path(sf_dir))}")
     build_index(_passage_corpus(sf_dir), idx, cfg, input_id=input_id)
     return idx
@@ -732,15 +738,7 @@ def best_passage_topk(sf_dir: str) -> pa.Table:
             "pidx": pa.array(out_p, pa.int64()),
             "pscore": pa.array(out_s, pa.float64())})
 
-    import ray.data
-
-    from raysearch.pipelines.search_queries import _concat_ds
-
-    parts = st["parts"]
-    parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    rows = _concat_ds(parts_ds.map_batches(
-        kern, batch_format="pyarrow",
-        batch_size=max(1, len(parts) // 16)), empty).to_pandas()
+    rows = _parts_candidates(idx, kern, empty)
     rows["pscore"] = round6(rows["pscore"].to_numpy(np.float64))
     rows = rows.sort_values(["query_id", "doc_id", "pscore", "pidx"],
                             ascending=[True, True, False, True])
@@ -879,7 +877,7 @@ def spanfirst_topk(sf_dir: str) -> pa.Table:
                 contribs = []
                 for t, w in qw:      # ascending-term accumulation
                     got = post.get(t)
-                    if got is None:
+                    if got is None or not len(got[0]):
                         continue
                     docs, tfs, dls, _ = got
                     p = np.searchsorted(docs, elig)
@@ -1031,16 +1029,7 @@ def ndcg_eval(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(out_d, pa.int64()),
             "rel": pa.array(out_r, pa.int64())})
 
-    import ray.data
-
-    from raysearch.pipelines.search_queries import _concat_ds
-    from raysearch.stats import load_stats
-
-    parts = load_stats(idx)["parts"]
-    parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    grades = _concat_ds(parts_ds.map_batches(
-        kern, batch_format="pyarrow",
-        batch_size=max(1, len(parts) // 16)), empty).to_pandas()
+    grades = _parts_candidates(idx, kern, empty)
 
     bm = bm.merge(grades, on=["query_id", "doc_id"], how="left")
     bm["rel"] = bm["rel"].fillna(0).astype(np.int64)
@@ -1123,13 +1112,11 @@ def ltr_features(sf_dir: str) -> pa.Table:
     import ray.data  # noqa: F401
 
     from raysearch.pipelines.search_queries import (DOC_QUERIES,
-                                                    _concat_ds,
                                                     cached_index,
                                                     hit_positions_topk)
     from raysearch.score import query_term_weights
     from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
                                     part_dirname, read_postings)
-    from raysearch.stats import load_stats
 
     base = hit_positions_topk(sf_dir).to_pandas()
     # base: query_id, doc_id, rank, first_pos, n_hits — but not the
@@ -1201,13 +1188,7 @@ def ltr_features(sf_dir: str) -> pa.Table:
             "dl": pa.array(out_l, pa.int64()),
             "n_terms_matched": pa.array(out_m, pa.int64())})
 
-    import ray.data
-
-    parts = load_stats(idx)["parts"]
-    parts_ds = ray.data.from_items([{"part": p} for p in parts])
-    feats = _concat_ds(parts_ds.map_batches(
-        kern, batch_format="pyarrow",
-        batch_size=max(1, len(parts) // 16)), empty).to_pandas()
+    feats = _parts_candidates(idx, kern, empty)
     out = base.merge(feats, on=["query_id", "doc_id"], how="inner")
     out = out.sort_values(["query_id", "rank"], ignore_index=True)
     return pa.table({
@@ -1314,6 +1295,11 @@ def percolate_docs(sf_dir: str) -> pa.Table:
         for i in range(len(ids)):
             terms = np.unique(flat[offs[i]:offs[i + 1]])
             for qid, ts in enumerate(qterms):
+                if not ts:
+                    # a token-less stored query (pure punctuation)
+                    # matches nothing — the all() below would be
+                    # vacuously True, inverting the oracle's join gate
+                    continue
                 p = np.searchsorted(terms, ts)
                 p_c = np.clip(p, 0, max(0, len(terms) - 1))
                 if len(terms) and (terms[p_c] == ts).all():

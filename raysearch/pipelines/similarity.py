@@ -76,14 +76,31 @@ def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], mat[order]
 
 
-def ann_topk(sf_dir: str) -> pa.Table:
-    """Exact cosine top-10 for query vectors vec_id 0..4: per-batch
-    local top-k against the broadcast query matrix, merged driver-side
-    (k-bounded candidates), re-ranked on round(cos, 6)."""
+_ANN_EMPTY = pa.table({"query_vec_id": pa.array([], pa.int64()),
+                       "vec_id": pa.array([], pa.int64()),
+                       "cos": pa.array([], pa.float64())})
+
+
+def _ann_exact_topk(sf_dir: str, label_keep=None) -> pa.Table:
+    """Shared exact-cosine kernel: per-batch local top-k against the
+    broadcast query matrix, merged driver-side (k-bounded), re-ranked
+    on round(cos, 6). ``label_keep`` (sorted int array or None) is the
+    optional metadata PRE-filter: the mask cuts each batch before the
+    matmul, so a selective predicate can never starve top-k."""
+    import ray.data
+
     qids, qmat = _query_vectors(sf_dir)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cols = ["vec_id", "embedding"] + (
+        ["label"] if label_keep is not None else [])
 
     def score(batch: pa.Table) -> pa.Table:
+        if label_keep is not None:
+            keep = np.isin(batch["label"].to_numpy(), label_keep)
+            if not keep.any():
+                return _ANN_EMPTY
+            batch = batch.filter(pa.array(keep)).select(
+                ["vec_id", "embedding"])
         ids, mat = _emb_matrix(batch)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         sims = (mat / norms) @ qn.T  # (n, Q)
@@ -101,10 +118,12 @@ def ann_topk(sf_dir: str) -> pa.Table:
             "cos": pa.array(out_c, pa.float64()),
         })
 
-    ds = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-    df = pa.concat_tables(
-        ds.iter_batches(batch_format="pyarrow")).to_pandas()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, _EMB), columns=cols).map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True)
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    df = (pa.concat_tables(batches) if batches else _ANN_EMPTY
+          ).to_pandas()
     df["cos"] = round6(df["cos"].to_numpy(np.float64))
     df = df.sort_values(["query_vec_id", "cos", "vec_id"],
                         ascending=[True, False, True])
@@ -117,6 +136,13 @@ def ann_topk(sf_dir: str) -> pa.Table:
         "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
         "cos": pa.array(df.cos.to_numpy(np.float64), pa.float64()),
     })
+
+
+def ann_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 for query vectors vec_id 0..4: per-batch
+    local top-k against the broadcast query matrix, merged driver-side
+    (k-bounded candidates), re-ranked on round(cos, 6)."""
+    return _ann_exact_topk(sf_dir)
 
 
 DUP_BLOCK_ROWS = 4096  # rows per cross-join block (bounds task memory)
@@ -524,66 +550,14 @@ def ann_filtered_topk(sf_dir: str) -> pa.Table:
     not post-filtering: the mask cuts each batch before the matmul,
     so top-k never starves no matter how selective the predicate).
 
-    Same distributed shape as ann_topk: broadcast query matrix,
-    per-batch local top-k over the masked rows, k-bounded driver
-    merge under (round6(cos) DESC, vec_id ASC). At 100 TB a standing
-    label filter becomes a partition column on the embedding table
-    (partition pruning at the read); this is the query-time ad-hoc
-    form."""
-    import ray.data
-
-    labels = np.asarray(FILTER_LABELS, np.int64)
-    qids, qmat = _query_vectors(sf_dir)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-
-    def score(batch: pa.Table) -> pa.Table:
-        keep = np.isin(batch["label"].to_numpy(), labels)
-        empty = pa.table({"query_vec_id": pa.array([], pa.int64()),
-                          "vec_id": pa.array([], pa.int64()),
-                          "cos": pa.array([], pa.float64())})
-        if not keep.any():
-            return empty
-        sub = batch.filter(pa.array(keep))
-        ids, mat = _emb_matrix(sub.select(["vec_id", "embedding"]))
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = (mat / norms) @ qn.T
-        out_q, out_v, out_c = [], [], []
-        for j, qid in enumerate(qids):
-            col = sims[:, j]
-            kk = min(_BUFFER, len(ids))
-            top = np.argpartition(-col, kk - 1)[:kk] if kk else []
-            out_q.extend([int(qid)] * kk)
-            out_v.extend(int(x) for x in ids[top])
-            out_c.extend(float(x) for x in col[top])
-        return pa.table({
-            "query_vec_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "cos": pa.array(out_c, pa.float64()),
-        })
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, _EMB),
-        columns=["vec_id", "embedding", "label"]).map_batches(
-            score, batch_format="pyarrow", zero_copy_batch=True)
-    batches = list(ds.iter_batches(batch_format="pyarrow"))
-    if not batches:
-        return pa.table({"query_vec_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
-    df = pa.concat_tables(batches).to_pandas()
-    df["cos"] = round6(df["cos"].to_numpy(np.float64))
-    df = df.sort_values(["query_vec_id", "cos", "vec_id"],
-                        ascending=[True, False, True])
-    df["rank"] = df.groupby("query_vec_id").cumcount() + 1
-    df = df[df["rank"] <= TOPK]
-    return pa.table({
-        "query_vec_id": pa.array(df.query_vec_id.to_numpy(np.int64),
-                                 pa.int64()),
-        "vec_id": pa.array(df.vec_id.to_numpy(np.int64), pa.int64()),
-        "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
-        "cos": pa.array(df.cos.to_numpy(np.float64), pa.float64()),
-    })
+    Same distributed shape as ann_topk — literally the same kernel
+    (_ann_exact_topk) with the label mask as its pre-filter. At 100 TB
+    a standing label filter becomes a partition column on the
+    embedding table (partition pruning at the read); this is the
+    query-time ad-hoc form."""
+    return _ann_exact_topk(sf_dir,
+                           label_keep=np.asarray(FILTER_LABELS,
+                                                 np.int64))
 
 
 def sql_ann_filtered_topk() -> str:
