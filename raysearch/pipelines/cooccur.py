@@ -204,5 +204,202 @@ LIMIT {TOP_PAIRS}
 """
 
 
-QUERIES = {"pmi_pairs": pmi_pairs}
-ORACLE_SQL = {"pmi_pairs": sql_pmi_pairs()}
+# window collocation variant: co-occurrence EVENTS within a ±W-token
+# sliding window (Church & Hanks 1990), not document-level presence —
+# the granularity between pmi_top_bigrams (adjacent, W=1) and
+# pmi_pairs (whole-document)
+WINDOW_W = 5
+MIN_CO_W = 3
+
+
+def pmi_window_pairs(sf_dir: str) -> pa.Table:
+    """Top-{k} collocations by windowed PMI: an event is an ordered
+    token-position pair (i < j, j - i <= {W}) inside one document
+    whose two terms differ and are both df-eligible; pairs are
+    counted unordered. PMI = ln(T * c_ab / (cf_a * cf_b)) with T =
+    total corpus tokens and cf = collection frequency (both from the
+    index stats/lexicon — no extra corpus pass).
+
+    Scale shape mirrors pmi_pairs: eligible (term, cf) broadcast once
+    (df floor + stopword ceiling bound the per-token fan-out, which
+    here is <= W per position regardless of doc length — windowing is
+    what makes collocation mining linear in corpus size), per-batch
+    pair partials collapse map-side via integer code keys (one
+    np.unique factorization per batch, the d-shift trick instead of a
+    per-doc loop), ONE pair-hash bucketed exchange, per-bucket
+    score+top-k, driver merges buckets x k rows."""
+    import ray
+    import ray.data
+
+    import pyarrow.dataset as pads
+
+    from raysearch.numutil import round6
+    from raysearch.pipelines.search_queries import (_concat_ds,
+                                                    _docs_path,
+                                                    cached_index)
+    from raysearch.pipelines.textops import _tokens, md5_prefix_ints
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    n_docs = float(st["n_docs"])
+    total_tokens = float(st["total_tokens"])
+
+    lex = pads.dataset(f"{idx}/lexicon").to_table(
+        columns=["term", "df", "cf"],
+        filter=(pads.field("df") >= MIN_DF)
+        & (pads.field("df") <= int(MAX_DF_FRAC * n_docs)))
+    elig_terms = np.asarray(lex["term"].to_pylist(), dtype=object)
+    order = np.argsort(elig_terms)
+    elig_terms = elig_terms[order]
+    elig_cf = lex["cf"].to_numpy().astype(np.float64)[order]
+    elig_ref = ray.put((elig_terms, elig_cf))
+    nb = 64
+
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "term_a": pa.array([], pa.string()),
+                      "term_b": pa.array([], pa.string()),
+                      "n_co": pa.array([], pa.int64())})
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        terms, _ = ray.get(elig_ref)
+        toks = _tokens(batch)
+        offs = np.asarray(toks.offsets)
+        flat = np.asarray(toks.values.to_pandas(), dtype=object)
+        if not len(flat) or not len(terms):
+            return empty
+        n = np.diff(offs)
+        doc_rep = np.repeat(np.arange(len(n)), n)
+        uniq, codes = np.unique(flat, return_inverse=True)
+        pos = np.searchsorted(terms, uniq)
+        pos_c = np.minimum(pos, len(terms) - 1)
+        elig_u = terms[pos_c] == uniq
+        elig_tok = elig_u[codes]
+        lo_l, hi_l = [], []
+        for d in range(1, WINDOW_W + 1):
+            if len(codes) <= d:
+                break
+            a, b = codes[:-d], codes[d:]
+            m = ((doc_rep[:-d] == doc_rep[d:]) & (a != b)
+                 & elig_tok[:-d] & elig_tok[d:])
+            if m.any():
+                # np.unique sorts, so code order == lexicographic
+                # term order — min/max on codes IS the unordered key
+                lo_l.append(np.minimum(a[m], b[m]))
+                hi_l.append(np.maximum(a[m], b[m]))
+        if not lo_l:
+            return empty
+        lo = np.concatenate(lo_l).astype(np.int64)
+        hi = np.concatenate(hi_l).astype(np.int64)
+        key, cnt = np.unique(lo * len(uniq) + hi, return_counts=True)
+        ta = uniq[key // len(uniq)]
+        tb = uniq[key % len(uniq)]
+        joined = np.char.add(np.char.add(ta.astype(str), "\x1f"),
+                             tb.astype(str)).astype(object)
+        h = md5_prefix_ints(joined, 8)
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(nb)).astype(np.int64),
+                               pa.int64()),
+            "term_a": pa.array(ta.tolist(), pa.string()),
+            "term_b": pa.array(tb.tolist(), pa.string()),
+            "n_co": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    out_schema = pa.table({"term_a": pa.array([], pa.string()),
+                           "term_b": pa.array([], pa.string()),
+                           "n_co": pa.array([], pa.int64()),
+                           "pmi": pa.array([], pa.float64())})
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        terms, cfs = ray.get(elig_ref)
+        tot = (g.groupby(["term_a", "term_b"], as_index=False)
+               ["n_co"].sum())
+        tot = tot[tot.n_co >= MIN_CO_W]
+        if not len(tot):
+            return out_schema
+        cfa = cfs[np.searchsorted(terms, tot.term_a.to_numpy(object))]
+        cfb = cfs[np.searchsorted(terms, tot.term_b.to_numpy(object))]
+        c = tot.n_co.to_numpy(np.float64)
+        tot["pmi"] = round6(np.log((total_tokens * c) / (cfa * cfb)))
+        tot = tot.sort_values(["pmi", "term_a", "term_b"],
+                              ascending=[False, True, True])
+        tot = tot.head(TOP_PAIRS)
+        return pa.table({
+            "term_a": pa.array(tot.term_a.tolist(), pa.string()),
+            "term_b": pa.array(tot.term_b.tolist(), pa.string()),
+            "n_co": pa.array(tot.n_co.to_numpy(np.int64), pa.int64()),
+            "pmi": pa.array(tot.pmi.to_numpy(np.float64),
+                            pa.float64())})
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    cand = _concat_ds(
+        ds.map_batches(emit_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket").map_groups(score_bucket,
+                                      batch_format="pandas"),
+        out_schema).to_pandas()
+    cand = cand.sort_values(["pmi", "term_a", "term_b"],
+                            ascending=[False, True, True]
+                            ).head(TOP_PAIRS)
+    return pa.table({
+        "term_a": pa.array(cand.term_a.tolist(), pa.string()),
+        "term_b": pa.array(cand.term_b.tolist(), pa.string()),
+        "n_co": pa.array(cand.n_co.to_numpy(np.int64), pa.int64()),
+        "pmi": pa.array(cand.pmi.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_pmi_window_pairs() -> str:
+    from raysearch.pipelines.search_queries import _TOK_CTES
+
+    return rf"""
+WITH {_TOK_CTES},
+dfc AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf
+        GROUP BY term),
+elig AS (SELECT term, df FROM dfc
+         WHERE df >= {MIN_DF}
+           AND df <= floor({MAX_DF_FRAC}
+                           * (SELECT count(*) FROM documents))),
+cfc AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dl),
+t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+       FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t2
+),
+pairs AS (
+  SELECT least(a.tok, b.tok) AS term_a,
+         greatest(a.tok, b.tok) AS term_b,
+         count(*)::BIGINT AS n_co
+  FROM ptok a
+  JOIN ptok b ON a.doc_id = b.doc_id
+             AND b.pos - a.pos BETWEEN 1 AND {WINDOW_W}
+             AND a.tok <> b.tok
+  JOIN elig ea ON ea.term = a.tok
+  JOIN elig eb ON eb.term = b.tok
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.term_a, p.term_b, p.n_co,
+         round(ln((tot.t * p.n_co::DOUBLE) / (ca.cf * cb.cf)), 6)
+           AS pmi
+  FROM pairs p
+  CROSS JOIN tot
+  JOIN cfc ca ON ca.term = p.term_a
+  JOIN cfc cb ON cb.term = p.term_b
+  WHERE p.n_co >= {MIN_CO_W}
+)
+SELECT term_a, term_b, n_co, pmi
+FROM scored
+ORDER BY pmi DESC, term_a, term_b
+LIMIT {TOP_PAIRS}
+"""
+
+
+QUERIES = {"pmi_pairs": pmi_pairs,
+           "pmi_window_pairs": pmi_window_pairs}
+ORACLE_SQL = {"pmi_pairs": sql_pmi_pairs(),
+              "pmi_window_pairs": sql_pmi_window_pairs()}

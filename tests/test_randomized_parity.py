@@ -116,7 +116,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "filtered_topk", "rm3_topk", "rescore_topk",
             "collapse_topk", "query_hit_counts", "msm_topk",
             "explain_topk", "scorer_agreement", "hit_positions_topk",
-            "jsonl_roundtrip", "pmi_pairs"]
+            "jsonl_roundtrip", "pmi_pairs", "pmi_window_pairs"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
