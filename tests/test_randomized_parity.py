@@ -116,7 +116,23 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "filtered_topk", "rm3_topk", "rescore_topk",
             "collapse_topk", "query_hit_counts", "msm_topk",
             "explain_topk", "scorer_agreement", "hit_positions_topk",
-            "jsonl_roundtrip", "pmi_pairs", "pmi_window_pairs"]
+            "jsonl_roundtrip", "pmi_pairs", "pmi_window_pairs",
+            # full doc-table sweep: every remaining oracle-backed op
+            # whose only input is the documents table
+            "bm25_topk", "overlap_topk", "dirichlet_topk",
+            "phrase_topk", "near_topk", "synonym_topk", "paged_topk",
+            "facet_counts", "highlight_topk", "snippet_topk",
+            "snippet_lines_topk", "more_like_this", "term_suggest",
+            "wildcard_docs", "spellfix_topk", "blocklist_docs",
+            "bool_and_docs", "postings", "term_stats",
+            "collection_stats", "doc_entropy", "zipf_slope",
+            "phrase_counts", "pmi_top_bigrams", "top_terms_tfidf",
+            "clean_corpus", "clean_pipeline", "dedup_minhash",
+            "ngram_jaccard", "simhash_pairs", "winnow_fingerprints",
+            "winnow_pairs", "decontaminate", "dsir_weights",
+            "dsir_resample", "bigram_logprob", "trigram_logprob",
+            "perplexity_buckets", "pack_offsets", "split_leakage",
+            "dedup_keep_best", "export_by_lang"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
@@ -384,7 +400,10 @@ def _gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
 
 _EMB_OPS = ["knn_graph", "knn_label_eval", "pagerank_topk",
             "label_prop", "triangle_stats", "ann_topk",
-            "embedding_dups", "emb_quantize"]
+            "embedding_dups", "emb_quantize",
+            # round-5 session-3 sweep
+            "ann_filtered_topk", "emb_norm_stats", "label_centroids",
+            "emb_outliers", "hard_negatives"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"em{s}")
