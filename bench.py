@@ -111,7 +111,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "dismax_topk", "fuzzy_topk", "maxp_topk", "ndcg_eval",
           "negated_topk", "best_passage_topk", "regex_trigram_docs",
           "spanfirst_topk", "ann_filtered_topk", "ltr_features",
-          "percolate_docs", "csv_roundtrip", "pmi_window_pairs"]
+          "percolate_docs", "csv_roundtrip", "pmi_window_pairs",
+          # round 5, fourth wave: prefix retrieval + term significance
+          "prefix_topk", "sig_terms_topk", "source_vocab_overlap"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -335,6 +335,126 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---- prefix retrieval ----
+
+# per-query PREFIX terms (Lucene PrefixQuery, scored-boolean rewrite):
+# 's' is the wide expansion (6 lexicon terms), 'sort' inside "s sort"
+# pins the collision case (prefix and exact term expand onto the same
+# lexicon entry -> weights add), 'xyzzy' is the no-match prefix whose
+# query survives on its other term, 'b b' doubles a prefix weight
+PREFIX_QUERIES: list[str] = [
+    "s table",
+    "qu c",
+    "b merge b",
+    "xyzzy da",
+    "s sort",
+]
+
+
+def prefix_expansions(queries: list[str], vocab: list[str]
+                      ) -> list[list[tuple[str, int]]]:
+    """Per query, the union of lexicon terms extending any query
+    prefix (the prefix itself included when it is a lexicon term);
+    prefixes expanding onto the same lexicon term add their
+    multiplicities — the same collapse rule as the synonym and fuzzy
+    expansions, i.e. Lucene's SCORING_BOOLEAN_REWRITE."""
+    from raysearch.score import query_term_weights
+
+    svocab = sorted(vocab)
+    out = []
+    for q in queries:
+        agg: dict[str, int] = {}
+        for t, w in query_term_weights(q):
+            lo = np.searchsorted(svocab, t)
+            for i in range(lo, len(svocab)):
+                if not svocab[i].startswith(t):
+                    break
+                agg[svocab[i]] = agg.get(svocab[i], 0) + w
+        out.append(sorted(agg.items()))
+    return out
+
+
+def prefix_topk(sf_dir: str) -> pa.Table:
+    """Lucene PrefixQuery retrieval (scored-boolean rewrite): each
+    query term is a PREFIX matching every lexicon term that extends it;
+    all expansions score BM25 and colliding expansions add their
+    weights (exactly fuzzy_topk's union-expansion contract with
+    startswith in place of edit distance). The reference's scorer has
+    no multi-term query rewrite at all (/root/reference/src/lib.rs:
+    374-411) — this is the wildcard-family member its `\\w+` query
+    tokenizer cannot express.
+
+    Scale note: the expansion is a RANGE SCAN of the sorted global
+    lexicon ([prefix, prefix+1) — searchsorted bounds), never a corpus
+    pass; the lexicon is a partitioned parquet dataset, so at 10^12
+    docs the probe reads only the fragments whose term range overlaps
+    the prefix interval, and the expanded term-weight lists run
+    through the same k-bounded BM25 fan-out as every other query."""
+    import pyarrow.dataset as pads
+
+    from raysearch.pipelines.search_queries import (cached_index,
+                                                    topk_rounded_for_index)
+
+    idx = cached_index(sf_dir)
+    vocab = pads.dataset(os.path.join(idx, "lexicon")).to_table(
+        columns=["term"])["term"].to_pylist()
+    qx = prefix_expansions(PREFIX_QUERIES, vocab)
+    return topk_rounded_for_index(idx, "bm25", queries=qx)
+
+
+def _prefix_qvalues() -> str:
+    from raysearch.score import query_term_weights
+
+    rows = []
+    for qid, q in enumerate(PREFIX_QUERIES):
+        for term, w in query_term_weights(q):
+            rows.append(f"({qid}, '{term}', {int(w)})")
+    return ", ".join(rows)
+
+
+def sql_prefix_topk() -> str:
+    # prefixes are \w+ tokens (no LIKE metacharacters), so the
+    # LIKE-based expansion is literal-prefix semantics
+    from raysearch.pipelines.search_queries import _TOK_CTES, B, K1, TOPK
+
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_prefix_qvalues()}),
+vocab AS (SELECT DISTINCT term FROM tf),
+qx AS (
+  SELECT q.query_id, v.term, sum(q.w)::DOUBLE AS w
+  FROM q JOIN vocab v ON v.term LIKE q.term || '%'
+  GROUP BY q.query_id, v.term
+),
+scores AS (
+  SELECT qx.query_id, tf.doc_id,
+         sum(qx.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM qx
+  JOIN tf ON qx.term = tf.term
+  JOIN df ON qx.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qx.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # ---- MaxP passage retrieval ----
 
 @fmt_doc(PASSAGE_W=PASSAGE_W, PASSAGE_STRIDE=PASSAGE_STRIDE)
@@ -1351,6 +1471,7 @@ WHERE h.n_present = qsize.n
 QUERIES = {
     "dismax_topk": dismax_topk,
     "fuzzy_topk": fuzzy_topk,
+    "prefix_topk": prefix_topk,
     "maxp_topk": maxp_topk,
     "ndcg_eval": ndcg_eval,
     "negated_topk": negated_topk,
@@ -1363,6 +1484,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dismax_topk": sql_dismax_topk(),
     "fuzzy_topk": sql_fuzzy_topk(),
+    "prefix_topk": sql_prefix_topk(),
     "maxp_topk": sql_maxp_topk(),
     "ndcg_eval": sql_ndcg_eval(),
     "negated_topk": sql_negated_topk(),

@@ -43,6 +43,43 @@ def test_fuzzy_expansion_rules():
     assert exp == sorted(exp)
 
 
+def test_prefix_expansion_rules():
+    from raysearch.pipelines.rankex import prefix_expansions
+
+    vocab = ["scan", "sort", "spark", "part", "the"]
+    # 's' expands to every s-term; exact terms are their own prefix;
+    # no-match prefixes drop
+    [exp] = prefix_expansions(["s part zzz"], vocab)
+    assert exp == [("part", 1), ("scan", 1), ("sort", 1), ("spark", 1)]
+    # colliding expansions add multiplicities ('s sort' -> sort x2)
+    [exp] = prefix_expansions(["s sort"], vocab)
+    assert ("sort", 2) in exp and ("scan", 1) in exp
+    assert exp == sorted(exp)
+    # repeated prefix doubles every expansion's weight
+    [exp] = prefix_expansions(["s s"], vocab)
+    assert all(w == 2 for _, w in exp)
+
+
+def test_prefix_results_contain_an_expansion(ray_session):
+    # every result doc contains at least one term extending one of its
+    # query's prefixes (brute-force over the corpus text)
+    from raysearch.pipelines.rankex import PREFIX_QUERIES, prefix_topk
+    from raysearch.score import query_term_weights
+
+    res = prefix_topk(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(r.doc_id): set(r.text.lower().split())
+            for r in docs.itertuples()}
+    prefixes = [[t for t, _ in query_term_weights(q)]
+                for q in PREFIX_QUERIES]
+    assert len(res) > 0
+    assert set(res.query_id) == set(range(len(PREFIX_QUERIES)))
+    for q, d in zip(res.query_id, res.doc_id):
+        assert any(t.startswith(p) for p in prefixes[q]
+                   for t in toks[d]), (q, d)
+
+
 def test_dismax_bounded_by_sum_and_max(ray_session):
     # TIE in (0,1) means: max contrib <= dismax score <= disjunction
     # (sum) score for the same doc. Compare against a deep bm25 run.
