@@ -113,7 +113,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "spanfirst_topk", "ann_filtered_topk", "ltr_features",
           "percolate_docs", "csv_roundtrip", "pmi_window_pairs",
           # round 5, fourth wave: prefix retrieval + term significance
-          "prefix_topk", "sig_terms_topk", "source_vocab_overlap"]
+          "prefix_topk", "sig_terms_topk", "source_vocab_overlap",
+          "source_term_kl"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

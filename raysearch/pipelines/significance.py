@@ -270,12 +270,120 @@ ORDER BY source_a, source_b
 """
 
 
+def source_term_kl(sf_dir: str) -> pa.Table:
+    """Per-source unigram-distribution drift: KL(P_source || P_corpus)
+    over term frequencies, plus each source's token count and distinct
+    vocabulary — the distributional complement to
+    source_vocab_overlap's set-based Jaccard (the mixing-time question
+    "which sources LOOK different from the blend?").
+
+    KL decomposes into per-term sums that are mergeable partials:
+    KL_s = (Σ_t c_st·ln(c_st) − Σ_t c_st·ln(cf_t)) / T_s
+           − ln(T_s) + ln(T),
+    where c_st is the source's term count, cf_t the corpus term count,
+    T_s / T the token totals. P_corpus dominates every P_source (the
+    corpus contains the source), so KL is always finite.
+
+    Plan: map-side per-batch (source, term) count partials, ONE
+    term-hash bucketed exchange; a term lives in one bucket, so the
+    in-bucket kernel finalizes c_st and cf_t and collapses the whole
+    bucket to S per-source partial rows (Σc·ln c, Σc·ln cf, Σc,
+    vocab). The driver merges ≤ buckets × S rows and applies the
+    closed form — corpus size never reaches the driver, and the only
+    float reduction is over the vocabulary's mergeable partials. The
+    oracle computes the SAME decomposition, so engine and SQL differ
+    only in float summation order (absorbed by round6, the repo-wide
+    contract)."""
+    import ray.data
+
+    from raysearch.pipelines.search_queries import _docs_path
+    from raysearch.pipelines.textops import _tokens
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        toks = _tokens(b)
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        dl)
+        df = (pd.DataFrame({"term": flat, "source": src})
+              .groupby(["term", "source"], as_index=False)
+              .size())
+        terms = df.term.to_numpy()
+        return pa.table({
+            "bucket": pa.array(_term_buckets(terms), pa.int64()),
+            "term": pa.array(terms.tolist(), pa.string()),
+            "source": pa.array(df.source.tolist(), pa.string()),
+            "cnt": pa.array(df["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def bucket_kl_partials(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["term", "source"], as_index=False).cnt.sum())
+        cf = c.groupby("term").cnt.sum()
+        cn = c.cnt.to_numpy(np.float64)
+        cfn = c.term.map(cf).to_numpy(np.float64)
+        c["a"] = cn * np.log(cn)
+        c["b"] = cn * np.log(cfn)
+        per = c.groupby("source", as_index=False).agg(
+            n_tokens=("cnt", "sum"), vocab=("term", "size"),
+            a=("a", "sum"), b=("b", "sum"))
+        return per
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["text", "source"])
+    out = (ds.map_batches(count_partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket").map_groups(bucket_kl_partials,
+                                         batch_format="pandas")
+           .to_pandas())
+    per = out.groupby("source", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), vocab=("vocab", "sum"),
+        a=("a", "sum"), b=("b", "sum")).sort_values(
+        "source", ignore_index=True)
+    t_s = per.n_tokens.to_numpy(np.float64)
+    total = np.float64(t_s.sum())
+    kl = round6((per.a.to_numpy(np.float64) - per.b.to_numpy(np.float64))
+                / t_s - np.log(t_s) + np.log(total))
+    return pa.table({
+        "source": pa.array(per.source.tolist(), pa.string()),
+        "n_tokens": pa.array(per.n_tokens.to_numpy(np.int64), pa.int64()),
+        "vocab": pa.array(per.vocab.to_numpy(np.int64), pa.int64()),
+        "kl": pa.array(kl + 0.0, pa.float64()),
+    })
+
+
+def sql_source_term_kl() -> str:
+    # the same mergeable decomposition the engine uses, so the two
+    # sides differ only in float summation order
+    return """
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+c AS (SELECT source, term, count(*)::DOUBLE AS c
+      FROM tok GROUP BY source, term),
+cf AS (SELECT term, sum(c) AS cf FROM c GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM c),
+per AS (
+  SELECT c.source, sum(c.c)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS vocab,
+         sum(c.c * ln(c.c)) AS a, sum(c.c * ln(cf.cf)) AS b
+  FROM c JOIN cf USING (term) GROUP BY c.source
+)
+SELECT source, n_tokens, vocab,
+       round((a - b) / n_tokens - ln(n_tokens::DOUBLE)
+             + ln((SELECT t FROM tot)), 6) AS kl
+FROM per ORDER BY source
+"""
+
+
 QUERIES = {
     "sig_terms_topk": sig_terms_topk,
     "source_vocab_overlap": source_vocab_overlap,
+    "source_term_kl": source_term_kl,
 }
 
 ORACLE_SQL = {
     "sig_terms_topk": sql_sig_terms_topk(),
     "source_vocab_overlap": sql_source_vocab_overlap(),
+    "source_term_kl": sql_source_term_kl(),
 }

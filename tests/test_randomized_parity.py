@@ -133,7 +133,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "dsir_resample", "bigram_logprob", "trigram_logprob",
             "perplexity_buckets", "pack_offsets", "split_leakage",
             "dedup_keep_best", "export_by_lang", "prefix_topk",
-            "sig_terms_topk", "source_vocab_overlap"]
+            "sig_terms_topk", "source_vocab_overlap", "source_term_kl"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",

@@ -54,6 +54,39 @@ def test_sig_terms_foreground_brute_force(ray_session):
         assert f == sum(t in toks[d] for d in fg_docs[q]), (q, t)
 
 
+def test_source_term_kl_brute_force(ray_session):
+    # independent recomputation: direct sum p*ln(p/q) per source (a
+    # DIFFERENT expression tree than the pipeline's mergeable
+    # decomposition — agreement to 1e-9 proves the algebra, round6
+    # proves the contract); KL >= 0 by Gibbs' inequality
+    from collections import Counter
+
+    from raysearch.numutil import round6
+    from raysearch.pipelines.significance import source_term_kl
+
+    got = source_term_kl(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["text", "source"]).to_pandas()
+    counts: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for r in docs.itertuples():
+        toks = r.text.lower().split()
+        counts.setdefault(r.source, Counter()).update(toks)
+        corpus.update(toks)
+    total = sum(corpus.values())
+    assert list(got.source) == sorted(counts)
+    assert (got.kl >= 0).all()
+    for r in got.itertuples():
+        c = counts[r.source]
+        t_s = sum(c.values())
+        assert r.n_tokens == t_s and r.vocab == len(c)
+        kl = sum((k / t_s) * np.log((k / t_s) / (corpus[t] / total))
+                 for t, k in c.items())
+        # r.kl is round6-quantized; the brute-force sum is not
+        assert abs(r.kl - kl) < 1e-6
+        assert r.kl == float(round6(np.float64(r.kl)))
+
+
 def test_source_overlap_brute_force(ray_session):
     # full independent recomputation in pandas (a second oracle)
     from raysearch.numutil import round6
