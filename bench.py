@@ -114,7 +114,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "percolate_docs", "csv_roundtrip", "pmi_window_pairs",
           # round 5, fourth wave: prefix retrieval + term significance
           "prefix_topk", "sig_terms_topk", "source_vocab_overlap",
-          "source_term_kl"]
+          "source_term_kl", "impact_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

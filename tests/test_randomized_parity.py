@@ -71,13 +71,24 @@ def _gen_events(rng: np.random.Generator, n: int) -> pa.Table:
     types = rng.choice(["click", "view", "purchase", "scroll"], size=n,
                        p=[0.45, 0.35, 0.1, 0.1])
     value = rng.integers(0, 100_000, size=n) / 100.0   # exact 2-decimal
+    # varied props JSON: integer k (incl. negatives), k beside other
+    # fields, a DIFFERENT key, floats-after-k, and empty objects —
+    # exercises props_stats' regex extraction on both match shapes
+    kv = rng.integers(-50, 500, size=n)
+    sel = rng.random(n)
+    props = [('{"k": %d}' % kv[i]) if sel[i] < 0.35 else
+             ('{"k" : %d, "m": "x%d"}' % (kv[i], i % 7))
+             if sel[i] < 0.5 else
+             ('{"other": %d}' % kv[i]) if sel[i] < 0.7 else
+             ('{"kk": 1, "f": 2.5}') if sel[i] < 0.8 else "{}"
+             for i in range(n)]
     return pa.table({
         "event_id": pa.array(np.arange(n, dtype=np.int64)),
         "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(users),
         "event_type": pa.array(types.tolist()),
         "value": pa.array(value, pa.float64()),
-        "props": pa.array(["{}"] * n),
+        "props": pa.array(props),
     })
 
 
@@ -133,14 +144,18 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "dsir_resample", "bigram_logprob", "trigram_logprob",
             "perplexity_buckets", "pack_offsets", "split_leakage",
             "dedup_keep_best", "export_by_lang", "prefix_topk",
-            "sig_terms_topk", "source_vocab_overlap", "source_term_kl"]
+            "sig_terms_topk", "source_vocab_overlap", "source_term_kl",
+            # index-lifecycle entries (append/delete/compact their own
+            # derived indexes under /tmp, keyed by corpus fingerprint)
+            "appended_topk", "deleted_topk", "compacted_topk",
+            "dup_clusters", "impact_topk"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
             "distinct_users", "window_top_events", "asof_join",
             "running_user_value", "event_transitions",
             "range_join_events", "latest_events", "winsor_stats",
-            "user_paths", "user_daily_fill"]
+            "user_paths", "user_daily_fill", "props_stats"]
 _SEEDS = [1117, 2223]
 
 
@@ -335,7 +350,11 @@ _TPCH_OPS = ["order_priority_counts", "pricing_summary",
              # round 4, third wave
              "market_share", "product_profit", "shipping_priority",
              "part_supplier_breadth", "excess_suppliers",
-             "ship_delay_priority"]
+             "ship_delay_priority",
+             # round-5 session-4 sweep: the remaining oracle-backed
+             # TPC-H-family entries
+             "fk_integrity", "forecast_revenue", "important_parts",
+             "min_cost_supplier", "sole_late_supplier"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")

@@ -267,6 +267,32 @@ def test_percolate_conjunction_gate(ray_session):
     assert len(want) > 0
 
 
+def test_impact_pruning_bounded_and_biting(ray_session):
+    # every pruned score is <= the exact unpruned score for the same
+    # (query, doc) — pruning only removes positive contributions —
+    # and the truncation genuinely bites on this corpus (some query
+    # term's df exceeds IMPACT_P)
+    from raysearch.pipelines.pruning import IMPACT_P, impact_topk
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    cached_index,
+                                                    topk_rounded_for_index)
+    from raysearch.query import lexicon_df
+    from raysearch.score import query_term_weights
+
+    pr = impact_topk(SF).to_pandas()
+    assert len(pr) > 0
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=500, buffer=600).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    for q, d, s in zip(pr.query_id, pr.doc_id, pr.score):
+        assert s <= full[(q, d)] + 1e-6, (q, d)
+    terms = sorted({t for qry in DOC_QUERIES
+                    for t, _ in query_term_weights(qry)})
+    df = lexicon_df(cached_index(SF), terms)
+    assert max(df.values()) > IMPACT_P  # the truncation is exercised
+
+
 def test_ndcg_in_unit_interval_and_self_consistent(ray_session):
     from raysearch.pipelines.rankex import ndcg_eval
 
