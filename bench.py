@@ -114,7 +114,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "percolate_docs", "csv_roundtrip", "pmi_window_pairs",
           # round 5, fourth wave: prefix retrieval + term significance
           "prefix_topk", "sig_terms_topk", "source_vocab_overlap",
-          "source_term_kl", "impact_topk"]
+          "source_term_kl", "impact_topk",
+          # round 5, session 5
+          "span_not_topk", "common_terms_topk", "map_mrr_eval"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

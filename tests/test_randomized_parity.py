@@ -148,7 +148,9 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             # index-lifecycle entries (append/delete/compact their own
             # derived indexes under /tmp, keyed by corpus fingerprint)
             "appended_topk", "deleted_topk", "compacted_topk",
-            "dup_clusters", "impact_topk"]
+            "dup_clusters", "impact_topk",
+            # round-5 session-5 ops
+            "span_not_topk", "common_terms_topk", "map_mrr_eval"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
