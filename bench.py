@@ -116,7 +116,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "prefix_topk", "sig_terms_topk", "source_vocab_overlap",
           "source_term_kl", "impact_topk",
           # round 5, session 5
-          "span_not_topk", "common_terms_topk", "map_mrr_eval"]
+          "span_not_topk", "common_terms_topk", "map_mrr_eval",
+          "index_diff_stats", "subtoken_stats"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

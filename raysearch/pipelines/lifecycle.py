@@ -179,10 +179,76 @@ def compacted_topk(sf_dir: str) -> pa.Table:
     return topk_rounded_for_index(compacted_index(sf_dir), "bm25")
 
 
+def index_diff_stats(sf_dir: str) -> pa.Table:
+    """Index-generation diff: per-term (df, cf) of the FULL index vs
+    the post-compaction LIVE index (tombstones doc_id % DEL_MOD ==
+    DEL_REM removed), with a vanished flag for terms whose last
+    posting died — the observability table a rolling rebuild needs to
+    audit what a compaction actually dropped.
+
+    Plan: both sides are the ALREADY-BUILT cached indexes' merged
+    lexicons (two filtered parquet reads, no corpus pass, no new
+    exchange); the driver outer-merges vocab-bounded rows (same
+    acceptance as term_stats — at open vocab this merge is one
+    term-bucket exchange, each term finalizing in its bucket)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from raysearch.pipelines.search_queries import cached_index
+
+    full_idx = cached_index(sf_dir)
+    live_idx = compacted_index(sf_dir)
+
+    def lex(idx: str):
+        t = pads.dataset(os.path.join(idx, "lexicon")).to_table(
+            columns=["term", "df", "cf"])
+        return t.to_pandas()
+
+    m = lex(full_idx).merge(lex(live_idx), on="term", how="left",
+                            suffixes=("_full", "_live"))
+    m[["df_live", "cf_live"]] = \
+        m[["df_live", "cf_live"]].fillna(0)
+    m = m.sort_values("term", ignore_index=True)
+    return pa.table({
+        "term": pa.array(m.term, pa.string()),
+        "df_full": pa.array(m.df_full.to_numpy(np.int64), pa.int64()),
+        "cf_full": pa.array(m.cf_full.to_numpy(np.int64), pa.int64()),
+        "df_live": pa.array(m.df_live.to_numpy(np.int64), pa.int64()),
+        "cf_live": pa.array(m.cf_live.to_numpy(np.int64), pa.int64()),
+        "vanished": pa.array((m.df_live.to_numpy(np.int64) == 0)
+                             .astype(np.int64), pa.int64()),
+    })
+
+
+def sql_index_diff_stats() -> str:
+    return rf"""
+WITH tokf AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+),
+f AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_full,
+             count(*)::BIGINT AS cf_full
+      FROM tokf GROUP BY term),
+tokl AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents WHERE {_LIVE}
+),
+l AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_live,
+             count(*)::BIGINT AS cf_live
+      FROM tokl GROUP BY term)
+SELECT f.term, f.df_full, f.cf_full,
+       coalesce(l.df_live, 0)::BIGINT AS df_live,
+       coalesce(l.cf_live, 0)::BIGINT AS cf_live,
+       (l.term IS NULL)::BIGINT AS vanished
+FROM f LEFT JOIN l ON f.term = l.term
+"""
+
+
 QUERIES = {
     "appended_topk": appended_topk,
     "deleted_topk": deleted_topk,
     "compacted_topk": compacted_topk,
+    "index_diff_stats": index_diff_stats,
 }
 
 _LIVE = f"doc_id % {DEL_MOD} <> {DEL_REM}"
@@ -192,4 +258,5 @@ ORACLE_SQL = {
     "deleted_topk": sql_bm25_topk(scores_where=f"tf.{_LIVE}"),
     "compacted_topk": sql_bm25_topk(
         rel=f"(SELECT * FROM documents WHERE {_LIVE}) docs_live"),
+    "index_diff_stats": sql_index_diff_stats(),
 }

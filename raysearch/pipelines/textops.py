@@ -1288,6 +1288,127 @@ ORDER BY d.doc_id
 """
 
 
+# WordDelimiterFilter subtoken rules, applied in order (RE2 on both
+# sides — Arrow and DuckDB share rewrite semantics): acronym-head
+# split, camelCase split, letter<->digit splits; then lower + split
+# on non-alphanumerics
+_SUBTOKEN_RULES: list[tuple[str, str]] = [
+    (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),
+    (r"([a-z])([A-Z])", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+]
+SUBTOKEN_TOPK = 50
+
+
+def subtoken_stats(sf_dir: str) -> pa.Table:
+    """Lucene WordDelimiterFilter analysis — the code-identifier
+    analyzer the (repo, path, commit, lang, content) mandate implies:
+    split camelCase / ACRONYMHead / letter-digit boundaries and
+    non-alphanumerics into subtokens ('DeduplicatePipeline99' ->
+    deduplicate, pipeline, 99), then report the top {k} subtokens by
+    collection frequency with document frequency — the identifier
+    vocabulary profile an index-time subtoken field would carry.
+
+    Plan: one map-only pass; the rule chain runs as vectorized RE2
+    rewrites on whole batch text, counting is per-batch (a doc lives
+    in one row, so per-batch df/cf partials are exact) and the driver
+    merges vocab-bounded partials (same acceptance as term_stats; at
+    open vocab this merge becomes the one term-bucket exchange
+    source_term_kl uses). Ties cut deterministically by
+    (cf DESC, subtoken ASC)."""
+    import pandas as pd
+
+    def kern(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pa.concat_arrays([text])  # split-after-transform copy
+        for pat, rep in _SUBTOKEN_RULES:
+            text = pc.replace_substring_regex(text, pattern=pat,
+                                              replacement=rep)
+        text = pc.replace_substring_regex(
+            pc.utf8_lower(text), pattern="[^a-z0-9]+", replacement=" ")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pa.concat_arrays([text])
+        toks = _drop_empty(pc.utf8_split_whitespace(text))
+        n = batch.num_rows
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), dl)
+        if not len(flat):
+            return pa.table({"subtoken": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "cf": pa.array([], pa.int64())})
+        df_p = pd.DataFrame({"subtoken": flat, "doc": doc_idx})
+        cf = df_p.groupby("subtoken", sort=False).size()
+        df = df_p.drop_duplicates().groupby("subtoken",
+                                            sort=False).size()
+        return pa.table({
+            "subtoken": pa.array(cf.index.to_numpy(), pa.string()),
+            "df": pa.array(df.reindex(cf.index).to_numpy(np.int64),
+                           pa.int64()),
+            "cf": pa.array(cf.to_numpy(np.int64), pa.int64())})
+
+    out = _read_docs(sf_dir).map_batches(kern, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    parts = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")).to_pandas()
+    if not len(parts):
+        return pa.table({"subtoken": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "cf": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    agg = parts.groupby("subtoken", as_index=False).agg(
+        df=("df", "sum"), cf=("cf", "sum"))
+    agg = agg.sort_values(["cf", "subtoken"],
+                          ascending=[False, True],
+                          ignore_index=True)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    agg = agg[agg["rank"] <= SUBTOKEN_TOPK]
+    return pa.table({
+        "subtoken": pa.array(agg.subtoken, pa.string()),
+        "df": pa.array(agg.df.to_numpy(np.int64), pa.int64()),
+        "cf": pa.array(agg.cf.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(agg["rank"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def _drop_empty(out):
+    from raysearch.tokenize import _drop_empty_tokens
+
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return _drop_empty_tokens(out)
+
+
+def sql_subtoken_stats() -> str:
+    expr = "text"
+    for pat, rep in _SUBTOKEN_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return rf"""
+WITH sub AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower({expr}), '[a-z0-9]+'))
+           AS subtoken
+  FROM documents
+),
+agg AS (
+  SELECT subtoken, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS cf
+  FROM sub GROUP BY subtoken
+),
+ranked AS (
+  SELECT subtoken, df, cf,
+         row_number() OVER (ORDER BY cf DESC, subtoken) AS rank
+  FROM agg
+)
+SELECT subtoken, df, cf, rank FROM ranked
+WHERE rank <= {SUBTOKEN_TOPK}
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "script_stats": script_stats,
@@ -1304,6 +1425,7 @@ QUERIES = {
     "decontaminate": decontaminate,
     "decontaminate_bloom": decontaminate_bloom,
     "doc_entropy": doc_entropy,
+    "subtoken_stats": subtoken_stats,
 }
 
 ORACLE_SQL = {
@@ -1321,4 +1443,5 @@ ORACLE_SQL = {
     "lang_confusion": sql_lang_confusion(),
     "decontaminate": sql_decontaminate(),
     "doc_entropy": sql_doc_entropy(),
+    "subtoken_stats": sql_subtoken_stats(),
 }

@@ -150,7 +150,8 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "appended_topk", "deleted_topk", "compacted_topk",
             "dup_clusters", "impact_topk",
             # round-5 session-5 ops
-            "span_not_topk", "common_terms_topk", "map_mrr_eval"]
+            "span_not_topk", "common_terms_topk", "map_mrr_eval",
+            "index_diff_stats", "subtoken_stats"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
