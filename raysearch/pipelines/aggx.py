@@ -1,0 +1,280 @@
+"""Aggregation extensions: range faceting over a query's hit set and
+the Elasticsearch terms aggregation with shard-size error bounds —
+two result-set/corpus analytics shapes beyond the reference engine,
+whose query path stops at the ranked doc list
+(/root/reference/src/lib.rs:374-411).
+
+- range_facet_counts: Lucene LongRangeFacetCounts over the BM25
+  top-k — per query, hit counts per document-length range, the dl
+  coming FROM THE INDEX (zero text bytes).
+- terms_agg_topk: the ES `terms` aggregation contract — each shard
+  reports only its local top `shard_size` terms, the coordinator
+  merges them, and every reported count carries a deterministic
+  doc_count_error_upper_bound (the sum of the last reported count of
+  every shard that did NOT report the term). This is the
+  approximate-with-error-bounds distributed aggregation family: the
+  driver sees shards x shard_size rows no matter the vocabulary.
+
+Scale shapes: range_facet_counts is k-bounded end to end (one
+posting read restricted to the hit ids). terms_agg_topk ships only
+narrow (shard, term, cnt) count partials through ONE shard-bucketed
+exchange; the per-shard kernel is a pandas top-m, and at cluster
+scale `TA_SHARDS` is the physical partition count, so group width
+mirrors data placement rather than vocabulary size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raysearch.numutil import fmt_doc
+
+# dl range-facet edges (right-open buckets over token length); the
+# sf fixtures span dl 10..99, so all four buckets are populated
+FACET_EDGES = [30, 50, 70]
+FACET_LABELS = ["[0,30)", "[30,50)", "[50,70)", "[70,inf)"]
+
+# ES terms-agg shape: virtual shards (doc_id % TA_SHARDS), each
+# reporting its top TA_SHARD_SIZE terms; final table is top TA_K.
+# shard_size of 3 over a ~31-term fixture vocabulary makes the
+# truncation (and therefore the error bounds) actually bite.
+TA_SHARDS = 16
+TA_SHARD_SIZE = 3
+TA_K = 10
+
+
+@fmt_doc(EDGES=FACET_EDGES)
+def range_facet_counts(sf_dir: str) -> pa.Table:
+    """Lucene range facets over the BM25 top-k hit set: per query,
+    the number of hits whose document length falls in each of the
+    right-open ranges with edges {EDGES} (only non-empty buckets are
+    emitted — GROUP BY semantics).
+
+    Plan: the hit set is the standard rounded top-k contract; each
+    hit's dl comes from ONE explain-style posting-intersection
+    fan-out (a hit by definition matches >= 1 query term, and dl
+    rides the posting rows), so the op reads ZERO documents.parquet
+    bytes and the driver sees k x Q narrow rows."""
+    import ray.data  # noqa: F401  (fan-out lives in _parts_candidates)
+
+    from raysearch.pipelines.rankex import _parts_candidates
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    bm25_topk,
+                                                    cached_index)
+    from raysearch.score import query_term_weights
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+
+    base = bm25_topk(sf_dir).to_pandas()
+    idx = cached_index(sf_dir)
+    all_terms = sorted({t for q in DOC_QUERIES
+                        for t, _ in query_term_weights(q)})
+    wanted = np.sort(np.unique(base.doc_id.to_numpy(np.int64)))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dl": pa.array([], pa.int64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_d, out_l = [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms,
+                                columns=SCORER_COLUMNS)
+            for i in range(tbl.num_rows):
+                docs, tfs, dls = decode_posting_row(tbl, i)
+                if not len(docs):
+                    continue
+                p = np.clip(np.searchsorted(docs, wanted), 0,
+                            len(docs) - 1)
+                hit = docs[p] == wanted
+                if hit.any():
+                    out_d.extend(wanted[hit].tolist())
+                    out_l.extend(dls[p[hit]].tolist())
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "dl": pa.array(out_l, pa.int64())})
+
+    dlmap = (_parts_candidates(idx, kern, empty=empty)
+             .drop_duplicates("doc_id"))
+    merged = base.merge(dlmap, on="doc_id", how="left")
+    lab = np.asarray(FACET_LABELS, dtype=object)[
+        np.digitize(merged.dl.to_numpy(np.int64), FACET_EDGES)]
+    out = (pd.DataFrame({"query_id": merged.query_id.to_numpy(np.int64),
+                         "bucket": lab})
+           .groupby(["query_id", "bucket"]).size()
+           .reset_index(name="n_docs")
+           .sort_values(["query_id", "bucket"], ignore_index=True))
+    return pa.table({
+        "query_id": pa.array(out.query_id.to_numpy(np.int64), pa.int64()),
+        "bucket": pa.array(out.bucket.tolist(), pa.string()),
+        "n_docs": pa.array(out.n_docs.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_range_facet_counts() -> str:
+    from raysearch.pipelines.search_queries import (_TOK_CTES,
+                                                    sql_bm25_topk)
+
+    e1, e2, e3 = FACET_EDGES
+    l0, l1, l2, l3 = FACET_LABELS
+    return f"""
+WITH bq AS ({sql_bm25_topk()}),
+{_TOK_CTES},
+lab AS (
+  SELECT bq.query_id,
+         CASE WHEN dl.dl < {e1} THEN '{l0}'
+              WHEN dl.dl < {e2} THEN '{l1}'
+              WHEN dl.dl < {e3} THEN '{l2}'
+              ELSE '{l3}' END AS bucket
+  FROM bq JOIN dl ON dl.doc_id = bq.doc_id
+)
+SELECT query_id::BIGINT AS query_id, bucket, count(*)::BIGINT AS n_docs
+FROM lab GROUP BY query_id, bucket
+"""
+
+
+@fmt_doc(S=TA_SHARDS, M=TA_SHARD_SIZE, K=TA_K)
+def terms_agg_topk(sf_dir: str) -> pa.Table:
+    """Elasticsearch `terms` aggregation with error bounds: the top
+    {K} terms by document frequency, computed the way a sharded
+    engine computes them — each of {S} shards (shard = doc_id % {S})
+    reports only its local top {M} terms by (count DESC, term ASC);
+    the merged `reported_df` therefore UNDERCOUNTS whenever a term
+    missed some shard's top {M}, and `err_bound` is ES's
+    doc_count_error_upper_bound: the sum, over the shards that did
+    not report the term, of that shard's last (smallest) reported
+    count — or 0 from a shard whose whole vocabulary fit in {M}
+    rows. `true_df` (from the index lexicon) pins the invariant
+    reported_df <= true_df <= reported_df + err_bound.
+
+    Plan: per-batch (shard, term, cnt) distinct-doc count partials
+    are exact (a doc lives in one row), ONE shard-bucketed exchange,
+    per-shard pandas top-m kernel; only {S} x {M} narrow rows reach
+    the driver regardless of vocabulary size. At cluster scale the
+    virtual shards become the physical partitions and the exchange
+    disappears entirely — the local-top-m-then-merge contract is the
+    point of the operator."""
+    import ray.data
+
+    from raysearch.pipelines.search_queries import (_docs_path,
+                                                    cached_index)
+    from raysearch.pipelines.textops import _tokens
+    from raysearch.query import lexicon_df
+
+    def partials(b: pa.Table) -> pa.Table:
+        toks = _tokens(b)
+        dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        ids = np.repeat(b["doc_id"].to_numpy(), dl)
+        d = (pd.DataFrame({"doc_id": ids, "term": flat})
+             .drop_duplicates())
+        g = (pd.DataFrame({"shard": d.doc_id.to_numpy(np.int64)
+                           % TA_SHARDS,
+                           "term": d.term.to_numpy()})
+             .groupby(["shard", "term"]).size().reset_index(name="cnt"))
+        return pa.table({
+            "shard": pa.array(g.shard.to_numpy(np.int64), pa.int64()),
+            "term": pa.array(g.term.tolist(), pa.string()),
+            "cnt": pa.array(g.cnt.to_numpy(np.int64), pa.int64())})
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby("term", as_index=False).cnt.sum()
+             .sort_values(["cnt", "term"], ascending=[False, True],
+                          ignore_index=True))
+        rep = t.head(TA_SHARD_SIZE)
+        last = int(rep.cnt.min()) if len(t) > TA_SHARD_SIZE else 0
+        return pd.DataFrame({
+            "shard": np.full(len(rep), g.shard.iloc[0], np.int64),
+            "term": rep.term,
+            "cnt": rep.cnt.to_numpy(np.int64),
+            "last_cnt": np.full(len(rep), last, np.int64)})
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    rep = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("shard").map_groups(shard_top, batch_format="pandas")
+           .to_pandas())
+
+    total_last = int(rep.drop_duplicates("shard").last_cnt.sum())
+    agg = rep.groupby("term").agg(reported_df=("cnt", "sum"),
+                                  covered=("last_cnt", "sum"))
+    agg["err_bound"] = total_last - agg.covered.to_numpy(np.int64)
+    truth = lexicon_df(cached_index(sf_dir), sorted(agg.index.tolist()))
+    agg["true_df"] = [int(truth.get(t, 0)) for t in agg.index]
+    agg = (agg.reset_index()
+           .sort_values(["reported_df", "term"],
+                        ascending=[False, True], ignore_index=True)
+           .head(TA_K))
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(agg) + 1), pa.int64()),
+        "term": pa.array(agg.term.tolist(), pa.string()),
+        "reported_df": pa.array(agg.reported_df.to_numpy(np.int64),
+                                pa.int64()),
+        "err_bound": pa.array(agg.err_bound.to_numpy(np.int64),
+                              pa.int64()),
+        "true_df": pa.array(agg.true_df.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_terms_agg_topk() -> str:
+    from raysearch.pipelines.search_queries import _TOK_CTES
+
+    return f"""
+WITH {_TOK_CTES},
+sc AS (
+  SELECT doc_id % {TA_SHARDS} AS shard, term, count(*)::BIGINT AS cnt
+  FROM tf GROUP BY 1, 2
+),
+rk AS (
+  SELECT shard, term, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, term) AS r,
+         count(*) OVER (PARTITION BY shard) AS nv
+  FROM sc
+),
+rep AS (SELECT * FROM rk WHERE r <= {TA_SHARD_SIZE}),
+lastc AS (
+  SELECT shard,
+         CASE WHEN max(nv) > {TA_SHARD_SIZE} THEN min(cnt)
+              ELSE 0 END AS last_cnt
+  FROM rep GROUP BY shard
+),
+cand AS (SELECT DISTINCT term FROM rep),
+agg AS (
+  SELECT c.term,
+         sum(CASE WHEN rep.term IS NOT NULL
+                  THEN rep.cnt ELSE 0 END)::BIGINT AS reported_df,
+         sum(CASE WHEN rep.term IS NULL
+                  THEN l.last_cnt ELSE 0 END)::BIGINT AS err_bound
+  FROM cand c
+  CROSS JOIN lastc l
+  LEFT JOIN rep ON rep.shard = l.shard AND rep.term = c.term
+  GROUP BY c.term
+),
+truth AS (SELECT term, count(*)::BIGINT AS true_df FROM tf GROUP BY term),
+ranked AS (
+  SELECT agg.term, agg.reported_df, agg.err_bound, truth.true_df,
+         row_number() OVER (ORDER BY agg.reported_df DESC,
+                            agg.term) AS rank
+  FROM agg JOIN truth USING (term)
+)
+SELECT rank::BIGINT AS rank, term, reported_df, err_bound, true_df
+FROM ranked WHERE rank <= {TA_K}
+"""
+
+
+QUERIES = {
+    "range_facet_counts": range_facet_counts,
+    "terms_agg_topk": terms_agg_topk,
+}
+
+ORACLE_SQL = {
+    "range_facet_counts": sql_range_facet_counts(),
+    "terms_agg_topk": sql_terms_agg_topk(),
+}
