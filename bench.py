@@ -119,7 +119,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "span_not_topk", "common_terms_topk", "map_mrr_eval",
           "index_diff_stats", "subtoken_stats",
           # round-5 session-5 additions
-          "range_facet_counts", "terms_agg_topk"]
+          "range_facet_counts", "terms_agg_topk",
+          "classic_topk", "decay_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -203,7 +203,7 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
                            rank_hi: int = TOPK,
                            buffer: int = _TOPK_BUFFER,
                            queries=None, boost=None,
-                           keep=None) -> pa.Table:
+                           keep=None, decay=None) -> pa.Table:
     """DOC_QUERIES top-k over an already-built index with the oracle's
     rounding/tie contract — shared by the sf_dir-cached entries here,
     the index-lifecycle entries (pipelines/lifecycle.py), the
@@ -214,7 +214,7 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
 
     raw = query_index(idx, queries if queries is not None
                       else DOC_QUERIES, k=buffer, mode=mode,
-                      boost=boost, keep=keep)
+                      boost=boost, keep=keep, decay=decay)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],
@@ -938,6 +938,40 @@ def dirichlet_topk(sf_dir: str) -> pa.Table:
 
 # ---- oracle SQL ----
 
+def classic_topk(sf_dir: str) -> pa.Table:
+    """Lucene ClassicSimilarity (pre-6.0 TFIDFSimilarity) top-10 per
+    query — the fourth scoring mode (bm25/overlap/dirichlet/classic):
+    score(q,d) = sum_t w_t * (1 + ln(N/(df_t+1)))^2 * sqrt(tf) /
+    sqrt(dl). Same doc-partitioned segment plan as bm25_topk (global
+    df/N broadcast, per-segment scores final, k-bounded merge);
+    classic mode always scores exhaustively (no MaxScore bounds for
+    the sqrt(tf) curve — still df-bounded per query term)."""
+    return _topk_rounded(sf_dir, "classic")
+
+
+# gauss length decay: full weight at DECAY_ORIGIN tokens, halved at
+# DECAY_ORIGIN +/- DECAY_SCALE (the ES function_score `gauss` shape
+# with offset 0, decay 0.5). Constants chosen against the fixture's
+# dl range [10, 99] so multipliers span ~[0.35, 1.0] — enough to
+# reorder, never collapsing scores into round6 ties.
+DECAY_ORIGIN, DECAY_SCALE = 50.0, 40.0
+
+
+@fmt_doc(o=DECAY_ORIGIN, s=DECAY_SCALE, k=TOPK)
+def decay_topk(sf_dir: str) -> pa.Table:
+    """Function-score retrieval (the ES function_score `gauss` decay
+    shape): BM25 top-{k} with each doc's FINAL accumulated score
+    multiplied by 0.5 ** (((dl - {o}) / {s})^2) before truncation, so
+    the decayed ranking is exact — a doc outside the raw top-k can
+    enter the decayed one. The decay variable is the doc's TOKEN
+    LENGTH from the index's own doc-length table: the multiplier is
+    computed segment-locally from the dl column already riding in the
+    decoded postings — zero text bytes, zero extra reads/broadcasts
+    (contrast boosted_topk, whose doc set is a broadcast list)."""
+    return topk_rounded_for_index(cached_index(sf_dir), "bm25",
+                                  decay=(DECAY_ORIGIN, DECAY_SCALE))
+
+
 def _qterms_values(weights_as_float: bool) -> str:
     rows = []
     for qid, q in enumerate(DOC_QUERIES):
@@ -1106,6 +1140,72 @@ FROM ranked WHERE rank <= {TOPK}
 
 def sql_paged_topk() -> str:
     return sql_bm25_topk(rank_lo=PAGE2_LO, rank_hi=PAGE2_HI)
+
+
+def sql_classic_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * pow(1 + ln(s.n_docs / (df.df + 1)), 2)
+             * sqrt(tf.tf) / sqrt(dl.dl)) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_decay_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score * pow(0.5, pow((dl.dl - {DECAY_ORIGIN})
+                                      / {DECAY_SCALE}, 2)), 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(s.score * pow(0.5, pow((dl.dl - {DECAY_ORIGIN})
+                                                 / {DECAY_SCALE}, 2)), 6)
+             DESC, s.doc_id) AS rank
+  FROM scores s JOIN dl ON dl.doc_id = s.doc_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def _qterms_values_expanded() -> str:
@@ -2542,6 +2642,8 @@ QUERIES = {
     "rescore_topk": rescore_topk,
     "boosted_topk": boosted_topk,
     "dirichlet_topk": dirichlet_topk,
+    "classic_topk": classic_topk,
+    "decay_topk": decay_topk,
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
     "highlight_topk": highlight_topk,
@@ -2573,6 +2675,8 @@ ORACLE_SQL = {
     "rescore_topk": sql_rescore_topk(),
     "boosted_topk": sql_boosted_topk(),
     "dirichlet_topk": sql_dirichlet_topk(),
+    "classic_topk": sql_classic_topk(),
+    "decay_topk": sql_decay_topk(),
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),
     "highlight_topk": sql_highlight_topk(),

@@ -45,6 +45,8 @@ from raysearch.score import (
     as_qweights,
     bm25_contrib,
     bm25_idf,
+    classic_contrib,
+    classic_idf,
     topk,
 )
 from raysearch.segments import (SCORER_COLUMNS, SCORER_COLUMNS_BMW,
@@ -114,12 +116,38 @@ def _apply_boost(docs: np.ndarray, sc: np.ndarray, boost):
     return sc
 
 
+def _apply_decay(docs: np.ndarray, sc: np.ndarray, dl_parts, decay):
+    """Gaussian length decay (the ES function_score `gauss` shape with
+    decay 0.5 at distance ``scale`` from ``origin``): multiply each
+    doc's FINAL accumulated score by 0.5 ** (((dl - origin)/scale)^2)
+    — before top-k truncation, so the decayed ranking is exact. The
+    per-doc dl comes from the posting rows already in hand (every
+    candidate matched >= 1 term, and dl rides alongside tf in the
+    decoded postings), so the multiplier is computed segment-locally
+    with zero extra reads or broadcasts. ``decay`` is
+    (origin, scale) or None."""
+    if decay is None or not len(docs):
+        return sc
+    origin, scale = decay
+    all_d = np.concatenate([d for d, _ in dl_parts])
+    all_l = np.concatenate([l for _, l in dl_parts])
+    # docs is the sorted unique union of all_d; dl is constant per doc,
+    # so any occurrence may supply it
+    pos = np.searchsorted(docs, all_d)
+    dlv = np.zeros(len(docs), np.float64)
+    dlv[pos] = all_l.astype(np.float64)
+    # mirrors the oracle SQL term-for-term:
+    # pow(0.5, pow((dl - origin) / scale, 2))
+    mult = np.power(0.5, ((dlv - origin) / scale) ** 2)
+    return sc.astype(np.float64, copy=False) * mult
+
+
 def score_queries_over_postings(
         qweights, postings: dict, max_tfs: dict, df: dict,
         n_docs: int, avgdl: float, k1: float, b: float, k: int,
         mode: str, prune: bool = False,
         cf: dict | None = None, total_tokens: int = 0,
-        mu: float = 2000.0, boost=None) -> pa.Table:
+        mu: float = 2000.0, boost=None, decay=None) -> pa.Table:
     """Score a query batch against one segment's (already decoded)
     postings — the shared kernel behind both the one-shot SegmentScorer
     and the resident SegmentServer actors (raysearch/serve.py).
@@ -135,6 +163,17 @@ def score_queries_over_postings(
         # rather than silently invert the Lucene-boost semantics
         raise ValueError("boost supports bm25/overlap only "
                          "(dirichlet scores are negative log sums)")
+    if prune and mode == "classic":
+        # the MaxScore/block-max upper bounds are derived for the
+        # bm25/overlap tf curves; classic mode scores exhaustively
+        # (still df-bounded per query term)
+        raise ValueError("classic mode requires prune=False")
+    if decay is not None and (prune or mode != "bm25"):
+        # the decay multiplier rescales FINAL per-doc scores by a
+        # dl-dependent factor in (0, 1]; MaxScore bounds don't model
+        # it, and non-bm25 modes (negative or integer scores) would
+        # invert/break the intended demotion
+        raise ValueError("decay requires mode='bm25' and prune=False")
     qids, ranks, dids, scores = [], [], [], []
     for qid, qw in enumerate(qweights):
         if mode == "dirichlet":
@@ -159,6 +198,7 @@ def score_queries_over_postings(
             scores.extend(float(x) for x in s)
             continue
         per_term = []
+        dl_parts = []
         for term, w in qw:  # ascending term order = accumulation contract
             got = postings.get(term)
             if got is None:
@@ -166,12 +206,18 @@ def score_queries_over_postings(
             docs, tfs, dls = got
             if mode == "overlap":
                 contrib = (w * tfs).astype(np.int64)
+            elif mode == "classic":
+                idf = classic_idf(df.get(term, 0), n_docs)
+                contrib = classic_contrib(tfs, dls, idf, w)
             else:
                 idf = bm25_idf(df.get(term, 0), n_docs)
                 contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
             per_term.append((docs, contrib))
+            if decay is not None:
+                dl_parts.append((docs, dls))
         docs, sc = accumulate_scores(per_term)
         sc = _apply_boost(docs, sc, boost)
+        sc = _apply_decay(docs, sc, dl_parts, decay)
         d, s = topk(docs, sc, k)
         qids.extend([qid] * len(d))
         ranks.extend(range(1, len(d) + 1))
@@ -238,7 +284,8 @@ class SegmentScorer:
                  mu: float = 2000.0,
                  deleted: np.ndarray | None = None,
                  boost=None,
-                 keep: np.ndarray | None = None):
+                 keep: np.ndarray | None = None,
+                 decay=None):
         self.index_dir = index_dir
         self.k, self.mode = k, mode
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
@@ -246,6 +293,7 @@ class SegmentScorer:
         self.prune = prune
         self.cf, self.total_tokens, self.mu = cf, total_tokens, mu
         self.boost = boost
+        self.decay = decay
         # sorted unique tombstoned doc_ids (maintenance.delete_docs),
         # broadcast once per actor. Stats stay build-time — the
         # standard stale-stats-until-compaction semantics — but
@@ -317,7 +365,7 @@ class SegmentScorer:
             self.qweights, postings, max_tfs, self.df, self.n_docs,
             self.avgdl, self.k1, self.b, self.k, self.mode, self.prune,
             cf=self.cf, total_tokens=self.total_tokens, mu=self.mu,
-            boost=self.boost)
+            boost=self.boost, decay=self.decay)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = [self._score_part(int(p)) for p in batch["part"].to_pylist()]
@@ -335,6 +383,7 @@ def query_index(
     mu: float = 2000.0,
     boost=None,
     keep: np.ndarray | None = None,
+    decay=None,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
     the deterministic total order (-score, doc_id).
@@ -375,6 +424,16 @@ def query_index(
                 "are negative log sums; a factor would invert the "
                 "intended promotion)")
         scorer_kwargs["boost"] = boost
+    if prune and mode == "classic":
+        raise ValueError("classic mode requires prune=False (no "
+                         "MaxScore bounds for the sqrt(tf) curve)")
+    if decay is not None:
+        if prune or mode != "bm25":
+            raise ValueError(
+                "decay requires mode='bm25' and prune=False (the "
+                "dl-dependent multiplier isn't modeled by MaxScore "
+                "bounds and would invert non-positive score scales)")
+        scorer_kwargs["decay"] = decay
     if keep is not None:
         # normalize once driver-side so every scorer shares the sorted
         # unique form keep_postings' searchsorted requires

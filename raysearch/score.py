@@ -7,13 +7,20 @@ BM25 scores are bit-identical between engine and oracle — the
 rank-identity gate (BASELINE.json north_rule) then holds exactly, not
 within a tolerance.
 
-Two scoring modes:
+Scoring modes:
 - "bm25": Lucene-style BM25, idf = ln(1 + (N - df + 0.5)/(df + 0.5))
   (always positive), tf-norm = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
   Query-term multiplicity multiplies the contribution (the reference
   counts every query-token occurrence — src/lib.rs:383-399).
 - "overlap": the reference's integer score, score(doc) = sum over query
   token occurrences of tf(token, doc) (src/lib.rs:374-399).
+- "classic": Lucene ClassicSimilarity (the pre-6.0 TFIDFSimilarity
+  default): contribution = w * idf^2 * sqrt(tf) / sqrt(dl) with
+  idf = 1 + ln(N / (df + 1)). queryNorm and coord are omitted —
+  queryNorm is a per-query constant (rank-neutral) and coord was
+  removed in Lucene 7; the score CONTRACT here is the bare
+  tf*idf^2*fieldNorm sum, mirrored term-for-term by the oracle.
+- "dirichlet": see dirichlet_scores below.
 
 Tie-break is the deterministic total order (-score, doc_id); the
 reference's own tie order is HashMap-iteration nondeterminism
@@ -56,6 +63,21 @@ def bm25_contrib(tf: np.ndarray, dl: np.ndarray, idf: float, weight: int,
     dl = dl.astype(np.float64)
     denom = tf + k1 * (1.0 - b + b * (dl / avgdl))
     return (float(weight) * idf) * (tf * (k1 + 1.0)) / denom
+
+
+def classic_idf(df: float, n_docs: float) -> float:
+    """Lucene ClassicSimilarity idf: 1 + ln(N / (df + 1))."""
+    return float(1.0 + np.log(n_docs / (df + 1.0)))
+
+
+def classic_contrib(tf: np.ndarray, dl: np.ndarray, idf: float,
+                    weight: int) -> np.ndarray:
+    """Vectorized ClassicSimilarity contribution (float64):
+    w * idf^2 * sqrt(tf) / sqrt(dl). A posted doc always has dl >= 1,
+    so the field norm is finite."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return (float(weight) * (idf * idf)) * np.sqrt(tf) / np.sqrt(dl)
 
 
 def accumulate_scores(
@@ -105,6 +127,9 @@ def score_postings(
             continue
         if mode == "overlap":
             contrib = (w * tfs).astype(np.int64)
+        elif mode == "classic":
+            idf = classic_idf(df.get(term, 0), n_docs)
+            contrib = classic_contrib(tfs, dls, idf, w)
         else:
             idf = bm25_idf(df.get(term, 0), n_docs)
             contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
