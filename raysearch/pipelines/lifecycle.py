@@ -179,6 +179,38 @@ def compacted_topk(sf_dir: str) -> pa.Table:
     return topk_rounded_for_index(compacted_index(sf_dir), "bm25")
 
 
+def time_travel_topk(sf_dir: str) -> pa.Table:
+    """Snapshot (time-travel) query: BM25 top-k over the APPENDED
+    index AS OF the pre-append generation — results must equal a
+    plain build over the base half alone, even though the index now
+    also holds the appended half.
+
+    Works because the layout is append-only LSM (immutable segments;
+    an append only adds part dirs and rewrites stats/lexicon,
+    maintenance.append_index): the old generation IS the part subset
+    [0, offset). Collection stats for the snapshot are summed from
+    the retained per-part stats detail, and per-term df is re-derived
+    by summing the snapshot parts' own df columns (query_index's
+    `asof` path) — the post-append lexicon is never consulted, so no
+    future document leaks into N/avgdl/idf. The reference rebuilds
+    from scratch every run and has no generations at all
+    (/root/reference/src/main.rs:66-99)."""
+    from raysearch.stats import load_stats
+
+    idx = appended_index(sf_dir)
+    st = load_stats(idx)
+    base = [d for d in st["parts_detail"] if d["part"] < _NUM_PARTS]
+    n_docs = sum(d["n_docs"] for d in base)
+    sum_dl = sum(d["sum_dl"] for d in base)
+    return topk_rounded_for_index(idx, "bm25", asof={
+        "parts": [d["part"] for d in base],
+        "n_docs": n_docs,
+        # same float expression the base build stored (stats.py:52)
+        # and the oracle computes: sum(dl)::DOUBLE / count(*)
+        "avgdl": sum_dl / n_docs if n_docs else 0.0,
+    })
+
+
 def index_diff_stats(sf_dir: str) -> pa.Table:
     """Index-generation diff: per-term (df, cf) of the FULL index vs
     the post-compaction LIVE index (tombstones doc_id % DEL_MOD ==
@@ -248,6 +280,7 @@ QUERIES = {
     "appended_topk": appended_topk,
     "deleted_topk": deleted_topk,
     "compacted_topk": compacted_topk,
+    "time_travel_topk": time_travel_topk,
     "index_diff_stats": index_diff_stats,
 }
 
@@ -258,5 +291,9 @@ ORACLE_SQL = {
     "deleted_topk": sql_bm25_topk(scores_where=f"tf.{_LIVE}"),
     "compacted_topk": sql_bm25_topk(
         rel=f"(SELECT * FROM documents WHERE {_LIVE}) docs_live"),
+    # the snapshot generation is the even half (the base build of
+    # appended_index): the oracle is a one-shot build over it
+    "time_travel_topk": sql_bm25_topk(
+        rel="(SELECT * FROM documents WHERE doc_id % 2 = 0) docs_base"),
     "index_diff_stats": sql_index_diff_stats(),
 }

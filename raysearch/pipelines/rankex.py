@@ -1468,7 +1468,100 @@ WHERE h.n_present = qsize.n
 """
 
 
+def qpp_stats(sf_dir: str) -> pa.Table:
+    """Pre-retrieval query-performance prediction (He & Ounis 2004's
+    idf statistics; Zhao, Scholer & Tsegay 2008's SCQ): per query,
+    difficulty predictors computed ENTIRELY from the lexicon and the
+    collection stats — zero posting or text bytes. This is the
+    planning-time signal a query router uses to pick effort (prune
+    level, rescore depth, timeout) BEFORE touching postings; at
+    100 TB the lexicon read is the same term-filtered fragment read
+    every query already performs for df.
+
+    Columns per query: n_terms (distinct tokenized terms), n_present
+    (terms with df > 0), max_idf / avg_idf (BM25 idf over present
+    terms), scq (sum over present terms of (1 + ln cf) * idf).
+    Queries with no collection-present term emit no row (no evidence,
+    no prediction — the retrieval ops' convention)."""
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    cached_index)
+    from raysearch.numutil import round6
+    from raysearch.query import lexicon_cf, lexicon_df
+    from raysearch.score import bm25_idf, query_term_weights
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    n_docs = load_stats(idx)["n_docs"]
+    qterms = [[t for t, _ in query_term_weights(q)] for q in DOC_QUERIES]
+    all_terms = sorted({t for ts in qterms for t in ts})
+    df = lexicon_df(idx, all_terms)
+    cf = lexicon_cf(idx, all_terms)
+    out = {"query_id": [], "n_terms": [], "n_present": [],
+           "max_idf": [], "avg_idf": [], "scq": []}
+    for qid, ts in enumerate(qterms):
+        present = [t for t in ts if df.get(t, 0) > 0]
+        if not present:
+            continue
+        idfs = np.array([bm25_idf(df[t], n_docs) for t in present],
+                        np.float64)
+        cfs = np.array([float(cf[t]) for t in present], np.float64)
+        out["query_id"].append(qid)
+        out["n_terms"].append(len(ts))
+        out["n_present"].append(len(present))
+        out["max_idf"].append(round6(float(np.max(idfs))))
+        # avg mirrors SQL's avg(): sum / count
+        out["avg_idf"].append(round6(float(np.sum(idfs)) / len(present)))
+        out["scq"].append(round6(float(np.sum((1.0 + np.log(cfs))
+                                              * idfs))))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "n_terms": pa.array(out["n_terms"], pa.int64()),
+        "n_present": pa.array(out["n_present"], pa.int64()),
+        "max_idf": pa.array(out["max_idf"], pa.float64()),
+        "avg_idf": pa.array(out["avg_idf"], pa.float64()),
+        "scq": pa.array(out["scq"], pa.float64()),
+    })
+
+
+def _qpp_qvalues() -> str:
+    from raysearch.pipelines.search_queries import DOC_QUERIES
+    from raysearch.score import query_term_weights
+
+    rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for term, _ in query_term_weights(q):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+def sql_qpp_stats() -> str:
+    from raysearch.pipelines.search_queries import _TOK_CTES
+
+    idf = "ln(1 + (s.n_docs - lex.df + 0.5) / (lex.df + 0.5))"
+    return f"""
+WITH {_TOK_CTES},
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+lex AS (SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS cf
+        FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_qpp_qvalues()}),
+nt AS (SELECT query_id, count(*)::BIGINT AS n_terms
+       FROM q GROUP BY query_id),
+j AS (
+  SELECT q.query_id, {idf} AS idf, (1 + ln(lex.cf)) * {idf} AS scq_t
+  FROM q JOIN lex ON q.term = lex.term CROSS JOIN stats s
+)
+SELECT j.query_id::BIGINT AS query_id, nt.n_terms,
+       count(*)::BIGINT AS n_present,
+       round(max(idf), 6) AS max_idf,
+       round(avg(idf), 6) AS avg_idf,
+       round(sum(scq_t), 6) AS scq
+FROM j JOIN nt USING (query_id)
+GROUP BY j.query_id, nt.n_terms
+"""
+
+
 QUERIES = {
+    "qpp_stats": qpp_stats,
     "dismax_topk": dismax_topk,
     "fuzzy_topk": fuzzy_topk,
     "prefix_topk": prefix_topk,
@@ -1482,6 +1575,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "qpp_stats": sql_qpp_stats(),
     "dismax_topk": sql_dismax_topk(),
     "fuzzy_topk": sql_fuzzy_topk(),
     "prefix_topk": sql_prefix_topk(),

@@ -203,7 +203,8 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
                            rank_hi: int = TOPK,
                            buffer: int = _TOPK_BUFFER,
                            queries=None, boost=None,
-                           keep=None, decay=None) -> pa.Table:
+                           keep=None, decay=None,
+                           asof=None) -> pa.Table:
     """DOC_QUERIES top-k over an already-built index with the oracle's
     rounding/tie contract — shared by the sf_dir-cached entries here,
     the index-lifecycle entries (pipelines/lifecycle.py), the
@@ -214,7 +215,7 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
 
     raw = query_index(idx, queries if queries is not None
                       else DOC_QUERIES, k=buffer, mode=mode,
-                      boost=boost, keep=keep, decay=decay)
+                      boost=boost, keep=keep, decay=decay, asof=asof)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],

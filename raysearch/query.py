@@ -98,6 +98,43 @@ def lexicon_cf(index_dir: str, terms: list[str]) -> dict[str, int]:
     return dict(zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist()))
 
 
+def asof_df(index_dir: str, parts, terms: list[str]) -> dict[str, int]:
+    """Per-generation global df for a snapshot (time-travel) query:
+    the sum of each snapshot part's PER-PART df for the query terms.
+    Segments are immutable, so the subset sum IS the df the lexicon
+    held at that generation. One tiny fan-out over the snapshot parts
+    (term-filtered reads of the posting files' narrow (term, df)
+    columns — terms x parts rows), never the current global lexicon,
+    which already includes later generations."""
+    import ray.data
+
+    from raysearch.segments import read_postings
+
+    if not terms:
+        return {}
+
+    def kern(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["part"].to_pylist():
+            pdir = part_dirname(index_dir, int(p))
+            if os.path.isdir(pdir):
+                outs.append(read_postings(pdir, terms,
+                                          columns=["term", "df"]))
+        if not outs:
+            return pa.table({"term": pa.array([], pa.large_string()),
+                             "df": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    parts_ds = ray.data.from_items([{"part": int(p)} for p in parts])
+    tbl = pa.concat_tables(
+        parts_ds.map_batches(kern, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    if len(tbl) == 0:
+        return {}
+    agg = tbl.group_by("term").aggregate([("df", "sum")])
+    return dict(zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist()))
+
+
 def _apply_boost(docs: np.ndarray, sc: np.ndarray, boost):
     """Static document boost (Lucene-style query-time boost list):
     multiply the FINAL accumulated score of every doc in the sorted
@@ -384,6 +421,7 @@ def query_index(
     boost=None,
     keep: np.ndarray | None = None,
     decay=None,
+    asof: dict | None = None,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
     the deterministic total order (-score, doc_id).
@@ -405,13 +443,34 @@ def query_index(
         parts = list_segment_parts(index_dir)
     all_terms = sorted({t for q in queries
                         for t, _ in as_qweights(q)})
-    df = lexicon_df(index_dir, all_terms)
+    if asof is not None:
+        # time-travel (snapshot) query: segments are immutable and
+        # append-only (maintenance.append_index numbers new parts
+        # after the old — the LSM layout), so a past generation IS a
+        # part subset. Collection stats come from the caller (summed
+        # from the per-part stats detail of the snapshot parts) and
+        # df is re-derived by summing the PER-PART df column over the
+        # snapshot parts (one tiny fan-out, terms x parts rows) —
+        # never the post-append global lexicon, whose df/N/avgdl
+        # would leak future documents into the scores.
+        if mode == "dirichlet":
+            raise ValueError("asof supports bm25/overlap/classic "
+                             "(per-generation cf is not reconstructed)")
+        parts = sorted(asof["parts"])
+        if not set(parts) <= set(stats.get("parts") or parts):
+            raise ValueError("asof parts not in the index")
+        df = asof.get("df")
+        if df is None:
+            df = asof_df(index_dir, parts, all_terms)
+    else:
+        df = lexicon_df(index_dir, all_terms)
     if concurrency is None:
         concurrency = max(1, min(len(parts), 16))
     parts_ds = ray.data.from_items([{"part": p} for p in parts])
     scorer_kwargs = dict(
         index_dir=index_dir, queries=queries, k=k, mode=mode, df=df,
-        n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+        n_docs=(asof["n_docs"] if asof is not None else stats["n_docs"]),
+        avgdl=(asof["avgdl"] if asof is not None else stats["avgdl"]),
         k1=cfg["k1"], b=cfg["b"], prune=prune)
     if boost is not None:
         if prune:

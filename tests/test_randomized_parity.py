@@ -153,7 +153,8 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "span_not_topk", "common_terms_topk", "map_mrr_eval",
             "index_diff_stats", "subtoken_stats",
             "range_facet_counts", "terms_agg_topk",
-            "classic_topk", "decay_topk"]
+            "classic_topk", "decay_topk",
+            "time_travel_topk", "qpp_stats"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
