@@ -1560,8 +1560,222 @@ GROUP BY j.query_id, nt.n_terms
 """
 
 
+# ---- multi-field retrieval (ES multi_match "most_fields") ----
+
+# the derived title field: the leading TITLE_K tokens of each doc (a
+# deterministic second field on this schema; on the north-rule code
+# mandate's (repo, path, commit, lang, content) table the title field
+# is simply `path` — same plan, no derivation). Field weights are
+# exactly representable so engine and oracle multiply bit-identically.
+TITLE_K = 8
+W_TITLE, W_BODY = 2.0, 1.0
+
+
+def _title_corpus(sf_dir: str):
+    """documents -> (doc_id, content = the first TITLE_K tokens
+    re-joined). Vectorized: list_slice over the tokenized ListArray +
+    one binary_join — no per-row Python."""
+    import ray.data
+
+    from raysearch.pipelines.textops import _tokens
+
+    def head(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        content = pc.binary_join(
+            pc.list_slice(toks, 0, TITLE_K),
+            pa.scalar(" ", pa.large_string()))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "content": pc.cast(content, pa.string())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(head, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def cached_title_index(sf_dir: str) -> str:
+    """Build (or resume) the TITLE-field segment index — same build
+    pipeline and num_parts as cached_index, so part p of the title
+    index holds exactly the docs of part p of the body index (same
+    doc-hash partitioning), and a per-part field-sum is final."""
+    import hashlib
+
+    from raysearch.build import build_index
+    from raysearch.config import IndexConfig
+    from raysearch.pipelines.search_queries import (B, K1, _docs_path,
+                                                    _source_fingerprint)
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp", "raysearch_cache", f"docidx-{key}-title")
+    os.makedirs(idx, exist_ok=True)
+    cfg = IndexConfig(num_parts=8, k1=K1, b=B)
+    input_id = (f"title:{TITLE_K}:{os.path.abspath(sf_dir)}"
+                f"@{_source_fingerprint(_docs_path(sf_dir))}")
+    build_index(_title_corpus(sf_dir), idx, cfg, input_id=input_id)
+    return idx
+
+
+@fmt_doc(K=TITLE_K, wt=W_TITLE, wb=W_BODY)
+def multifield_topk(sf_dir: str) -> pa.Table:
+    """Multi-field retrieval (the ES multi_match "most_fields" /
+    Lucene per-field BM25 sum — the sibling of dismax_topk's
+    "best_fields" max): score(q,d) = {wb} * bm25_body(q,d) + {wt} *
+    bm25_title(q,d), where the title field is the doc's leading-{K}
+    token prefix indexed as its OWN segment index with its own field
+    statistics (title df/N/avgdl), exactly Lucene's per-field norms.
+
+    Exactness of the distributed plan: both indexes share doc-hash
+    partitioning (same num_parts/salt), so part p holds the same docs
+    in both fields; the field-sum is computed part-locally over the
+    union of the part's candidates and per-part top-k is final — no
+    cross-part score re-aggregation, no post-hoc merge of per-field
+    top-k lists (a doc strong in both fields but top-k in neither
+    would escape that rewrite; it cannot escape this one)."""
+    import ray.data  # noqa: F401  (fan-out lives in _parts_candidates)
+
+    from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
+                                                    DOC_QUERIES,
+                                                    cached_index)
+    from raysearch.query import lexicon_df
+    from raysearch.score import query_term_weights, score_postings, topk
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    bidx = cached_index(sf_dir)
+    tidx = cached_title_index(sf_dir)
+    stb, stt = load_stats(bidx), load_stats(tidx)
+    assert stb["config"]["num_parts"] == stt["config"]["num_parts"]
+    k1, b = stb["config"]["k1"], stb["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    df_b = lexicon_df(bidx, all_terms)
+    df_t = lexicon_df(tidx, all_terms)
+
+    def _posts(idx: str, part: int) -> dict:
+        pdir = part_dirname(idx, part)
+        if not os.path.isdir(pdir):
+            return {}
+        tbl = read_postings(pdir, all_terms, columns=SCORER_COLUMNS)
+        return {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                for i in range(tbl.num_rows)}
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            pb = _posts(bidx, int(part))
+            pt = _posts(tidx, int(part))
+            if not pb and not pt:
+                continue
+            for qid, qw in enumerate(qweights):
+                db, sb = score_postings(qw, pb.get, df_b,
+                                        stb["n_docs"], stb["avgdl"],
+                                        k1, b, mode="bm25")
+                dt, st_ = score_postings(qw, pt.get, df_t,
+                                         stt["n_docs"], stt["avgdl"],
+                                         k1, b, mode="bm25")
+                if not len(db) and not len(dt):
+                    continue
+                # field sum over the union — body contribution first,
+                # matching the oracle's W_BODY*b + W_TITLE*t order
+                docs = np.concatenate([db, dt])
+                contrib = np.concatenate([W_BODY * sb, W_TITLE * st_])
+                uniq, inv = np.unique(docs, return_inverse=True)
+                comb = np.zeros(len(uniq), np.float64)
+                np.add.at(comb, inv, contrib)
+                d, s = topk(uniq.astype(np.int64), comb, _TOPK_BUFFER)
+                out_q.extend([qid] * len(d))
+                out_d.extend(d.tolist())
+                out_s.extend(float(x) for x in s)
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    return _ranked_from_candidates(_parts_candidates(bidx, kern))
+
+
+def sql_multifield_topk() -> str:
+    from raysearch.pipelines.search_queries import (B, K1, TOPK,
+                                                    _TOK_CTES,
+                                                    _qterms_values)
+
+    def bm25(tf, dfr, dl, avg):
+        return (f"sum(q.w * ln(1 + (s.n_docs - {dfr}.df + 0.5) / "
+                f"({dfr}.df + 0.5)) * ({tf}.tf * ({K1} + 1)) / "
+                f"({tf}.tf + {K1} * (1 - {B} + {B} * {dl}.dl / {avg})))")
+
+    return f"""
+WITH {_TOK_CTES},
+ttok AS (
+  SELECT doc_id,
+         unnest((regexp_extract_all(lower(text), '\\S+'))[1:{TITLE_K}])
+           AS term
+  FROM documents
+),
+tdl AS (
+  SELECT doc_id,
+         least(len(regexp_extract_all(text, '\\S+')),
+               {TITLE_K})::BIGINT AS dl
+  FROM documents
+),
+ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM ttok GROUP BY doc_id, term),
+bdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl_b,
+         (SELECT sum(dl) FROM tdl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl_t
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+bscore AS (
+  SELECT q.query_id, tf.doc_id, {bm25('tf', 'bdf', 'dl', 's.avgdl_b')}
+           AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN bdf ON q.term = bdf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+tscore AS (
+  SELECT q.query_id, ttf.doc_id, {bm25('ttf', 'tdf', 'tdl', 's.avgdl_t')}
+           AS score
+  FROM q
+  JOIN ttf ON q.term = ttf.term
+  JOIN tdf ON q.term = tdf.term
+  JOIN tdl ON ttf.doc_id = tdl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, ttf.doc_id
+),
+comb AS (
+  SELECT coalesce(b.query_id, t.query_id) AS query_id,
+         coalesce(b.doc_id, t.doc_id) AS doc_id,
+         coalesce(b.score, 0) * {W_BODY}
+           + coalesce(t.score, 0) * {W_TITLE} AS score
+  FROM bscore b
+  FULL OUTER JOIN tscore t
+    ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM comb
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "qpp_stats": qpp_stats,
+    "multifield_topk": multifield_topk,
     "dismax_topk": dismax_topk,
     "fuzzy_topk": fuzzy_topk,
     "prefix_topk": prefix_topk,
@@ -1576,6 +1790,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "qpp_stats": sql_qpp_stats(),
+    "multifield_topk": sql_multifield_topk(),
     "dismax_topk": sql_dismax_topk(),
     "fuzzy_topk": sql_fuzzy_topk(),
     "prefix_topk": sql_prefix_topk(),

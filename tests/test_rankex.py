@@ -302,3 +302,55 @@ def test_ndcg_in_unit_interval_and_self_consistent(ray_session):
     assert (nd.dcg <= nd.idcg + 1e-9).all()
     # idcg > 0 whenever the query matched anything
     assert (nd.idcg > 0).all()
+
+
+def test_multifield_title_weight_reorders(ray_session, tmp_path):
+    """A doc whose only 'hash join' evidence sits in its leading-8
+    token prefix (the title field) must outrank a doc with the same
+    evidence buried past the prefix: per-field stats + the 2x title
+    weight are real, not a relabeled body score. Also pins oracle
+    parity on a corpus with empty/unicode/multiline docs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from raysearch.pipelines import rankex as RX
+    from raysearch.pipelines import search_queries as SQ
+
+    pad = " ".join(["pad"] * 10)
+    texts = [
+        "hash join " + pad,            # 0: terms in title AND body
+        pad + " hash join",            # 1: terms past the prefix (body only)
+        "hash " + pad,                 # 2: one term in title
+        "naïve café\n日本語 join",      # 3: unicode + newline
+        "",                            # 4: empty
+        "merge sort stream " + pad,
+    ] * 3
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["t"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    sf = str(tmp_path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    eng = RX.multifield_topk(sf).to_pandas()
+    ora = con.execute(RX.sql_multifield_topk()).df()
+    norm = lambda d: (d[sorted(d.columns)]
+                      .assign(score=lambda x: x.score.round(6))
+                      .sort_values(sorted(d.columns), ignore_index=True))
+    pd.testing.assert_frame_equal(norm(eng), norm(ora),
+                                  check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-6)
+    q0 = eng[eng.query_id == 0].sort_values("rank")  # 'Fast hash join?'
+    r = {d: rk for d, rk in zip(q0.doc_id % 6, q0["rank"])}
+    assert r[0] < r[1]  # title+body beats body-only
+    # and the combined ranking is not the plain body ranking
+    bm = SQ.bm25_topk(sf).to_pandas()
+    j = eng.merge(bm, on=["query_id", "doc_id"], suffixes=("_mf", "_b"))
+    assert len(j) and not np.allclose(j.score_mf, j.score_b)
