@@ -113,8 +113,24 @@ def cmd_query(args) -> None:
 
         boost = (static_boost_ids(args.index, args.boost_term),
                  args.boost_factor)
+    if args.prune and args.mode == "classic":
+        raise SystemExit("--mode classic requires prune=False (no "
+                         "MaxScore bounds for the sqrt(tf) curve)")
+    decay = None
+    if getattr(args, "decay", None):
+        if args.prune or args.mode != "bm25":
+            raise SystemExit("--decay requires --mode bm25 and no "
+                             "--prune")
+        try:
+            origin, scale = (float(x) for x in args.decay.split(","))
+        except ValueError:
+            raise SystemExit("--decay expects ORIGIN,SCALE "
+                             "(e.g. 50,40)") from None
+        if scale <= 0:
+            raise SystemExit("--decay SCALE must be > 0")
+        decay = (origin, scale)
     out = query_index(args.index, queries, k=args.k, mode=args.mode,
-                      prune=args.prune, boost=boost)
+                      prune=args.prune, boost=boost, decay=decay)
     if args.out:
         import pyarrow.parquet as pq
 
@@ -402,13 +418,17 @@ def main(argv=None) -> None:
                    help="file of queries, one per line (reference "
                         "queries.txt format)")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["bm25", "overlap", "dirichlet"],
+    q.add_argument("--mode",
+                   choices=["bm25", "overlap", "dirichlet", "classic"],
                    default="bm25")
     q.add_argument("--prune", action="store_true")
     q.add_argument("--boost-term", default=None,
                    help="docs containing this term score x "
                         "--boost-factor (bm25/overlap, not --prune)")
     q.add_argument("--boost-factor", type=float, default=1.5)
+    q.add_argument("--decay", default=None, metavar="ORIGIN,SCALE",
+                   help="gauss length decay: score x 0.5^(((dl-ORIGIN)"
+                        "/SCALE)^2) (bm25 only, not --prune)")
     q.add_argument("--out", default=None,
                    help="write results parquet here instead of stdout")
     q.set_defaults(fn=cmd_query)
@@ -416,7 +436,8 @@ def main(argv=None) -> None:
     s = sub.add_parser("serve")
     s.add_argument("--index", required=True)
     s.add_argument("--k", type=int, default=10)
-    s.add_argument("--mode", choices=["bm25", "overlap", "dirichlet"],
+    s.add_argument("--mode",
+                   choices=["bm25", "overlap", "dirichlet", "classic"],
                    default="bm25")
     s.add_argument("--actors", type=int, default=None)
     s.set_defaults(fn=cmd_serve)

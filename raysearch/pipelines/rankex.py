@@ -1773,9 +1773,91 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def sorted_topk(sf_dir: str) -> pa.Table:
+    """Field-sorted retrieval (the ES `sort: [{field: desc}]` shape /
+    Lucene Sort-by-docvalues with a filter query): per query, the
+    top-10 MATCHING docs (>= 1 query term — the filter context; no
+    relevance score) ordered by (dl DESC, doc_id ASC), dl being the
+    doc-length docvalue the index already stores alongside every
+    posting — zero text bytes, candidates df-bounded.
+
+    Exactness: a doc lives in one part, per-part top-k under a total
+    order merges associatively (same argument as every k-bounded
+    fan-out here). At 100 TB the Lucene answer is index SORTING
+    (write segments in field order so the scan early-terminates);
+    this query-time form is the semantics contract that such a
+    sorted-segment optimization must preserve."""
+    import ray.data  # noqa: F401  (fan-out lives in _parts_candidates)
+
+    from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
+                                                    DOC_QUERIES,
+                                                    cached_index)
+    from raysearch.score import query_term_weights, topk
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+
+    idx = cached_index(sf_dir)
+    qterms = [[t for t, _ in query_term_weights(q)] for q in DOC_QUERIES]
+    all_terms = sorted({t for ts in qterms for t in ts})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            pdir = part_dirname(idx, int(part))
+            if not os.path.isdir(pdir):
+                continue
+            tbl = read_postings(pdir, all_terms, columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, ts in enumerate(qterms):
+                got = [post[t] for t in ts if t in post]
+                if not got:
+                    continue
+                docs = np.concatenate([g[0] for g in got])
+                dls = np.concatenate([g[2] for g in got])
+                uniq, first = np.unique(docs, return_index=True)
+                d, s = topk(uniq.astype(np.int64),
+                            dls[first].astype(np.float64), _TOPK_BUFFER)
+                out_q.extend([qid] * len(d))
+                out_d.extend(d.tolist())
+                out_s.extend(float(x) for x in s)
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    cand = _parts_candidates(idx, kern)
+    cand = cand.assign(score=cand["score"].astype(np.int64))
+    out = _ranked_from_candidates(cand, score_int=True)
+    return out.rename_columns(["query_id", "doc_id", "rank", "dl"])
+
+
+def sql_sorted_topk() -> str:
+    from raysearch.pipelines.search_queries import (TOPK, _TOK_CTES,
+                                                    _qterms_values)
+
+    return f"""
+WITH {_TOK_CTES},
+q(query_id, term, w) AS (VALUES {_qterms_values(False)}),
+cand AS (SELECT DISTINCT q.query_id, tf.doc_id
+         FROM q JOIN tf ON q.term = tf.term),
+ranked AS (
+  SELECT cand.query_id, cand.doc_id, dl.dl,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY dl.dl DESC, cand.doc_id) AS rank
+  FROM cand JOIN dl ON dl.doc_id = cand.doc_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, dl
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "qpp_stats": qpp_stats,
     "multifield_topk": multifield_topk,
+    "sorted_topk": sorted_topk,
     "dismax_topk": dismax_topk,
     "fuzzy_topk": fuzzy_topk,
     "prefix_topk": prefix_topk,
@@ -1791,6 +1873,7 @@ QUERIES = {
 ORACLE_SQL = {
     "qpp_stats": sql_qpp_stats(),
     "multifield_topk": sql_multifield_topk(),
+    "sorted_topk": sql_sorted_topk(),
     "dismax_topk": sql_dismax_topk(),
     "fuzzy_topk": sql_fuzzy_topk(),
     "prefix_topk": sql_prefix_topk(),
