@@ -33,7 +33,7 @@ _PIPELINE_MODULES = (
     "relational_ext", "graph", "perplexity", "stats", "quantize",
     "crossmodal", "embstats", "lifecycle", "nbayes", "grouping",
     "cooccur", "pq", "explain", "io_formats", "rankex", "trigram",
-    "significance", "pruning", "spanex", "aggx",
+    "significance", "pruning", "spanex", "aggx", "suggest",
 )
 
 
