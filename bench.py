@@ -122,7 +122,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "range_facet_counts", "terms_agg_topk",
           "classic_topk", "decay_topk",
           "time_travel_topk", "qpp_stats", "multifield_topk",
-          "sorted_topk", "phrase_suggest"]
+          "sorted_topk", "phrase_suggest", "jm_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -113,9 +113,9 @@ def cmd_query(args) -> None:
 
         boost = (static_boost_ids(args.index, args.boost_term),
                  args.boost_factor)
-    if args.prune and args.mode == "classic":
-        raise SystemExit("--mode classic requires prune=False (no "
-                         "MaxScore bounds for the sqrt(tf) curve)")
+    if args.prune and args.mode in ("classic", "jm"):
+        raise SystemExit(f"--mode {args.mode} requires prune=False "
+                         "(no MaxScore bounds for its tf curve)")
     decay = None
     if getattr(args, "decay", None):
         if args.prune or args.mode != "bm25":
@@ -419,7 +419,8 @@ def main(argv=None) -> None:
                         "queries.txt format)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode",
-                   choices=["bm25", "overlap", "dirichlet", "classic"],
+                   choices=["bm25", "overlap", "dirichlet", "classic",
+                            "jm"],
                    default="bm25")
     q.add_argument("--prune", action="store_true")
     q.add_argument("--boost-term", default=None,
@@ -437,7 +438,8 @@ def main(argv=None) -> None:
     s.add_argument("--index", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode",
-                   choices=["bm25", "overlap", "dirichlet", "classic"],
+                   choices=["bm25", "overlap", "dirichlet", "classic",
+                            "jm"],
                    default="bm25")
     s.add_argument("--actors", type=int, default=None)
     s.set_defaults(fn=cmd_serve)

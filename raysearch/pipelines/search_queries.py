@@ -939,6 +939,17 @@ def dirichlet_topk(sf_dir: str) -> pa.Table:
 
 # ---- oracle SQL ----
 
+def jm_topk(sf_dir: str) -> pa.Table:
+    """Jelinek-Mercer query-likelihood top-10 per query (Lucene
+    LMJelinekMercerSimilarity, lambda = 0.1) — the FIFTH scoring mode:
+    score(q,d) = sum_t w_t * ln(1 + ((1-lambda)*tf/dl) /
+    (lambda*cf_t/C)). Unlike dirichlet, a tf = 0 term contributes
+    ln(1) = 0, so candidate-only scoring is exact per segment and the
+    standard per-term posting loop applies; global cf/C broadcast
+    beside df (the dirichlet plumbing, raysearch/query.py)."""
+    return _topk_rounded(sf_dir, "jm")
+
+
 def classic_topk(sf_dir: str) -> pa.Table:
     """Lucene ClassicSimilarity (pre-6.0 TFIDFSimilarity) top-10 per
     query — the fourth scoring mode (bm25/overlap/dirichlet/classic):
@@ -1141,6 +1152,36 @@ FROM ranked WHERE rank <= {TOPK}
 
 def sql_paged_topk() -> str:
     return sql_bm25_topk(rank_lo=PAGE2_LO, rank_hi=PAGE2_HI)
+
+
+def sql_jm_topk() -> str:
+    from raysearch.score import JM_LAMBDA as LAM
+
+    return f"""
+WITH {_TOK_CTES},
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + ((1 - {LAM}) * tf.tf / dl.dl)
+                      / ({LAM} * cf.cf / tot.c))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN cf ON q.term = cf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN tot
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def sql_classic_topk() -> str:
@@ -2644,6 +2685,7 @@ QUERIES = {
     "boosted_topk": boosted_topk,
     "dirichlet_topk": dirichlet_topk,
     "classic_topk": classic_topk,
+    "jm_topk": jm_topk,
     "decay_topk": decay_topk,
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
@@ -2677,6 +2719,7 @@ ORACLE_SQL = {
     "boosted_topk": sql_boosted_topk(),
     "dirichlet_topk": sql_dirichlet_topk(),
     "classic_topk": sql_classic_topk(),
+    "jm_topk": sql_jm_topk(),
     "decay_topk": sql_decay_topk(),
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),

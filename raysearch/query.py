@@ -47,6 +47,7 @@ from raysearch.score import (
     bm25_idf,
     classic_contrib,
     classic_idf,
+    jm_contrib,
     topk,
 )
 from raysearch.segments import (SCORER_COLUMNS, SCORER_COLUMNS_BMW,
@@ -200,11 +201,11 @@ def score_queries_over_postings(
         # rather than silently invert the Lucene-boost semantics
         raise ValueError("boost supports bm25/overlap only "
                          "(dirichlet scores are negative log sums)")
-    if prune and mode == "classic":
+    if prune and mode in ("classic", "jm"):
         # the MaxScore/block-max upper bounds are derived for the
-        # bm25/overlap tf curves; classic mode scores exhaustively
+        # bm25/overlap tf curves; classic/jm modes score exhaustively
         # (still df-bounded per query term)
-        raise ValueError("classic mode requires prune=False")
+        raise ValueError(f"{mode} mode requires prune=False")
     if decay is not None and (prune or mode != "bm25"):
         # the decay multiplier rescales FINAL per-doc scores by a
         # dl-dependent factor in (0, 1]; MaxScore bounds don't model
@@ -246,6 +247,9 @@ def score_queries_over_postings(
             elif mode == "classic":
                 idf = classic_idf(df.get(term, 0), n_docs)
                 contrib = classic_contrib(tfs, dls, idf, w)
+            elif mode == "jm":
+                contrib = jm_contrib(tfs, dls, (cf or {}).get(term, 0),
+                                     total_tokens, w)
             else:
                 idf = bm25_idf(df.get(term, 0), n_docs)
                 contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
@@ -358,7 +362,8 @@ class SegmentScorer:
         if not os.path.isdir(part_dir):
             return RESULT_SCHEMA.empty_table()
         if (self.prune and self.deleted is None and self.keep is None
-                and self.mode != "dirichlet" and has_block_meta(part_dir)):
+                and self.mode in ("bm25", "overlap")
+                and has_block_meta(part_dir)):
             # stored block-max skip path: posting rows stay ENCODED;
             # wand.pruned_topk_blockmax decodes only the blocks its
             # interval sweep proves can matter. Tombstones fall back
@@ -453,7 +458,7 @@ def query_index(
         # snapshot parts (one tiny fan-out, terms x parts rows) —
         # never the post-append global lexicon, whose df/N/avgdl
         # would leak future documents into the scores.
-        if mode == "dirichlet":
+        if mode in ("dirichlet", "jm"):
             raise ValueError("asof supports bm25/overlap/classic "
                              "(per-generation cf is not reconstructed)")
         parts = sorted(asof["parts"])
@@ -483,9 +488,9 @@ def query_index(
                 "are negative log sums; a factor would invert the "
                 "intended promotion)")
         scorer_kwargs["boost"] = boost
-    if prune and mode == "classic":
-        raise ValueError("classic mode requires prune=False (no "
-                         "MaxScore bounds for the sqrt(tf) curve)")
+    if prune and mode in ("classic", "jm"):
+        raise ValueError(f"{mode} mode requires prune=False (no "
+                         "MaxScore bounds for its tf curve)")
     if decay is not None:
         if prune or mode != "bm25":
             raise ValueError(
@@ -498,7 +503,7 @@ def query_index(
         # unique form keep_postings' searchsorted requires
         scorer_kwargs["keep"] = np.unique(
             np.asarray(keep, dtype=np.int64))
-    if mode == "dirichlet":
+    if mode in ("dirichlet", "jm"):
         scorer_kwargs["cf"] = lexicon_cf(index_dir, all_terms)
         scorer_kwargs["total_tokens"] = stats["total_tokens"]
         scorer_kwargs["mu"] = mu

@@ -20,6 +20,13 @@ Scoring modes:
   queryNorm is a per-query constant (rank-neutral) and coord was
   removed in Lucene 7; the score CONTRACT here is the bare
   tf*idf^2*fieldNorm sum, mirrored term-for-term by the oracle.
+- "jm": Lucene LMJelinekMercerSimilarity (Zhai & Lafferty's other
+  query-likelihood smoothing): contribution = w * ln(1 +
+  ((1 - lambda) * tf / dl) / (lambda * cf / C)), lambda = 0.1 (the
+  Lucene default). tf = 0 contributes ln(1) = 0, so — unlike
+  dirichlet — candidate-only scoring is exact and the per-term
+  posting loop applies unchanged; needs global cf and C broadcast
+  beside df.
 - "dirichlet": see dirichlet_scores below.
 
 Tie-break is the deterministic total order (-score, doc_id); the
@@ -78,6 +85,22 @@ def classic_contrib(tf: np.ndarray, dl: np.ndarray, idf: float,
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
     return (float(weight) * (idf * idf)) * np.sqrt(tf) / np.sqrt(dl)
+
+
+JM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity default
+
+
+def jm_contrib(tf: np.ndarray, dl: np.ndarray, cf: int, total_tokens: int,
+               weight: int, lam: float = JM_LAMBDA) -> np.ndarray:
+    """Vectorized Jelinek-Mercer contribution (float64), mirroring the
+    oracle SQL term-for-term:
+    w * ln(1 + ((1 - lam) * tf / dl) / (lam * cf / C)).
+    A posting row implies tf >= 1 and cf >= tf, so the denominator is
+    positive."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    den = lam * cf / float(total_tokens)
+    return float(weight) * np.log(1.0 + ((1.0 - lam) * tf / dl) / den)
 
 
 def accumulate_scores(

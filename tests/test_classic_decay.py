@@ -103,6 +103,22 @@ def test_decay_past_buffer_entrance(ray_session, tmp_path):
     assert 45 not in set(bm[bm.query_id == 0].doc_id)  # outside raw top-k
 
 
+def test_jm_adversarial_parity(ray_session, tmp_path):
+    sf = _docs(tmp_path, ADVERSARIAL * 3)
+    _parity(sf, SQ.jm_topk, SQ.sql_jm_topk())
+
+
+def test_jm_differs_from_dirichlet(ray_session, tmp_path):
+    """Same query-likelihood family, different smoothing: the two
+    modes must not produce identical score columns."""
+    sf = _docs(tmp_path, ADVERSARIAL * 3)
+    jm = SQ.jm_topk(sf).to_pandas()
+    di = SQ.dirichlet_topk(sf).to_pandas()
+    assert not np.allclose(
+        jm.sort_values(["query_id", "rank"]).score.to_numpy(),
+        di.sort_values(["query_id", "rank"]).score.to_numpy())
+
+
 def test_mode_guards(ray_session, tmp_path):
     sf = _docs(tmp_path, ADVERSARIAL)
     idx = SQ.cached_index(sf)
@@ -110,6 +126,8 @@ def test_mode_guards(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="classic"):
         query_index(idx, ["hash join"], mode="classic", prune=True)
+    with pytest.raises(ValueError, match="jm"):
+        query_index(idx, ["hash join"], mode="jm", prune=True)
     with pytest.raises(ValueError, match="decay"):
         query_index(idx, ["hash join"], mode="overlap",
                     decay=(50.0, 40.0))
