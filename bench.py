@@ -122,7 +122,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "range_facet_counts", "terms_agg_topk",
           "classic_topk", "decay_topk",
           "time_travel_topk", "qpp_stats", "multifield_topk",
-          "sorted_topk", "phrase_suggest", "jm_topk"]
+          "sorted_topk", "phrase_suggest", "jm_topk",
+          "dfr_topk", "boolean_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

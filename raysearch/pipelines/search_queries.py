@@ -227,7 +227,7 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
         "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
         "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
     }
-    if mode == "overlap":
+    if mode in ("overlap", "boolean"):
         out["score"] = pa.array(df.score.to_numpy(np.int64), pa.int64())
     else:
         out["score"] = pa.array(df.score.to_numpy(np.float64), pa.float64())
@@ -939,6 +939,26 @@ def dirichlet_topk(sf_dir: str) -> pa.Table:
 
 # ---- oracle SQL ----
 
+def dfr_topk(sf_dir: str) -> pa.Table:
+    """DFR InL2 top-10 per query (Lucene DFRSimilarity, the
+    divergence-from-randomness family): tfn = tf*log2(1 + avgdl/dl),
+    score(q,d) = sum_t w_t * (tfn/(tfn+1)) * log2((N+1)/(df_t+0.5)).
+    With bm25/classic/dirichlet/jm this makes every major Lucene
+    similarity family available as a mode; same doc-partitioned
+    fan-out, exhaustive by contract (prune guard)."""
+    return _topk_rounded(sf_dir, "dfr")
+
+
+def boolean_topk(sf_dir: str) -> pa.Table:
+    """Lucene BooleanSimilarity top-10 per query: every matched term
+    contributes exactly its query weight (tf ignored) — the weighted
+    coordination count, an integer score like the reference's overlap
+    mode but frequency-blind. Ties are rampant by construction; the
+    (-score, doc_id) total order keeps engine and oracle
+    deterministic."""
+    return _topk_rounded(sf_dir, "boolean")
+
+
 def jm_topk(sf_dir: str) -> pa.Table:
     """Jelinek-Mercer query-likelihood top-10 per query (Lucene
     LMJelinekMercerSimilarity, lambda = 0.1) — the FIFTH scoring mode:
@@ -1152,6 +1172,59 @@ FROM ranked WHERE rank <= {TOPK}
 
 def sql_paged_topk() -> str:
     return sql_bm25_topk(rank_lo=PAGE2_LO, rank_hi=PAGE2_HI)
+
+
+def sql_dfr_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ((tf.tf * log2(1 + s.avgdl / dl.dl))
+                    / (tf.tf * log2(1 + s.avgdl / dl.dl) + 1))
+             * log2((s.n_docs + 1) / (dfq.df + 0.5))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfq ON q.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_boolean_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+q(query_id, term, w) AS (VALUES {_qterms_values(False)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum(q.w)::BIGINT AS score
+  FROM q JOIN tf ON q.term = tf.term
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def sql_jm_topk() -> str:
@@ -2686,6 +2759,8 @@ QUERIES = {
     "dirichlet_topk": dirichlet_topk,
     "classic_topk": classic_topk,
     "jm_topk": jm_topk,
+    "dfr_topk": dfr_topk,
+    "boolean_topk": boolean_topk,
     "decay_topk": decay_topk,
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
@@ -2720,6 +2795,8 @@ ORACLE_SQL = {
     "dirichlet_topk": sql_dirichlet_topk(),
     "classic_topk": sql_classic_topk(),
     "jm_topk": sql_jm_topk(),
+    "dfr_topk": sql_dfr_topk(),
+    "boolean_topk": sql_boolean_topk(),
     "decay_topk": sql_decay_topk(),
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),

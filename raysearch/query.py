@@ -47,6 +47,7 @@ from raysearch.score import (
     bm25_idf,
     classic_contrib,
     classic_idf,
+    dfr_contrib,
     jm_contrib,
     topk,
 )
@@ -201,9 +202,9 @@ def score_queries_over_postings(
         # rather than silently invert the Lucene-boost semantics
         raise ValueError("boost supports bm25/overlap only "
                          "(dirichlet scores are negative log sums)")
-    if prune and mode in ("classic", "jm"):
+    if prune and mode in ("classic", "jm", "dfr", "boolean"):
         # the MaxScore/block-max upper bounds are derived for the
-        # bm25/overlap tf curves; classic/jm modes score exhaustively
+        # bm25/overlap tf curves; the other modes score exhaustively
         # (still df-bounded per query term)
         raise ValueError(f"{mode} mode requires prune=False")
     if decay is not None and (prune or mode != "bm25"):
@@ -250,6 +251,11 @@ def score_queries_over_postings(
             elif mode == "jm":
                 contrib = jm_contrib(tfs, dls, (cf or {}).get(term, 0),
                                      total_tokens, w)
+            elif mode == "dfr":
+                contrib = dfr_contrib(tfs, dls, df.get(term, 0),
+                                      n_docs, avgdl, w)
+            elif mode == "boolean":
+                contrib = np.full(len(docs), int(w), np.int64)
             else:
                 idf = bm25_idf(df.get(term, 0), n_docs)
                 contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
@@ -488,7 +494,7 @@ def query_index(
                 "are negative log sums; a factor would invert the "
                 "intended promotion)")
         scorer_kwargs["boost"] = boost
-    if prune and mode in ("classic", "jm"):
+    if prune and mode in ("classic", "jm", "dfr", "boolean"):
         raise ValueError(f"{mode} mode requires prune=False (no "
                          "MaxScore bounds for its tf curve)")
     if decay is not None:

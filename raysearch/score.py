@@ -27,6 +27,14 @@ Scoring modes:
   dirichlet — candidate-only scoring is exact and the per-term
   posting loop applies unchanged; needs global cf and C broadcast
   beside df.
+- "dfr": Lucene DFRSimilarity with the InL2 model (Amati & van
+  Rijsbergen's divergence-from-randomness, inverse-document-frequency
+  base, Laplace after-effect, H2 length normalization):
+  tfn = tf * log2(1 + avgdl/dl), contribution =
+  w * (tfn / (tfn + 1)) * log2((N + 1) / (df + 0.5)).
+- "boolean": Lucene BooleanSimilarity — every matched term contributes
+  exactly its query weight (tf ignored): the weighted coordination
+  count, an integer score like "overlap".
 - "dirichlet": see dirichlet_scores below.
 
 Tie-break is the deterministic total order (-score, doc_id); the
@@ -101,6 +109,17 @@ def jm_contrib(tf: np.ndarray, dl: np.ndarray, cf: int, total_tokens: int,
     dl = dl.astype(np.float64)
     den = lam * cf / float(total_tokens)
     return float(weight) * np.log(1.0 + ((1.0 - lam) * tf / dl) / den)
+
+
+def dfr_contrib(tf: np.ndarray, dl: np.ndarray, df: float, n_docs: float,
+                avgdl: float, weight: int) -> np.ndarray:
+    """Vectorized DFR InL2 contribution (float64), mirroring the
+    oracle SQL term-for-term (see module docstring)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    tfn = tf * np.log2(1.0 + avgdl / dl)
+    return ((float(weight) * (tfn / (tfn + 1.0)))
+            * float(np.log2((n_docs + 1.0) / (df + 0.5))))
 
 
 def accumulate_scores(

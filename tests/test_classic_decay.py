@@ -108,6 +108,21 @@ def test_jm_adversarial_parity(ray_session, tmp_path):
     _parity(sf, SQ.jm_topk, SQ.sql_jm_topk())
 
 
+def test_dfr_adversarial_parity(ray_session, tmp_path):
+    sf = _docs(tmp_path, ADVERSARIAL * 3)
+    _parity(sf, SQ.dfr_topk, SQ.sql_dfr_topk())
+
+
+def test_boolean_adversarial_parity(ray_session, tmp_path):
+    """BooleanSimilarity is tie-dense by construction (integer
+    coordination counts over a tiny query vocabulary) — the
+    (-score, doc_id) total order must hold engine == oracle across
+    the tie blocks."""
+    sf = _docs(tmp_path, ADVERSARIAL * 3)
+    eng = _parity(sf, SQ.boolean_topk, SQ.sql_boolean_topk())
+    assert str(eng.score.dtype).startswith("int")  # frequency-blind
+
+
 def test_jm_differs_from_dirichlet(ray_session, tmp_path):
     """Same query-likelihood family, different smoothing: the two
     modes must not produce identical score columns."""

@@ -155,7 +155,8 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "range_facet_counts", "terms_agg_topk",
             "classic_topk", "decay_topk",
             "time_travel_topk", "qpp_stats", "multifield_topk",
-            "sorted_topk", "phrase_suggest", "jm_topk"]
+            "sorted_topk", "phrase_suggest", "jm_topk",
+            "dfr_topk", "boolean_topk"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
