@@ -123,7 +123,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "classic_topk", "decay_topk",
           "time_travel_topk", "qpp_stats", "multifield_topk",
           "sorted_topk", "phrase_suggest", "jm_topk",
-          "dfr_topk", "boolean_topk"]
+          "dfr_topk", "boolean_topk", "dup_rate_by_source"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

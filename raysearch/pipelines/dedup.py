@@ -176,6 +176,80 @@ def clean_corpus(sf_dir: str, out_dir: str | None = None) -> pa.Table:
     })
 
 
+def dup_rate_by_source(sf_dir: str) -> pa.Table:
+    """Per-source exact-duplication health table — the first report a
+    data-curation run reads: for each source, how many of its docs
+    have a text (sha256) that occurs >= 2 times ANYWHERE in the
+    corpus (cross-source duplication counts: a mirror site's docs are
+    dups even if unique within the mirror).
+
+    Plan: narrow (sha, source) rows shuffle ONCE, coarse-bucketed on
+    the sha prefix so a text's copies land in one bucket and global
+    per-sha counts finalize in-kernel; each bucket collapses to <= S
+    per-source partial rows (docs, dup_docs), and the driver sums
+    buckets x S rows. Content never shuffles; output is S rows."""
+    import ray.data
+
+    nb = auto_buckets(_n_docs(sf_dir), docs_per_bucket=4_000)
+
+    def sha_rows(b: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(t.encode()).hexdigest()
+                for t in b["text"].to_pylist()]
+        bucket = [int(s[:8], 16) % nb for s in shas]
+        return pa.table({
+            "_sha": pa.array(shas, pa.string()),
+            "source": b["source"],
+            "_bucket": pa.array(bucket, pa.int64()),
+        })
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        n_per_sha = g.groupby("_sha")["_sha"].transform("size")
+        g = g.assign(_dup=(n_per_sha >= 2).astype(np.int64))
+        out = (g.groupby("source", as_index=False)
+               .agg(docs=("_sha", "size"), dup_docs=("_dup", "sum")))
+        return out
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, _DOCS),
+                               columns=["text", "source"])
+    parts = (ds.map_batches(sha_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("_bucket")
+             .map_groups(per_source, batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "dup_docs": pa.array([], pa.int64()),
+                         "dup_rate": pa.array([], pa.float64())})
+    agg = (parts.groupby("source", as_index=False)
+           .agg(n_docs=("docs", "sum"), dup_docs=("dup_docs", "sum"))
+           .sort_values("source", ignore_index=True))
+    from raysearch.numutil import round6
+
+    rate = round6(agg.dup_docs.to_numpy(np.float64)
+                  / agg.n_docs.to_numpy(np.float64))
+    return pa.table({
+        "source": pa.array(agg.source.astype(str).tolist(), pa.string()),
+        "n_docs": pa.array(agg.n_docs.to_numpy(np.int64), pa.int64()),
+        "dup_docs": pa.array(agg.dup_docs.to_numpy(np.int64), pa.int64()),
+        "dup_rate": pa.array(rate, pa.float64()),
+    })
+
+
+def sql_dup_rate_by_source() -> str:
+    return """
+WITH h AS (SELECT source, sha256(text) AS h FROM documents),
+c AS (SELECT h, count(*)::BIGINT AS n FROM h GROUP BY h)
+SELECT h.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+       round(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_rate
+FROM h JOIN c USING (h)
+GROUP BY h.source
+"""
+
+
 def sql_clean_corpus() -> str:
     return """
 SELECT count(*)::BIGINT AS n_docs_in,
@@ -1504,6 +1578,7 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "split_leakage": split_leakage,
+    "dup_rate_by_source": dup_rate_by_source,
 }
 
 ORACLE_SQL = {
@@ -1519,4 +1594,5 @@ ORACLE_SQL = {
     "dup_clusters": sql_dup_clusters(),
     "dedup_keep_best": sql_dedup_keep_best(),
     "split_leakage": sql_split_leakage(),
+    "dup_rate_by_source": sql_dup_rate_by_source(),
 }
