@@ -123,7 +123,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "classic_topk", "decay_topk",
           "time_travel_topk", "qpp_stats", "multifield_topk",
           "sorted_topk", "phrase_suggest", "jm_topk",
-          "dfr_topk", "boolean_topk", "dup_rate_by_source"]
+          "dfr_topk", "boolean_topk", "dup_rate_by_source",
+          # round-5 session-7 additions
+          "federated_topk", "completion_suggest", "dsl_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -257,10 +257,89 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---- completion suggester (autocomplete) ----
+
+# prefixes over the documents-table vocabulary: high-fanout ('s'),
+# mid ('ha', 'wi'), an exact-term prefix that is itself a term
+# ('sort'), and a no-match probe ('zz') which must yield zero rows
+COMPLETION_PREFIXES: list[str] = ["s", "ha", "wi", "qu", "sort", "zz"]
+COMPLETION_K = 3
+
+
+def completion_suggest(sf_dir: str) -> pa.Table:
+    """The Elasticsearch completion suggester (autocomplete): for each
+    prefix, the top-{k} lexicon terms extending it, weighted by
+    collection frequency (cf DESC, term ASC ties) — the suggester
+    family's fourth member (term_suggest = popularity did-you-mean,
+    spellfix_topk = per-term correction, phrase_suggest = contextual
+    phrase correction, THIS = prefix completion).
+
+    Plan: a RANGE SCAN of the sorted global lexicon per prefix
+    (searchsorted [prefix, next-sibling) bounds — prefix_topk's
+    expansion scan), weights read from the lexicon's cf column that
+    the build's tree-merge already produced; no corpus pass, no
+    posting reads. At 10^9-term vocabularies the probe touches only
+    the lexicon fragments overlapping each prefix interval, and an ES
+    -grade deployment would serve it from an FST materialized off the
+    same lexicon stream. The reference has no suggester at all
+    (/root/reference/src/lib.rs:374-411).
+    """
+    import pyarrow.dataset as pads
+
+    from raysearch.pipelines.search_queries import cached_index
+
+    idx = cached_index(sf_dir)
+    lex = pads.dataset(os.path.join(idx, "lexicon")).to_table(
+        columns=["term", "cf"])
+    order = np.argsort(np.asarray(lex["term"].to_pylist(), dtype=object),
+                       kind="stable")
+    terms = np.asarray(lex["term"].to_pylist(), dtype=object)[order]
+    cf = lex["cf"].to_numpy(zero_copy_only=False)[order]
+    out_p, out_t, out_r, out_w = [], [], [], []
+    for p in COMPLETION_PREFIXES:
+        lo = np.searchsorted(terms, p)
+        hi = np.searchsorted(terms, p[:-1] + chr(ord(p[-1]) + 1))
+        cand_t, cand_w = terms[lo:hi], cf[lo:hi]
+        # top-k by (cf DESC, term ASC): lexsort on (term, -cf)
+        pick = np.lexsort((cand_t, -cand_w))[:COMPLETION_K]
+        for r, i in enumerate(pick, 1):
+            out_p.append(p)
+            out_t.append(str(cand_t[i]))
+            out_r.append(r)
+            out_w.append(int(cand_w[i]))
+    return pa.table({
+        "prefix": pa.array(out_p, pa.string()),
+        "term": pa.array(out_t, pa.string()),
+        "rank": pa.array(out_r, pa.int64()),
+        "weight": pa.array(out_w, pa.int64()),
+    })
+
+
+def sql_completion_suggest() -> str:
+    from raysearch.pipelines.search_queries import _TOK_CTES
+
+    pvals = ", ".join(f"('{p}')" for p in COMPLETION_PREFIXES)
+    return f"""
+WITH {_TOK_CTES},
+cf AS (SELECT term, sum(tf)::BIGINT AS weight FROM tf GROUP BY term),
+p(prefix) AS (VALUES {pvals}),
+m AS (
+  SELECT p.prefix, cf.term, cf.weight,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY cf.weight DESC, cf.term) AS rank
+  FROM p JOIN cf ON cf.term LIKE p.prefix || '%'
+)
+SELECT prefix, term, rank::BIGINT AS rank, weight
+FROM m WHERE rank <= {COMPLETION_K}
+"""
+
+
 QUERIES = {
     "phrase_suggest": phrase_suggest,
+    "completion_suggest": completion_suggest,
 }
 
 ORACLE_SQL = {
     "phrase_suggest": sql_phrase_suggest(),
+    "completion_suggest": sql_completion_suggest(),
 }
