@@ -125,7 +125,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "sorted_topk", "phrase_suggest", "jm_topk",
           "dfr_topk", "boolean_topk", "dup_rate_by_source",
           # round-5 session-7 additions
-          "federated_topk", "completion_suggest", "dsl_topk"]
+          "federated_topk", "completion_suggest", "dsl_topk",
+          "sayt_topk", "trec_run_export"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -12,6 +12,7 @@ write->read path breaks parity byte-exactly.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -143,7 +144,82 @@ def sql_csv_roundtrip() -> str:
     return "SELECT doc_id, md5(text) AS text_md5 FROM documents"
 
 
+def trec_run_export(sf_dir: str) -> pa.Table:
+    """TREC run-format result sink, proven by round trip: the BM25
+    top-k table formats to standard run lines
+    (``q<qid> Q0 <doc_id> <rank> <score:.6f> raysearch``), writes as
+    sharded text, reads back, parses, and returns the reconstructed
+    (query_id, doc_id, rank, score) — which must equal the plain BM25
+    ranking (the oracle). The S6 result-sink family member for the
+    IR-eval ecosystem (trec_eval consumes exactly these lines); the
+    reference's own sink is a results file per query batch
+    (/root/reference/src/main.rs).
+
+    Exact float round trip: scores are round6 values (the nearest
+    double to a 6-decimal decimal), so ``%.6f`` prints that decimal
+    and parsing returns the identical double. Formatting and parsing
+    are distributed map_batches; the run table itself is k-bounded
+    (queries x k rows) so shard count stays 1 at test scale — at a
+    million-query batch the same code shards by block."""
+    import ray.data
+
+    from raysearch.pipelines.search_queries import (_concat_ds,
+                                                    bm25_topk)
+
+    run = bm25_topk(sf_dir)
+    run_dir = os.path.join(
+        "/tmp/raysearch_cache",
+        f"trec-{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir, exist_ok=True)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        lines = [
+            f"q{q} Q0 {d} {r} {s:.6f} raysearch"
+            for q, d, r, s in zip(batch["query_id"].to_pylist(),
+                                  batch["doc_id"].to_pylist(),
+                                  batch["rank"].to_pylist(),
+                                  batch["score"].to_pylist())]
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    (ray.data.from_arrow(run)
+     .map_batches(fmt, batch_format="pyarrow")
+     .write_csv(run_dir))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        qs, ds, rs, ss = [], [], [], []
+        for line in batch["line"].to_pylist():
+            qid, _q0, did, rank, score, _tag = line.split(" ")
+            qs.append(int(qid[1:]))
+            ds.append(int(did))
+            rs.append(int(rank))
+            ss.append(float(score))
+        return pa.table({
+            "query_id": pa.array(qs, pa.int64()),
+            "doc_id": pa.array(ds, pa.int64()),
+            "rank": pa.array(rs, pa.int64()),
+            "score": pa.array(ss, pa.float64())})
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    got = _concat_ds(
+        ray.data.read_csv(run_dir).map_batches(
+            parse, batch_format="pyarrow"), empty).to_pandas()
+    got = got.sort_values(["query_id", "rank"], ignore_index=True)
+    return pa.Table.from_pandas(got, preserve_index=False)
+
+
+def sql_trec_run_export() -> str:
+    from raysearch.pipelines.search_queries import sql_bm25_topk
+
+    return sql_bm25_topk()
+
+
 QUERIES = {"jsonl_roundtrip": jsonl_roundtrip,
-           "csv_roundtrip": csv_roundtrip}
+           "csv_roundtrip": csv_roundtrip,
+           "trec_run_export": trec_run_export}
 ORACLE_SQL = {"jsonl_roundtrip": sql_jsonl_roundtrip(),
-              "csv_roundtrip": sql_csv_roundtrip()}
+              "csv_roundtrip": sql_csv_roundtrip(),
+              "trec_run_export": sql_trec_run_export()}

@@ -1854,8 +1854,132 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---- search-as-you-type ----
+
+# partial queries as a user types them: every token but the last is
+# complete, the LAST is an in-flight prefix. 'merge so' -> sort (+any
+# sort*); 'merge sort' pins the exact-term-prefix collision (the
+# prefix expands onto itself); 'fast zz' pins a dead prefix (query
+# survives on its exact terms); 'b ba' pins a one-letter-wide fanout
+SAYT_QUERIES: list[str] = [
+    "merge so",
+    "fast ha",
+    "window ba",
+    "slow qu",
+    "merge sort",
+    "fast zz",
+    "b ba",
+]
+
+
+def sayt_expansions(queries: list[str], vocab: list[str]
+                    ) -> list[list[tuple[str, int]]]:
+    """Per query: exact weights for every token but the last, plus the
+    last token prefix-expanded over the lexicon (prefix_expansions'
+    range-scan rule); expansions colliding with exact tokens add —
+    the ES search_as_you_type / Lucene edge-prefix composition."""
+    from raysearch.tokenize import tokenize_query
+
+    svocab = sorted(vocab)
+    out = []
+    for q in queries:
+        toks = tokenize_query(q)
+        agg: dict[str, int] = {}
+        for t in toks[:-1]:
+            agg[t] = agg.get(t, 0) + 1
+        if toks:
+            p = toks[-1]
+            lo = np.searchsorted(svocab, p)
+            for i in range(lo, len(svocab)):
+                if not svocab[i].startswith(p):
+                    break
+                agg[svocab[i]] = agg.get(svocab[i], 0) + 1
+        out.append(sorted(agg.items()))
+    return out
+
+
+def sayt_topk(sf_dir: str) -> pa.Table:
+    """Search-as-you-type retrieval (the ES search_as_you_type field
+    semantics): completed tokens match exactly, the trailing
+    in-flight token is a PREFIX — both scored BM25 through the same
+    k-bounded fan-out as bm25_topk. Same lexicon range-scan expansion
+    as prefix_topk (never a corpus pass), so the incremental-typing
+    query shape costs the same as a committed query plus one
+    lexicon-fragment probe. The reference tokenizes the whole input
+    as complete `\\w+` words (/root/reference/src/lib.rs:374-411) and
+    cannot express an in-flight prefix."""
+    import pyarrow.dataset as pads
+
+    from raysearch.pipelines.search_queries import (cached_index,
+                                                    topk_rounded_for_index)
+
+    idx = cached_index(sf_dir)
+    vocab = pads.dataset(os.path.join(idx, "lexicon")).to_table(
+        columns=["term"])["term"].to_pylist()
+    qx = sayt_expansions(SAYT_QUERIES, vocab)
+    return topk_rounded_for_index(idx, "bm25", queries=qx)
+
+
+def _sayt_qvalues() -> str:
+    from raysearch.tokenize import tokenize_query
+
+    rows = []
+    for qid, q in enumerate(SAYT_QUERIES):
+        toks = tokenize_query(q)
+        for t in toks[:-1]:
+            rows.append(f"({qid}, '{t}', 1, 0)")
+        if toks:
+            rows.append(f"({qid}, '{toks[-1]}', 1, 1)")
+    return ", ".join(rows)
+
+
+def sql_sayt_topk() -> str:
+    # prefixes are \w+ tokens (no LIKE metacharacters)
+    from raysearch.pipelines.search_queries import _TOK_CTES, B, K1, TOPK
+
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w, isp) AS (VALUES {_sayt_qvalues()}),
+vocab AS (SELECT DISTINCT term FROM tf),
+qx AS (
+  SELECT q.query_id, v.term, sum(q.w)::DOUBLE AS w
+  FROM q JOIN vocab v
+    ON (q.isp = 1 AND v.term LIKE q.term || '%')
+    OR (q.isp = 0 AND v.term = q.term)
+  GROUP BY q.query_id, v.term
+),
+scores AS (
+  SELECT qx.query_id, tf.doc_id,
+         sum(qx.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM qx
+  JOIN tf ON qx.term = tf.term
+  JOIN df ON qx.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qx.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "qpp_stats": qpp_stats,
+    "sayt_topk": sayt_topk,
     "multifield_topk": multifield_topk,
     "sorted_topk": sorted_topk,
     "dismax_topk": dismax_topk,
@@ -1872,6 +1996,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "qpp_stats": sql_qpp_stats(),
+    "sayt_topk": sql_sayt_topk(),
     "multifield_topk": sql_multifield_topk(),
     "sorted_topk": sql_sorted_topk(),
     "dismax_topk": sql_dismax_topk(),

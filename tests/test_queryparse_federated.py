@@ -171,6 +171,54 @@ def test_completion_adversarial_parity(ray_session, tmp_path):
     assert "sort" in set(eng[eng.prefix == "sort"].term)
 
 
+def test_sayt_adversarial_parity(ray_session, tmp_path):
+    from raysearch.pipelines import rankex as RX
+
+    sf = _docs(tmp_path, ADV_TEXTS)
+    eng = RX.sayt_topk(sf).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(RX.sql_sayt_topk()).df().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    ora = ora[eng.columns.tolist()].astype(
+        {c: eng.dtypes[c] for c in eng.columns})
+    pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_sayt_expansion_rules():
+    from raysearch.pipelines.rankex import sayt_expansions
+
+    vocab = ["sort", "sorted", "window", "merge"]
+    # last token is the prefix; earlier tokens stay exact
+    [x] = sayt_expansions(["merge so"], vocab)
+    assert x == [("merge", 1), ("sort", 1), ("sorted", 1)]
+    # exact-term prefix expands onto itself and its extensions only
+    [x] = sayt_expansions(["merge sort"], vocab)
+    assert x == [("merge", 1), ("sort", 1), ("sorted", 1)]
+    # dead prefix: the query survives on its exact terms
+    [x] = sayt_expansions(["merge zz"], vocab)
+    assert x == [("merge", 1)]
+    # collision: exact token == an expansion -> weights add
+    [x] = sayt_expansions(["sort so"], vocab)
+    assert x == [("sort", 2), ("sorted", 1)]
+
+
+def test_trec_run_roundtrip_exact(ray_session, tmp_path):
+    """The TREC sink's parse-back equals the BM25 table bit-for-bit
+    (the %.6f round-trip claim) on an adversarial corpus."""
+    from raysearch.pipelines.io_formats import trec_run_export
+    from raysearch.pipelines.search_queries import bm25_topk
+
+    sf = _docs(tmp_path, ADV_TEXTS)
+    t = trec_run_export(sf).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    b = bm25_topk(sf).to_pandas()[t.columns.tolist()].sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(t, b)
+
+
 def test_completion_tie_order(ray_session, tmp_path):
     """Equal-cf completions order by term ASC (the deterministic tie
     contract): 'sa'/'sb' both cf=2 -> sa ranks first."""
