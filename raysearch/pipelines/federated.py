@@ -32,59 +32,46 @@ At many indexes the per-term df partials would pre-sum in a tree
 
 from __future__ import annotations
 
-import hashlib
-import os
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from raysearch.config import IndexConfig
-from raysearch.numutil import round6
 from raysearch.pipelines.search_queries import (
     _TOPK_BUFFER,
     B,
     DOC_QUERIES,
     K1,
-    TOPK,
     _docs_path,
     _source_fingerprint,
     sql_bm25_topk,
 )
 
 _NUM_PARTS = 4  # per sub-index; 2 indexes -> 8 scoring parts total
-_CONTRACT_VERSION = "v1"
-
-
-def _fed_dir(sf_dir: str, half: int) -> tuple[str, str]:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = os.path.join("/tmp", "raysearch_cache", f"fed{half}-{key}")
-    fp = (f"{_CONTRACT_VERSION}:"
-          f"{_source_fingerprint(_docs_path(sf_dir))}")
-    sentinel = os.path.join(
-        idx, f".done-{hashlib.md5(fp.encode()).hexdigest()[:12]}")
-    return idx, sentinel
 
 
 def federated_indexes(sf_dir: str) -> list[str]:
-    """Build (sentinel-cached) the two disjoint sub-indexes, split by
-    doc_id parity — two fully independent builds with their own
-    manifests, lexicons and collection stats, exactly as two tenant
-    indexes would be."""
+    """Build (sentinel-cached, lifecycle cache contract) the two
+    disjoint sub-indexes, split by doc_id parity — two fully
+    independent builds with their own manifests, lexicons and
+    collection stats, exactly as two tenant indexes would be."""
+    import os
     import shutil
 
     from raysearch.build import build_index
-    from raysearch.pipelines.lifecycle import _split_reader
+    from raysearch.pipelines.lifecycle import (_lifecycle_dir,
+                                               _split_reader)
 
     dirs = []
     for half in (0, 1):
-        idx, sentinel = _fed_dir(sf_dir, half)
+        idx, sentinel = _lifecycle_dir(sf_dir, f"fed{half}")
         if not os.path.exists(sentinel):
             shutil.rmtree(idx, ignore_errors=True)
             os.makedirs(idx, exist_ok=True)
-            build_index(_split_reader(sf_dir, half), idx,
-                        IndexConfig(num_parts=_NUM_PARTS, k1=K1, b=B),
-                        input_id=f"{sf_dir}#fed{half}")
+            build_index(
+                _split_reader(sf_dir, half), idx,
+                IndexConfig(num_parts=_NUM_PARTS, k1=K1, b=B),
+                input_id=(f"{sf_dir}#fed{half}@"
+                          f"{_source_fingerprint(_docs_path(sf_dir))}"))
             open(sentinel, "w").close()
         dirs.append(idx)
     return dirs
@@ -137,19 +124,12 @@ def federated_topk(sf_dir: str) -> pa.Table:
             idx, DOC_QUERIES, k=_TOPK_BUFFER, mode="bm25",
             asof={"parts": parts, "df": stats["df"],
                   "n_docs": stats["n_docs"], "avgdl": stats["avgdl"]})
-        cand.append(tbl.to_pandas())
-    df = pd.concat(cand, ignore_index=True)
-    df["score"] = round6(df["score"].to_numpy(np.float64))
-    df = df.sort_values(["query_id", "score", "doc_id"],
-                        ascending=[True, False, True])
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= TOPK]
-    return pa.table({
-        "query_id": pa.array(df.query_id.to_numpy(np.int64), pa.int64()),
-        "doc_id": pa.array(df.doc_id.to_numpy(np.int64), pa.int64()),
-        "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
-        "score": pa.array(df.score.to_numpy(np.float64), pa.float64()),
-    })
+        cand.append(tbl.to_pandas()[["query_id", "doc_id", "score"]])
+    # the engine-wide round6 -> (-score, doc_id) rank contract,
+    # shared with every other *_topk entry
+    from raysearch.pipelines.rankex import _ranked_from_candidates
+
+    return _ranked_from_candidates(pd.concat(cand, ignore_index=True))
 
 
 QUERIES = {

@@ -167,6 +167,15 @@ def trec_run_export(sf_dir: str) -> pa.Table:
                                                     bm25_topk)
 
     run = bm25_topk(sf_dir)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if run.num_rows == 0:
+        # write_csv skips empty blocks, leaving zero shard files for
+        # read_csv to choke on — the no-hit path returns the typed
+        # contract table directly
+        return empty
     run_dir = os.path.join(
         "/tmp/raysearch_cache",
         f"trec-{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]}")
@@ -200,10 +209,6 @@ def trec_run_export(sf_dir: str) -> pa.Table:
             "rank": pa.array(rs, pa.int64()),
             "score": pa.array(ss, pa.float64())})
 
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "doc_id": pa.array([], pa.int64()),
-                      "rank": pa.array([], pa.int64()),
-                      "score": pa.array([], pa.float64())})
     got = _concat_ds(
         ray.data.read_csv(run_dir).map_batches(
             parse, batch_format="pyarrow"), empty).to_pandas()

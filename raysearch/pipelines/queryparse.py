@@ -119,7 +119,32 @@ def parse_dsl(q: str):
     if peek() is not None:
         raise DslError(f"trailing token {peek()!r} in {q!r} "
                        f"(operators must be explicit)")
+    if not _validate(node):
+        raise DslError("pure negative query matches nothing")
     return node
+
+
+def _validate(node) -> bool:
+    """Driver-side structural check at parse time (the docstring's
+    'rejected at parse time' promise — eval_sets re-raises in the
+    workers as defense in depth). The EXACT mirror of eval_sets'
+    positivity rules: returns whether the node evaluates positive,
+    raising on the positions eval_sets would reject."""
+    kind = node[0]
+    if kind == "term":
+        return True
+    if kind == "not":
+        return not _validate(node[1])
+    kids = [_validate(c) for c in node[1]]
+    if kind == "and":
+        if not any(kids):
+            raise DslError("AND needs >= 1 positive clause "
+                           "(pure negative query matches nothing)")
+        return True
+    if not all(kids):
+        raise DslError("OR over a negative clause needs the "
+                       "corpus universe; rewrite with AND NOT")
+    return True
 
 
 def expr_terms(node) -> tuple[list[str], list[str]]:
@@ -195,7 +220,7 @@ def dsl_topk(sf_dir: str) -> pa.Table:
                                             _ranked_from_candidates)
     from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
                                                     cached_index)
-    from raysearch.query import lexicon_df
+    from raysearch.query import keep_postings, lexicon_df
     from raysearch.score import score_postings, topk
     from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
                                     part_dirname, read_postings)
@@ -236,11 +261,19 @@ def dsl_topk(sf_dir: str) -> pa.Table:
                 cand = eval_sets(ast, docs_of)
                 if not len(cand):
                     continue
-                docs, sc = score_postings(qweights[qid], post.get, df,
-                                          n_docs, avgdl, k1, b,
+
+                def restricted(t, _cand=cand):
+                    # score only the SURVIVORS: each positive term's
+                    # posting row narrows to the matching set before
+                    # accumulation, so scoring work is ∝ |cand|, not
+                    # Σ df (cand is sorted unique by construction)
+                    got = post.get(t)
+                    return (keep_postings(got, _cand)
+                            if got is not None else None)
+
+                docs, sc = score_postings(qweights[qid], restricted,
+                                          df, n_docs, avgdl, k1, b,
                                           mode="bm25")
-                m = np.isin(docs, cand, assume_unique=True)
-                docs, sc = docs[m], sc[m]
                 d, s = topk(docs, sc, _TOPK_BUFFER)
                 out_q.extend([qid] * len(d))
                 out_d.extend(d.tolist())

@@ -351,6 +351,20 @@ PREFIX_QUERIES: list[str] = [
 ]
 
 
+def _expand_prefix(prefix: str, svocab: list[str],
+                   agg: dict[str, int], w: int = 1) -> None:
+    """Range-scan the SORTED lexicon for terms extending ``prefix``
+    (the prefix itself included when it is a term), adding ``w`` to
+    each expansion's weight in ``agg`` — the one collapse rule
+    (Lucene SCORING_BOOLEAN_REWRITE) shared by prefix_topk and
+    search-as-you-type."""
+    lo = np.searchsorted(svocab, prefix)
+    for i in range(lo, len(svocab)):
+        if not svocab[i].startswith(prefix):
+            break
+        agg[svocab[i]] = agg.get(svocab[i], 0) + w
+
+
 def prefix_expansions(queries: list[str], vocab: list[str]
                       ) -> list[list[tuple[str, int]]]:
     """Per query, the union of lexicon terms extending any query
@@ -365,11 +379,7 @@ def prefix_expansions(queries: list[str], vocab: list[str]
     for q in queries:
         agg: dict[str, int] = {}
         for t, w in query_term_weights(q):
-            lo = np.searchsorted(svocab, t)
-            for i in range(lo, len(svocab)):
-                if not svocab[i].startswith(t):
-                    break
-                agg[svocab[i]] = agg.get(svocab[i], 0) + w
+            _expand_prefix(t, svocab, agg, w)
         out.append(sorted(agg.items()))
     return out
 
@@ -413,8 +423,8 @@ def _prefix_qvalues() -> str:
 
 
 def sql_prefix_topk() -> str:
-    # prefixes are \w+ tokens (no LIKE metacharacters), so the
-    # LIKE-based expansion is literal-prefix semantics
+    # starts_with, not LIKE: '_' is a \w character AND a LIKE
+    # single-char wildcard (sql_sayt_topk's note)
     from raysearch.pipelines.search_queries import _TOK_CTES, B, K1, TOPK
 
     return f"""
@@ -429,7 +439,7 @@ q(query_id, term, w) AS (VALUES {_prefix_qvalues()}),
 vocab AS (SELECT DISTINCT term FROM tf),
 qx AS (
   SELECT q.query_id, v.term, sum(q.w)::DOUBLE AS w
-  FROM q JOIN vocab v ON v.term LIKE q.term || '%'
+  FROM q JOIN vocab v ON starts_with(v.term, q.term)
   GROUP BY q.query_id, v.term
 ),
 scores AS (
@@ -1888,12 +1898,7 @@ def sayt_expansions(queries: list[str], vocab: list[str]
         for t in toks[:-1]:
             agg[t] = agg.get(t, 0) + 1
         if toks:
-            p = toks[-1]
-            lo = np.searchsorted(svocab, p)
-            for i in range(lo, len(svocab)):
-                if not svocab[i].startswith(p):
-                    break
-                agg[svocab[i]] = agg.get(svocab[i], 0) + 1
+            _expand_prefix(toks[-1], svocab, agg)
         out.append(sorted(agg.items()))
     return out
 
@@ -1934,7 +1939,10 @@ def _sayt_qvalues() -> str:
 
 
 def sql_sayt_topk() -> str:
-    # prefixes are \w+ tokens (no LIKE metacharacters)
+    # starts_with, not LIKE: '_' is a \w character AND a LIKE
+    # single-char wildcard, so a LIKE-based expansion would silently
+    # wildcard-match a prefix like 'col_na' that the engine's
+    # startswith treats literally
     from raysearch.pipelines.search_queries import _TOK_CTES, B, K1, TOPK
 
     return f"""
@@ -1950,7 +1958,7 @@ vocab AS (SELECT DISTINCT term FROM tf),
 qx AS (
   SELECT q.query_id, v.term, sum(q.w)::DOUBLE AS w
   FROM q JOIN vocab v
-    ON (q.isp = 1 AND v.term LIKE q.term || '%')
+    ON (q.isp = 1 AND starts_with(v.term, q.term))
     OR (q.isp = 0 AND v.term = q.term)
   GROUP BY q.query_id, v.term
 ),

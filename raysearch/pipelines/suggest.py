@@ -327,7 +327,7 @@ m AS (
   SELECT p.prefix, cf.term, cf.weight,
          row_number() OVER (PARTITION BY p.prefix
                             ORDER BY cf.weight DESC, cf.term) AS rank
-  FROM p JOIN cf ON cf.term LIKE p.prefix || '%'
+  FROM p JOIN cf ON starts_with(cf.term, p.prefix)
 )
 SELECT prefix, term, rank::BIGINT AS rank, weight
 FROM m WHERE rank <= {COMPLETION_K}

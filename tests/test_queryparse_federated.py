@@ -68,6 +68,10 @@ def test_parse_shapes():
     "a AND",              # dangling operator
     "AND a",              # leading operator
     "a OR OR b",          # doubled operator
+    "NOT a",              # pure negative — rejected AT PARSE TIME
+    "a OR NOT b",         # NOT under OR — rejected at parse time
+    "NOT a AND NOT b",    # no positive clause — rejected at parse
+    "NOT (a OR b)",       # negated group with no positive sibling
 ])
 def test_parse_errors(bad):
     with pytest.raises(QP.DslError):
@@ -86,12 +90,16 @@ def test_eval_sets_algebra():
     assert ev("(a OR c) AND NOT b") == [1, 2, 6]
     assert ev("b OR (a AND NOT c)") == [1, 2, 3, 4, 5]
     assert ev("a AND z") == []
+    # worker-side defense in depth: eval_sets re-raises on ASTs that
+    # bypass parse-time validation (built directly here)
     with pytest.raises(QP.DslError):
-        ev("NOT a")                                  # pure negative
+        QP.eval_sets(("not", ("term", "a")), get)
     with pytest.raises(QP.DslError):
-        ev("a OR NOT b")                             # NOT under OR
+        QP.eval_sets(("or", [("term", "a"),
+                             ("not", ("term", "b"))]), get)
     with pytest.raises(QP.DslError):
-        ev("NOT a AND NOT b")                        # no positive clause
+        QP.eval_sets(("and", [("not", ("term", "a")),
+                              ("not", ("term", "b"))]), get)
 
 
 # ---- dsl_topk adversarial parity ----
@@ -217,6 +225,18 @@ def test_trec_run_roundtrip_exact(ray_session, tmp_path):
     b = bm25_topk(sf).to_pandas()[t.columns.tolist()].sort_values(
         ["query_id", "rank"], ignore_index=True)
     pd.testing.assert_frame_equal(t, b)
+
+
+def test_trec_empty_run(ray_session, tmp_path):
+    """A corpus sharing no vocabulary with the query set produces an
+    EMPTY run; the sink must return the typed contract table, not
+    crash on a shard-less read."""
+    from raysearch.pipelines.io_formats import trec_run_export
+
+    sf = _docs(tmp_path, ["xxx yyy zzz", "aaa bbb ccc"])
+    t = trec_run_export(sf)
+    assert t.num_rows == 0
+    assert t.schema.names == ["query_id", "doc_id", "rank", "score"]
 
 
 def test_completion_tie_order(ray_session, tmp_path):
