@@ -970,6 +970,21 @@ def jm_topk(sf_dir: str) -> pa.Table:
     return _topk_rounded(sf_dir, "jm")
 
 
+def dfi_topk(sf_dir: str) -> pa.Table:
+    """DFI top-10 per query (Lucene DFISimilarity, standardized
+    independence) — the EIGHTH scoring mode, completing the Lucene
+    similarity set (BM25 / TFIDF classic / DFR / DFI / LM-Dirichlet /
+    LM-JM / Boolean / the reference's overlap): expected tf under
+    independence e = (cf_t + 1) * dl / (C + 1); a term contributes
+    w * log2((tf - e)/sqrt(e) + 1) only when tf EXCEEDS expectation,
+    else 0 — frequency evidence is divergence from the
+    term-occurrence/doc-length independence model, not raw tf. Global
+    cf/C broadcast beside df (the jm plumbing); candidate-only
+    scoring is exact (tf = 0 never exceeds e); exhaustive by contract
+    (prune guard — no MaxScore bounds for the thresholded curve)."""
+    return _topk_rounded(sf_dir, "dfi")
+
+
 def classic_topk(sf_dir: str) -> pa.Table:
     """Lucene ClassicSimilarity (pre-6.0 TFIDFSimilarity) top-10 per
     query — the fourth scoring mode (bm25/overlap/dirichlet/classic):
@@ -1245,6 +1260,42 @@ scores AS (
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN tot
   GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_dfi_topk() -> str:
+    # e and the measure mirror score.dfi_contrib term-for-term:
+    # e = (cf + 1) * dl / (C + 1), contribution =
+    # w * log2((tf - e)/sqrt(e) + 1) iff tf > e
+    return f"""
+WITH {_TOK_CTES},
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS c FROM dl),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+expanded AS (
+  SELECT q.query_id, q.w, tf.doc_id, tf.tf::DOUBLE AS tf,
+         (cf.cf + 1) * dl.dl / (tot.c + 1) AS e
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN cf ON q.term = cf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN tot
+),
+scores AS (
+  SELECT query_id, doc_id,
+         sum(CASE WHEN tf > e
+             THEN w * log2((tf - e) / sqrt(e) + 1) ELSE 0 END) AS score
+  FROM expanded
+  GROUP BY query_id, doc_id
 ),
 ranked AS (
   SELECT query_id, doc_id, round(score, 6) AS score,
@@ -2759,6 +2810,7 @@ QUERIES = {
     "dirichlet_topk": dirichlet_topk,
     "classic_topk": classic_topk,
     "jm_topk": jm_topk,
+    "dfi_topk": dfi_topk,
     "dfr_topk": dfr_topk,
     "boolean_topk": boolean_topk,
     "decay_topk": decay_topk,
@@ -2795,6 +2847,7 @@ ORACLE_SQL = {
     "dirichlet_topk": sql_dirichlet_topk(),
     "classic_topk": sql_classic_topk(),
     "jm_topk": sql_jm_topk(),
+    "dfi_topk": sql_dfi_topk(),
     "dfr_topk": sql_dfr_topk(),
     "boolean_topk": sql_boolean_topk(),
     "decay_topk": sql_decay_topk(),

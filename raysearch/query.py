@@ -47,6 +47,7 @@ from raysearch.score import (
     bm25_idf,
     classic_contrib,
     classic_idf,
+    dfi_contrib,
     dfr_contrib,
     jm_contrib,
     topk,
@@ -202,7 +203,7 @@ def score_queries_over_postings(
         # rather than silently invert the Lucene-boost semantics
         raise ValueError("boost supports bm25/overlap only "
                          "(dirichlet scores are negative log sums)")
-    if prune and mode in ("classic", "jm", "dfr", "boolean"):
+    if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi"):
         # the MaxScore/block-max upper bounds are derived for the
         # bm25/overlap tf curves; the other modes score exhaustively
         # (still df-bounded per query term)
@@ -251,6 +252,9 @@ def score_queries_over_postings(
             elif mode == "jm":
                 contrib = jm_contrib(tfs, dls, (cf or {}).get(term, 0),
                                      total_tokens, w)
+            elif mode == "dfi":
+                contrib = dfi_contrib(tfs, dls, (cf or {}).get(term, 0),
+                                      total_tokens, w)
             elif mode == "dfr":
                 contrib = dfr_contrib(tfs, dls, df.get(term, 0),
                                       n_docs, avgdl, w)
@@ -464,7 +468,7 @@ def query_index(
         # snapshot parts (one tiny fan-out, terms x parts rows) —
         # never the post-append global lexicon, whose df/N/avgdl
         # would leak future documents into the scores.
-        if mode in ("dirichlet", "jm"):
+        if mode in ("dirichlet", "jm", "dfi"):
             raise ValueError("asof supports bm25/overlap/classic "
                              "(per-generation cf is not reconstructed)")
         parts = sorted(asof["parts"])
@@ -494,7 +498,7 @@ def query_index(
                 "are negative log sums; a factor would invert the "
                 "intended promotion)")
         scorer_kwargs["boost"] = boost
-    if prune and mode in ("classic", "jm", "dfr", "boolean"):
+    if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi"):
         raise ValueError(f"{mode} mode requires prune=False (no "
                          "MaxScore bounds for its tf curve)")
     if decay is not None:
@@ -509,7 +513,7 @@ def query_index(
         # unique form keep_postings' searchsorted requires
         scorer_kwargs["keep"] = np.unique(
             np.asarray(keep, dtype=np.int64))
-    if mode in ("dirichlet", "jm"):
+    if mode in ("dirichlet", "jm", "dfi"):
         scorer_kwargs["cf"] = lexicon_cf(index_dir, all_terms)
         scorer_kwargs["total_tokens"] = stats["total_tokens"]
         scorer_kwargs["mu"] = mu

@@ -35,6 +35,13 @@ Scoring modes:
 - "boolean": Lucene BooleanSimilarity — every matched term contributes
   exactly its query weight (tf ignored): the weighted coordination
   count, an integer score like "overlap".
+- "dfi": Lucene DFISimilarity (Kocabas, Dincer & Karaoglan's
+  divergence from independence) with the STANDARDIZED independence
+  measure: expected = (cf + 1) * dl / (C + 1); a term matters only
+  when tf exceeds expectation — contribution =
+  w * log2((tf - e)/sqrt(e) + 1) when tf > e, else 0. Needs global
+  cf and C broadcast beside df (the jm plumbing); candidate-only
+  scoring is exact because tf = 0 never exceeds e.
 - "dirichlet": see dirichlet_scores below.
 
 Tie-break is the deterministic total order (-score, doc_id); the
@@ -120,6 +127,22 @@ def dfr_contrib(tf: np.ndarray, dl: np.ndarray, df: float, n_docs: float,
     tfn = tf * np.log2(1.0 + avgdl / dl)
     return ((float(weight) * (tfn / (tfn + 1.0)))
             * float(np.log2((n_docs + 1.0) / (df + 0.5))))
+
+
+def dfi_contrib(tf: np.ndarray, dl: np.ndarray, cf: int,
+                total_tokens: int, weight: int) -> np.ndarray:
+    """Vectorized DFI contribution (standardized independence),
+    mirroring the oracle SQL term-for-term (module docstring).
+    cf == 0 cannot occur for a posted term (its own tf counts)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    e = (float(cf) + 1.0) * dl / (float(total_tokens) + 1.0)
+    out = np.zeros(len(tf), np.float64)
+    m = tf > e  # masked, not np.where: log2 of a negative would warn
+    if m.any():
+        measure = (tf[m] - e[m]) / np.sqrt(e[m])
+        out[m] = float(weight) * np.log2(measure + 1.0)
+    return out
 
 
 def accumulate_scores(

@@ -209,7 +209,7 @@ class QuerySession:
         all_terms = sorted({t for qw in qweights for t, _ in qw})
         df = lexicon_df(self.index_dir, all_terms)
         cf = (lexicon_cf(self.index_dir, all_terms)
-              if mode in ("dirichlet", "jm") else None)
+              if mode in ("dirichlet", "jm", "dfi") else None)
         refs = [a.query_batch.remote(queries, k, mode, df, prune, cf, mu)
                 for a in self._actors]
         if refs:

@@ -123,6 +123,28 @@ def test_boolean_adversarial_parity(ray_session, tmp_path):
     assert str(eng.score.dtype).startswith("int")  # frequency-blind
 
 
+def test_dfi_adversarial_parity(ray_session, tmp_path):
+    sf = _docs(tmp_path, ADVERSARIAL * 3)
+    _parity(sf, SQ.dfi_topk, SQ.sql_dfi_topk())
+
+
+def test_dfi_under_expectation_is_zero(ray_session, tmp_path):
+    """The DFI threshold does real work: a corpus saturated with
+    'hash' makes a single occurrence in a long doc fall BELOW its
+    independence expectation (e = (cf+1)*dl/(C+1) > 1), so that doc
+    scores 0 while a short doc with the same tf scores > 0 — raw tf
+    equal, divergence different."""
+    filler = " ".join(["hash"] * 30)
+    # 9 candidates total, so BOTH probe docs stay inside top-10
+    texts = [filler] * 7 + ["hash " + " ".join(["pad"] * 60)] + ["hash"]
+    sf = _docs(tmp_path, texts)
+    got = _parity(sf, SQ.dfi_topk, SQ.sql_dfi_topk())
+    q0 = got[got.query_id == 0]
+    scores = dict(zip(q0.doc_id, q0.score))
+    assert scores[8] > 0                  # short doc: tf=1 above e
+    assert scores[7] == 0                 # long doc: tf=1 below e
+
+
 def test_jm_differs_from_dirichlet(ray_session, tmp_path):
     """Same query-likelihood family, different smoothing: the two
     modes must not produce identical score columns."""
@@ -143,6 +165,8 @@ def test_mode_guards(ray_session, tmp_path):
         query_index(idx, ["hash join"], mode="classic", prune=True)
     with pytest.raises(ValueError, match="jm"):
         query_index(idx, ["hash join"], mode="jm", prune=True)
+    with pytest.raises(ValueError, match="dfi"):
+        query_index(idx, ["hash join"], mode="dfi", prune=True)
     with pytest.raises(ValueError, match="decay"):
         query_index(idx, ["hash join"], mode="overlap",
                     decay=(50.0, 40.0))
