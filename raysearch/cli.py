@@ -89,6 +89,26 @@ def cmd_query(args) -> None:
         queries = read_queries(args.queries_file)
     else:
         queries = [args.query]
+    if getattr(args, "dsl", False):
+        # boolean query language (Lucene classic QueryParser surface):
+        # AND/OR/NOT with grouping, BM25 over the positive terms,
+        # restricted to the matching set. Own plan — the scoring-mode
+        # and boost/decay/prune knobs apply to bag-of-words queries
+        if (args.prune or args.mode != "bm25"
+                or getattr(args, "boost_term", None)
+                or getattr(args, "decay", None)):
+            raise SystemExit("--dsl implies --mode bm25 without "
+                             "--prune/--boost-term/--decay")
+        from raysearch.pipelines.queryparse import (DslError,
+                                                    dsl_query_index)
+
+        try:
+            out = dsl_query_index(args.index, queries, k=args.k)
+        except DslError as e:
+            raise SystemExit(f"DSL parse error: {e}") from None
+        _emit_query_results(args, out)
+        ray.shutdown()
+        return
     boost = None
     if getattr(args, "boost_term", None):
         # validate the combination BEFORE the distributed boost-list
@@ -131,6 +151,11 @@ def cmd_query(args) -> None:
         decay = (origin, scale)
     out = query_index(args.index, queries, k=args.k, mode=args.mode,
                       prune=args.prune, boost=boost, decay=decay)
+    _emit_query_results(args, out)
+    ray.shutdown()
+
+
+def _emit_query_results(args, out) -> None:
     if args.out:
         import pyarrow.parquet as pq
 
@@ -141,7 +166,6 @@ def cmd_query(args) -> None:
     else:
         for row in out.to_pylist():
             print(json.dumps(row))
-    ray.shutdown()
 
 
 def cmd_serve(args) -> None:
@@ -423,6 +447,9 @@ def main(argv=None) -> None:
                             "jm", "dfr", "boolean", "dfi"],
                    default="bm25")
     q.add_argument("--prune", action="store_true")
+    q.add_argument("--dsl", action="store_true",
+                   help="parse queries as the boolean DSL "
+                        "(term AND (term OR term) AND NOT term)")
     q.add_argument("--boost-term", default=None,
                    help="docs containing this term score x "
                         "--boost-factor (bm25/overlap, not --prune)")

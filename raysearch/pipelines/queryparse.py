@@ -211,26 +211,35 @@ def eval_sets(node, docs_of) -> np.ndarray:
 
 
 def dsl_topk(sf_dir: str) -> pa.Table:
-    """BM25 top-10 per DSL query (module docstring semantics): parse
-    once on the driver, broadcast the ASTs, per-part set algebra over
-    term-filtered posting reads, positive-term BM25 over survivors,
-    k-bounded candidate merge."""
+    """BM25 top-10 per DSL query (module docstring semantics) over
+    the sf_dir's cached documents index."""
+    from raysearch.pipelines.search_queries import cached_index
+
+    return dsl_query_index(cached_index(sf_dir), DSL_QUERIES)
+
+
+def dsl_query_index(idx: str, dsl_queries: list[str],
+                    k: int | None = None) -> pa.Table:
+    """Run boolean-DSL queries against an arbitrary built index
+    (the `cli query --dsl` entry point): parse once on the driver,
+    broadcast the ASTs, per-part set algebra over term-filtered
+    posting reads, positive-term BM25 over the survivors, k-bounded
+    candidate merge under the shared rounding/tie contract."""
     from raysearch.pipelines.rankex import (_EMPTY_CAND,
                                             _parts_candidates,
                                             _ranked_from_candidates)
-    from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
-                                                    cached_index)
+    from raysearch.pipelines.search_queries import _TOPK_BUFFER
     from raysearch.query import keep_postings, lexicon_df
     from raysearch.score import score_postings, topk
     from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
                                     part_dirname, read_postings)
     from raysearch.stats import load_stats
 
-    idx = cached_index(sf_dir)
     st = load_stats(idx)
     n_docs, avgdl = st["n_docs"], st["avgdl"]
     k1, b = st["config"]["k1"], st["config"]["b"]
-    asts = [parse_dsl(q) for q in DSL_QUERIES]
+    buffer = _TOPK_BUFFER if k is None else max(_TOPK_BUFFER, k + 20)
+    asts = [parse_dsl(q) for q in dsl_queries]
     per_q = [expr_terms(a) for a in asts]
     qweights = []
     for _, post in per_q:
@@ -274,7 +283,7 @@ def dsl_topk(sf_dir: str) -> pa.Table:
                 docs, sc = score_postings(qweights[qid], restricted,
                                           df, n_docs, avgdl, k1, b,
                                           mode="bm25")
-                d, s = topk(docs, sc, _TOPK_BUFFER)
+                d, s = topk(docs, sc, buffer)
                 out_q.extend([qid] * len(d))
                 out_d.extend(d.tolist())
                 out_s.extend(float(x) for x in s)
@@ -285,7 +294,8 @@ def dsl_topk(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(out_d, pa.int64()),
             "score": pa.array(out_s, pa.float64())})
 
-    return _ranked_from_candidates(_parts_candidates(idx, kern))
+    return _ranked_from_candidates(_parts_candidates(idx, kern),
+                                   topk=k)
 
 
 def _sql_pred(node) -> str:
