@@ -409,6 +409,19 @@ def cmd_merge(args) -> None:
     ray.shutdown()
 
 
+def cmd_suggest(args) -> None:
+    """Autocomplete from the lexicon (no Ray session needed: a
+    searchsorted range scan of the already-built term dictionary)."""
+    _require_index(args.index)
+    from raysearch.pipelines.suggest import completion_for_index
+
+    out = completion_for_index(args.index,
+                               [p for p in args.prefix.split(",") if p],
+                               args.k)
+    for row in out.to_pylist():
+        print(json.dumps(row))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="raysearch")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -503,6 +516,15 @@ def main(argv=None) -> None:
                     help="poll until the build completes")
     mo.add_argument("--interval", type=float, default=2.0)
     mo.set_defaults(fn=cmd_monitor)
+
+    sg = sub.add_parser("suggest",
+                        help="autocomplete: top completions per "
+                             "prefix by collection frequency")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True,
+                    help="comma-separated prefixes")
+    sg.add_argument("--k", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
 
     m = sub.add_parser("merge")
     m.add_argument("--inputs", required=True,

@@ -284,11 +284,18 @@ def completion_suggest(sf_dir: str) -> pa.Table:
     same lexicon stream. The reference has no suggester at all
     (/root/reference/src/lib.rs:374-411).
     """
-    import pyarrow.dataset as pads
-
     from raysearch.pipelines.search_queries import cached_index
 
-    idx = cached_index(sf_dir)
+    return completion_for_index(cached_index(sf_dir),
+                                COMPLETION_PREFIXES, COMPLETION_K)
+
+
+def completion_for_index(idx: str, prefixes: list[str],
+                         k: int) -> pa.Table:
+    """Completion scan over an arbitrary built index (shared by the
+    registry entry and `cli suggest`)."""
+    import pyarrow.dataset as pads
+
     lex = pads.dataset(os.path.join(idx, "lexicon")).to_table(
         columns=["term", "cf"])
     order = np.argsort(np.asarray(lex["term"].to_pylist(), dtype=object),
@@ -296,12 +303,12 @@ def completion_suggest(sf_dir: str) -> pa.Table:
     terms = np.asarray(lex["term"].to_pylist(), dtype=object)[order]
     cf = lex["cf"].to_numpy(zero_copy_only=False)[order]
     out_p, out_t, out_r, out_w = [], [], [], []
-    for p in COMPLETION_PREFIXES:
+    for p in prefixes:
         lo = np.searchsorted(terms, p)
         hi = np.searchsorted(terms, p[:-1] + chr(ord(p[-1]) + 1))
         cand_t, cand_w = terms[lo:hi], cf[lo:hi]
         # top-k by (cf DESC, term ASC): lexsort on (term, -cf)
-        pick = np.lexsort((cand_t, -cand_w))[:COMPLETION_K]
+        pick = np.lexsort((cand_t, -cand_w))[:k]
         for r, i in enumerate(pick, 1):
             out_p.append(p)
             out_t.append(str(cand_t[i]))
