@@ -438,14 +438,161 @@ FROM p GROUP BY query_id
 """
 
 
+# ---- ordered interval queries (Lucene Intervals.ordered + maxgaps) ----
+
+# token budget BETWEEN the first and last matched term beyond the
+# minimum: an n-term ordered match must fit in a span of
+# (n - 1) + INTERVAL_MAXGAPS token positions
+INTERVAL_MAXGAPS = 6
+
+# ordered triples over the documents-table vocabulary: three dense
+# shapes, one sparse (2 docs at sf0.001), and an absent-term probe
+# (zero hits through the missing-posting path)
+INTERVAL_QUERIES: list[tuple[str, str, str]] = [
+    ("hash", "join", "order"),
+    ("sort", "merge", "data"),
+    ("fast", "key", "sort"),
+    ("spark", "window", "dup"),
+    ("dup", "row", "zzznothingzzz"),
+]
+
+
+def interval_topk(sf_dir: str) -> pa.Table:
+    """Lucene ordered interval retrieval (Intervals.ordered with
+    maxgaps): for each (t1, t2, t3) query, rank documents by the
+    number of ANCHOR occurrences of t1 followed by t2 then t3, in
+    order, within a span of {W} token positions — the 3-term
+    generalization the phrase (exact adjacency) and slop (2-term
+    ordered window) family builds toward. Rank = (anchor count DESC,
+    doc_id), hits only.
+
+    Matching is exact by a greedy-successor argument: taking each
+    term's SMALLEST position beyond its predecessor minimizes the
+    final span, so "greedy span <= W" is equivalent to "some ordered
+    completion within W" (the oracle's EXISTS) — each anchor needs
+    one searchsorted chain, not a cross-product of occurrences.
+
+    Plan: verified ENTIRELY from the positional index (pos_enc),
+    zero documents.parquet bytes; candidates are the 3-term posting
+    AND (work ~ min df); the searchsorted chain runs on
+    gpos = rank<<32|pos coordinates, where a cross-document successor
+    inflates the span past 2^32 and fails the W check for free. Per-
+    segment counts final under doc-hash partitioning."""
+    import ray.data  # noqa: F401
+
+    from raysearch.pipelines.rankex import (_EMPTY_CAND,
+                                            _parts_candidates,
+                                            _ranked_from_candidates)
+    from raysearch.pipelines.search_queries import (_gpos, cached_index)
+    from raysearch.segments import (decode_posting_positions,
+                                    decode_posting_row, part_dirname,
+                                    read_postings)
+
+    idx = cached_index(sf_dir, with_positions=True)
+    all_terms = sorted({t for q in INTERVAL_QUERIES for t in q})
+    W = np.int64(len(INTERVAL_QUERIES[0]) - 1 + INTERVAL_MAXGAPS)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms)
+            entries = {}
+            for i, t in enumerate(tbl["term"].to_pylist()):
+                docs, tfs, _dls = decode_posting_row(tbl, i)
+                pos = decode_posting_positions(tbl, i, tfs)
+                entries[t] = (docs, tfs, pos)
+            for qid, terms in enumerate(INTERVAL_QUERIES):
+                ents = [entries.get(t) for t in terms]
+                if any(e is None or not len(e[0]) for e in ents):
+                    continue
+                cand = ents[0][0]
+                for e in ents[1:]:
+                    cand = cand[np.isin(cand, e[0],
+                                        assume_unique=True)]
+                if not len(cand):
+                    continue
+                anchors, _ = _gpos(ents[0], cand)
+                cur = anchors
+                for e in ents[1:]:
+                    gj, _ = _gpos(e, cand)
+                    k = np.searchsorted(gj, cur + 1)
+                    ok = k < len(gj)
+                    anchors, cur = anchors[ok], gj[k[ok]]
+                    if not len(cur):
+                        break
+                if not len(cur):
+                    continue
+                good = (cur - anchors) <= W  # cross-doc spans >= 2^32
+                if not good.any():
+                    continue
+                n = np.bincount(
+                    (anchors[good] >> np.int64(32)).astype(np.int64),
+                    minlength=len(cand))
+                hit = np.flatnonzero(n)
+                out_q.extend([qid] * len(hit))
+                out_d.extend(cand[hit].tolist())
+                out_s.extend(n[hit].astype(float).tolist())
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    return _ranked_from_candidates(_parts_candidates(idx, kern),
+                                   score_int=True)
+
+
+def sql_interval_topk() -> str:
+    from raysearch.pipelines.search_queries import TOPK
+
+    w = len(INTERVAL_QUERIES[0]) - 1 + INTERVAL_MAXGAPS
+    rows = ", ".join(f"({qid}, '{a}', '{b}', '{c}')"
+                     for qid, (a, b, c) in enumerate(INTERVAL_QUERIES))
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(len(toks)))::BIGINT AS p FROM t),
+q(query_id, ta, tb, tc) AS (VALUES {rows}),
+anchors AS (
+  SELECT q.query_id, pa.doc_id, pa.p
+  FROM q JOIN pos pa ON pa.tok = q.ta
+  WHERE EXISTS (
+    SELECT 1 FROM pos pb
+    JOIN pos pc ON pc.doc_id = pb.doc_id AND pc.tok = q.tc
+               AND pc.p > pb.p
+    WHERE pb.doc_id = pa.doc_id AND pb.tok = q.tb AND pb.p > pa.p
+      AND pc.p - pa.p <= {w})
+),
+counts AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS score
+  FROM anchors GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM counts
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "span_not_topk": span_not_topk,
     "common_terms_topk": common_terms_topk,
     "map_mrr_eval": map_mrr_eval,
+    "interval_topk": interval_topk,
 }
 
 ORACLE_SQL = {
     "span_not_topk": sql_span_not_topk(),
     "common_terms_topk": sql_common_terms_topk(),
     "map_mrr_eval": sql_map_mrr_eval(),
+    "interval_topk": sql_interval_topk(),
 }

@@ -123,3 +123,30 @@ def test_map_mrr_bounds_and_perfect_query(ray_session):
     # least one fixture query behaves that way (vocabulary overlap
     # between the two scorers is high)
     assert (res.mrr == 1.0).any()
+
+
+def test_interval_semantics(ray_session, tmp_path, monkeypatch):
+    """Hand-enumerable ordered-interval corpus: order violations,
+    exact span-boundary hits (span == W) and misses (W+1), multiple
+    anchors per doc, and missing-term docs — engine == oracle and the
+    expected hit/count map pinned by eye. W = 2 + INTERVAL_MAXGAPS
+    = 8 token positions from t1 to t3."""
+    from raysearch.pipelines import spanex as sx
+
+    monkeypatch.setattr(sx, "INTERVAL_QUERIES", [("a", "b", "c")])
+    texts = [
+        "a b c",                   # doc 0: one anchor, span 2
+        "a c b",                   # doc 1: order violated -> no hit
+        "a b x x x x x x c",       # doc 2: span exactly 8 -> hit
+        "a b x x x x x x x c",     # doc 3: span 9 -> no hit
+        "a b c a b c",             # doc 4: two anchors
+        "a x b x c",               # doc 5: gapped but in budget
+        "b c a",                   # doc 6: nothing follows the a
+        "a b",                     # doc 7: no c at all
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = sx.interval_topk(d)
+    _assert_parity(got, _oracle(d, sx.sql_interval_topk()))
+    e = got.to_pandas()
+    assert dict(zip(e.doc_id, e.score)) == {0: 1, 2: 1, 4: 2, 5: 1}
+    assert list(e.sort_values("rank").doc_id) == [4, 0, 2, 5]
