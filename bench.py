@@ -126,7 +126,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "dfr_topk", "boolean_topk", "dup_rate_by_source",
           # round-5 session-7 additions
           "federated_topk", "completion_suggest", "dsl_topk",
-          "sayt_topk", "trec_run_export", "dfi_topk", "interval_topk"]
+          "sayt_topk", "trec_run_export", "dfi_topk", "interval_topk",
+          "cms_term_counts"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

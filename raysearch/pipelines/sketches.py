@@ -561,9 +561,108 @@ GROUP BY 1, 2
 """
 
 
+# ---- Count-Min sketch term frequencies ----
+
+CMS_D, CMS_W = 4, 4096   # depth x width: over-estimate <= e*N/W w.p.
+                         # 1 - e^-D per query; 4 x 4096 int64 = 128 KiB
+# fixed odd multipliers (splitmix64/golden-ratio family) — the d
+# pairwise-independent-ish row hashes; seeds are part of the contract
+# so partial sketches built anywhere merge
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                       0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)
+CMS_PROBE_TERMS = ("the", "hash", "join", "dup", "spark", "window",
+                   "zzznothingzzz")
+
+
+def _cms_rows(terms: np.ndarray) -> np.ndarray:
+    """(CMS_D, n) column indices for a term array: one stable 64-bit
+    base hash per term (md5 prefix — not Python's salted hash), then
+    d splitmix-multiplier row derivations."""
+    import hashlib
+
+    base = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+         for t in terms), dtype=np.uint64, count=len(terms))
+    rows = (base[None, :] * _CMS_SEEDS[:, None])
+    return ((rows >> np.uint64(40)) % np.uint64(CMS_W)).astype(np.int64)
+
+
+def cms_term_counts(sf_dir: str) -> pa.Table:
+    """Count-Min sketch point-frequency estimates vs exact truth for
+    the probe terms: (term, exact, est, overestimate) — est >= exact
+    always (counts only ever collide upward), est - exact bounded by
+    the sketch's e*N/W tail. Completes the mergeable-summary family
+    (HLL distinct, t-digest quantiles, SpaceSaving top-k, Bloom
+    membership, CMS frequency).
+
+    Scale shape: each batch contributes ONE fixed {d}x{w}-cell array
+    (np.add.at over the batch's unique-term counts); merge is
+    elementwise SUM — associative and commutative, so partials
+    combine anywhere in any order (the HLL register contract with +
+    in place of max). The driver holds batches x 128 KiB partials at
+    this P; at cluster scale the same rows pre-sum through a coarse
+    groupby exactly like the HLL two-level path. Exact probe counts
+    ride the heavy_hitters pass-2 shape (broadcast probe list,
+    searchsorted membership, narrow groupby). Estimates are
+    deterministic given the seeds but not SQL-expressible -> rows-
+    only driver check; the guarantees (est >= exact, bound, merge
+    associativity) are pinned in tests/test_sketches.py."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        terms, cnts = _batch_term_counts(batch)
+        tbl = np.zeros((CMS_D, CMS_W), np.int64)
+        if len(terms):
+            idx = _cms_rows(terms)
+            for r in range(CMS_D):
+                np.add.at(tbl[r], idx[r], cnts)
+        return pd.DataFrame({"sk": [tbl.ravel()]})
+
+    sketch = np.zeros(CMS_D * CMS_W, np.int64)
+    for b in (_read(sf_dir, _DOCS, ["doc_id", "text"])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .iter_batches(batch_format="pandas")):
+        for arr in b["sk"]:
+            sketch += np.asarray(arr, np.int64)
+    sketch = sketch.reshape(CMS_D, CMS_W)
+
+    probes = np.array(sorted(CMS_PROBE_TERMS), dtype=object)
+    import ray
+    probe_ref = ray.put(probes)
+
+    def exact_pass(batch: pa.Table) -> pd.DataFrame:
+        probe = ray.get(probe_ref)
+        terms, cnts = _batch_term_counts(batch)
+        pos = np.clip(np.searchsorted(probe, terms), 0, len(probe) - 1)
+        hit = probe[pos] == terms
+        return pd.DataFrame({"term": terms[hit], "cnt": cnts[hit]})
+
+    ex = (_read(sf_dir, _DOCS, ["doc_id", "text"])
+          .map_batches(exact_pass, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+          .to_pandas())
+    exact = dict(zip(ex.term, ex.cnt.astype(np.int64)))
+    idx = _cms_rows(probes)
+    est = sketch[np.arange(CMS_D)[:, None], idx].min(axis=0)
+    return pa.table({
+        "term": pa.array(probes.tolist(), pa.string()),
+        "exact": pa.array([int(exact.get(t, 0)) for t in probes],
+                          pa.int64()),
+        "est": pa.array(est.astype(np.int64), pa.int64()),
+        "overestimate": pa.array(
+            [int(e) - int(exact.get(t, 0))
+             for t, e in zip(probes, est)], pa.int64()),
+    })
+
+
 QUERIES = {
     "distinct_users": distinct_users,
     "hll_distinct_users": hll_distinct_users,
+    "cms_term_counts": cms_term_counts,
     "heavy_hitters": heavy_hitters,
     "heavy_hitters_ss": heavy_hitters_ss,
     "grouped_topk": grouped_topk,

@@ -702,3 +702,54 @@ def test_heavy_hitters_ss_exact_when_under_cap(ray_session, tmp_path):
     truth = collections.Counter(" ".join(texts).split())
     assert (got.cnt_lo == got.cnt_hi).all()
     assert {t: int(n) for t, n in zip(got.term, got.cnt_lo)} == dict(truth)
+
+
+def test_cms_guarantees(ray_session, tmp_path):
+    """CMS pins: estimates never undercount, the absent term reads 0
+    unless a collision inflates it, and a high-collision corpus
+    (vocab >> probe set, N*e/W ~ 3) keeps overestimates inside a
+    loose Markov-bound multiple."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysearch.pipelines import sketches as sk
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(5000)] + ["hash", "dup", "the"]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(200)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    t = sk.cms_term_counts(str(tmp_path)).to_pandas()
+    assert (t.est >= t.exact).all()          # one-sided error
+    assert (t.overestimate >= 0).all()
+    n_tokens = 200 * 40
+    bound = int(np.e * n_tokens / sk.CMS_W) + 1   # ~6 expected
+    assert (t.overestimate <= 12 * bound).all()   # loose tail multiple
+
+
+def test_cms_rows_deterministic_and_mergeable():
+    """Row hashes are stable across calls/processes (md5-based, not
+    Python's salted hash) and partial sketches merge by addition."""
+    import numpy as np
+
+    from raysearch.pipelines.sketches import (CMS_D, CMS_W, _cms_rows)
+
+    terms = np.array(["alpha", "beta", "gamma"], dtype=object)
+    a, b = _cms_rows(terms), _cms_rows(terms)
+    assert (a == b).all() and a.shape == (CMS_D, 3)
+    assert (a >= 0).all() and (a < CMS_W).all()
+    # add-merge: sketch(x+y) == sketch(x) + sketch(y) by construction
+    t1 = np.zeros((CMS_D, CMS_W), np.int64)
+    t2 = np.zeros((CMS_D, CMS_W), np.int64)
+    tall = np.zeros((CMS_D, CMS_W), np.int64)
+    for r in range(CMS_D):
+        np.add.at(t1[r], a[r][:2], [3, 5])
+        np.add.at(t2[r], a[r][2:], [7])
+        np.add.at(tall[r], a[r], [3, 5, 7])
+    assert (t1 + t2 == tall).all()
