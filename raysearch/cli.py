@@ -133,7 +133,7 @@ def cmd_query(args) -> None:
 
         boost = (static_boost_ids(args.index, args.boost_term),
                  args.boost_factor)
-    if args.prune and args.mode in ("classic", "jm", "dfr", "boolean", "dfi"):
+    if args.prune and args.mode in ("classic", "jm", "dfr", "boolean", "dfi", "axiomatic"):
         raise SystemExit(f"--mode {args.mode} requires prune=False "
                          "(no MaxScore bounds for its tf curve)")
     decay = None
@@ -457,7 +457,7 @@ def main(argv=None) -> None:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode",
                    choices=["bm25", "overlap", "dirichlet", "classic",
-                            "jm", "dfr", "boolean", "dfi"],
+                            "jm", "dfr", "boolean", "dfi", "axiomatic"],
                    default="bm25")
     q.add_argument("--prune", action="store_true")
     q.add_argument("--dsl", action="store_true",
@@ -479,7 +479,7 @@ def main(argv=None) -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode",
                    choices=["bm25", "overlap", "dirichlet", "classic",
-                            "jm", "dfr", "boolean", "dfi"],
+                            "jm", "dfr", "boolean", "dfi", "axiomatic"],
                    default="bm25")
     s.add_argument("--actors", type=int, default=None)
     s.set_defaults(fn=cmd_serve)

@@ -985,6 +985,15 @@ def dfi_topk(sf_dir: str) -> pa.Table:
     return _topk_rounded(sf_dir, "dfi")
 
 
+def axiomatic_topk(sf_dir: str) -> pa.Table:
+    """AxiomaticF2EXP top-10 per query (Lucene's axiomatic retrieval
+    family, Fang & Zhai) — the NINTH scoring mode:
+    score(q,d) = sum_t w_t * (N/df_t)^{K} * tf / (tf + {S} + {S}*dl/avgdl).
+    Needs only df/N/avgdl (the bm25 broadcast), same doc-partitioned
+    fan-out; exhaustive by contract (prune guard)."""
+    return _topk_rounded(sf_dir, "axiomatic")
+
+
 def classic_topk(sf_dir: str) -> pa.Table:
     """Lucene ClassicSimilarity (pre-6.0 TFIDFSimilarity) top-10 per
     query — the fourth scoring mode (bm25/overlap/dirichlet/classic):
@@ -1296,6 +1305,40 @@ scores AS (
              THEN w * log2((tf - e) / sqrt(e) + 1) ELSE 0 END) AS score
   FROM expanded
   GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def sql_axiomatic_topk() -> str:
+    from raysearch.score import AX_K, AX_S
+
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * pow(s.n_docs / df.df, {AX_K}) * tf.tf
+             / (tf.tf + {AX_S} + {AX_S} * dl.dl / s.avgdl)) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
   SELECT query_id, doc_id, round(score, 6) AS score,
@@ -2811,6 +2854,7 @@ QUERIES = {
     "classic_topk": classic_topk,
     "jm_topk": jm_topk,
     "dfi_topk": dfi_topk,
+    "axiomatic_topk": axiomatic_topk,
     "dfr_topk": dfr_topk,
     "boolean_topk": boolean_topk,
     "decay_topk": decay_topk,
@@ -2848,6 +2892,7 @@ ORACLE_SQL = {
     "classic_topk": sql_classic_topk(),
     "jm_topk": sql_jm_topk(),
     "dfi_topk": sql_dfi_topk(),
+    "axiomatic_topk": sql_axiomatic_topk(),
     "dfr_topk": sql_dfr_topk(),
     "boolean_topk": sql_boolean_topk(),
     "decay_topk": sql_decay_topk(),

@@ -45,6 +45,7 @@ from raysearch.score import (
     as_qweights,
     bm25_contrib,
     bm25_idf,
+    axiomatic_contrib,
     classic_contrib,
     classic_idf,
     dfi_contrib,
@@ -203,7 +204,7 @@ def score_queries_over_postings(
         # rather than silently invert the Lucene-boost semantics
         raise ValueError("boost supports bm25/overlap only "
                          "(dirichlet scores are negative log sums)")
-    if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi"):
+    if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi", "axiomatic"):
         # the MaxScore/block-max upper bounds are derived for the
         # bm25/overlap tf curves; the other modes score exhaustively
         # (still df-bounded per query term)
@@ -255,6 +256,9 @@ def score_queries_over_postings(
             elif mode == "dfi":
                 contrib = dfi_contrib(tfs, dls, (cf or {}).get(term, 0),
                                       total_tokens, w)
+            elif mode == "axiomatic":
+                contrib = axiomatic_contrib(tfs, dls, df.get(term, 0),
+                                            n_docs, avgdl, w)
             elif mode == "dfr":
                 contrib = dfr_contrib(tfs, dls, df.get(term, 0),
                                       n_docs, avgdl, w)
@@ -498,7 +502,7 @@ def query_index(
                 "are negative log sums; a factor would invert the "
                 "intended promotion)")
         scorer_kwargs["boost"] = boost
-    if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi"):
+    if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi", "axiomatic"):
         raise ValueError(f"{mode} mode requires prune=False (no "
                          "MaxScore bounds for its tf curve)")
     if decay is not None:

@@ -42,6 +42,10 @@ Scoring modes:
   w * log2((tf - e)/sqrt(e) + 1) when tf > e, else 0. Needs global
   cf and C broadcast beside df (the jm plumbing); candidate-only
   scoring is exact because tf = 0 never exceeds e.
+- "axiomatic": Lucene AxiomaticF2EXP (Fang & Zhai's axiomatic
+  retrieval framework): contribution =
+  w * (N/df)^K * tf / (tf + S + S*dl/avgdl), K = 0.35, S = 0.5 (the
+  Lucene defaults). Needs only df/N/avgdl — the bm25 plumbing.
 - "dirichlet": see dirichlet_scores below.
 
 Tie-break is the deterministic total order (-score, doc_id); the
@@ -127,6 +131,21 @@ def dfr_contrib(tf: np.ndarray, dl: np.ndarray, df: float, n_docs: float,
     tfn = tf * np.log2(1.0 + avgdl / dl)
     return ((float(weight) * (tfn / (tfn + 1.0)))
             * float(np.log2((n_docs + 1.0) / (df + 0.5))))
+
+
+AX_K = 0.35  # AxiomaticF2EXP idf exponent (Lucene default)
+AX_S = 0.5   # AxiomaticF2EXP length-norm slope (Lucene default)
+
+
+def axiomatic_contrib(tf: np.ndarray, dl: np.ndarray, df: float,
+                      n_docs: float, avgdl: float,
+                      weight: int) -> np.ndarray:
+    """Vectorized AxiomaticF2EXP contribution (float64), mirroring
+    the oracle SQL term-for-term (module docstring)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    idf = float((n_docs / df) ** AX_K)
+    return (float(weight) * idf) * tf / (tf + AX_S + AX_S * dl / avgdl)
 
 
 def dfi_contrib(tf: np.ndarray, dl: np.ndarray, cf: int,

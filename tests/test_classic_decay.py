@@ -145,6 +145,22 @@ def test_dfi_under_expectation_is_zero(ray_session, tmp_path):
     assert scores[7] == 0                 # long doc: tf=1 below e
 
 
+def test_axiomatic_adversarial_parity(ray_session, tmp_path):
+    sf = _docs(tmp_path, ADVERSARIAL * 3)
+    _parity(sf, SQ.axiomatic_topk, SQ.sql_axiomatic_topk())
+
+
+def test_axiomatic_differs_from_bm25(ray_session, tmp_path):
+    """Different tf saturation and idf curve: the score columns must
+    not coincide with BM25 on the same corpus."""
+    sf = _docs(tmp_path, ADVERSARIAL * 3)
+    ax = SQ.axiomatic_topk(sf).to_pandas()
+    bm = SQ.bm25_topk(sf).to_pandas()
+    assert not np.allclose(
+        ax.sort_values(["query_id", "rank"]).score.to_numpy(),
+        bm.sort_values(["query_id", "rank"]).score.to_numpy())
+
+
 def test_jm_differs_from_dirichlet(ray_session, tmp_path):
     """Same query-likelihood family, different smoothing: the two
     modes must not produce identical score columns."""
