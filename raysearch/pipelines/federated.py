@@ -132,11 +132,47 @@ def federated_topk(sf_dir: str) -> pa.Table:
     return _ranked_from_candidates(pd.concat(cand, ignore_index=True))
 
 
+def merged_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k after SEGMENT-MERGING the two federated sub-indexes
+    into one physical index (raysearch/merge.py: one Ray task per
+    partition, same-config guard, posting rows of disjoint corpora
+    concatenated per part, stats tree-merged, lexicon rebuilt from
+    segment footers) — the Lucene forceMerge/addIndexes lifecycle
+    step, completing the driver-gated lifecycle family
+    (append / delete / compact / merge / time-travel). Oracle = the
+    plain single-index BM25 SQL: a merged index must be
+    behavior-identical to one built monolithically.
+
+    Scale: the merge moves each posting row once (parallel per part,
+    no shuffle — part p of every input holds disjoint docs of the
+    same doc-hash partition space), exactly the sub-index merge a
+    multi-tenant consolidation or an LSM level-compaction performs."""
+    import hashlib
+    import os
+    import shutil
+
+    from raysearch.merge import merge_indexes
+    from raysearch.pipelines.lifecycle import _lifecycle_dir
+    from raysearch.pipelines.search_queries import topk_rounded_for_index
+
+    srcs = federated_indexes(sf_dir)
+    out, sentinel = _lifecycle_dir(sf_dir, "fedmerge")
+    if not os.path.exists(sentinel):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        merge_indexes(srcs, out)
+        open(sentinel, "w").close()
+    return topk_rounded_for_index(out, "bm25")
+
+
 QUERIES = {
     "federated_topk": federated_topk,
+    "merged_topk": merged_topk,
 }
 
 ORACLE_SQL = {
-    # the exactness claim IS the oracle: federated == monolithic BM25
+    # the exactness claim IS the oracle: federated/merged ==
+    # monolithic BM25
     "federated_topk": sql_bm25_topk(),
+    "merged_topk": sql_bm25_topk(),
 }

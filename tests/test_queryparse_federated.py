@@ -247,3 +247,17 @@ def test_completion_tie_order(ray_session, tmp_path):
     s = eng[eng.prefix == "s"].sort_values("rank")
     assert list(s.term[:2]) == ["sa", "sb"]
     assert list(s["rank"]) == list(range(1, len(s) + 1))
+
+
+def test_merged_equals_monolithic(ray_session, tmp_path):
+    """Segment-merging the two sub-indexes must be behavior-identical
+    to the monolithic build (the Lucene addIndexes contract)."""
+    from raysearch.pipelines.federated import merged_topk
+    from raysearch.pipelines.search_queries import bm25_topk
+
+    sf = _docs(tmp_path, ADV_TEXTS)
+    m = merged_topk(sf).to_pandas().sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    b = bm25_topk(sf).to_pandas()[m.columns.tolist()].sort_values(
+        ["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(m, b)

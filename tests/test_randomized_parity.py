@@ -160,7 +160,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             # round-5 session-7 ops
             "federated_topk", "dsl_topk", "completion_suggest",
             "sayt_topk", "trec_run_export", "dfi_topk",
-            "interval_topk", "axiomatic_topk"]
+            "interval_topk", "axiomatic_topk", "merged_topk"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
