@@ -118,10 +118,11 @@ def cmd_query(args) -> None:
             raise SystemExit(
                 "--boost-term requires prune=False (MaxScore bounds "
                 "don't account for per-doc boost factors)")
-        if args.mode == "dirichlet":
+        if args.mode not in ("bm25", "overlap"):
             raise SystemExit(
-                "--boost-term supports bm25/overlap only (dirichlet "
-                "scores are negative log sums)")
+                "--boost-term supports bm25/overlap only (other "
+                "modes are unmodeled or would invert the intended "
+                "promotion)")
         if args.boost_factor <= 0:
             raise SystemExit(
                 "--boost-factor must be > 0 (0 zeroes boosted docs "
@@ -414,10 +415,23 @@ def cmd_suggest(args) -> None:
     searchsorted range scan of the already-built term dictionary)."""
     _require_index(args.index)
     from raysearch.pipelines.suggest import completion_for_index
+    from raysearch.tokenize import tokenize_query
 
-    out = completion_for_index(args.index,
-                               [p for p in args.prefix.split(",") if p],
-                               args.k)
+    prefixes = []
+    for p in args.prefix.split(","):
+        if not p:
+            continue
+        # normalize through the query tokenizer (the static_boost_ids
+        # contract): 'Ha' must scan the same lowercase lexicon range
+        # 'ha' does, never a silent zero-completion no-op
+        toks = tokenize_query(p)
+        if len(toks) != 1:
+            raise SystemExit(f"prefix must normalize to exactly one "
+                             f"token, got {toks!r} from {p!r}")
+        prefixes.append(toks[0])
+    if not prefixes:
+        raise SystemExit("--prefix needs at least one non-empty prefix")
+    out = completion_for_index(args.index, prefixes, args.k)
     for row in out.to_pylist():
         print(json.dumps(row))
 

@@ -55,18 +55,16 @@ def federated_indexes(sf_dir: str) -> list[str]:
     independent builds with their own manifests, lexicons and
     collection stats, exactly as two tenant indexes would be."""
     import os
-    import shutil
 
     from raysearch.build import build_index
-    from raysearch.pipelines.lifecycle import (_lifecycle_dir,
+    from raysearch.pipelines.lifecycle import (_fresh, _lifecycle_dir,
                                                _split_reader)
 
     dirs = []
     for half in (0, 1):
         idx, sentinel = _lifecycle_dir(sf_dir, f"fed{half}")
         if not os.path.exists(sentinel):
-            shutil.rmtree(idx, ignore_errors=True)
-            os.makedirs(idx, exist_ok=True)
+            _fresh(idx)
             build_index(
                 _split_reader(sf_dir, half), idx,
                 IndexConfig(num_parts=_NUM_PARTS, k1=K1, b=B),
@@ -147,19 +145,16 @@ def merged_topk(sf_dir: str) -> pa.Table:
     no shuffle — part p of every input holds disjoint docs of the
     same doc-hash partition space), exactly the sub-index merge a
     multi-tenant consolidation or an LSM level-compaction performs."""
-    import hashlib
     import os
-    import shutil
 
     from raysearch.merge import merge_indexes
-    from raysearch.pipelines.lifecycle import _lifecycle_dir
+    from raysearch.pipelines.lifecycle import _fresh, _lifecycle_dir
     from raysearch.pipelines.search_queries import topk_rounded_for_index
 
     srcs = federated_indexes(sf_dir)
     out, sentinel = _lifecycle_dir(sf_dir, "fedmerge")
     if not os.path.exists(sentinel):
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
+        _fresh(out)
         merge_indexes(srcs, out)
         open(sentinel, "w").close()
     return topk_rounded_for_index(out, "bm25")

@@ -62,7 +62,9 @@ def _ranked_from_candidates(cand: pd.DataFrame, score_int: bool = False,
     cand = cand.sort_values(["query_id", "score", "doc_id"],
                             ascending=[True, False, True])
     cand["rank"] = cand.groupby("query_id").cumcount() + 1
-    cand = cand[cand["rank"] <= (topk or TOPK)]
+    # explicit None test: topk=0 is a legitimate "no results" request
+    # (`or` would silently widen it back to the default)
+    cand = cand[cand["rank"] <= (TOPK if topk is None else topk)]
     return pa.table({
         "query_id": pa.array(cand.query_id.to_numpy(np.int64), pa.int64()),
         "doc_id": pa.array(cand.doc_id.to_numpy(np.int64), pa.int64()),

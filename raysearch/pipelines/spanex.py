@@ -483,11 +483,18 @@ def interval_topk(sf_dir: str) -> pa.Table:
     from raysearch.pipelines.rankex import (_EMPTY_CAND,
                                             _parts_candidates,
                                             _ranked_from_candidates)
-    from raysearch.pipelines.search_queries import (_gpos, cached_index)
+    from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
+                                                    _gpos, cached_index)
+    from raysearch.score import topk
     from raysearch.segments import (decode_posting_positions,
                                     decode_posting_row, part_dirname,
                                     read_postings)
 
+    if any(len(q) != 3 for q in INTERVAL_QUERIES):
+        # the oracle's (ta, tb, tc) VALUES shape and the shared span
+        # budget fix the arity; a different-length tuple would get a
+        # silently wrong gap budget rather than a clear error
+        raise ValueError("INTERVAL_QUERIES entries must be 3-term")
     idx = cached_index(sf_dir, with_positions=True)
     all_terms = sorted({t for q in INTERVAL_QUERIES for t in q})
     W = np.int64(len(INTERVAL_QUERIES[0]) - 1 + INTERVAL_MAXGAPS)
@@ -532,9 +539,15 @@ def interval_topk(sf_dir: str) -> pa.Table:
                     (anchors[good] >> np.int64(32)).astype(np.int64),
                     minlength=len(cand))
                 hit = np.flatnonzero(n)
-                out_q.extend([qid] * len(hit))
-                out_d.extend(cand[hit].tolist())
-                out_s.extend(n[hit].astype(float).tolist())
+                # per-part k-bound (lossless: integer counts need no
+                # rounding slack, and topk shares the (-score, doc_id)
+                # total order of the final merge) — the P·k·Q
+                # candidate contract the sibling kernels keep
+                d, s = topk(cand[hit], n[hit].astype(np.float64),
+                            _TOPK_BUFFER)
+                out_q.extend([qid] * len(d))
+                out_d.extend(d.tolist())
+                out_s.extend(float(x) for x in s)
         if not out_q:
             return _EMPTY_CAND
         return pa.table({

@@ -198,12 +198,14 @@ def score_queries_over_postings(
         # MaxScore bounds don't account for per-doc boost factors; the
         # boosted path uses the exhaustive (still df-bounded) scorer
         raise ValueError("boost requires prune=False")
-    if boost is not None and mode == "dirichlet":
-        # dirichlet scores are NEGATIVE log-likelihood sums — a
-        # multiplicative factor > 1 would DEMOTE boosted docs; refuse
-        # rather than silently invert the Lucene-boost semantics
+    if boost is not None and mode not in ("bm25", "overlap"):
+        # the documented contract: dirichlet/jm scores are NEGATIVE
+        # log-likelihood sums (a factor > 1 would DEMOTE boosted
+        # docs) and the other modes' boosted rankings have no oracle;
+        # refuse rather than silently widen the contract
         raise ValueError("boost supports bm25/overlap only "
-                         "(dirichlet scores are negative log sums)")
+                         "(other modes are unmodeled or would invert "
+                         "the intended promotion)")
     if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi", "axiomatic"):
         # the MaxScore/block-max upper bounds are derived for the
         # bm25/overlap tf curves; the other modes score exhaustively
@@ -496,11 +498,12 @@ def query_index(
             raise ValueError(
                 "boost requires prune=False (MaxScore bounds don't "
                 "account for per-doc boost factors)")
-        if mode == "dirichlet":
+        if mode not in ("bm25", "overlap"):
             raise ValueError(
-                "boost supports bm25/overlap only (dirichlet scores "
-                "are negative log sums; a factor would invert the "
-                "intended promotion)")
+                f"boost supports bm25/overlap only, not {mode} "
+                "(dirichlet/jm scores are negative log sums — a "
+                "factor would invert the intended promotion — and "
+                "the other modes' boosted rankings are unmodeled)")
         scorer_kwargs["boost"] = boost
     if prune and mode in ("classic", "jm", "dfr", "boolean", "dfi", "axiomatic"):
         raise ValueError(f"{mode} mode requires prune=False (no "

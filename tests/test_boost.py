@@ -105,3 +105,17 @@ def test_boost_rejects_dirichlet(ray_session, tmp_path):
     with pytest.raises(ValueError, match="dirichlet"):
         query_index(idx, ["hash join"], k=5, mode="dirichlet",
                     boost=(np.array([1], np.int64), 1.5))
+
+
+def test_boost_rejects_non_bm25_modes(ray_session, tmp_path):
+    """The documented contract is bm25/overlap only — every other
+    mode must refuse a boost list, not silently produce an
+    oracle-unchecked combination."""
+    from raysearch.query import query_index
+
+    sf = _docs(tmp_path, ["hash join", "hash spark"])
+    idx = SQ.cached_index(sf)
+    for mode in ("classic", "dfi", "axiomatic"):
+        with pytest.raises(ValueError, match="bm25/overlap"):
+            query_index(idx, ["hash join"], k=5, mode=mode,
+                        boost=(np.array([1], np.int64), 1.5))
