@@ -110,7 +110,8 @@ def test_cli_query_boost(tmp_path):
         assert r.returncode != 0 and needle in r.stderr, r.stderr[-500:]
 
     fails(["--prune"], "prune")
-    fails(["--mode", "dirichlet"], "dirichlet")
+    fails(["--mode", "dirichlet"], "bm25/overlap")
+    fails(["--mode", "dfi"], "bm25/overlap")
     fails(["--boost-factor", "0"], "must be > 0")
     fails(["--boost-factor", "-2.0"], "must be > 0")
     r = subprocess.run(
