@@ -34,7 +34,7 @@ _PIPELINE_MODULES = (
     "crossmodal", "embstats", "lifecycle", "nbayes", "grouping",
     "cooccur", "pq", "explain", "io_formats", "rankex", "trigram",
     "significance", "pruning", "spanex", "aggx", "suggest",
-    "federated", "queryparse",
+    "federated", "queryparse", "codeops",
 )
 
 

@@ -127,7 +127,9 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round-5 session-7 additions
           "federated_topk", "completion_suggest", "dsl_topk",
           "sayt_topk", "trec_run_export", "dfi_topk", "interval_topk",
-          "cms_term_counts", "axiomatic_topk", "merged_topk"]
+          "cms_term_counts", "axiomatic_topk", "merged_topk",
+          # round-5 session-8 additions
+          "grep_lines", "term_vectors_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement
