@@ -129,7 +129,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "sayt_topk", "trec_run_export", "dfi_topk", "interval_topk",
           "cms_term_counts", "axiomatic_topk", "merged_topk",
           # round-5 session-8 additions
-          "grep_lines", "term_vectors_topk"]
+          "grep_lines", "term_vectors_topk", "matrix_stats",
+          "rare_bigrams"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -269,12 +269,108 @@ FROM ranked WHERE rank <= {TA_K}
 """
 
 
+# ES rare_terms shape over the corpus word-bigram field: the LONG
+# TAIL (df <= RB_MAX_DF), the opposite cut of terms_agg_topk's top-k.
+# Single tokens have no tail in the fixtures (31-term vocab, min df
+# 25); bigrams do (~13 rare at both SFs), and rare phrases are the
+# real mining target (anomalous-phrase / contamination canaries).
+RB_MAX_DF = 2
+RB_K = 50
+
+_RB_EMPTY = pa.table({"bigram": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+
+
+@fmt_doc(M=RB_MAX_DF, K=RB_K)
+def rare_bigrams(sf_dir: str) -> pa.Table:
+    """Elasticsearch rare_terms over adjacent word bigrams: every
+    bigram whose EXACT global document frequency is <= {M}, up to {K}
+    rows under (df ASC, bigram ASC) — the long-tail complement of the
+    terms aggregation (rare phrases surface templating anomalies and
+    eval-set contamination canaries that top-k views never show).
+
+    Plan: per-batch distinct (doc, bigram) -> (bigram, df) count
+    partials are exact (a doc lives in one batch); ONE bigram-bucketed
+    groupby sums them; the rare filter + a local top-{K} under the
+    total order run on the post-groupby stream (every bigram's total
+    is one row), so the driver merges <= blocks x {K} candidate rows —
+    never the bigram vocabulary. ES needs a second pass or a bloom
+    filter for exactly this cut; the bucketed exchange gives exact
+    counts in one."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.pipelines.search_queries import _concat_ds
+    from raysearch.pipelines.textops import _read_docs, _tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch)
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        if len(flat) < 2:
+            return _RB_EMPTY
+        ids = np.repeat(batch["doc_id"].to_numpy(), n)
+        same = ids[:-1] == ids[1:]
+        if not same.any():
+            return _RB_EMPTY
+        big = (pd.Series(flat[:-1][same]) + " "
+               + pd.Series(flat[1:][same]))
+        g = (pd.DataFrame({"doc_id": ids[:-1][same], "bigram": big})
+             .drop_duplicates()
+             .groupby("bigram").size().reset_index(name="df"))
+        return pa.table({"bigram": pa.array(g.bigram.tolist(),
+                                            pa.string()),
+                         "df": pa.array(g.df.to_numpy(np.int64),
+                                        pa.int64())})
+
+    def local_rare(b: pa.Table) -> pa.Table:
+        d = b.to_pandas()
+        d = (d[d.df <= RB_MAX_DF]
+             .sort_values(["df", "bigram"], ignore_index=True)
+             .head(RB_K))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    counts = (_read_docs(sf_dir)
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bigram").aggregate(Sum("df", alias_name="df"))
+              .map_batches(local_rare, batch_format="pyarrow"))
+    cand = _concat_ds(counts, _RB_EMPTY).to_pandas()
+    out = (cand.sort_values(["df", "bigram"], ignore_index=True)
+           .head(RB_K))
+    return pa.table({
+        "bigram": pa.array(out.bigram.tolist(), pa.string()),
+        "df": pa.array(out.df.to_numpy(np.int64), pa.int64()),
+    })
+
+
+def sql_rare_bigrams() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+c AS (SELECT bigram, count(*)::BIGINT AS df FROM bg GROUP BY bigram),
+r AS (
+  SELECT bigram, df, row_number() OVER (ORDER BY df, bigram) AS rn
+  FROM c WHERE df <= {RB_MAX_DF}
+)
+SELECT bigram, df FROM r WHERE rn <= {RB_K}
+"""
+
+
 QUERIES = {
     "range_facet_counts": range_facet_counts,
     "terms_agg_topk": terms_agg_topk,
+    "rare_bigrams": rare_bigrams,
 }
 
 ORACLE_SQL = {
     "range_facet_counts": sql_range_facet_counts(),
     "terms_agg_topk": sql_terms_agg_topk(),
+    "rare_bigrams": sql_rare_bigrams(),
 }

@@ -267,12 +267,148 @@ FROM h
 """
 
 
+# matrix_stats variables (alphabetical; the output pair order):
+# qty in integer units, extendedprice in cents, discount in
+# hundredths (x100) — the same exact-integer units the money ops use
+MS_COLS = ["cents", "disc", "qty"]
+
+
+def matrix_stats(sf_dir: str) -> pa.Table:
+    """The Elasticsearch matrix_stats aggregation over lineitem
+    (quantity, extended price, discount): for every unordered column
+    pair incl. the diagonal — (col_x, col_y, n_rows, mean_x, mean_y,
+    covar_samp, corr) — the diagonal rows carrying the sample
+    variance and corr 1.
+
+    Exactness: qty_price_corr's overflow-proof integer-moment plan
+    generalized to the full moment MATRIX — per-batch int64 sums of
+    {x, x*y} for all pairs (batch size derived from footer max stats
+    so the largest pair product provably fits int64), cross-batch
+    reduction in Python arbitrary-precision ints, and the identical
+    int->double->IEEE finish on both engine and oracle. ONE corpus
+    pass, one 10-int row per batch to the driver, exact at any
+    scale."""
+    max_cents = int(_half_away(np.array(
+        [_col_max(sf_dir, "lineitem.parquet", "l_extendedprice")]
+    ) * 100.0)[0])
+    max_prod = max(max_cents * max_cents, 1)
+    safe_batch = (1 << 62) // max_prod
+    if safe_batch < _BATCH_FLOOR:
+        raise ValueError(
+            f"max |cents| {max_cents} forces batches under "
+            f"{_BATCH_FLOOR} rows; rescale the value column or shard "
+            "the moment sums")
+    safe_batch = min(safe_batch, 65536)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "qty": _half_away(df["l_quantity"].to_numpy(np.float64)),
+            "cents": _cents(df["l_extendedprice"].to_numpy(np.float64)),
+            "disc": _cents(df["l_discount"].to_numpy(np.float64)),
+        }
+        out: dict[str, list[int]] = {"n": [len(df)]}
+        for i, a in enumerate(MS_COLS):
+            out[f"s_{a}"] = [int(cols[a].sum())]
+            for b in MS_COLS[i:]:
+                out[f"s_{a}_{b}"] = [int((cols[a] * cols[b]).sum())]
+        return pd.DataFrame(out)
+
+    parts = (_read(sf_dir, "lineitem.parquet",
+                   columns=["l_quantity", "l_extendedprice",
+                            "l_discount"])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=int(safe_batch)))
+    keys = (["n"] + [f"s_{a}" for a in MS_COLS]
+            + [f"s_{a}_{b}" for i, a in enumerate(MS_COLS)
+               for b in MS_COLS[i:]])
+    acc = dict.fromkeys(keys, 0)
+    for b in parts.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            for k in keys:
+                acc[k] += int(getattr(row, k))
+
+    n = acc["n"]
+    rows: dict[str, list] = {k: [] for k in
+                             ("col_x", "col_y", "n_rows", "mean_x",
+                              "mean_y", "covar", "corr")}
+    for i, a in enumerate(MS_COLS):
+        for b in MS_COLS[i:]:
+            sx, sy, sxy = acc[f"s_{a}"], acc[f"s_{b}"], acc[f"s_{a}_{b}"]
+            sxx, syy = acc[f"s_{a}_{a}"], acc[f"s_{b}_{b}"]
+            rows["col_x"].append(a)
+            rows["col_y"].append(b)
+            rows["n_rows"].append(n)
+            rows["mean_x"].append(round6(float(sx) / n) if n else None)
+            rows["mean_y"].append(round6(float(sy) / n) if n else None)
+            num = n * sxy - sx * sy
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            rows["covar"].append(
+                round6(float(num) / float(n * (n - 1))) if n > 1
+                else None)
+            rows["corr"].append(
+                round6(float(num) / (math.sqrt(float(d1))
+                                     * math.sqrt(float(d2))))
+                if d1 > 0 and d2 > 0 else 0.0)
+    return pa.table({
+        "col_x": pa.array(rows["col_x"], pa.string()),
+        "col_y": pa.array(rows["col_y"], pa.string()),
+        "n_rows": pa.array(rows["n_rows"], pa.int64()),
+        "mean_x": pa.array(rows["mean_x"], pa.float64()),
+        "mean_y": pa.array(rows["mean_y"], pa.float64()),
+        "covar": pa.array(rows["covar"], pa.float64()),
+        "corr": pa.array(rows["corr"], pa.float64()),
+    })
+
+
+def sql_matrix_stats() -> str:
+    pair_rows = []
+    for i, a in enumerate(MS_COLS):
+        for b in MS_COLS[i:]:
+            pair_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, "
+                f"s_{a} AS sx, s_{b} AS sy, s_{a}_{b} AS sxy, "
+                f"s_{a}_{a} AS sxx, s_{b}_{b} AS syy FROM m")
+    pairs = "\n  UNION ALL ".join(pair_rows)
+    sums = ", ".join(
+        [f"sum(v.{a})::HUGEINT AS s_{a}" for a in MS_COLS]
+        + [f"sum(v.{a} * v.{b})::HUGEINT AS s_{a}_{b}"
+           for i, a in enumerate(MS_COLS) for b in MS_COLS[i:]])
+    return f"""
+WITH v AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT)::HUGEINT AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)::HUGEINT
+           AS cents,
+         CAST(round(l_discount * 100, 0) AS BIGINT)::HUGEINT AS disc
+  FROM lineitem
+),
+m AS (SELECT count(*)::HUGEINT AS n, {sums} FROM v),
+p AS (
+  {pairs}
+)
+SELECT col_x, col_y, n::BIGINT AS n_rows,
+       round(sx::DOUBLE / n::DOUBLE, 6) AS mean_x,
+       round(sy::DOUBLE / n::DOUBLE, 6) AS mean_y,
+       CASE WHEN n > 1
+            THEN round((n * sxy - sx * sy)::DOUBLE
+                       / (n * (n - 1))::DOUBLE, 6) END AS covar,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)::DOUBLE
+                  / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                     * sqrt((n * syy - sy * sy)::DOUBLE))
+             ELSE 0 END, 6) AS corr
+FROM p
+"""
+
+
 QUERIES = {
     "qty_price_corr": qty_price_corr,
     "zipf_slope": zipf_slope,
+    "matrix_stats": matrix_stats,
 }
 
 ORACLE_SQL = {
     "qty_price_corr": sql_qty_price_corr(),
     "zipf_slope": sql_zipf_slope(),
+    "matrix_stats": sql_matrix_stats(),
 }

@@ -1,0 +1,173 @@
+"""matrix_stats / rare_bigrams: adversarial-corpus oracle parity and
+structural pins (moment exactness vs numpy, zero-variance and n=1
+edges, cap semantics). Fixture-SF value parity is in test_entry_parity."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _write_lineitem(tmp_path, qty, price, disc):
+    n = len(qty)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(np.asarray(qty, np.float64)),
+        "l_extendedprice": pa.array(np.asarray(price, np.float64)),
+        "l_discount": pa.array(np.asarray(disc, np.float64)),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+    }), os.path.join(tmp_path, "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _duck(sf, table):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {table} AS SELECT * FROM "
+                f"read_parquet('{sf}/{table}.parquet')")
+    return con
+
+
+def test_matrix_stats_adversarial_parity(ray_session, tmp_path):
+    # constant discount (zero variance -> corr 0 on its pairs),
+    # half-cent rounding boundaries, negative-correlation pair
+    from raysearch.pipelines import stats as ST
+
+    sf = _write_lineitem(
+        tmp_path,
+        qty=[1, 2, 3, 4, 5, 6, 7, 8],
+        price=[80.005, 70.015, 60.0, 50.555, 40.004, 30.0, 20.5, 10.995],
+        disc=[0.05] * 8)
+    con = _duck(sf, "lineitem")
+    eng = ST.matrix_stats(sf).to_pandas()
+    ora = con.execute(ST.sql_matrix_stats()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    m = {(r.col_x, r.col_y): r for r in eng.itertuples()}
+    assert m[("disc", "disc")].corr == 0.0       # zero variance
+    assert m[("disc", "disc")].covar == 0.0
+    assert m[("qty", "qty")].corr == 1.0         # diagonal
+    assert m[("cents", "qty")].corr < -0.99      # engineered anti-corr
+
+
+def test_matrix_stats_single_row_has_null_covar(ray_session, tmp_path):
+    from raysearch.pipelines import stats as ST
+
+    sf = _write_lineitem(tmp_path, [3], [10.0], [0.01])
+    con = _duck(sf, "lineitem")
+    eng = ST.matrix_stats(sf).to_pandas()
+    ora = con.execute(ST.sql_matrix_stats()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    assert eng.covar.isna().all()
+    assert (eng.n_rows == 1).all()
+
+
+def test_matrix_stats_matches_numpy(ray_session):
+    # the exact integer-moment finish must agree with numpy's float
+    # covariance/correlation on the rounded integer columns
+    from raysearch.pipelines.joins import _cents, _half_away
+    from raysearch.pipelines.stats import matrix_stats
+
+    eng = matrix_stats(SF).to_pandas()
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                       columns=["l_quantity", "l_extendedprice",
+                                "l_discount"]).to_pandas()
+    cols = {
+        "qty": _half_away(li.l_quantity.to_numpy(np.float64)),
+        "cents": _cents(li.l_extendedprice.to_numpy(np.float64)),
+        "disc": _cents(li.l_discount.to_numpy(np.float64)),
+    }
+    assert len(eng) == 6
+    for r in eng.itertuples():
+        x, y = cols[r.col_x], cols[r.col_y]
+        assert r.n_rows == len(x)
+        # round6 quantum + relative slack for large magnitudes
+        tol = lambda v: 5e-7 + 1e-9 * abs(v)
+        assert abs(r.mean_x - x.mean()) <= tol(x.mean())
+        cov = np.cov(x, y, ddof=1)[0, 1]
+        assert abs(r.covar - cov) <= tol(cov)
+        cr = np.corrcoef(x, y)[0, 1]
+        assert abs(r.corr - cr) <= tol(cr)
+
+
+def _write_docs(tmp_path, texts):
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["t"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_rare_bigrams_adversarial_parity_and_cap(ray_session, tmp_path):
+    # 60 unique rare bigrams (> RB_K: the cap must bite), an
+    # intra-doc repeated bigram (df still 1), a df=2 pair, a hot
+    # bigram (df > RB_MAX_DF: excluded), tabs, empty and
+    # single-token docs
+    from raysearch.pipelines import aggx as AX
+
+    texts = ([f"u{i:02d}a u{i:02d}b" for i in range(60)]
+             + ["rep rep rep rep",              # bigram 'rep rep' df=1
+                "pair\tmate extra",             # tab whitespace
+                "pair mate other",              # 'pair mate' df=2
+                "solo", ""]                     # no bigrams
+             + ["hot bigram filler"] * 5)       # df=5 -> excluded
+    sf = _write_docs(tmp_path, texts)
+    con = _duck(sf, "documents")
+    eng = AX.QUERIES["rare_bigrams"](sf).to_pandas()
+    ora = con.execute(AX.ORACLE_SQL["rare_bigrams"]).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    assert len(eng) == AX.RB_K                  # cap bites
+    assert (eng.df <= AX.RB_MAX_DF).all()
+    assert "hot bigram" not in set(eng.bigram)
+    got = dict(zip(eng.bigram, eng.df))
+    assert got.get("rep rep") == 1              # intra-doc repeats: 1 doc
+    # cap ORDER pin: 63 df=1 rows exist, so the df=2 'pair mate' row
+    # (which sorts after every df=1 row under (df, bigram)) must be
+    # cut by the K=50 cap even though it satisfies the rare filter
+    assert "pair mate" not in got
+    assert (eng.df == 1).all()
+    assert eng.df.is_monotonic_increasing
+    assert eng.bigram.is_monotonic_increasing   # (df, bigram) order
+
+
+def test_rare_bigrams_exact_at_fixture(ray_session):
+    # brute-force truth over sf0.001
+    from raysearch.pipelines.aggx import RB_K, RB_MAX_DF, rare_bigrams
+
+    res = rare_bigrams(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    from collections import Counter
+    c: Counter = Counter()
+    for r in docs.itertuples():
+        t = r.text.lower().split()
+        c.update({f"{a} {b}" for a, b in zip(t, t[1:])})
+    want = sorted(((n, b) for b, n in c.items() if n <= RB_MAX_DF))
+    want = want[:RB_K]
+    got = list(zip(res.df, res.bigram))
+    assert got == want
+    assert len(got) > 0
