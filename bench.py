@@ -130,7 +130,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "cms_term_counts", "axiomatic_topk", "merged_topk",
           # round-5 session-8 additions
           "grep_lines", "term_vectors_topk", "matrix_stats",
-          "rare_bigrams"]
+          "rare_bigrams", "demote_topk", "adjacency_matrix",
+          "events_pipeline_agg"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -363,14 +363,102 @@ SELECT bigram, df FROM r WHERE rn <= {RB_K}
 """
 
 
+# ES adjacency_matrix filters: named whole-doc term filters; the agg
+# reports singleton and pairwise-intersection doc counts. Keys are
+# 'a' and 'a&b' (ES's intersection separator), emitted sorted.
+AM_FILTERS = ["hash", "join", "merge", "sort"]
+
+
+def _am_keys() -> list[str]:
+    ks = list(AM_FILTERS)
+    for i, a in enumerate(AM_FILTERS):
+        for b in AM_FILTERS[i + 1:]:
+            ks.append(f"{a}&{b}")
+    return sorted(ks)
+
+
+def adjacency_matrix(sf_dir: str) -> pa.Table:
+    """The Elasticsearch adjacency_matrix aggregation: doc counts for
+    each named term filter and every pairwise intersection ('a&b'),
+    non-empty buckets only — the co-occurrence matrix marketers and
+    graph tools build from filter combinations.
+
+    Plan: per-batch boolean membership masks (one RE2 token-boundary
+    match per filter over the batch text — identical semantics to the
+    oracle's list_contains over RE2 tokens), reduced to ONE row of
+    F + F(F-1)/2 int64 counters per batch; the driver sums batch
+    rows. Map-only — no exchange, no vocabulary, driver cost
+    batches x 10 ints at any corpus size."""
+    import re
+
+    from raysearch.pipelines.textops import _read_docs
+
+    keys = _am_keys()
+
+    def partial(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.cast(b["text"], pa.large_string()))
+        masks = {
+            f: pc.match_substring_regex(
+                low, rf"(^|\s){re.escape(f)}(\s|$)").to_numpy(
+                zero_copy_only=False)
+            for f in AM_FILTERS}
+        row = {}
+        for k in keys:
+            if "&" in k:
+                a, c = k.split("&")
+                row[k] = [int((masks[a] & masks[c]).sum())]
+            else:
+                row[k] = [int(masks[k].sum())]
+        return pa.table({k: pa.array(row[k], pa.int64()) for k in keys})
+
+    ds = (_read_docs(sf_dir, ["text"])
+          .map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    totals = dict.fromkeys(keys, 0)
+    for b in ds.iter_batches(batch_format="pandas"):
+        for k in keys:
+            totals[k] += int(b[k].sum())
+    out = [(k, totals[k]) for k in keys if totals[k] > 0]
+    return pa.table({
+        "key": pa.array([k for k, _ in out], pa.string()),
+        "doc_count": pa.array([n for _, n in out], pa.int64()),
+    })
+
+
+def sql_adjacency_matrix() -> str:
+    rows = []
+    for k in _am_keys():
+        if "&" in k:
+            a, b = k.split("&")
+            cond = f"m_{a} AND m_{b}"
+        else:
+            cond = f"m_{k}"
+        rows.append(f"SELECT '{k}' AS key, "
+                    f"count(*) FILTER ({cond})::BIGINT AS doc_count "
+                    f"FROM f")
+    union = "\n  UNION ALL ".join(rows)
+    masks = ", ".join(
+        rf"list_contains(regexp_extract_all(lower(text), '\S+'), "
+        rf"'{t}') AS m_{t}" for t in AM_FILTERS)
+    return f"""
+WITH f AS (SELECT {masks} FROM documents),
+c AS (
+  {union}
+)
+SELECT key, doc_count FROM c WHERE doc_count > 0 ORDER BY key
+"""
+
+
 QUERIES = {
     "range_facet_counts": range_facet_counts,
     "terms_agg_topk": terms_agg_topk,
     "rare_bigrams": rare_bigrams,
+    "adjacency_matrix": adjacency_matrix,
 }
 
 ORACLE_SQL = {
     "range_facet_counts": sql_range_facet_counts(),
     "terms_agg_topk": sql_terms_agg_topk(),
     "rare_bigrams": sql_rare_bigrams(),
+    "adjacency_matrix": sql_adjacency_matrix(),
 }

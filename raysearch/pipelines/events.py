@@ -1060,6 +1060,78 @@ ORDER BY g.user_id, g.day
 """
 
 
+def events_pipeline_agg(sf_dir: str) -> pa.Table:
+    """The Elasticsearch PIPELINE aggregation family over a daily
+    date_histogram of events: per day — n_events, derivative
+    (day-over-day delta; NULL for the first bucket, ES's rule),
+    cumulative_sum, and a trailing 3-bucket moving average
+    (moving_fn). The second-order layer the plain histogram ops
+    (events_window / events_hopping) stop short of.
+
+    Plan: per-batch (day, n) count partials -> ONE day-bucketed
+    groupby; the pipeline layer is driver arithmetic over the bucket
+    rows, bounded by the time span (days), never event-sized —
+    exactly how ES computes pipeline aggs on the coordinating node
+    over the reduced histogram. Counts are exact ints; the moving
+    average divides identically (int -> double) on both sides."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (_epoch_us(df["ts"]) // _DAY_US) * _DAY_US
+        g = (pd.DataFrame({"day_us": day})
+             .groupby("day_us").size().reset_index(name="n"))
+        return g
+
+    agg = (_read_events(sf_dir, ["ts"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("day_us").aggregate(Sum("n", alias_name="n"))
+           ).to_pandas()
+    if not len(agg):
+        return pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "derivative": pa.array([], pa.int64()),
+            "cum_events": pa.array([], pa.int64()),
+            "moving_avg": pa.array([], pa.float64())})
+    agg = agg.sort_values("day_us", ignore_index=True)
+    n = agg.n.to_numpy(np.int64)
+    deriv = np.empty(len(n), object)
+    deriv[0] = None
+    deriv[1:] = (n[1:] - n[:-1]).tolist()
+    cum = np.cumsum(n)
+    mov = np.array([
+        round6(float(n[max(0, i - 2):i + 1].sum())
+               / (i + 1 - max(0, i - 2)))
+        for i in range(len(n))], np.float64)
+    return pa.table({
+        "day": pa.array(agg.day_us.to_numpy(np.int64)
+                        .astype("datetime64[us]"), pa.timestamp("us")),
+        "n_events": pa.array(n, pa.int64()),
+        "derivative": pa.array(deriv.tolist(), pa.int64()),
+        "cum_events": pa.array(cum, pa.int64()),
+        "moving_avg": pa.array(mov, pa.float64()),
+    })
+
+
+def sql_events_pipeline_agg() -> str:
+    return """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       n_events - lag(n_events) OVER (ORDER BY day) AS derivative,
+       (sum(n_events) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS cum_events,
+       round(avg(n_events::DOUBLE) OVER (ORDER BY day
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM d ORDER BY day
+"""
+
+
 QUERIES = {
     "latest_events": latest_events,
     "user_daily_fill": user_daily_fill,
@@ -1070,6 +1142,7 @@ QUERIES = {
     "event_quantiles_tdigest": event_quantiles_tdigest,
     "events_hopping": events_hopping,
     "session_funnel": session_funnel,
+    "events_pipeline_agg": events_pipeline_agg,
 }
 
 ORACLE_SQL = {
@@ -1081,4 +1154,5 @@ ORACLE_SQL = {
     "user_sessions": sql_user_sessions(),
     "event_quantiles": sql_event_quantiles(),
     "session_funnel": sql_session_funnel(),
+    "events_pipeline_agg": sql_events_pipeline_agg(),
 }

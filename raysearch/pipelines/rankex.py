@@ -790,6 +790,131 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---- Lucene BoostingQuery (negative boost / demotion) ----
+
+# exactly 0.5 (a power of two): the demotion multiply is then EXACT
+# in binary floating point, so engine and oracle stay bit-identical
+DEMOTE_FACTOR = 0.5
+
+
+def demote_topk(sf_dir: str) -> pa.Table:
+    """Lucene BoostingQuery: BM25 top-10 where documents containing
+    the query's negative term are DEMOTED (score x 0.5) instead of
+    excluded — the soft complement of negated_topk's MUST_NOT (ES
+    `boosting` query with negative_boost). Reuses NEG_TERMS so the
+    two ops are directly comparable.
+
+    Plan: negated_topk's fan-out with the exclusion mask replaced by
+    a multiplicative mask applied to the accumulated candidates
+    BEFORE per-part truncation (a doc lives in one part, so demoted
+    per-part top-k merges exactly); the factor is a power of two so
+    the multiply is exact and per-segment scores stay final."""
+    import ray.data  # noqa: F401
+
+    from raysearch.pipelines.search_queries import (_TOPK_BUFFER,
+                                                    DOC_QUERIES,
+                                                    cached_index)
+    from raysearch.query import lexicon_df
+    from raysearch.score import (query_term_weights, score_postings,
+                                 topk)
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    k1, b = st["config"]["k1"], st["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    pos_terms = sorted({t for qw in qweights for t, _ in qw})
+    all_terms = sorted(set(pos_terms) | set(NEG_TERMS))
+    df = lexicon_df(idx, pos_terms)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms,
+                                columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, qw in enumerate(qweights):
+                docs, sc = score_postings(qw, post.get, df, n_docs,
+                                          avgdl, k1, b, mode="bm25")
+                if not len(docs):
+                    continue
+                got = post.get(NEG_TERMS[qid])
+                if got is not None and len(got[0]):
+                    m = np.isin(docs, got[0], assume_unique=True)
+                    sc = np.where(m, sc * DEMOTE_FACTOR, sc)
+                d, s = topk(docs, sc, _TOPK_BUFFER)
+                out_q.extend([qid] * len(d))
+                out_d.extend(d.tolist())
+                out_s.extend(float(x) for x in s)
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    return _ranked_from_candidates(_parts_candidates(idx, kern))
+
+
+def sql_demote_topk() -> str:
+    from raysearch.pipelines.search_queries import (_TOK_CTES, B, K1,
+                                                    TOPK,
+                                                    _qterms_values)
+
+    nq = ", ".join(f"({qid}, '{t}')" for qid, t in enumerate(NEG_TERMS))
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+nq(query_id, term) AS (VALUES {nq}),
+neg AS (
+  SELECT DISTINCT nq.query_id, tf.doc_id
+  FROM nq JOIN tf ON tf.term = nq.term
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+demoted AS (
+  SELECT sc.query_id, sc.doc_id,
+         CASE WHEN neg.doc_id IS NOT NULL
+              THEN sc.score * {DEMOTE_FACTOR}
+              ELSE sc.score END AS score
+  FROM scores sc
+  LEFT JOIN neg ON neg.query_id = sc.query_id
+               AND neg.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM demoted
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # ---- best-passage highlighting ----
 
 def best_passage_topk(sf_dir: str) -> pa.Table:
@@ -1998,6 +2123,7 @@ QUERIES = {
     "maxp_topk": maxp_topk,
     "ndcg_eval": ndcg_eval,
     "negated_topk": negated_topk,
+    "demote_topk": demote_topk,
     "best_passage_topk": best_passage_topk,
     "spanfirst_topk": spanfirst_topk,
     "ltr_features": ltr_features,
@@ -2015,6 +2141,7 @@ ORACLE_SQL = {
     "maxp_topk": sql_maxp_topk(),
     "ndcg_eval": sql_ndcg_eval(),
     "negated_topk": sql_negated_topk(),
+    "demote_topk": sql_demote_topk(),
     "best_passage_topk": sql_best_passage_topk(),
     "spanfirst_topk": sql_spanfirst_topk(),
     "ltr_features": sql_ltr_features(),

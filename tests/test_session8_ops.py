@@ -171,3 +171,93 @@ def test_rare_bigrams_exact_at_fixture(ray_session):
     got = list(zip(res.df, res.bigram))
     assert got == want
     assert len(got) > 0
+
+
+def test_demote_scores_are_exact_halves(ray_session):
+    # every result doc containing its query's negative term scores
+    # exactly 0.5x its plain BM25 score; clean docs keep the exact
+    # score; and the demotion genuinely reshapes some ranking
+    from raysearch.pipelines.rankex import (DEMOTE_FACTOR, NEG_TERMS,
+                                            demote_topk)
+    from raysearch.pipelines.search_queries import (cached_index,
+                                                    topk_rounded_for_index)
+    from raysearch.numutil import round6
+
+    dm = demote_topk(SF).to_pandas()
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=500, buffer=600).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(r.doc_id): set(r.text.lower().split())
+            for r in docs.itertuples()}
+    assert len(dm) > 0
+    n_demoted = 0
+    for q, d, s in zip(dm.query_id, dm.doc_id, dm.score):
+        if NEG_TERMS[q] in toks[d]:
+            n_demoted += 1
+            # rounded(0.5 * raw) vs 0.5 * rounded: both within one
+            # round6 quantum of each other
+            assert abs(s - DEMOTE_FACTOR * full[(q, d)]) <= 1e-6
+        else:
+            assert s == full[(q, d)]
+    assert n_demoted > 0  # demoted docs still appear (vs MUST_NOT)
+
+
+def test_adjacency_matrix_brute_force(ray_session, tmp_path):
+    # truth over an adversarial corpus: multiline co-occurrence,
+    # substring traps, empty docs; empty intersections omitted
+    import duckdb
+
+    from raysearch.pipelines import aggx as AX
+
+    texts = ["hash join",                  # hash, join, hash&join
+             "hash\nsort end",             # multiline co-occurrence
+             "hashes joins",               # substrings: no match
+             "merge sort merge",           # repeats count once
+             "", "plain doc"] * 2
+    sf = _write_docs(tmp_path, texts)
+    con = _duck(sf, "documents")
+    eng = AX.QUERIES["adjacency_matrix"](sf).to_pandas()
+    ora = con.execute(AX.ORACLE_SQL["adjacency_matrix"]).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    got = dict(zip(eng.key, eng.doc_count))
+    assert got == {"hash": 4, "join": 2, "merge": 2, "sort": 4,
+                   "hash&join": 2, "hash&sort": 2, "merge&sort": 2}
+    # empty intersections (e.g. join&merge) are omitted, ES-style
+    assert "join&merge" not in got
+
+
+def test_events_pipeline_agg_structure(ray_session, tmp_path):
+    # day-gapped adversarial stream: derivative uses ADJACENT EXISTING
+    # buckets (ES rule), first bucket NULL; cumsum and trailing
+    # moving_avg brute-forced
+    import duckdb
+
+    from raysearch.pipelines import events as EV
+
+    days = [0, 0, 0, 1, 1, 5, 5, 5, 5, 9]   # gaps at 1->5 and 5->9
+    ts = (np.asarray(days, np.int64) * 86_400_000_000
+          + np.arange(len(days)) * 1_000_000)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(len(ts), np.int64)),
+        "event_type": pa.array(["click"] * len(ts), pa.string()),
+        "value": pa.array(np.ones(len(ts)), pa.float64()),
+    }), os.path.join(tmp_path, "events.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = EV.events_pipeline_agg(sf).to_pandas()
+    ora = con.execute(EV.sql_events_pipeline_agg()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    assert eng.n_events.tolist() == [3, 2, 4, 1]
+    assert pd.isna(eng.derivative.iloc[0])
+    assert eng.derivative.iloc[1:].tolist() == [-1, 2, -3]
+    assert eng.cum_events.tolist() == [3, 5, 9, 10]
+    assert eng.moving_avg.tolist() == [3.0, 2.5, 3.0, round(7 / 3, 6)]
