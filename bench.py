@@ -131,7 +131,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           # round-5 session-8 additions
           "grep_lines", "term_vectors_topk", "matrix_stats",
           "rare_bigrams", "demote_topk", "adjacency_matrix",
-          "events_pipeline_agg"]
+          "events_pipeline_agg", "rank_feature_topk", "composite_agg",
+          "percentile_ranks"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

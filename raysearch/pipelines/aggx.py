@@ -449,11 +449,98 @@ SELECT key, doc_count FROM c WHERE doc_count > 0 ORDER BY key
 """
 
 
+# ES composite aggregation: ordered (lang, source) bucket stream,
+# page size CA_SIZE; the op returns PAGE 2 (the after-key request a
+# client issues with the last key of page 1).
+CA_SIZE = 8
+
+
+@fmt_doc(S=CA_SIZE)
+def composite_agg(sf_dir: str) -> pa.Table:
+    """Elasticsearch composite aggregation, page 2: the (lang, source)
+    buckets ranked {S}+1..2x{S} under (lang ASC, source ASC), each
+    with its doc count and n_chars sum — after-key pagination over an
+    ordered bucket stream (the agg ES built so bucket spaces too big
+    for one response can stream page by page).
+
+    Plan: per-batch (lang, source, n, sum_chars) partials (exact
+    int64), ONE key-bucketed groupby; pagination runs on the
+    post-groupby stream — each block keeps its local first 2x{S}
+    buckets under the key order (a bucket past a block's first 2x{S}
+    can never reach the global first 2x{S}), the driver merges
+    <= blocks x 2{S} rows and windows out the page. The driver never
+    holds the bucket space — exactly the composite contract."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from raysearch.pipelines.search_queries import _concat_ds
+    from raysearch.pipelines.textops import _read_docs
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"lang": b["lang"].to_pylist(),
+                           "source": b["source"].to_pylist(),
+                           "n_chars": b["n_chars"].to_numpy()})
+             .groupby(["lang", "source"], as_index=False)
+             .agg(n_docs=("n_chars", "size"),
+                  sum_chars=("n_chars", "sum")))
+        return pa.table({
+            "lang": pa.array(g.lang.tolist(), pa.string()),
+            "source": pa.array(g.source.tolist(), pa.string()),
+            "n_docs": pa.array(g.n_docs.to_numpy(np.int64), pa.int64()),
+            "sum_chars": pa.array(g.sum_chars.to_numpy(np.int64),
+                                  pa.int64())})
+
+    def local_page(b: pa.Table) -> pa.Table:
+        d = (b.to_pandas()
+             .sort_values(["lang", "source"], ignore_index=True)
+             .head(2 * CA_SIZE))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    ds = (_read_docs(sf_dir, ["lang", "source", "n_chars"])
+          .map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby(["lang", "source"])
+          .aggregate(Sum("n_docs", alias_name="n_docs"),
+                     Sum("sum_chars", alias_name="sum_chars"))
+          .map_batches(local_page, batch_format="pyarrow"))
+    cand = _concat_ds(ds, empty).to_pandas()
+    page = (cand.sort_values(["lang", "source"], ignore_index=True)
+            .iloc[CA_SIZE:2 * CA_SIZE])
+    return pa.table({
+        "lang": pa.array(page.lang.tolist(), pa.string()),
+        "source": pa.array(page.source.tolist(), pa.string()),
+        "n_docs": pa.array(page.n_docs.to_numpy(np.int64), pa.int64()),
+        "sum_chars": pa.array(page.sum_chars.to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def sql_composite_agg() -> str:
+    return f"""
+WITH b AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sum_chars
+  FROM documents GROUP BY lang, source
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY lang, source) AS rn FROM b
+)
+SELECT lang, source, n_docs, sum_chars
+FROM r WHERE rn > {CA_SIZE} AND rn <= {2 * CA_SIZE}
+"""
+
+
 QUERIES = {
     "range_facet_counts": range_facet_counts,
     "terms_agg_topk": terms_agg_topk,
     "rare_bigrams": rare_bigrams,
     "adjacency_matrix": adjacency_matrix,
+    "composite_agg": composite_agg,
 }
 
 ORACLE_SQL = {
@@ -461,4 +548,5 @@ ORACLE_SQL = {
     "terms_agg_topk": sql_terms_agg_topk(),
     "rare_bigrams": sql_rare_bigrams(),
     "adjacency_matrix": sql_adjacency_matrix(),
+    "composite_agg": sql_composite_agg(),
 }

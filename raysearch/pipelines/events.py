@@ -1132,6 +1132,61 @@ FROM d ORDER BY day
 """
 
 
+# ES percentile_ranks probe values over events.value
+PR_VALUES = [50.0, 100.0, 200.0]
+
+
+def percentile_ranks(sf_dir: str) -> pa.Table:
+    """The Elasticsearch percentile_ranks aggregation, EXACT: for each
+    probe value v, the percentage of events whose value is <= v — the
+    inverse of the percentiles agg (event_quantiles), answering "what
+    fraction of traffic sits below this SLO bound".
+
+    Plan: one map pass, one (n, n_le per probe) int row per batch,
+    driver sum — the same map-only counter shape as adjacency_matrix;
+    exact at any scale (ES itself approximates via t-digest; the
+    sibling event_quantiles_tdigest covers that trade)."""
+    import ray.data  # noqa: F401
+
+    cols = [f"le_{i}" for i in range(len(PR_VALUES))]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        out = {"n": [len(v)]}
+        for i, p in enumerate(PR_VALUES):
+            out[cols[i]] = [int((v <= p).sum())]
+        return pd.DataFrame(out)
+
+    ds = (_read_events(sf_dir, ["value"])
+          .map_batches(partial, batch_format="pandas"))
+    n = 0
+    le = [0] * len(PR_VALUES)
+    for b in ds.iter_batches(batch_format="pandas"):
+        n += int(b["n"].sum())
+        for i, c in enumerate(cols):
+            le[i] += int(b[c].sum())
+    pct = [round6(100.0 * x / n) if n else None for x in le]
+    return pa.table({
+        "value": pa.array(PR_VALUES, pa.float64()),
+        "n_le": pa.array(le, pa.int64()),
+        "pct": pa.array(pct, pa.float64()),
+    })
+
+
+def sql_percentile_ranks() -> str:
+    counters = ", ".join(
+        f"count(*) FILTER (value <= {v!r})::BIGINT AS n{i}"
+        for i, v in enumerate(PR_VALUES))
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {v!r} AS value, n{i} AS n_le, "
+        f"round(100.0 * n{i} / n, 6) AS pct FROM c"
+        for i, v in enumerate(PR_VALUES))
+    return f"""
+WITH c AS (SELECT count(*)::BIGINT AS n, {counters} FROM events)
+{rows}
+"""
+
+
 QUERIES = {
     "latest_events": latest_events,
     "user_daily_fill": user_daily_fill,
@@ -1143,6 +1198,7 @@ QUERIES = {
     "events_hopping": events_hopping,
     "session_funnel": session_funnel,
     "events_pipeline_agg": events_pipeline_agg,
+    "percentile_ranks": percentile_ranks,
 }
 
 ORACLE_SQL = {
@@ -1155,4 +1211,5 @@ ORACLE_SQL = {
     "event_quantiles": sql_event_quantiles(),
     "session_funnel": sql_session_funnel(),
     "events_pipeline_agg": sql_events_pipeline_agg(),
+    "percentile_ranks": sql_percentile_ranks(),
 }

@@ -203,7 +203,7 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
                            rank_hi: int = TOPK,
                            buffer: int = _TOPK_BUFFER,
                            queries=None, boost=None,
-                           keep=None, decay=None,
+                           keep=None, decay=None, rank_feature=None,
                            asof=None) -> pa.Table:
     """DOC_QUERIES top-k over an already-built index with the oracle's
     rounding/tie contract — shared by the sf_dir-cached entries here,
@@ -215,7 +215,8 @@ def topk_rounded_for_index(idx: str, mode: str, rank_lo: int = 1,
 
     raw = query_index(idx, queries if queries is not None
                       else DOC_QUERIES, k=buffer, mode=mode,
-                      boost=boost, keep=keep, decay=decay, asof=asof)
+                      boost=boost, keep=keep, decay=decay,
+                      rank_feature=rank_feature, asof=asof)
     df = raw.to_pandas()
     df["score"] = round6(df["score"].to_numpy(np.float64))
     df = df.sort_values(["query_id", "score", "doc_id"],
@@ -1026,6 +1027,66 @@ def decay_topk(sf_dir: str) -> pa.Table:
     (contrast boosted_topk, whose doc set is a broadcast list)."""
     return topk_rounded_for_index(cached_index(sf_dir), "bm25",
                                   decay=(DECAY_ORIGIN, DECAY_SCALE))
+
+
+# rank_feature saturation prior: w * dl / (dl + pivot). Pivot at the
+# fixture's dl midpoint so sat spans ~[0.17, 0.66]; w = 2.0 is large
+# vs one-term BM25 contributions, so the prior visibly reorders
+# without drowning the text score.
+RF_W, RF_PIVOT = 2.0, 50.0
+
+
+@fmt_doc(w=RF_W, p=RF_PIVOT, k=TOPK)
+def rank_feature_topk(sf_dir: str) -> pa.Table:
+    """ES rank_feature query (Lucene FeatureField `saturation`): BM25
+    top-{k} with {w} * dl / (dl + {p}) ADDED to each doc's FINAL
+    accumulated score before truncation — a static per-doc prior
+    (here: document length, the docvalue the index already stores)
+    blended additively with the text score, the standard
+    pagerank-as-feature shape. Contrast decay_topk (multiplicative
+    reshaping) and boosted_topk (broadcast id-list factor): the
+    saturation prior needs NO extra reads — dl rides the decoded
+    posting rows, segment-locally, zero text bytes."""
+    return topk_rounded_for_index(cached_index(sf_dir), "bm25",
+                                  rank_feature=(RF_W, RF_PIVOT))
+
+
+def sql_rank_feature_topk() -> str:
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + {RF_W} * (dl.dl::DOUBLE
+                                   / (dl.dl + {RF_PIVOT})), 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(s.score + {RF_W} * (dl.dl::DOUBLE
+                                              / (dl.dl + {RF_PIVOT})), 6)
+             DESC, s.doc_id) AS rank
+  FROM scores s JOIN dl ON dl.doc_id = s.doc_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def _qterms_values(weights_as_float: bool) -> str:
@@ -2858,6 +2919,7 @@ QUERIES = {
     "dfr_topk": dfr_topk,
     "boolean_topk": boolean_topk,
     "decay_topk": decay_topk,
+    "rank_feature_topk": rank_feature_topk,
     "paged_topk": paged_topk,
     "facet_counts": facet_counts,
     "highlight_topk": highlight_topk,
@@ -2896,6 +2958,7 @@ ORACLE_SQL = {
     "dfr_topk": sql_dfr_topk(),
     "boolean_topk": sql_boolean_topk(),
     "decay_topk": sql_decay_topk(),
+    "rank_feature_topk": sql_rank_feature_topk(),
     "paged_topk": sql_paged_topk(),
     "facet_counts": sql_facet_counts(),
     "highlight_topk": sql_highlight_topk(),

@@ -157,30 +157,52 @@ def _apply_boost(docs: np.ndarray, sc: np.ndarray, boost):
     return sc
 
 
+def _gather_dl(docs: np.ndarray, dl_parts) -> np.ndarray:
+    """Per-candidate dl from the posting rows already in hand: every
+    candidate matched >= 1 term and dl rides alongside tf in the
+    decoded postings, so no extra reads or broadcasts. ``docs`` is
+    the sorted unique union of the parts' doc arrays; dl is constant
+    per doc, so any occurrence may supply it."""
+    all_d = np.concatenate([d for d, _ in dl_parts])
+    all_l = np.concatenate([l for _, l in dl_parts])
+    pos = np.searchsorted(docs, all_d)
+    dlv = np.zeros(len(docs), np.float64)
+    dlv[pos] = all_l.astype(np.float64)
+    return dlv
+
+
 def _apply_decay(docs: np.ndarray, sc: np.ndarray, dl_parts, decay):
     """Gaussian length decay (the ES function_score `gauss` shape with
     decay 0.5 at distance ``scale`` from ``origin``): multiply each
     doc's FINAL accumulated score by 0.5 ** (((dl - origin)/scale)^2)
     — before top-k truncation, so the decayed ranking is exact. The
-    per-doc dl comes from the posting rows already in hand (every
-    candidate matched >= 1 term, and dl rides alongside tf in the
-    decoded postings), so the multiplier is computed segment-locally
-    with zero extra reads or broadcasts. ``decay`` is
+    per-doc dl comes segment-locally via _gather_dl. ``decay`` is
     (origin, scale) or None."""
     if decay is None or not len(docs):
         return sc
     origin, scale = decay
-    all_d = np.concatenate([d for d, _ in dl_parts])
-    all_l = np.concatenate([l for _, l in dl_parts])
-    # docs is the sorted unique union of all_d; dl is constant per doc,
-    # so any occurrence may supply it
-    pos = np.searchsorted(docs, all_d)
-    dlv = np.zeros(len(docs), np.float64)
-    dlv[pos] = all_l.astype(np.float64)
+    dlv = _gather_dl(docs, dl_parts)
     # mirrors the oracle SQL term-for-term:
     # pow(0.5, pow((dl - origin) / scale, 2))
     mult = np.power(0.5, ((dlv - origin) / scale) ** 2)
     return sc.astype(np.float64, copy=False) * mult
+
+
+def _apply_rank_feature(docs: np.ndarray, sc: np.ndarray, dl_parts,
+                        rank_feature):
+    """ES rank_feature query (Lucene FeatureField saturation): ADD
+    w * dl / (dl + pivot) to each doc's FINAL accumulated score — a
+    static per-doc prior blended additively with the text score
+    (contrast decay's multiplicative reshaping). Applied before
+    top-k truncation, so the blended ranking is exact; dl comes
+    segment-locally via _gather_dl. ``rank_feature`` is (w, pivot)
+    or None."""
+    if rank_feature is None or not len(docs):
+        return sc
+    w, pivot = rank_feature
+    dlv = _gather_dl(docs, dl_parts)
+    # mirrors the oracle SQL term-for-term: w * (dl / (dl + pivot))
+    return sc.astype(np.float64, copy=False) + w * (dlv / (dlv + pivot))
 
 
 def score_queries_over_postings(
@@ -188,7 +210,8 @@ def score_queries_over_postings(
         n_docs: int, avgdl: float, k1: float, b: float, k: int,
         mode: str, prune: bool = False,
         cf: dict | None = None, total_tokens: int = 0,
-        mu: float = 2000.0, boost=None, decay=None) -> pa.Table:
+        mu: float = 2000.0, boost=None, decay=None,
+        rank_feature=None) -> pa.Table:
     """Score a query batch against one segment's (already decoded)
     postings — the shared kernel behind both the one-shot SegmentScorer
     and the resident SegmentServer actors (raysearch/serve.py).
@@ -217,6 +240,12 @@ def score_queries_over_postings(
         # it, and non-bm25 modes (negative or integer scores) would
         # invert/break the intended demotion
         raise ValueError("decay requires mode='bm25' and prune=False")
+    if rank_feature is not None and (prune or mode != "bm25"):
+        # the additive prior shifts FINAL per-doc scores; MaxScore
+        # bounds don't model it, and on negative-log-likelihood modes
+        # the blend has no modeled contract
+        raise ValueError("rank_feature requires mode='bm25' and "
+                         "prune=False")
     qids, ranks, dids, scores = [], [], [], []
     for qid, qw in enumerate(qweights):
         if mode == "dirichlet":
@@ -270,11 +299,12 @@ def score_queries_over_postings(
                 idf = bm25_idf(df.get(term, 0), n_docs)
                 contrib = bm25_contrib(tfs, dls, idf, w, k1, b, avgdl)
             per_term.append((docs, contrib))
-            if decay is not None:
+            if decay is not None or rank_feature is not None:
                 dl_parts.append((docs, dls))
         docs, sc = accumulate_scores(per_term)
         sc = _apply_boost(docs, sc, boost)
         sc = _apply_decay(docs, sc, dl_parts, decay)
+        sc = _apply_rank_feature(docs, sc, dl_parts, rank_feature)
         d, s = topk(docs, sc, k)
         qids.extend([qid] * len(d))
         ranks.extend(range(1, len(d) + 1))
@@ -342,7 +372,8 @@ class SegmentScorer:
                  deleted: np.ndarray | None = None,
                  boost=None,
                  keep: np.ndarray | None = None,
-                 decay=None):
+                 decay=None,
+                 rank_feature=None):
         self.index_dir = index_dir
         self.k, self.mode = k, mode
         self.df, self.n_docs, self.avgdl = df, n_docs, avgdl
@@ -351,6 +382,7 @@ class SegmentScorer:
         self.cf, self.total_tokens, self.mu = cf, total_tokens, mu
         self.boost = boost
         self.decay = decay
+        self.rank_feature = rank_feature
         # sorted unique tombstoned doc_ids (maintenance.delete_docs),
         # broadcast once per actor. Stats stay build-time — the
         # standard stale-stats-until-compaction semantics — but
@@ -423,7 +455,8 @@ class SegmentScorer:
             self.qweights, postings, max_tfs, self.df, self.n_docs,
             self.avgdl, self.k1, self.b, self.k, self.mode, self.prune,
             cf=self.cf, total_tokens=self.total_tokens, mu=self.mu,
-            boost=self.boost, decay=self.decay)
+            boost=self.boost, decay=self.decay,
+            rank_feature=self.rank_feature)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = [self._score_part(int(p)) for p in batch["part"].to_pylist()]
@@ -442,6 +475,7 @@ def query_index(
     boost=None,
     keep: np.ndarray | None = None,
     decay=None,
+    rank_feature=None,
     asof: dict | None = None,
 ) -> pa.Table:
     """Top-k for each query: (query_id, rank, doc_id, score), ranked by
@@ -515,6 +549,13 @@ def query_index(
                 "dl-dependent multiplier isn't modeled by MaxScore "
                 "bounds and would invert non-positive score scales)")
         scorer_kwargs["decay"] = decay
+    if rank_feature is not None:
+        if prune or mode != "bm25":
+            raise ValueError(
+                "rank_feature requires mode='bm25' and prune=False "
+                "(the additive dl prior isn't modeled by MaxScore "
+                "bounds and has no contract on other score scales)")
+        scorer_kwargs["rank_feature"] = rank_feature
     if keep is not None:
         # normalize once driver-side so every scorer shares the sorted
         # unique form keep_postings' searchsorted requires

@@ -261,3 +261,109 @@ def test_events_pipeline_agg_structure(ray_session, tmp_path):
     assert eng.derivative.iloc[1:].tolist() == [-1, 2, -3]
     assert eng.cum_events.tolist() == [3, 5, 9, 10]
     assert eng.moving_avg.tolist() == [3.0, 2.5, 3.0, round(7 / 3, 6)]
+
+
+def test_rank_feature_blend_is_exact(ray_session):
+    # every result score equals the deep plain-BM25 score plus the
+    # exact saturation prior (within a round6 quantum), and the blend
+    # genuinely reorders vs plain BM25
+    from raysearch.pipelines.search_queries import (RF_PIVOT, RF_W,
+                                                    bm25_topk,
+                                                    cached_index,
+                                                    rank_feature_topk,
+                                                    topk_rounded_for_index)
+
+    rf = rank_feature_topk(SF).to_pandas()
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=500, buffer=600).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    dl = {int(r.doc_id): len(r.text.split()) for r in docs.itertuples()}
+    assert len(rf) > 0
+    for q, d, s in zip(rf.query_id, rf.doc_id, rf.score):
+        prior = RF_W * (dl[d] / (dl[d] + RF_PIVOT))
+        assert abs(s - (full[(q, d)] + prior)) <= 2e-6, (q, d)
+    bm = bm25_topk(SF).to_pandas()
+    assert (set(zip(rf.query_id, rf.doc_id, rf["rank"]))
+            != set(zip(bm.query_id, bm.doc_id, bm["rank"])))
+
+
+def test_rank_feature_guards(ray_session):
+    from raysearch.pipelines.search_queries import cached_index
+    from raysearch.query import query_index
+
+    idx = cached_index(SF)
+    with pytest.raises(ValueError, match="rank_feature"):
+        query_index(idx, ["hash join"], mode="bm25", prune=True,
+                    rank_feature=(2.0, 50.0))
+    with pytest.raises(ValueError, match="rank_feature"):
+        query_index(idx, ["hash join"], mode="overlap",
+                    rank_feature=(2.0, 50.0))
+
+
+def test_composite_agg_page_window(ray_session, tmp_path):
+    # >2 pages of buckets: parity + the page-2 window under the
+    # composite key order, single-doc buckets included
+    import duckdb
+
+    from raysearch.pipelines import aggx as AX
+
+    texts, langs, sources = [], [], []
+    for li in range(5):
+        for si in range(5):
+            for k in range(li + 1):       # varying bucket sizes
+                texts.append(f"doc l{li} s{si} {k}")
+                langs.append(f"l{li}")
+                sources.append(f"s{si}")
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    sf = str(tmp_path)
+    con = _duck(sf, "documents")
+    eng = AX.QUERIES["composite_agg"](sf).to_pandas()
+    ora = con.execute(AX.ORACLE_SQL["composite_agg"]).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    # 25 buckets exist (l0..l4 x s0..s4, sizes 1..5): page 2 under
+    # (lang, source) is buckets 9..16 = l1s3..l3s0
+    assert len(eng) == AX.CA_SIZE
+    assert list(zip(eng.lang, eng.source))[0] == ("l1", "s3")
+    assert list(zip(eng.lang, eng.source))[-1] == ("l3", "s0")
+    assert (eng.n_docs == [2, 2, 3, 3, 3, 3, 3, 4]).all()
+
+
+def test_percentile_ranks_boundary_inclusive(ray_session, tmp_path):
+    # values exactly AT a probe count as <= (the ES contract);
+    # brute-force percentages
+    import duckdb
+
+    from raysearch.pipelines import events as EV
+
+    vals = [10.0, 50.0, 50.0, 75.0, 100.0, 150.0, 200.0, 250.0]
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(np.asarray(vals, np.float64), pa.float64()),
+    }), os.path.join(tmp_path, "events.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = EV.percentile_ranks(sf).to_pandas()
+    ora = con.execute(EV.sql_percentile_ranks()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    got = dict(zip(eng.value, eng.n_le))
+    assert got == {50.0: 3, 100.0: 5, 200.0: 7}  # boundaries inclusive
+    assert dict(zip(eng.value, eng.pct))[50.0] == round(100.0 * 3 / 8, 6)
