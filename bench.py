@@ -132,7 +132,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "grep_lines", "term_vectors_topk", "matrix_stats",
           "rare_bigrams", "demote_topk", "adjacency_matrix",
           "events_pipeline_agg", "rank_feature_topk", "composite_agg",
-          "percentile_ranks"]
+          "percentile_ranks", "ann_range", "value_ttest",
+          "string_stats"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from raysearch.numutil import fmt_doc
+from raysearch.numutil import fmt_doc, round6
 
 # dl range-facet edges (right-open buckets over token length); the
 # sf fixtures span dl 10..99, so all four buckets are populated
@@ -535,12 +535,106 @@ FROM r WHERE rn > {CA_SIZE} AND rn <= {2 * CA_SIZE}
 """
 
 
+def string_stats(sf_dir: str) -> pa.Table:
+    """The Elasticsearch string_stats aggregation over the `source`
+    keyword field: value count, min/max/avg length, and the Shannon
+    entropy (log2) of the field's CHARACTER distribution — the
+    field-health probe ES exposes (near-zero entropy flags a
+    degenerate/templated field).
+
+    Plan: per-batch partials — (n, sum_len, min_len, max_len) ints
+    plus a (char, cnt) histogram whose width is the alphabet, not the
+    row count (chars decoded vectorized via a utf-32 view of the
+    batch's concatenated values); the driver merges batches x
+    alphabet narrow rows and finishes entropy from the exact global
+    counts, summing in sorted-char order."""
+    import ray.data
+
+    from raysearch.pipelines.search_queries import _concat_ds
+    from raysearch.pipelines.textops import _read_docs
+
+    empty = pa.table({"ch": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_len": pa.array([], pa.int64()),
+                      "min_len": pa.array([], pa.int64()),
+                      "max_len": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b["source"].to_pylist()
+        if not vals:
+            return empty
+        lens = np.array([len(v) for v in vals], np.int64)
+        codes = np.frombuffer("".join(vals).encode("utf-32-le"),
+                              dtype=np.uint32)
+        u, c = np.unique(codes, return_counts=True)
+        k = len(u)
+        return pa.table({
+            "ch": pa.array([chr(x) for x in u], pa.string()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            "n": pa.array([len(vals)] + [0] * (k - 1), pa.int64()),
+            "sum_len": pa.array([int(lens.sum())] + [0] * (k - 1),
+                                pa.int64()),
+            "min_len": pa.array([int(lens.min())] + [0] * (k - 1),
+                                pa.int64()),
+            "max_len": pa.array([int(lens.max())] + [0] * (k - 1),
+                                pa.int64()),
+        })
+
+    ds = (_read_docs(sf_dir, ["source"])
+          .map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    d = _concat_ds(ds, empty).to_pandas()
+    if not len(d):
+        return pa.table({"n_values": pa.array([0], pa.int64()),
+                         "min_len": pa.array([None], pa.int64()),
+                         "max_len": pa.array([None], pa.int64()),
+                         "avg_len": pa.array([None], pa.float64()),
+                         "entropy": pa.array([None], pa.float64())})
+    n = int(d.n.sum())
+    sum_len = int(d.sum_len.sum())
+    real = d[d.n > 0]  # rows carrying the per-batch len stats
+    min_len = int(real.min_len.min())
+    max_len = int(real.max_len.max())
+    cc = (d.groupby("ch").cnt.sum().sort_index())
+    tot = float(int(cc.sum()))
+    p = cc.to_numpy(np.float64) / tot
+    entropy = float(-(p * np.log2(p)).sum())
+    return pa.table({
+        "n_values": pa.array([n], pa.int64()),
+        "min_len": pa.array([min_len], pa.int64()),
+        "max_len": pa.array([max_len], pa.int64()),
+        "avg_len": pa.array([round6(float(sum_len) / n)], pa.float64()),
+        "entropy": pa.array([round6(entropy)], pa.float64()),
+    })
+
+
+def sql_string_stats() -> str:
+    return r"""
+WITH lens AS (SELECT length(source) AS l FROM documents),
+chars AS (
+  SELECT unnest(regexp_extract_all(source, '[\s\S]')) AS ch
+  FROM documents
+),
+cc AS (SELECT ch, count(*)::BIGINT AS c FROM chars GROUP BY ch),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cc)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_values,
+       (SELECT min(l) FROM lens)::BIGINT AS min_len,
+       (SELECT max(l) FROM lens)::BIGINT AS max_len,
+       round((SELECT sum(l) FROM lens)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avg_len,
+       round((SELECT -sum((cc.c / t.t) * log2(cc.c / t.t))
+              FROM cc, tot t), 6) AS entropy
+"""
+
+
 QUERIES = {
     "range_facet_counts": range_facet_counts,
     "terms_agg_topk": terms_agg_topk,
     "rare_bigrams": rare_bigrams,
     "adjacency_matrix": adjacency_matrix,
     "composite_agg": composite_agg,
+    "string_stats": string_stats,
 }
 
 ORACLE_SQL = {
@@ -549,4 +643,5 @@ ORACLE_SQL = {
     "rare_bigrams": sql_rare_bigrams(),
     "adjacency_matrix": sql_adjacency_matrix(),
     "composite_agg": sql_composite_agg(),
+    "string_stats": sql_string_stats(),
 }

@@ -822,8 +822,91 @@ def kmeans_clusters(sf_dir: str) -> pa.Table:
     })
 
 
+# range-search similarity floor (on the ROUNDED cosine, so boundary
+# membership is deterministic on both sides)
+ANN_RANGE_MIN = 0.25
+
+
+@fmt_doc(T=ANN_RANGE_MIN)
+def ann_range(sf_dir: str) -> pa.Table:
+    """Vector RANGE search (Lucene VectorSimilarityQuery / the vector
+    stores' radius query): ALL (query, vec) pairs with round6 cosine
+    >= {T}, ranked per query — the threshold complement of ann_topk's
+    top-k (dedup/recall jobs want "everything this similar", not a
+    fixed k).
+
+    Plan: ann_topk's per-batch normalized matmul against the
+    broadcast query matrix, but emitting the batch's >= {T} rows
+    instead of a local top-k — output is threshold-bounded (the
+    caller's radius sets the result mass), and membership is decided
+    on the ROUNDED cosine so engine and oracle agree at the
+    boundary."""
+    import ray.data
+
+    qids, qmat = _query_vectors(sf_dir)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ qn.T  # (n, Q)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids):
+            col = round6(sims[:, j])
+            keep = np.flatnonzero(col >= ANN_RANGE_MIN)
+            out_q.extend([int(qid)] * len(keep))
+            out_v.extend(int(x) for x in ids[keep])
+            out_c.extend(float(x) for x in col[keep])
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, _EMB),
+        columns=["vec_id", "embedding"]).map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True)
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    df = (pa.concat_tables(batches) if batches else _ANN_EMPTY
+          ).to_pandas()
+    df = df.sort_values(["query_vec_id", "cos", "vec_id"],
+                        ascending=[True, False, True],
+                        ignore_index=True)
+    df["rank"] = df.groupby("query_vec_id").cumcount() + 1
+    return pa.table({
+        "query_vec_id": pa.array(df.query_vec_id.to_numpy(np.int64),
+                                 pa.int64()),
+        "vec_id": pa.array(df.vec_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+        "cos": pa.array(df.cos.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_ann_range() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+           AS cos
+  FROM embeddings e CROSS JOIN q
+),
+kept AS (SELECT * FROM sims WHERE cos >= {ANN_RANGE_MIN})
+SELECT query_vec_id, vec_id,
+       row_number() OVER (PARTITION BY query_vec_id
+                          ORDER BY cos DESC, vec_id) AS rank,
+       cos
+FROM kept
+"""
+
+
 QUERIES = {
     "ann_topk": ann_topk,
+    "ann_range": ann_range,
     "ann_filtered_topk": ann_filtered_topk,
     "kmeans_clusters": kmeans_clusters,
     "semdedup": semdedup,
@@ -836,6 +919,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_topk": sql_ann_topk(),
+    "ann_range": sql_ann_range(),
     "ann_filtered_topk": sql_ann_filtered_topk(),
     "embedding_dups": sql_embedding_dups(),
     # ann_lsh: approximate -> rows-only check, no SQL oracle

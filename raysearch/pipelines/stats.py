@@ -401,14 +401,126 @@ FROM p
 """
 
 
+# Welch's t-test groups: the ES t_test aggregation's two filtered
+# populations, here event value by event type
+TT_X, TT_Y = "purchase", "click"
+
+
+def value_ttest(sf_dir: str) -> pa.Table:
+    """The Elasticsearch t_test aggregation (heteroscedastic /
+    Welch): does mean event value differ between '{x}' and '{y}'
+    events? One row: per-group n and mean, the Welch t statistic and
+    Satterthwaite degrees of freedom.
+
+    Exactness: the qty_price_corr plan — per-batch int64 moment
+    partials over value CENTS (footer-max-derived batch cap),
+    Python-bigint reduce, then ONE identical int->double->IEEE
+    expression tree for mean/variance/t/dof on engine and oracle;
+    zero float accumulation anywhere. One corpus pass, one 6-int row
+    per (batch, group) to the driver."""
+    max_cents = int(_half_away(np.array(
+        [_col_max(sf_dir, "events.parquet", "value")]) * 100.0)[0])
+    max_prod = max(max_cents * max_cents, 1)
+    safe_batch = (1 << 62) // max_prod
+    if safe_batch < _BATCH_FLOOR:
+        raise ValueError(
+            f"max |value cents| {max_cents} forces batches under "
+            f"{_BATCH_FLOOR} rows; rescale or shard the moment sums")
+    safe_batch = min(safe_batch, 65536)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin([TT_X, TT_Y]).to_numpy()
+        if not m.any():
+            return pd.DataFrame({"g": [], "n": [], "s": [], "ss": []})
+        c = _cents(df["value"].to_numpy(np.float64)[m])
+        g = pd.DataFrame({"g": df["event_type"].to_numpy()[m],
+                          "n": np.int64(1), "s": c, "ss": c * c})
+        return g.groupby("g", as_index=False).sum()
+
+    parts = (_read(sf_dir, "events.parquet",
+                   columns=["event_type", "value"])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=int(safe_batch)))
+    acc = {TT_X: [0, 0, 0], TT_Y: [0, 0, 0]}
+    for b in parts.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            a = acc[row.g]
+            a[0] += int(row.n)
+            a[1] += int(row.s)
+            a[2] += int(row.ss)
+
+    def finish(a):
+        n, s, ss = a
+        mean = float(s) / n if n else None
+        var = (float(n * ss - s * s) / float(n * (n - 1))
+               if n > 1 else None)
+        return n, mean, var
+
+    nx, mx, vx = finish(acc[TT_X])
+    ny, my, vy = finish(acc[TT_Y])
+    if vx is not None and vy is not None and (vx > 0 or vy > 0):
+        ax, ay = vx / nx, vy / ny
+        t = (mx - my) / math.sqrt(ax + ay)
+        dof = ((ax + ay) * (ax + ay)
+               / (ax * ax / (nx - 1) + ay * ay / (ny - 1)))
+    else:
+        t = dof = None
+    return pa.table({
+        "n_x": pa.array([nx], pa.int64()),
+        "n_y": pa.array([ny], pa.int64()),
+        "mean_x": pa.array([round6(mx) if mx is not None else None],
+                           pa.float64()),
+        "mean_y": pa.array([round6(my) if my is not None else None],
+                           pa.float64()),
+        "t_stat": pa.array([round6(t) if t is not None else None],
+                           pa.float64()),
+        "dof": pa.array([round6(dof) if dof is not None else None],
+                        pa.float64()),
+    })
+
+
+value_ttest.__doc__ = value_ttest.__doc__.format(x=TT_X, y=TT_Y)
+
+
+def sql_value_ttest() -> str:
+    return f"""
+WITH m AS (
+  SELECT event_type AS g, count(*)::HUGEINT AS n,
+         sum(CAST(round(value * 100, 0) AS BIGINT))::HUGEINT AS s,
+         sum((CAST(round(value * 100, 0) AS BIGINT))::HUGEINT
+             * (CAST(round(value * 100, 0) AS BIGINT))::HUGEINT) AS ss
+  FROM events WHERE event_type IN ('{TT_X}', '{TT_Y}')
+  GROUP BY event_type
+),
+f AS (
+  SELECT g, n::BIGINT AS n,
+         s::DOUBLE / n::BIGINT AS mean,
+         (n * ss - s * s)::DOUBLE / (n * (n - 1))::DOUBLE AS var
+  FROM m
+),
+x AS (SELECT * FROM f WHERE g = '{TT_X}'),
+y AS (SELECT * FROM f WHERE g = '{TT_Y}')
+SELECT x.n AS n_x, y.n AS n_y,
+       round(x.mean, 6) AS mean_x, round(y.mean, 6) AS mean_y,
+       round((x.mean - y.mean)
+             / sqrt(x.var / x.n + y.var / y.n), 6) AS t_stat,
+       round((x.var / x.n + y.var / y.n) * (x.var / x.n + y.var / y.n)
+             / ((x.var / x.n) * (x.var / x.n) / (x.n - 1)
+                + (y.var / y.n) * (y.var / y.n) / (y.n - 1)), 6) AS dof
+FROM x, y
+"""
+
+
 QUERIES = {
     "qty_price_corr": qty_price_corr,
     "zipf_slope": zipf_slope,
     "matrix_stats": matrix_stats,
+    "value_ttest": value_ttest,
 }
 
 ORACLE_SQL = {
     "qty_price_corr": sql_qty_price_corr(),
     "zipf_slope": sql_zipf_slope(),
     "matrix_stats": sql_matrix_stats(),
+    "value_ttest": sql_value_ttest(),
 }

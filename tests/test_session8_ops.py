@@ -367,3 +367,106 @@ def test_percentile_ranks_boundary_inclusive(ray_session, tmp_path):
     got = dict(zip(eng.value, eng.n_le))
     assert got == {50.0: 3, 100.0: 5, 200.0: 7}  # boundaries inclusive
     assert dict(zip(eng.value, eng.pct))[50.0] == round(100.0 * 3 / 8, 6)
+
+
+def test_ann_range_complete_and_bounded(ray_session):
+    # brute-force: the result is EXACTLY the set of pairs with
+    # round6 cosine >= the floor, self-matches included
+    from raysearch.numutil import round6
+    from raysearch.pipelines.similarity import (ANN_RANGE_MIN,
+                                                N_QUERY_VECS,
+                                                ann_range)
+
+    res = ann_range(SF).to_pandas()
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    ids = emb.vec_id.to_numpy(np.int64)
+    mat = np.stack(emb.embedding.to_numpy())
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = set()
+    for q in range(N_QUERY_VECS):
+        qv = matn[ids == q][0]
+        cos = round6(matn @ qv)
+        for v in ids[cos >= ANN_RANGE_MIN]:
+            want.add((q, int(v)))
+    assert set(zip(res.query_vec_id, res.vec_id)) == want
+    assert (res.cos >= ANN_RANGE_MIN).all()
+    # every query's self-match (cos 1.0) is rank 1
+    r1 = res[res["rank"] == 1]
+    assert set(zip(r1.query_vec_id, r1.vec_id)) == \
+        {(q, q) for q in range(N_QUERY_VECS)}
+
+
+def test_value_ttest_brute_force(ray_session, tmp_path):
+    # engineered two-group stream with known moments; parity +
+    # hand-computed Welch t/dof on the cent-rounded values
+    import duckdb
+
+    from raysearch.pipelines import stats as ST
+
+    vals = {"purchase": [10.0, 12.0, 14.0, 16.0, 18.0],
+            "click": [10.005, 11.0, 12.0, 13.0, 13.995, 15.0]}
+    types, vs = [], []
+    for t, xs in vals.items():
+        types += [t] * len(xs)
+        vs += xs
+    types += ["error"] * 3          # excluded group
+    vs += [999.0] * 3
+    n = len(vs)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(np.asarray(vs, np.float64), pa.float64()),
+    }), os.path.join(tmp_path, "events.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = ST.value_ttest(sf).to_pandas()
+    ora = con.execute(ST.sql_value_ttest()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    x = np.round(np.array(vals["purchase"]) * 100)
+    y = np.round(np.array(vals["click"]) * 100)
+    ax = x.var(ddof=1) / len(x)
+    ay = y.var(ddof=1) / len(y)
+    t = (x.mean() - y.mean()) / np.sqrt(ax + ay)
+    dof = (ax + ay) ** 2 / (ax**2 / (len(x) - 1) + ay**2 / (len(y) - 1))
+    r = eng.iloc[0]
+    assert r.n_x == 5 and r.n_y == 6   # 'error' rows excluded
+    assert abs(r.t_stat - t) <= 1e-5
+    assert abs(r.dof - dof) <= 1e-5
+
+
+def test_string_stats_brute_force(ray_session, tmp_path):
+    # unicode sources, single-char and long values; exact entropy
+    import duckdb
+    from collections import Counter
+
+    from raysearch.pipelines import aggx as AX
+
+    sources = ["αβ", "a", "aaab", "srcX", "srcX", "日本"] * 2
+    n = len(sources)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["t"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    sf = str(tmp_path)
+    con = _duck(sf, "documents")
+    eng = AX.QUERIES["string_stats"](sf).to_pandas()
+    ora = con.execute(AX.ORACLE_SQL["string_stats"]).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    r = eng.iloc[0]
+    assert (r.n_values, r.min_len, r.max_len) == (n, 1, 4)
+    c = Counter("".join(sources))
+    tot = sum(c.values())
+    ent = -sum((v / tot) * np.log2(v / tot) for v in c.values())
+    assert abs(r.entropy - ent) <= 1e-5
+    assert abs(r.avg_len - np.mean([len(s) for s in sources])) <= 1e-6
