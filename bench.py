@@ -133,7 +133,7 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "rare_bigrams", "demote_topk", "adjacency_matrix",
           "events_pipeline_agg", "rank_feature_topk", "composite_agg",
           "percentile_ranks", "ann_range", "value_ttest",
-          "string_stats"]
+          "string_stats", "blockjoin_topk", "phrase_prefix_topk"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

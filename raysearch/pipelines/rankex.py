@@ -616,6 +616,126 @@ def maxp_topk(sf_dir: str) -> pa.Table:
     return _ranked_from_candidates(cand)
 
 
+def blockjoin_topk(sf_dir: str) -> pa.Table:
+    """Lucene ToParentBlockJoinQuery with ScoreMode.Total (ES
+    has_child score_mode=sum): documents ranked by the SUM of their
+    matching passages' BM25 scores — breadth of matching passages
+    rewarded, where maxp_topk (ScoreMode.Max) rewards the single best
+    one. Same passage index, passage-level stats, top-10 parents.
+
+    Distributed-plan delta vs maxp: SUM partials cannot be truncated
+    per part (a parent's global sum accumulates across parts, so no
+    part can bound another part's contribution) — each part emits its
+    full per-parent partial-sum rows, df-bounded like
+    query_hit_counts, and the driver merge is sum-of-partial-sums
+    (each passage counted exactly once: passages are disjoint across
+    parts)."""
+    import ray.data  # noqa: F401
+
+    from raysearch.pipelines.search_queries import DOC_QUERIES
+    from raysearch.query import lexicon_df
+    from raysearch.score import query_term_weights, score_postings
+    from raysearch.segments import (SCORER_COLUMNS, decode_posting_row,
+                                    part_dirname, read_postings)
+    from raysearch.stats import load_stats
+
+    idx = cached_passage_index(sf_dir)
+    st = load_stats(idx)
+    n_pass, avgdl = st["n_docs"], st["avgdl"]
+    k1, b = st["config"]["k1"], st["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    df = lexicon_df(idx, all_terms)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for part in batch["part"].to_pylist():
+            part_dir = part_dirname(idx, int(part))
+            if not os.path.isdir(part_dir):
+                continue
+            tbl = read_postings(part_dir, all_terms,
+                                columns=SCORER_COLUMNS)
+            post = {tbl["term"][i].as_py(): decode_posting_row(tbl, i)
+                    for i in range(tbl.num_rows)}
+            for qid, qw in enumerate(qweights):
+                pids, sc = score_postings(qw, post.get, df, n_pass,
+                                          avgdl, k1, b, mode="bm25")
+                if not len(pids):
+                    continue
+                parents = pids // PASSAGE_STRIDE
+                uniq, inv = np.unique(parents, return_inverse=True)
+                psum = np.zeros(len(uniq), np.float64)
+                np.add.at(psum, inv, sc)
+                out_q.extend([qid] * len(uniq))
+                out_d.extend(int(x) for x in uniq)
+                out_s.extend(float(x) for x in psum)
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64())})
+
+    cand = _parts_candidates(idx, kern)
+    # cross-part parent merge: sum of partial sums (passages disjoint
+    # across parts -> every passage counted exactly once)
+    cand = (cand.groupby(["query_id", "doc_id"], as_index=False)
+            .agg(score=("score", "sum")))
+    return _ranked_from_candidates(cand)
+
+
+def sql_blockjoin_topk() -> str:
+    from raysearch.pipelines.search_queries import (B, K1, TOPK,
+                                                    _qterms_values)
+
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+pass AS (SELECT doc_id, (pos - 1) // {PASSAGE_W} AS pidx, term FROM ptok),
+ptf AS (SELECT doc_id, pidx, term, count(*)::BIGINT AS tf
+        FROM pass GROUP BY doc_id, pidx, term),
+pdl AS (SELECT doc_id, pidx, count(*)::BIGINT AS dl
+        FROM pass GROUP BY doc_id, pidx),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM pdl)::DOUBLE AS n_pass,
+         (SELECT sum(dl) FROM pdl)::DOUBLE
+           / (SELECT count(*) FROM pdl) AS avgdl
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+pscores AS (
+  SELECT q.query_id, ptf.doc_id, ptf.pidx,
+         sum(q.w * ln(1 + (s.n_pass - pdf.df + 0.5) / (pdf.df + 0.5))
+             * (ptf.tf * ({K1} + 1))
+             / (ptf.tf + {K1} * (1 - {B} + {B} * pdl.dl / s.avgdl)))
+           AS score
+  FROM q
+  JOIN ptf ON q.term = ptf.term
+  JOIN pdf ON q.term = pdf.term
+  JOIN pdl ON ptf.doc_id = pdl.doc_id AND ptf.pidx = pdl.pidx
+  CROSS JOIN stats s
+  GROUP BY q.query_id, ptf.doc_id, ptf.pidx
+),
+parent AS (
+  SELECT query_id, doc_id, sum(score) AS score
+  FROM pscores GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM parent
+)
+SELECT query_id::BIGINT AS query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def sql_maxp_topk() -> str:
     from raysearch.pipelines.search_queries import (B, K1, TOPK,
                                                     _qterms_values)
@@ -2121,6 +2241,7 @@ QUERIES = {
     "fuzzy_topk": fuzzy_topk,
     "prefix_topk": prefix_topk,
     "maxp_topk": maxp_topk,
+    "blockjoin_topk": blockjoin_topk,
     "ndcg_eval": ndcg_eval,
     "negated_topk": negated_topk,
     "demote_topk": demote_topk,
@@ -2139,6 +2260,7 @@ ORACLE_SQL = {
     "fuzzy_topk": sql_fuzzy_topk(),
     "prefix_topk": sql_prefix_topk(),
     "maxp_topk": sql_maxp_topk(),
+    "blockjoin_topk": sql_blockjoin_topk(),
     "ndcg_eval": sql_ndcg_eval(),
     "negated_topk": sql_negated_topk(),
     "demote_topk": sql_demote_topk(),

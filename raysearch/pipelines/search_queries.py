@@ -698,6 +698,128 @@ def _rank_phrase_counts(counts: pd.DataFrame, empty: pa.Table) -> pa.Table:
     })
 
 
+# ES match_phrase_prefix: "first pre*" — the second position matches
+# ANY lexicon term extending the prefix. ("dup", "zz") is the
+# index-miss case; ("batch", "b") includes the self-extension
+# ("batch batch" matches "batch b*", the Lucene rewrite semantics).
+PHRASE_PREFIX_QUERIES = [("batch", "b"), ("the", "s"), ("hash", "j"),
+                         ("query", "m"), ("dup", "zz")]
+
+
+def phrase_prefix_topk(sf_dir: str) -> pa.Table:
+    """ES match_phrase_prefix (Lucene MatchPhrasePrefixQuery): the
+    search-as-you-type phrase — per query ("first", "pre"), docs
+    where some occurrence of "first" is immediately followed by a
+    token extending "pre"; tf = count of such phrase-start positions,
+    ranked (tf DESC, doc_id), top-10, hits only (phrase_topk's
+    contract with a prefix-expanded final position).
+
+    Plan: the prefix expands via a lexicon RANGE SCAN (prefix_topk's
+    shape — searchsorted [pre, pre+maxchar) bounds, never a corpus
+    pass); verification is INDEX-ONLY on the positional variant:
+    candidates = docs(first) AND union(docs(expansion)), then one
+    searchsorted of the first term's gpos+1 into the MERGED expansion
+    gpos (distinct terms cannot share a position, so the merged array
+    is duplicate-free). Zero documents.parquet bytes; work ∝ the
+    terms' posting+position bytes."""
+    import pyarrow.dataset as pads
+
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir, with_positions=True)
+    vocab = np.sort(np.asarray(
+        pads.dataset(os.path.join(idx, "lexicon")).to_table(
+            columns=["term"])["term"].to_pylist(), dtype=object))
+    expansions: list[list[str]] = []
+    for _first, pre in PHRASE_PREFIX_QUERIES:
+        lo = np.searchsorted(vocab, pre)
+        hi = np.searchsorted(vocab, pre + chr(0x10FFFF))
+        expansions.append(sorted(vocab[lo:hi].tolist()))
+    all_terms = sorted({f for f, _ in PHRASE_PREFIX_QUERIES}
+                       | {e for ex in expansions for e in ex})
+    empty = pa.table({"phrase_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64())})
+    out_empty = pa.table({"phrase_id": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        pids, dids, tfs_out = [], [], []
+        for part in batch["part"].to_pylist():
+            data = _read_positional(idx, part, all_terms)
+            for pid, (first, _pre) in enumerate(PHRASE_PREFIX_QUERIES):
+                ex = [e for e in expansions[pid] if e in data]
+                if first not in data or not ex:
+                    continue
+                exdocs = np.unique(np.concatenate(
+                    [data[e][0] for e in ex]))
+                cand = data[first][0]
+                cand = cand[np.isin(cand, exdocs, assume_unique=True)]
+                if not len(cand):
+                    continue
+                cur, _ = _gpos(data[first], cand)
+                g = np.sort(np.concatenate(
+                    [_gpos(data[e], cand)[0] for e in ex]))
+                k = np.searchsorted(g, cur + 1)
+                ok = np.zeros(len(cur), bool)
+                inb = k < len(g)
+                ok[inb] = g[k[inb]] == cur[inb] + 1
+                cur = cur[ok]
+                if not len(cur):
+                    continue
+                tf = np.bincount((cur >> np.int64(32)).astype(np.int64),
+                                 minlength=len(cand))
+                hit = np.flatnonzero(tf)
+                pids.append(np.full(len(hit), pid, np.int64))
+                dids.append(cand[hit])
+                tfs_out.append(tf[hit].astype(np.int64))
+        if not pids:
+            return empty
+        return pa.table({
+            "phrase_id": pa.array(np.concatenate(pids), pa.int64()),
+            "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+            "tf": pa.array(np.concatenate(tfs_out), pa.int64())})
+
+    counts = _parts_fanout(idx, load_stats(idx)["parts"], kern, empty)
+    return _rank_phrase_counts(counts, out_empty)
+
+
+def sql_phrase_prefix_topk() -> str:
+    vals = ", ".join(f"({i}, '{f}', '{p}')" for i, (f, p)
+                     in enumerate(PHRASE_PREFIX_QUERIES))
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(len(toks)))::BIGINT AS p
+  FROM t
+),
+q(phrase_id, first, pre) AS (VALUES {vals}),
+m AS (
+  SELECT q.phrase_id, a.doc_id, a.p
+  FROM q
+  JOIN pos a ON a.tok = q.first
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            AND starts_with(b.tok, q.pre)
+),
+tfc AS (
+  SELECT phrase_id, doc_id, count(*)::BIGINT AS tf
+  FROM m GROUP BY phrase_id, doc_id
+),
+ranked AS (
+  SELECT phrase_id, doc_id, tf,
+         row_number() OVER (PARTITION BY phrase_id
+                            ORDER BY tf DESC, doc_id) AS rank
+  FROM tfc
+)
+SELECT phrase_id::BIGINT AS phrase_id, doc_id, rank, tf
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def snippet_lines_topk(sf_dir: str) -> pa.Table:
     """Q6 snippet fetch with the REFERENCE's display semantics: the
     first 5 lines of each hit (src/lib.rs:240-256)."""
@@ -2929,6 +3051,7 @@ QUERIES = {
     "snippet_topk": snippet_topk,
     "snippet_lines_topk": snippet_lines_topk,
     "phrase_topk": phrase_topk,
+    "phrase_prefix_topk": phrase_prefix_topk,
     "near_topk": near_topk,
     "mmr_topk": mmr_topk,
     "slop_topk": slop_topk,
@@ -2968,6 +3091,7 @@ ORACLE_SQL = {
     "snippet_topk": sql_snippet_topk(),
     "snippet_lines_topk": sql_snippet_lines_topk(),
     "phrase_topk": sql_phrase_topk(),
+    "phrase_prefix_topk": sql_phrase_prefix_topk(),
     "near_topk": sql_near_topk(),
     "slop_topk": sql_slop_topk(),
     "blocklist_docs": sql_blocklist_docs(),

@@ -470,3 +470,94 @@ def test_string_stats_brute_force(ray_session, tmp_path):
     ent = -sum((v / tot) * np.log2(v / tot) for v in c.values())
     assert abs(r.entropy - ent) <= 1e-5
     assert abs(r.avg_len - np.mean([len(s) for s in sources])) <= 1e-6
+
+
+def test_blockjoin_sum_vs_deep_passages(ray_session):
+    # brute-force: a parent's blockjoin score equals the sum of BM25
+    # over its passages (deep passage-level query); sum >= max pins
+    # the ScoreMode.Total vs ScoreMode.Max relation
+    from raysearch.numutil import round6
+    from raysearch.pipelines.rankex import (PASSAGE_STRIDE,
+                                            blockjoin_topk,
+                                            cached_passage_index,
+                                            maxp_topk)
+    from raysearch.pipelines.search_queries import DOC_QUERIES
+    from raysearch.query import query_index
+
+    bj = blockjoin_topk(SF).to_pandas()
+    raw = query_index(cached_passage_index(SF), DOC_QUERIES,
+                      k=100_000).to_pandas()
+    raw["parent"] = raw.doc_id // PASSAGE_STRIDE
+    tot = raw.groupby(["query_id", "parent"]).score.sum().to_dict()
+    assert len(bj) > 0
+    for q, d, s in zip(bj.query_id, bj.doc_id, bj.score):
+        assert abs(s - float(round6(np.float64(tot[(q, d)])))) <= 1e-6
+    mx = maxp_topk(SF).to_pandas()
+    mxmap = {(q, d): s for q, d, s in zip(mx.query_id, mx.doc_id,
+                                          mx.score)}
+    hits = 0
+    for q, d, s in zip(bj.query_id, bj.doc_id, bj.score):
+        if (q, d) in mxmap:
+            assert s >= mxmap[(q, d)] - 1e-6
+            hits += 1
+    assert hits > 0
+
+
+def test_phrase_prefix_brute_force(ray_session):
+    # text-derived truth at sf0.001: tf = count of first-term
+    # positions whose successor extends the prefix
+    from raysearch.pipelines.search_queries import (
+        PHRASE_PREFIX_QUERIES, TOPK, phrase_prefix_topk)
+
+    res = phrase_prefix_topk(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for r in docs.itertuples():
+        toks = r.text.lower().split()
+        for pid, (first, pre) in enumerate(PHRASE_PREFIX_QUERIES):
+            tf = sum(1 for i in range(len(toks) - 1)
+                     if toks[i] == first and toks[i + 1].startswith(pre))
+            if tf:
+                rows.append((pid, int(r.doc_id), tf))
+    want = pd.DataFrame(rows, columns=["phrase_id", "doc_id", "tf"])
+    want = want.sort_values(["phrase_id", "tf", "doc_id"],
+                            ascending=[True, False, True],
+                            ignore_index=True)
+    want["rank"] = want.groupby("phrase_id").cumcount() + 1
+    want = want[want["rank"] <= TOPK]
+    got = res.sort_values(["phrase_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got, want[["phrase_id", "doc_id", "rank", "tf"]]
+        .reset_index(drop=True), check_dtype=False)
+    assert 4 not in set(got.phrase_id)       # ('dup','zz') misses
+    assert len(got) > 0
+
+
+def test_phrase_prefix_adversarial(ray_session, tmp_path):
+    # self-extension ('batch batch'), prefix at doc end (no
+    # successor), exact-term-as-prefix, multiline adjacency
+    import duckdb
+
+    from raysearch.pipelines import search_queries as SQ
+
+    texts = ["batch batch end",        # self-extension matches
+             "batch",                  # no successor: no match
+             "the sort\nthe scan",     # newline splits tokens; 2 hits
+             "hash join hash jolt",    # exact + extension: tf 2
+             "query m",                # bare prefix char as token
+             "the the s"] * 2
+    sf = _write_docs(tmp_path, texts)
+    con = _duck(sf, "documents")
+    eng = SQ.phrase_prefix_topk(sf).to_pandas()
+    ora = con.execute(SQ.sql_phrase_prefix_topk()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    tfm = {(p, d % 6): t for p, d, t in zip(eng.phrase_id, eng.doc_id,
+                                            eng.tf)}
+    assert tfm.get((0, 0)) == 1        # 'batch batch'
+    assert (0, 1) not in tfm           # bare 'batch', no successor
+    assert tfm.get((1, 2)) == 2        # 'the sort' + 'the scan'
+    assert tfm.get((2, 3)) == 2        # 'hash join' + 'hash jolt'
+    assert tfm.get((3, 4)) == 1        # 'query m' ('m' extends 'm')
+    assert tfm.get((1, 5)) == 1        # 'the s': only the second 'the'
