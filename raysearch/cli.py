@@ -96,9 +96,11 @@ def cmd_query(args) -> None:
         # and boost/decay/prune knobs apply to bag-of-words queries
         if (args.prune or args.mode != "bm25"
                 or getattr(args, "boost_term", None)
-                or getattr(args, "decay", None)):
+                or getattr(args, "decay", None)
+                or getattr(args, "rank_feature", None)):
             raise SystemExit("--dsl implies --mode bm25 without "
-                             "--prune/--boost-term/--decay")
+                             "--prune/--boost-term/--decay/"
+                             "--rank-feature")
         from raysearch.pipelines.queryparse import (DslError,
                                                     dsl_query_index)
 
@@ -150,8 +152,24 @@ def cmd_query(args) -> None:
         if scale <= 0:
             raise SystemExit("--decay SCALE must be > 0")
         decay = (origin, scale)
+    rank_feature = None
+    if getattr(args, "rank_feature", None):
+        if args.prune or args.mode != "bm25":
+            raise SystemExit("--rank-feature requires --mode bm25 "
+                             "and no --prune")
+        try:
+            w, pivot = (float(x) for x in args.rank_feature.split(","))
+        except ValueError:
+            raise SystemExit("--rank-feature expects W,PIVOT "
+                             "(e.g. 2,50)") from None
+        if w <= 0 or pivot <= 0:
+            raise SystemExit("--rank-feature W and PIVOT must be > 0 "
+                             "(w <= 0 inverts or erases the prior; "
+                             "pivot <= 0 breaks the saturation curve)")
+        rank_feature = (w, pivot)
     out = query_index(args.index, queries, k=args.k, mode=args.mode,
-                      prune=args.prune, boost=boost, decay=decay)
+                      prune=args.prune, boost=boost, decay=decay,
+                      rank_feature=rank_feature)
     _emit_query_results(args, out)
     ray.shutdown()
 
@@ -484,6 +502,10 @@ def main(argv=None) -> None:
     q.add_argument("--decay", default=None, metavar="ORIGIN,SCALE",
                    help="gauss length decay: score x 0.5^(((dl-ORIGIN)"
                         "/SCALE)^2) (bm25 only, not --prune)")
+    q.add_argument("--rank-feature", default=None, metavar="W,PIVOT",
+                   dest="rank_feature",
+                   help="saturation doc prior: score + W*dl/(dl+PIVOT)"
+                        " (bm25 only, not --prune)")
     q.add_argument("--out", default=None,
                    help="write results parquet here instead of stdout")
     q.set_defaults(fn=cmd_query)

@@ -1187,6 +1187,65 @@ WITH c AS (SELECT count(*)::BIGINT AS n, {counters} FROM events)
 """
 
 
+def top_metrics(sf_dir: str) -> pa.Table:
+    """The Elasticsearch top_metrics aggregation: per event_type, the
+    value carried by the LATEST event under the (ts, event_id) total
+    order — "the metric at the sort extreme", the per-dimension
+    current-state readout (contrast latest_events, which keys by
+    user for CDC upsert semantics).
+
+    Pure combiner shape: argmax under a total order is mergeable, so
+    each batch collapses map-side to one row per event_type it saw
+    and the driver finishes with the same kernel over batches x
+    types rows. Value passes through untouched (no float
+    arithmetic)."""
+    import ray.data  # noqa: F401
+
+    def latest_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "tus": (df["tus"].to_numpy(np.int64) if "tus" in df
+                    else _epoch_us(df["ts"])),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "value": df["value"].to_numpy(np.float64),
+        })
+        return (d.sort_values(["event_type", "tus", "event_id"])
+                .groupby("event_type", as_index=False).tail(1))
+
+    parts = (_read_events(sf_dir, ["ts", "event_id", "event_type",
+                                   "value"])
+             .map_batches(latest_rows, batch_format="pandas"))
+    batches = list(parts.iter_batches(batch_format="pandas"))
+    cand = (pd.concat(batches, ignore_index=True) if batches
+            else pd.DataFrame(columns=["event_type", "tus",
+                                       "event_id", "value"]))
+    if not len(cand):
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "ts": pa.array([], pa.timestamp("us")),
+                         "value": pa.array([], pa.float64())})
+    out = (latest_rows(cand)
+           .sort_values("event_type", ignore_index=True))
+    return pa.table({
+        "event_type": pa.array(out.event_type.tolist(), pa.string()),
+        "ts": pa.array(out.tus.to_numpy(np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "value": pa.array(out.value.to_numpy(np.float64),
+                          pa.float64()),
+    })
+
+
+def sql_top_metrics() -> str:
+    return """
+WITH r AS (
+  SELECT event_type, ts, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, ts, value FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
     "latest_events": latest_events,
     "user_daily_fill": user_daily_fill,
@@ -1199,6 +1258,7 @@ QUERIES = {
     "session_funnel": session_funnel,
     "events_pipeline_agg": events_pipeline_agg,
     "percentile_ranks": percentile_ranks,
+    "top_metrics": top_metrics,
 }
 
 ORACLE_SQL = {
@@ -1212,4 +1272,5 @@ ORACLE_SQL = {
     "session_funnel": sql_session_funnel(),
     "events_pipeline_agg": sql_events_pipeline_agg(),
     "percentile_ranks": sql_percentile_ranks(),
+    "top_metrics": sql_top_metrics(),
 }

@@ -2237,6 +2237,103 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ES 8 normalized linear-combination hybrid: min-max normalize each
+# system's per-query top-k scores to [0,1], then weighted sum
+HY_W_TEXT, HY_W_VEC = 0.7, 0.3
+
+
+@fmt_doc(wt=HY_W_TEXT, wv=HY_W_VEC)
+def hybrid_minmax_topk(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval, ES-8 `normalizer: minmax` semantics: each
+    system's per-query top-10 scores are min-max normalized to [0,1]
+    WITHIN that list (a constant list normalizes to 1.0 — presence is
+    evidence), then fused as {wt} * norm_bm25 + {wv} * norm_cos over
+    the union of candidates (absent from a system contributes 0);
+    final top-10 by (score DESC, doc_id). The score-aware complement
+    of hybrid_topk's rank-only RRF.
+
+    Shape: both component rankings are the existing distributed
+    pipelines; normalization + fusion are driver arithmetic over
+    2 x queries x 10 rounded component rows — k-bounded, never
+    data-sized."""
+    from raysearch.pipelines.similarity import N_QUERY_VECS, ann_topk
+
+    bm = bm25_topk(sf_dir).to_pandas()
+    an = ann_topk(sf_dir).to_pandas()
+    bm = bm[bm.query_id < N_QUERY_VECS]
+
+    def norm(df, qcol, scol):
+        g = df.groupby(qcol)[scol]
+        mn, mx = g.transform("min"), g.transform("max")
+        rng = mx - mn
+        out = np.where(rng.to_numpy() > 0,
+                       (df[scol] - mn) / rng.replace(0, 1.0), 1.0)
+        return out
+
+    bmn = pd.DataFrame({"query_id": bm.query_id.to_numpy(np.int64),
+                        "doc_id": bm.doc_id.to_numpy(np.int64),
+                        "nb": norm(bm, "query_id", "score")})
+    ann = pd.DataFrame({"query_id": an.query_vec_id.to_numpy(np.int64),
+                        "doc_id": an.vec_id.to_numpy(np.int64),
+                        "nc": norm(an, "query_vec_id", "cos")})
+    f = bmn.merge(ann, on=["query_id", "doc_id"], how="outer")
+    f["score"] = round6(HY_W_TEXT * f.nb.fillna(0.0).to_numpy(np.float64)
+                        + HY_W_VEC * f.nc.fillna(0.0).to_numpy(np.float64))
+    f = f.sort_values(["query_id", "score", "doc_id"],
+                      ascending=[True, False, True], ignore_index=True)
+    f["rank"] = f.groupby("query_id").cumcount() + 1
+    f = f[f["rank"] <= TOPK]
+    return pa.table({
+        "query_id": pa.array(f.query_id.to_numpy(np.int64), pa.int64()),
+        "doc_id": pa.array(f.doc_id.to_numpy(np.int64), pa.int64()),
+        "rank": pa.array(f["rank"].to_numpy(np.int64), pa.int64()),
+        "score": pa.array(f.score.to_numpy(np.float64), pa.float64()),
+    })
+
+
+def sql_hybrid_minmax_topk() -> str:
+    from raysearch.pipelines.similarity import N_QUERY_VECS, sql_ann_topk
+
+    return f"""
+WITH b AS ({sql_bm25_topk()}),
+a AS ({sql_ann_topk()}),
+bn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER w > min(score) OVER w
+              THEN (score - min(score) OVER w)
+                   / (max(score) OVER w - min(score) OVER w)
+              ELSE 1.0 END AS nb
+  FROM b WHERE query_id < {N_QUERY_VECS}
+  WINDOW w AS (PARTITION BY query_id)
+),
+an AS (
+  SELECT query_vec_id AS query_id, vec_id AS doc_id,
+         CASE WHEN max(cos) OVER w > min(cos) OVER w
+              THEN (cos - min(cos) OVER w)
+                   / (max(cos) OVER w - min(cos) OVER w)
+              ELSE 1.0 END AS nc
+  FROM a
+  WINDOW w AS (PARTITION BY query_vec_id)
+),
+f AS (
+  SELECT coalesce(bn.query_id, an.query_id) AS query_id,
+         coalesce(bn.doc_id, an.doc_id) AS doc_id,
+         round({HY_W_TEXT} * coalesce(bn.nb, 0.0)
+               + {HY_W_VEC} * coalesce(an.nc, 0.0), 6) AS score
+  FROM bn FULL OUTER JOIN an
+    ON bn.query_id = an.query_id AND bn.doc_id = an.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM f
+)
+SELECT query_id, doc_id, rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # NEAR/W proximity queries: unordered 2-term pairs (the Lucene
 # SpanNear / classic WITHIN operator). Includes a rare term ('dup',
 # df ~3% of docs) to exercise the selective-candidate path and a pair
@@ -3024,6 +3121,7 @@ FROM ranked WHERE rank <= {TOPK}
 QUERIES = {
     "doc_lengths": doc_lengths,
     "hybrid_topk": hybrid_topk,
+    "hybrid_minmax_topk": hybrid_minmax_topk,
     "collection_stats": collection_stats,
     "term_stats": term_stats,
     "postings": postings,
@@ -3064,6 +3162,7 @@ QUERIES = {
 ORACLE_SQL = {
     "doc_lengths": sql_doc_lengths(),
     "hybrid_topk": sql_hybrid_topk(),
+    "hybrid_minmax_topk": sql_hybrid_minmax_topk(),
     "collection_stats": sql_collection_stats(),
     "term_stats": sql_term_stats(),
     "postings": sql_postings(),

@@ -120,3 +120,55 @@ def test_cli_query_boost(tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=240,
         env={**os.environ, "PYTHONPATH": REPO})
     assert r.returncode != 0 and "one token" in r.stderr
+
+
+@pytest.mark.timeout(600)
+def test_cli_query_rank_feature(tmp_path):
+    """--rank-feature W,PIVOT: every hit's score equals the plain
+    score plus the exact saturation prior computed from the hit's dl
+    (via a w=0-like control: tiny w barely perturbs, large w
+    reorders toward long docs); malformed/invalid values and the
+    prune/mode combinations are refused."""
+    corpus = str(tmp_path / "c.parquet")
+    idx = str(tmp_path / "idx")
+    _run(["gen-corpus", "--out", corpus, "--docs", "200"])
+    _run(["build", "--corpus", corpus, "--index", idx, "--parts", "4"])
+
+    def rows(extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "raysearch.cli", "query",
+             "--index", idx, "--query", "parser", "--k", "5", *extra],
+            capture_output=True, text=True, cwd=REPO, timeout=240,
+            env={**os.environ, "PYTHONPATH": REPO})
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(ln) for ln in r.stdout.splitlines()
+                if ln.startswith("{")]
+
+    plain = rows([])
+    # near-zero prior: same ranking, scores shifted by < w
+    eps = rows(["--rank-feature", "0.000001,50"])
+    assert [e["doc_id"] for e in eps] == [p["doc_id"] for p in plain]
+    for p, e in zip(plain, eps):
+        assert 0 <= e["score"] - p["score"] < 1e-6 + 1e-9
+    # a large prior must change the score of every hit by (0, w)
+    big = rows(["--rank-feature", "5,50"])
+    bm = {p["doc_id"]: p["score"] for p in plain}
+    moved = [b for b in big if b["doc_id"] in bm]
+    assert moved and all(0 < b["score"] - bm[b["doc_id"]] < 5.0
+                         for b in moved)
+
+    def fails(extra, needle):
+        r = subprocess.run(
+            [sys.executable, "-m", "raysearch.cli", "query",
+             "--index", idx, "--query", "parser", *extra],
+            capture_output=True, text=True, cwd=REPO, timeout=240,
+            env={**os.environ, "PYTHONPATH": REPO})
+        assert r.returncode != 0 and needle in r.stderr, r.stderr[-500:]
+
+    fails(["--rank-feature", "2,50", "--prune"], "rank-feature")
+    fails(["--rank-feature", "2,50", "--mode", "overlap"],
+          "rank-feature")
+    fails(["--rank-feature", "nope"], "W,PIVOT")
+    fails(["--rank-feature", "0,50"], "must be > 0")
+    fails(["--rank-feature", "2,-1"], "must be > 0")
+    fails(["--rank-feature", "2,50", "--dsl"], "--dsl implies")

@@ -561,3 +561,78 @@ def test_phrase_prefix_adversarial(ray_session, tmp_path):
     assert tfm.get((2, 3)) == 2        # 'hash join' + 'hash jolt'
     assert tfm.get((3, 4)) == 1        # 'query m' ('m' extends 'm')
     assert tfm.get((1, 5)) == 1        # 'the s': only the second 'the'
+
+
+def test_hybrid_minmax_structure_and_constant_list(ray_session,
+                                                   tmp_path):
+    # fixture run: scores bounded by w_text + w_vec, rank-1 per query
+    # present; adversarial run: a constant BM25 top-k list (identical
+    # docs) must normalize to 1.0 (presence-is-evidence), parity held
+    import duckdb
+
+    from raysearch.pipelines import search_queries as SQ
+    from raysearch.pipelines.similarity import N_QUERY_VECS
+
+    hm = SQ.hybrid_minmax_topk(SF).to_pandas()
+    assert set(hm.query_id) == set(range(N_QUERY_VECS))
+    assert (hm.score <= SQ.HY_W_TEXT + SQ.HY_W_VEC + 1e-9).all()
+    assert (hm.score >= 0).all()
+
+    # adversarial: identical docs -> every per-query BM25 top-k score
+    # equal -> constant-list branch; embeddings engineered so vec 7
+    # is closest to query vec 0
+    texts = ["hash join merge sort"] * 30
+    sf = _write_docs(tmp_path, texts)
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    vecs[7] = vecs[0] * 0.9 + 0.1 * rng.randn(8).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(30, np.int32), pa.int32()),
+    }), os.path.join(sf, "embeddings.parquet"))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    eng = SQ.hybrid_minmax_topk(sf).to_pandas()
+    ora = con.execute(SQ.sql_hybrid_minmax_topk()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    # constant-list branch: every doc in a query's BM25 top-k carries
+    # nb = 1.0, so fused scores of text-hits differ only by vector
+    # contribution; the BM25-and-vector doc must outrank BM25-only
+    q0 = eng[eng.query_id == 0]
+    assert len(q0) > 0
+    assert q0.score.max() <= 1.0 + 1e-9
+
+
+def test_top_metrics_tie_and_parity(ray_session, tmp_path):
+    # two events share the max ts for one type: the higher event_id
+    # wins (the (ts, event_id) total order); parity on the fixture
+    import duckdb
+
+    from raysearch.pipelines import events as EV
+
+    n = 6
+    ts = np.array([100, 200, 200, 50, 60, 10], np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["click", "click", "click",
+                                "buy", "buy", "err"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+                          pa.float64()),
+    }), os.path.join(tmp_path, "events.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = EV.top_metrics(sf).to_pandas()
+    ora = con.execute(EV.sql_top_metrics()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    got = dict(zip(eng.event_type, eng.value))
+    assert got == {"click": 3.0, "buy": 5.0, "err": 6.0}
