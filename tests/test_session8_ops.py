@@ -636,3 +636,21 @@ def test_top_metrics_tie_and_parity(ray_session, tmp_path):
                                   check_dtype=False)
     got = dict(zip(eng.event_type, eng.value))
     assert got == {"click": 3.0, "buy": 5.0, "err": 6.0}
+
+
+def test_ipc_roundtrip_adversarial(ray_session, tmp_path):
+    # unicode, empty text, embedded newlines/quotes survive the
+    # Arrow IPC write -> read_binary_files -> pyarrow.ipc decode path
+    import duckdb
+
+    from raysearch.pipelines import io_formats as IO
+
+    texts = ["naïve café 日本語", "", "line1\nline2", 'quote " comma ,',
+             "\ttab edge ", "plain text"] * 3
+    sf = _write_docs(tmp_path, texts)
+    con = _duck(sf, "documents")
+    eng = IO.QUERIES["ipc_roundtrip"](sf).to_pandas()
+    ora = con.execute(IO.ORACLE_SQL["ipc_roundtrip"]).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    assert len(eng) == len(texts)
