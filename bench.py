@@ -134,7 +134,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "events_pipeline_agg", "rank_feature_topk", "composite_agg",
           "percentile_ranks", "ann_range", "value_ttest",
           "string_stats", "blockjoin_topk", "phrase_prefix_topk",
-          "hybrid_minmax_topk", "top_metrics", "ipc_roundtrip"]
+          "hybrid_minmax_topk", "top_metrics", "ipc_roundtrip",
+          "split_oov_rate", "pool_depth_k"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

@@ -409,7 +409,127 @@ FROM s
 """
 
 
+def split_oov_rate(sf_dir: str) -> pa.Table:
+    """Train/valid OOV audit at BIGRAM granularity: split the corpus
+    by doc_id parity (train = even, the repo's standard split), build
+    the train bigram vocabulary, and report per language how many of
+    the validation split's bigrams are out-of-vocabulary — the
+    n-gram-LM coverage check run before training on a new corpus mix
+    (unigram OOV is identically zero on the fixtures' closed
+    vocabulary; bigram OOV is the first order where held-out text
+    genuinely surprises the model).
+
+    Plan: pass 1 builds the train vocab as per-batch distinct-bigram
+    partials -> one bigram groupby (the bigram_logprob combiner
+    shape), broadcast to pass 2's batch kernel, which emits per-batch
+    (lang, n, n_oov) int partials — driver holds langs x batches
+    narrow rows. At open vocabulary the broadcast becomes the
+    decontaminate-style term-bucketed anti-join; the fixture-scale
+    broadcast form is the query-time ad-hoc variant."""
+    import ray.data  # noqa: F401
+
+    from raysearch.pipelines.search_queries import _concat_ds
+    from raysearch.pipelines.textops import _read_docs, _tokens
+
+    def doc_bigrams(batch: pa.Table):
+        toks = _tokens(batch)
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        ids = np.repeat(batch["doc_id"].to_numpy(), n)
+        if len(flat) < 2:
+            return ids[:0], np.array([], object)
+        same = ids[:-1] == ids[1:]
+        big = (pd.Series(flat[:-1][same]) + " "
+               + pd.Series(flat[1:][same])).to_numpy()
+        return ids[:-1][same], big
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(
+            pc.bit_wise_and(batch["doc_id"], 1), 0))
+        _, big = doc_bigrams(keep)
+        u = np.unique(big) if len(big) else np.array([], object)
+        return pa.table({"bigram": pa.array(u.tolist(), pa.string())})
+
+    from ray.data.aggregate import Count
+
+    # distinct train bigrams: per-batch unique partials -> one
+    # bigram-bucketed groupby (the count is discarded)
+    vocab_tbl = (_read_docs(sf_dir)
+                 .map_batches(train_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("bigram").aggregate(Count())
+                 ).to_pandas()
+    vocab = np.sort(vocab_tbl["bigram"].to_numpy(dtype=object))
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_bigrams": pa.array([], pa.int64()),
+                      "n_oov": pa.array([], pa.int64())})
+
+    def valid_partial(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(
+            pc.bit_wise_and(batch["doc_id"], 1), 1))
+        if keep.num_rows == 0:
+            return empty
+        ids, big = doc_bigrams(keep)
+        if not len(big):
+            return empty
+        lang_by_id = dict(zip(keep["doc_id"].to_pylist(),
+                              keep["lang"].to_pylist()))
+        langs = np.array([lang_by_id[int(i)] for i in ids], object)
+        pos = np.searchsorted(vocab, big)
+        pos = np.clip(pos, 0, max(len(vocab) - 1, 0))
+        oov = (vocab[pos] != big) if len(vocab) else np.ones(len(big),
+                                                            bool)
+        g = (pd.DataFrame({"lang": langs, "oov": oov.astype(np.int64)})
+             .groupby("lang", as_index=False)
+             .agg(n_bigrams=("oov", "size"), n_oov=("oov", "sum")))
+        return pa.table({
+            "lang": pa.array(g.lang.tolist(), pa.string()),
+            "n_bigrams": pa.array(g.n_bigrams.to_numpy(np.int64),
+                                  pa.int64()),
+            "n_oov": pa.array(g.n_oov.to_numpy(np.int64), pa.int64())})
+
+    d = _concat_ds(
+        _read_docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(valid_partial, batch_format="pyarrow",
+                     zero_copy_batch=True), empty).to_pandas()
+    out = (d.groupby("lang", as_index=False)
+           .agg(n_bigrams=("n_bigrams", "sum"), n_oov=("n_oov", "sum"))
+           .sort_values("lang", ignore_index=True))
+    rate = round6(out.n_oov.to_numpy(np.float64)
+                  / np.maximum(out.n_bigrams.to_numpy(np.float64), 1))
+    return pa.table({
+        "lang": pa.array(out.lang.tolist(), pa.string()),
+        "n_bigrams": pa.array(out.n_bigrams.to_numpy(np.int64),
+                              pa.int64()),
+        "n_oov": pa.array(out.n_oov.to_numpy(np.int64), pa.int64()),
+        "oov_rate": pa.array(rate, pa.float64()),
+    })
+
+
+def sql_split_oov_rate() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS b
+  FROM t, unnest(range(1, len(tk))) AS u(i)
+),
+tr AS (SELECT DISTINCT b FROM bg WHERE doc_id % 2 = 0),
+va AS (SELECT lang, b FROM bg WHERE doc_id % 2 = 1)
+SELECT lang, count(*)::BIGINT AS n_bigrams,
+       count(*) FILTER (b NOT IN (SELECT b FROM tr))::BIGINT AS n_oov,
+       round(count(*) FILTER (b NOT IN (SELECT b FROM tr))::DOUBLE
+             / greatest(count(*), 1), 6) AS oov_rate
+FROM va GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {"bigram_logprob": bigram_logprob,
-           "trigram_logprob": trigram_logprob}
+           "trigram_logprob": trigram_logprob,
+           "split_oov_rate": split_oov_rate}
 ORACLE_SQL = {"bigram_logprob": sql_bigram_logprob(),
-              "trigram_logprob": sql_trigram_logprob()}
+              "trigram_logprob": sql_trigram_logprob(),
+              "split_oov_rate": sql_split_oov_rate()}

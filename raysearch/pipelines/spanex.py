@@ -596,11 +596,73 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def pool_depth_k(sf_dir: str) -> pa.Table:
+    """TREC depth-k judgment pooling: the union of three retrieval
+    systems' top-10 lists (BM25, LM-Dirichlet, ClassicSimilarity —
+    maximally diverse scoring families) per query, with each pooled
+    document's system count — the assessor-workload table every
+    shared-task evaluation builds before relevance judging (docs
+    found by more systems are judged first; depth-k pooling is why
+    qrels exist at all).
+
+    Shape: three existing k-bounded distributed pipelines + a driver
+    union over 3 x Q x k rows. Deterministic output order
+    (query_id, n_systems DESC, doc_id)."""
+    from raysearch.pipelines.search_queries import (bm25_topk,
+                                                    classic_topk,
+                                                    dirichlet_topk)
+
+    pools = []
+    for name, fn in (("bm25", bm25_topk), ("dirichlet", dirichlet_topk),
+                     ("classic", classic_topk)):
+        t = fn(sf_dir).to_pandas()
+        pools.append(pd.DataFrame({
+            "query_id": t.query_id.to_numpy(np.int64),
+            "doc_id": t.doc_id.to_numpy(np.int64),
+            "system": name}))
+    u = pd.concat(pools, ignore_index=True).drop_duplicates()
+    out = (u.groupby(["query_id", "doc_id"], as_index=False)
+           .agg(n_systems=("system", "nunique"))
+           .sort_values(["query_id", "n_systems", "doc_id"],
+                        ascending=[True, False, True],
+                        ignore_index=True))
+    return pa.table({
+        "query_id": pa.array(out.query_id.to_numpy(np.int64),
+                             pa.int64()),
+        "doc_id": pa.array(out.doc_id.to_numpy(np.int64), pa.int64()),
+        "n_systems": pa.array(out.n_systems.to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def sql_pool_depth_k() -> str:
+    from raysearch.pipelines.search_queries import (sql_bm25_topk,
+                                                    sql_classic_topk,
+                                                    sql_dirichlet_topk)
+
+    return f"""
+WITH b AS ({sql_bm25_topk()}),
+d AS ({sql_dirichlet_topk()}),
+c AS ({sql_classic_topk()}),
+u AS (
+  SELECT query_id, doc_id, 'bm25' AS system FROM b
+  UNION
+  SELECT query_id, doc_id, 'dirichlet' FROM d
+  UNION
+  SELECT query_id, doc_id, 'classic' FROM c
+)
+SELECT query_id::BIGINT AS query_id, doc_id,
+       count(DISTINCT system)::BIGINT AS n_systems
+FROM u GROUP BY query_id, doc_id
+"""
+
+
 QUERIES = {
     "span_not_topk": span_not_topk,
     "common_terms_topk": common_terms_topk,
     "map_mrr_eval": map_mrr_eval,
     "interval_topk": interval_topk,
+    "pool_depth_k": pool_depth_k,
 }
 
 ORACLE_SQL = {
@@ -608,4 +670,5 @@ ORACLE_SQL = {
     "common_terms_topk": sql_common_terms_topk(),
     "map_mrr_eval": sql_map_mrr_eval(),
     "interval_topk": sql_interval_topk(),
+    "pool_depth_k": sql_pool_depth_k(),
 }

@@ -654,3 +654,53 @@ def test_ipc_roundtrip_adversarial(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
                                   check_dtype=False)
     assert len(eng) == len(texts)
+
+
+def test_split_oov_rate_brute_force(ray_session):
+    # exact truth at sf0.001: per lang, valid-split bigrams absent
+    # from the train-split bigram vocabulary
+    from raysearch.pipelines.lm import split_oov_rate
+
+    res = split_oov_rate(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "lang", "text"]).to_pandas()
+    train, valid = set(), []
+    for r in docs.itertuples():
+        t = r.text.lower().split()
+        bgs = [f"{a} {b}" for a, b in zip(t, t[1:])]
+        if r.doc_id % 2 == 0:
+            train.update(bgs)
+        else:
+            valid.extend((r.lang, b) for b in bgs)
+    want = {}
+    for lang, b in valid:
+        n, o = want.get(lang, (0, 0))
+        want[lang] = (n + 1, o + (b not in train))
+    got = {r.lang: (r.n_bigrams, r.n_oov) for r in res.itertuples()}
+    assert got == want
+    assert res.n_oov.sum() > 0           # the audit is non-trivial
+    for r in res.itertuples():
+        assert r.oov_rate == round(r.n_oov / max(r.n_bigrams, 1), 6)
+
+
+def test_pool_depth_k_structure(ray_session):
+    # pool = union of the three systems' lists; n_systems counts
+    # exact membership; at least one doc is found by all three and
+    # at least one by exactly one (system diversity is real)
+    from raysearch.pipelines.search_queries import (bm25_topk,
+                                                    classic_topk,
+                                                    dirichlet_topk)
+    from raysearch.pipelines.spanex import pool_depth_k
+
+    pool = pool_depth_k(SF).to_pandas()
+    lists = {n: set(zip(f(SF).to_pandas().query_id,
+                        f(SF).to_pandas().doc_id))
+             for n, f in (("b", bm25_topk), ("d", dirichlet_topk),
+                          ("c", classic_topk))}
+    union = lists["b"] | lists["d"] | lists["c"]
+    assert set(zip(pool.query_id, pool.doc_id)) == union
+    for r in pool.itertuples():
+        truth = sum((r.query_id, r.doc_id) in s for s in lists.values())
+        assert r.n_systems == truth
+    assert (pool.n_systems == 3).any()
+    assert (pool.n_systems == 1).any()
