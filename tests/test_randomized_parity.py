@@ -160,14 +160,23 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             # round-5 session-7 ops
             "federated_topk", "dsl_topk", "completion_suggest",
             "sayt_topk", "trec_run_export", "dfi_topk",
-            "interval_topk", "axiomatic_topk", "merged_topk"]
+            "interval_topk", "axiomatic_topk", "merged_topk",
+            # round-5 session-8 ops
+            "grep_lines", "term_vectors_topk", "rare_bigrams",
+            "demote_topk", "adjacency_matrix", "rank_feature_topk",
+            "composite_agg", "string_stats", "blockjoin_topk",
+            "phrase_prefix_topk", "ipc_roundtrip", "split_oov_rate",
+            "pool_depth_k"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",
             "distinct_users", "window_top_events", "asof_join",
             "running_user_value", "event_transitions",
             "range_join_events", "latest_events", "winsor_stats",
-            "user_paths", "user_daily_fill", "props_stats"]
+            "user_paths", "user_daily_fill", "props_stats",
+            # round-5 session-8 ops
+            "events_pipeline_agg", "percentile_ranks", "top_metrics",
+            "value_ttest"]
 _SEEDS = [1117, 2223]
 
 
@@ -366,7 +375,9 @@ _TPCH_OPS = ["order_priority_counts", "pricing_summary",
              # round-5 session-4 sweep: the remaining oracle-backed
              # TPC-H-family entries
              "fk_integrity", "forecast_revenue", "important_parts",
-             "min_cost_supplier", "sole_late_supplier"]
+             "min_cost_supplier", "sole_late_supplier",
+             # round-5 session-8
+             "matrix_stats"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"tp{s}")
@@ -435,7 +446,9 @@ _EMB_OPS = ["knn_graph", "knn_label_eval", "pagerank_topk",
             "embedding_dups", "emb_quantize",
             # round-5 session-3 sweep
             "ann_filtered_topk", "emb_norm_stats", "label_centroids",
-            "emb_outliers", "hard_negatives"]
+            "emb_outliers", "hard_negatives",
+            # round-5 session-8
+            "ann_range"]
 
 
 @pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"em{s}")
