@@ -568,10 +568,15 @@ def string_stats(sf_dir: str) -> pa.Table:
         codes = np.frombuffer("".join(vals).encode("utf-32-le"),
                               dtype=np.uint32)
         u, c = np.unique(codes, return_counts=True)
-        k = len(u)
+        # an all-empty-string batch has an EMPTY alphabet: pad one
+        # zero-count sentinel row so the length stats still ship (the
+        # driver drops cnt==0 rows before the entropy finish)
+        chs = [chr(x) for x in u] or [""]
+        cnts = c.astype(np.int64).tolist() or [0]
+        k = len(chs)
         return pa.table({
-            "ch": pa.array([chr(x) for x in u], pa.string()),
-            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            "ch": pa.array(chs, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
             "n": pa.array([len(vals)] + [0] * (k - 1), pa.int64()),
             "sum_len": pa.array([int(lens.sum())] + [0] * (k - 1),
                                 pa.int64()),
@@ -596,16 +601,20 @@ def string_stats(sf_dir: str) -> pa.Table:
     real = d[d.n > 0]  # rows carrying the per-batch len stats
     min_len = int(real.min_len.min())
     max_len = int(real.max_len.max())
-    cc = (d.groupby("ch").cnt.sum().sort_index())
-    tot = float(int(cc.sum()))
-    p = cc.to_numpy(np.float64) / tot
-    entropy = float(-(p * np.log2(p)).sum())
+    cc = d.groupby("ch").cnt.sum().sort_index()
+    cc = cc[cc > 0]  # drop all-empty-batch sentinel rows
+    if len(cc):
+        tot = float(int(cc.sum()))
+        p = cc.to_numpy(np.float64) / tot
+        entropy = round6(float(-(p * np.log2(p)).sum()))
+    else:
+        entropy = None  # zero characters: oracle's sum over cc = NULL
     return pa.table({
         "n_values": pa.array([n], pa.int64()),
         "min_len": pa.array([min_len], pa.int64()),
         "max_len": pa.array([max_len], pa.int64()),
         "avg_len": pa.array([round6(float(sum_len) / n)], pa.float64()),
-        "entropy": pa.array([round6(entropy)], pa.float64()),
+        "entropy": pa.array([entropy], pa.float64()),
     })
 
 

@@ -134,6 +134,9 @@ def grep_lines(sf_dir: str) -> pa.Table:
                       pa.int64())
 
     def fetch(b: pa.Table) -> pa.Table:
+        # in-kernel refilter after the pushed-down read: the parquet
+        # filter prunes at row-group granularity, rows still need the
+        # exact membership cut
         b = b.filter(pc.is_in(b["doc_id"], wanted))
         if b.num_rows == 0:
             return _GREP_EMPTY
@@ -154,8 +157,11 @@ def grep_lines(sf_dir: str) -> pa.Table:
                 }))
         return pa.concat_tables(outs) if outs else _GREP_EMPTY
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir),
-                               columns=["doc_id", "text"])
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(wanted))
     out = _concat_ds(
         ds.map_batches(fetch, batch_format="pyarrow",
                        zero_copy_batch=True),
@@ -241,8 +247,11 @@ def term_vectors_topk(sf_dir: str) -> pa.Table:
             "tf": pa.array(g.tf.to_numpy(np.int64), pa.int64()),
         })
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir),
-                               columns=["doc_id", "text"])
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(wanted))
     tv = _concat_ds(
         ds.map_batches(vec, batch_format="pyarrow",
                        zero_copy_batch=True),

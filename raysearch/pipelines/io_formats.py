@@ -256,11 +256,14 @@ def ipc_roundtrip(sf_dir: str) -> pa.Table:
         os.makedirs(shard_dir, exist_ok=True)
 
         def write_shard(batch: pa.Table) -> pa.Table:
-            import uuid
-
-            name = os.path.join(shard_dir,
-                                f"part-{uuid.uuid4().hex}.arrow")
-            tmp = name + ".tmp"
+            # deterministic per-block name (md5 of the block's id set)
+            # makes the write IDEMPOTENT under Ray task retry: a
+            # re-executed task rewrites the SAME shard via tmp+rename
+            # instead of duplicating the block under a fresh name
+            digest = hashlib.md5(
+                batch["doc_id"].to_numpy().tobytes()).hexdigest()
+            name = os.path.join(shard_dir, f"part-{digest}.arrow")
+            tmp = name + f".tmp-{os.getpid()}"
             with pa.OSFile(tmp, "wb") as f, \
                     pa.ipc.new_file(f, batch.schema) as w:
                 w.write_table(batch)

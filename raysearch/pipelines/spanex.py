@@ -620,9 +620,11 @@ def pool_depth_k(sf_dir: str) -> pa.Table:
             "query_id": t.query_id.to_numpy(np.int64),
             "doc_id": t.doc_id.to_numpy(np.int64),
             "system": name}))
-    u = pd.concat(pools, ignore_index=True).drop_duplicates()
+    # per-system top-k rows are already unique (query, doc) pairs with
+    # distinct system labels, so a plain size() counts systems exactly
+    u = pd.concat(pools, ignore_index=True)
     out = (u.groupby(["query_id", "doc_id"], as_index=False)
-           .agg(n_systems=("system", "nunique"))
+           .agg(n_systems=("system", "size"))
            .sort_values(["query_id", "n_systems", "doc_id"],
                         ascending=[True, False, True],
                         ignore_index=True))

@@ -60,6 +60,32 @@ def _col_max(sf_dir: str, table: str, col: str) -> float:
     return float(mx)
 
 
+def _col_absmax(sf_dir: str, table: str, col: str) -> float:
+    """Column max |value| from footer min/max statistics — the bound
+    the int64-overflow batch caps actually need (a negative-dominated
+    column's footer MAX says nothing about its magnitude)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, table)
+    files = ([os.path.join(path, f) for f in os.listdir(path)
+              if f.endswith(".parquet")] if os.path.isdir(path)
+             else [path])
+    mx = None
+    for f in files:
+        md = pq.read_metadata(f)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == col and c.statistics is not None:
+                    v = max(abs(float(c.statistics.max)),
+                            abs(float(c.statistics.min)))
+                    mx = v if mx is None else max(mx, v)
+    if mx is None:
+        raise ValueError(f"no footer statistics for {table}.{col}")
+    return float(mx)
+
+
 def qty_price_corr(sf_dir: str) -> pa.Table:
     """Per l_returnflag: row count, exact Σqty / Σcents, and the
     Pearson correlation of (quantity, extended price) — the standard
@@ -289,7 +315,7 @@ def matrix_stats(sf_dir: str) -> pa.Table:
     pass, one 10-int row per batch to the driver, exact at any
     scale."""
     max_cents = int(_half_away(np.array(
-        [_col_max(sf_dir, "lineitem.parquet", "l_extendedprice")]
+        [_col_absmax(sf_dir, "lineitem.parquet", "l_extendedprice")]
     ) * 100.0)[0])
     max_prod = max(max_cents * max_cents, 1)
     safe_batch = (1 << 62) // max_prod
@@ -419,7 +445,7 @@ def value_ttest(sf_dir: str) -> pa.Table:
     zero float accumulation anywhere. One corpus pass, one 6-int row
     per (batch, group) to the driver."""
     max_cents = int(_half_away(np.array(
-        [_col_max(sf_dir, "events.parquet", "value")]) * 100.0)[0])
+        [_col_absmax(sf_dir, "events.parquet", "value")]) * 100.0)[0])
     max_prod = max(max_cents * max_cents, 1)
     safe_batch = (1 << 62) // max_prod
     if safe_batch < _BATCH_FLOOR:
@@ -428,10 +454,16 @@ def value_ttest(sf_dir: str) -> pa.Table:
             f"{_BATCH_FLOOR} rows; rescale or shard the moment sums")
     safe_batch = min(safe_batch, 65536)
 
+    _empty_partial = pd.DataFrame({
+        "g": pd.Series([], dtype=str),
+        "n": pd.Series([], dtype=np.int64),
+        "s": pd.Series([], dtype=np.int64),
+        "ss": pd.Series([], dtype=np.int64)})
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         m = df["event_type"].isin([TT_X, TT_Y]).to_numpy()
         if not m.any():
-            return pd.DataFrame({"g": [], "n": [], "s": [], "ss": []})
+            return _empty_partial
         c = _cents(df["value"].to_numpy(np.float64)[m])
         g = pd.DataFrame({"g": df["event_type"].to_numpy()[m],
                           "n": np.int64(1), "s": c, "ss": c * c})
@@ -458,6 +490,16 @@ def value_ttest(sf_dir: str) -> pa.Table:
 
     nx, mx, vx = finish(acc[TT_X])
     ny, my, vy = finish(acc[TT_Y])
+    if nx == 0 or ny == 0:
+        # a wholly-absent group: the oracle's FROM x, y cross join
+        # yields zero rows — match it (no one-sided t-test exists)
+        return pa.table({
+            "n_x": pa.array([], pa.int64()),
+            "n_y": pa.array([], pa.int64()),
+            "mean_x": pa.array([], pa.float64()),
+            "mean_y": pa.array([], pa.float64()),
+            "t_stat": pa.array([], pa.float64()),
+            "dof": pa.array([], pa.float64())})
     if vx is not None and vy is not None and (vx > 0 or vy > 0):
         ax, ay = vx / nx, vy / ny
         t = (mx - my) / math.sqrt(ax + ay)

@@ -171,36 +171,35 @@ def _gather_dl(docs: np.ndarray, dl_parts) -> np.ndarray:
     return dlv
 
 
-def _apply_decay(docs: np.ndarray, sc: np.ndarray, dl_parts, decay):
+def _apply_decay(docs: np.ndarray, sc: np.ndarray, dlv, decay):
     """Gaussian length decay (the ES function_score `gauss` shape with
     decay 0.5 at distance ``scale`` from ``origin``): multiply each
     doc's FINAL accumulated score by 0.5 ** (((dl - origin)/scale)^2)
-    — before top-k truncation, so the decayed ranking is exact. The
-    per-doc dl comes segment-locally via _gather_dl. ``decay`` is
+    — before top-k truncation, so the decayed ranking is exact.
+    ``dlv`` is the per-candidate dl from _gather_dl (gathered ONCE
+    and shared with _apply_rank_feature); ``decay`` is
     (origin, scale) or None."""
     if decay is None or not len(docs):
         return sc
     origin, scale = decay
-    dlv = _gather_dl(docs, dl_parts)
     # mirrors the oracle SQL term-for-term:
     # pow(0.5, pow((dl - origin) / scale, 2))
     mult = np.power(0.5, ((dlv - origin) / scale) ** 2)
     return sc.astype(np.float64, copy=False) * mult
 
 
-def _apply_rank_feature(docs: np.ndarray, sc: np.ndarray, dl_parts,
+def _apply_rank_feature(docs: np.ndarray, sc: np.ndarray, dlv,
                         rank_feature):
     """ES rank_feature query (Lucene FeatureField saturation): ADD
     w * dl / (dl + pivot) to each doc's FINAL accumulated score — a
     static per-doc prior blended additively with the text score
     (contrast decay's multiplicative reshaping). Applied before
-    top-k truncation, so the blended ranking is exact; dl comes
-    segment-locally via _gather_dl. ``rank_feature`` is (w, pivot)
-    or None."""
+    top-k truncation, so the blended ranking is exact; ``dlv`` is
+    the shared per-candidate dl gather. ``rank_feature`` is
+    (w, pivot) or None."""
     if rank_feature is None or not len(docs):
         return sc
     w, pivot = rank_feature
-    dlv = _gather_dl(docs, dl_parts)
     # mirrors the oracle SQL term-for-term: w * (dl / (dl + pivot))
     return sc.astype(np.float64, copy=False) + w * (dlv / (dlv + pivot))
 
@@ -303,8 +302,11 @@ def score_queries_over_postings(
                 dl_parts.append((docs, dls))
         docs, sc = accumulate_scores(per_term)
         sc = _apply_boost(docs, sc, boost)
-        sc = _apply_decay(docs, sc, dl_parts, decay)
-        sc = _apply_rank_feature(docs, sc, dl_parts, rank_feature)
+        if dl_parts and len(docs) and (decay is not None
+                                       or rank_feature is not None):
+            dlv = _gather_dl(docs, dl_parts)
+            sc = _apply_decay(docs, sc, dlv, decay)
+            sc = _apply_rank_feature(docs, sc, dlv, rank_feature)
         d, s = topk(docs, sc, k)
         qids.extend([qid] * len(d))
         ranks.extend(range(1, len(d) + 1))

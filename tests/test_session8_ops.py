@@ -704,3 +704,146 @@ def test_pool_depth_k_structure(ray_session):
         assert r.n_systems == truth
     assert (pool.n_systems == 3).any()
     assert (pool.n_systems == 1).any()
+
+
+def test_string_stats_all_empty_sources(ray_session, tmp_path):
+    # review fix: an all-empty-source corpus must not crash the
+    # partial (k=0 alphabet) and entropy must be NULL on both sides
+    import duckdb
+
+    n = 4
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["t"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array([""] * n, pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    sf = str(tmp_path)
+    from raysearch.pipelines import aggx as AX
+
+    con = _duck(sf, "documents")
+    eng = AX.QUERIES["string_stats"](sf).to_pandas()
+    ora = con.execute(AX.ORACLE_SQL["string_stats"]).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    r = eng.iloc[0]
+    assert (r.n_values, r.min_len, r.max_len, r.avg_len) == (n, 0, 0,
+                                                             0.0)
+    assert pd.isna(r.entropy)
+
+
+def test_value_ttest_absent_group_empty(ray_session, tmp_path):
+    # review fix: no 'purchase' events at all -> oracle's cross join
+    # is empty, engine must emit ZERO rows (not an n=0 row)
+    import duckdb
+
+    from raysearch.pipelines import stats as ST
+
+    n = 5
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(np.arange(n, dtype=np.float64) + 1.0,
+                          pa.float64()),
+    }), os.path.join(tmp_path, "events.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = ST.value_ttest(sf).to_pandas()
+    ora = con.execute(ST.sql_value_ttest()).df()
+    assert len(eng) == 0 and len(ora) == 0
+
+
+def test_value_ttest_negative_values_exact(ray_session, tmp_path):
+    # review fix: a negative-dominated value column must use the
+    # footer |min| for the overflow cap and still produce the exact
+    # result (parity + hand-computed t)
+    import duckdb
+
+    from raysearch.pipelines import stats as ST
+
+    vals = {"purchase": [-100.0, -90.5, -80.0, -70.25],
+            "click": [-10.0, -20.0, -30.0, -40.0, -50.0]}
+    types, vs = [], []
+    for t, xs in vals.items():
+        types += [t] * len(xs)
+        vs += xs
+    n = len(vs)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(np.asarray(vs, np.float64), pa.float64()),
+    }), os.path.join(tmp_path, "events.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    eng = ST.value_ttest(sf).to_pandas()
+    ora = con.execute(ST.sql_value_ttest()).df()
+    pd.testing.assert_frame_equal(_norm(eng), _norm(ora),
+                                  check_dtype=False)
+    assert eng.iloc[0].mean_x < eng.iloc[0].mean_y < 0
+    assert eng.iloc[0].t_stat < 0
+
+
+def test_ipc_shard_names_deterministic(ray_session, tmp_path):
+    # review fix: shard names derive from block content, so a rebuild
+    # (or a retried task) produces the SAME shard set — idempotent
+    import glob
+
+    from raysearch.pipelines import io_formats as IO
+    from raysearch.pipelines.search_queries import _source_fingerprint
+
+    texts = ["alpha beta", "gamma", "delta epsilon zeta"] * 4
+    sf = _write_docs(tmp_path, texts)
+    IO.QUERIES["ipc_roundtrip"](sf)
+    src = os.path.join(sf, "documents.parquet")
+    shard_dir = os.path.join("/tmp/raysearch_cache",
+                             f"ipc-{_source_fingerprint(src)}")
+    first = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(shard_dir, "*.arrow")))
+    assert first
+    os.remove(shard_dir + ".done")        # force a rebuild
+    eng = IO.QUERIES["ipc_roundtrip"](sf).to_pandas()
+    second = sorted(os.path.basename(p) for p in
+                    glob.glob(os.path.join(shard_dir, "*.arrow")))
+    assert first == second                # same content -> same names
+    assert len(eng) == len(texts)         # and no duplicated rows
+
+
+def test_decay_and_rank_feature_compose(ray_session):
+    # review fix follow-on: the shared dl gather serves both priors in
+    # one pass; combined scores must equal decay(bm25) + prior,
+    # recomputed from the doc's true dl
+    from raysearch.numutil import round6
+    from raysearch.pipelines.search_queries import (DECAY_ORIGIN,
+                                                    DECAY_SCALE,
+                                                    RF_PIVOT, RF_W,
+                                                    cached_index,
+                                                    topk_rounded_for_index)
+
+    both = topk_rounded_for_index(
+        cached_index(SF), "bm25",
+        decay=(DECAY_ORIGIN, DECAY_SCALE),
+        rank_feature=(RF_W, RF_PIVOT)).to_pandas()
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=500, buffer=600).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    dl = {int(r.doc_id): len(r.text.split()) for r in docs.itertuples()}
+    assert len(both) > 0
+    for q, d, s in zip(both.query_id, both.doc_id, both.score):
+        mult = 0.5 ** (((dl[d] - DECAY_ORIGIN) / DECAY_SCALE) ** 2)
+        prior = RF_W * (dl[d] / (dl[d] + RF_PIVOT))
+        want = full[(q, d)] * mult + prior
+        assert abs(s - want) <= 3e-6, (q, d)
