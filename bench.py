@@ -135,7 +135,8 @@ PER_OP = ["bm25_topk", "overlap_topk", "term_stats", "doc_lengths",
           "percentile_ranks", "ann_range", "value_ttest",
           "string_stats", "blockjoin_topk", "phrase_prefix_topk",
           "hybrid_minmax_topk", "top_metrics", "ipc_roundtrip",
-          "split_oov_rate", "pool_depth_k"]
+          "split_oov_rate", "pool_depth_k", "percolate_scored",
+          "generation_drift"]
 
 
 # exact-mode per-op results stashed for the ivf-consumer agreement

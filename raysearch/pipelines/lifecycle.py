@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from raysearch.config import IndexConfig
+from raysearch.numutil import round6
 from raysearch.pipelines.search_queries import (
     B,
     K1,
@@ -276,12 +277,89 @@ FROM f LEFT JOIN l ON f.term = l.term
 """
 
 
+def generation_drift(sf_dir: str) -> pa.Table:
+    """Index-generation rank-drift audit: per query, how the BM25
+    top-k CHANGED between the pre-append snapshot generation
+    (time_travel_topk's result) and the current post-append index
+    (appended_topk's) — overlap, Jaccard, and the entered/exited doc
+    counts. The monitoring table a rolling ingest pipeline alerts on
+    ("did tonight's append reshape customer-facing rankings?"),
+    composing the two lifecycle entries it audits.
+
+    Shape: two already-audited k-bounded pipelines + driver set math
+    over 2 x Q x k rows; the snapshot side reads only the retained
+    per-part stats detail (no pre-append lexicon exists to consult).
+    Jaccard is NULL when both lists are empty (0/0)."""
+    cur = appended_topk(sf_dir).to_pandas()
+    old = time_travel_topk(sf_dir).to_pandas()
+    qs = sorted(set(cur.query_id) | set(old.query_id))
+    c_by_q = {q: set(g.doc_id) for q, g in cur.groupby("query_id")}
+    o_by_q = {q: set(g.doc_id) for q, g in old.groupby("query_id")}
+    rows = {k: [] for k in ("query_id", "n_old", "n_cur", "n_overlap",
+                            "jaccard", "n_entered", "n_exited")}
+    for q in qs:
+        c, o = c_by_q.get(q, set()), o_by_q.get(q, set())
+        ov = len(c & o)
+        un = len(c) + len(o) - ov
+        rows["query_id"].append(int(q))
+        rows["n_old"].append(len(o))
+        rows["n_cur"].append(len(c))
+        rows["n_overlap"].append(ov)
+        rows["jaccard"].append(round6(float(ov) / un) if un else None)
+        rows["n_entered"].append(len(c - o))
+        rows["n_exited"].append(len(o - c))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "n_old": pa.array(rows["n_old"], pa.int64()),
+        "n_cur": pa.array(rows["n_cur"], pa.int64()),
+        "n_overlap": pa.array(rows["n_overlap"], pa.int64()),
+        "jaccard": pa.array(rows["jaccard"], pa.float64()),
+        "n_entered": pa.array(rows["n_entered"], pa.int64()),
+        "n_exited": pa.array(rows["n_exited"], pa.int64()),
+    })
+
+
+def sql_generation_drift() -> str:
+    old_sql = sql_bm25_topk(
+        rel="(SELECT * FROM documents WHERE doc_id % 2 = 0) docs_base")
+    return f"""
+WITH cur AS ({sql_bm25_topk()}),
+old AS ({old_sql}),
+qs AS (SELECT DISTINCT query_id FROM (
+  SELECT query_id FROM cur UNION SELECT query_id FROM old)),
+ov AS (
+  SELECT c.query_id, count(*)::BIGINT AS n
+  FROM cur c JOIN old o ON o.query_id = c.query_id
+                       AND o.doc_id = c.doc_id
+  GROUP BY 1
+),
+nc AS (SELECT query_id, count(*)::BIGINT AS n FROM cur GROUP BY 1),
+no AS (SELECT query_id, count(*)::BIGINT AS n FROM old GROUP BY 1)
+SELECT qs.query_id::BIGINT AS query_id,
+       coalesce(no.n, 0) AS n_old,
+       coalesce(nc.n, 0) AS n_cur,
+       coalesce(ov.n, 0) AS n_overlap,
+       CASE WHEN coalesce(no.n, 0) + coalesce(nc.n, 0)
+                 - coalesce(ov.n, 0) > 0
+            THEN round(coalesce(ov.n, 0)::DOUBLE
+                       / (coalesce(no.n, 0) + coalesce(nc.n, 0)
+                          - coalesce(ov.n, 0)), 6) END AS jaccard,
+       coalesce(nc.n, 0) - coalesce(ov.n, 0) AS n_entered,
+       coalesce(no.n, 0) - coalesce(ov.n, 0) AS n_exited
+FROM qs
+LEFT JOIN ov USING (query_id)
+LEFT JOIN nc USING (query_id)
+LEFT JOIN no USING (query_id)
+"""
+
+
 QUERIES = {
     "appended_topk": appended_topk,
     "deleted_topk": deleted_topk,
     "compacted_topk": compacted_topk,
     "time_travel_topk": time_travel_topk,
     "index_diff_stats": index_diff_stats,
+    "generation_drift": generation_drift,
 }
 
 _LIVE = f"doc_id % {DEL_MOD} <> {DEL_REM}"
@@ -296,4 +374,5 @@ ORACLE_SQL = {
     "time_travel_topk": sql_bm25_topk(
         rel="(SELECT * FROM documents WHERE doc_id % 2 = 0) docs_base"),
     "index_diff_stats": sql_index_diff_stats(),
+    "generation_drift": sql_generation_drift(),
 }

@@ -616,6 +616,152 @@ def maxp_topk(sf_dir: str) -> pa.Table:
     return _ranked_from_candidates(cand)
 
 
+def percolate_scored(sf_dir: str) -> pa.Table:
+    """Scored percolation (the ES percolate query WITH relevance):
+    every (incoming doc, stored query) pair that passes
+    percolate_docs' conjunction gate, scored with the SAME BM25
+    expression bm25_topk uses — tf/dl from the incoming document,
+    df/N/avgdl from the standing index (the background model an
+    alerting deployment already has) — so alert consumers can rank
+    which subscription fired hardest.
+
+    Plan: map-only over the stream sample with the index's tiny
+    df/stats broadcast in the closure (the stored queries' term sets
+    ride along as in percolate_docs); no exchange — scoring an
+    incoming doc is arithmetic over its own term counts. Output is
+    pair-bounded: gate matches x 1 row."""
+    import ray.data
+
+    from raysearch.pipelines.search_queries import (DOC_QUERIES,
+                                                    _concat_ds,
+                                                    _docs_path,
+                                                    cached_index)
+    from raysearch.query import lexicon_df
+    from raysearch.score import (bm25_contrib, bm25_idf,
+                                 query_term_weights)
+    from raysearch.stats import load_stats
+
+    idx = cached_index(sf_dir)
+    st = load_stats(idx)
+    n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
+    k1, b = st["config"]["k1"], st["config"]["b"]
+    qweights = [query_term_weights(q) for q in DOC_QUERIES]
+    qterms = [sorted({t for t, _ in qw}) for qw in qweights]
+    all_terms = sorted({t for qw in qweights for t, _ in qw})
+    df = lexicon_df(idx, all_terms)
+    idf = {t: bm25_idf(df.get(t, 0), n_docs) for t in all_terms}
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "query_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+
+    def kern(batch: pa.Table) -> pa.Table:
+        from raysearch.pipelines.textops import _tokens
+
+        keep = batch["doc_id"].to_numpy() % PERCOLATE_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return empty
+        toks = _tokens(sub)
+        ids = sub["doc_id"].to_numpy()
+        offs = np.asarray(toks.offsets)
+        flat = np.asarray(toks.values.to_pandas(), dtype=object)
+        out_d, out_q, out_s = [], [], []
+        for i in range(len(ids)):
+            doc_toks = flat[offs[i]:offs[i + 1]]
+            terms, counts = np.unique(doc_toks, return_counts=True)
+            dl = np.array([len(doc_toks)], np.int64)
+            for qid, ts in enumerate(qterms):
+                if not ts:
+                    continue  # token-less stored query matches nothing
+                p = np.searchsorted(terms, ts)
+                p_c = np.clip(p, 0, max(0, len(terms) - 1))
+                if not len(terms) or not (terms[p_c] == ts).all():
+                    continue
+                # ascending-term accumulation, the bm25_topk contract
+                s = 0.0
+                for t, w in qweights[qid]:
+                    tf = np.array([counts[p_c[ts.index(t)]]], np.int64)
+                    s += float(bm25_contrib(tf, dl, idf[t], w,
+                                            k1, b, avgdl)[0])
+                out_d.append(int(ids[i]))
+                out_q.append(qid)
+                out_s.append(s)
+        if not out_d:
+            return empty
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "query_id": pa.array(out_q, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    got = _concat_ds(ds.map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True),
+        empty).to_pandas()
+    from raysearch.numutil import round6
+
+    got = got.sort_values(["doc_id", "query_id"], ignore_index=True)
+    return pa.table({
+        "doc_id": pa.array(got.doc_id.to_numpy(np.int64), pa.int64()),
+        "query_id": pa.array(got.query_id.to_numpy(np.int64),
+                             pa.int64()),
+        "score": pa.array(round6(got.score.to_numpy(np.float64)),
+                          pa.float64()),
+    })
+
+
+def sql_percolate_scored() -> str:
+    from raysearch.pipelines.search_queries import (_TOK_CTES, B, K1,
+                                                    DOC_QUERIES,
+                                                    _qterms_values)
+    from raysearch.score import query_term_weights
+
+    gate_rows = []
+    for qid, q in enumerate(DOC_QUERIES):
+        for term in sorted({t for t, _ in query_term_weights(q)}):
+            gate_rows.append(f"({qid}, '{term}')")
+    gate = ", ".join(gate_rows)
+    return f"""
+WITH {_TOK_CTES},
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+gq(query_id, term) AS (VALUES {gate}),
+need AS (SELECT query_id, count(*)::BIGINT AS k FROM gq GROUP BY 1),
+stream AS (SELECT doc_id FROM documents
+           WHERE doc_id % {PERCOLATE_MOD} = 0),
+hit AS (
+  SELECT gq.query_id, tf.doc_id, count(*)::BIGINT AS k
+  FROM gq JOIN tf ON tf.term = gq.term
+  JOIN stream s ON s.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT h.query_id, h.doc_id
+  FROM hit h JOIN need n ON n.query_id = h.query_id AND n.k = h.k
+),
+q(query_id, term, w) AS (VALUES {_qterms_values(True)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN df ON q.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT m.doc_id, m.query_id::BIGINT AS query_id,
+       round(sc.score, 6) AS score
+FROM matched m JOIN scores sc
+  ON sc.query_id = m.query_id AND sc.doc_id = m.doc_id
+"""
+
+
 def blockjoin_topk(sf_dir: str) -> pa.Table:
     """Lucene ToParentBlockJoinQuery with ScoreMode.Total (ES
     has_child score_mode=sum): documents ranked by the SUM of their
@@ -2249,6 +2395,7 @@ QUERIES = {
     "spanfirst_topk": spanfirst_topk,
     "ltr_features": ltr_features,
     "percolate_docs": percolate_docs,
+    "percolate_scored": percolate_scored,
 }
 
 ORACLE_SQL = {
@@ -2268,4 +2415,5 @@ ORACLE_SQL = {
     "spanfirst_topk": sql_spanfirst_topk(),
     "ltr_features": sql_ltr_features(),
     "percolate_docs": sql_percolate_docs(),
+    "percolate_scored": sql_percolate_scored(),
 }

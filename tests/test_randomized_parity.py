@@ -166,7 +166,7 @@ _DOC_OPS = ["doc_lengths", "token_counts", "quality_score", "lang_id",
             "demote_topk", "adjacency_matrix", "rank_feature_topk",
             "composite_agg", "string_stats", "blockjoin_topk",
             "phrase_prefix_topk", "ipc_roundtrip", "split_oov_rate",
-            "pool_depth_k"]
+            "pool_depth_k", "percolate_scored", "generation_drift"]
 _EVT_OPS = ["events_window", "events_hopping", "user_sessions",
             "session_funnel", "rolling_active_users", "cohort_retention",
             "event_quantiles", "value_histogram", "event_anomalies",

@@ -847,3 +847,46 @@ def test_decay_and_rank_feature_compose(ray_session):
         prior = RF_W * (dl[d] / (dl[d] + RF_PIVOT))
         want = full[(q, d)] * mult + prior
         assert abs(s - want) <= 3e-6, (q, d)
+
+
+def test_percolate_scored_consistent_with_gate_and_bm25(ray_session):
+    # scored matches = exactly percolate_docs' gate pairs; each score
+    # equals the deep plain-BM25 score for the same (query, doc)
+    from raysearch.pipelines.rankex import (percolate_docs,
+                                            percolate_scored)
+    from raysearch.pipelines.search_queries import (cached_index,
+                                                    topk_rounded_for_index)
+
+    ps = percolate_scored(SF).to_pandas()
+    gate = percolate_docs(SF).to_pandas()
+    assert set(zip(ps.doc_id, ps.query_id)) == \
+        set(zip(gate.doc_id, gate.query_id))
+    deep = topk_rounded_for_index(cached_index(SF), "bm25",
+                                  rank_hi=100000, buffer=100000
+                                  ).to_pandas()
+    full = {(q, d): s for q, d, s in zip(deep.query_id, deep.doc_id,
+                                         deep.score)}
+    assert len(ps) > 0
+    for q, d, s in zip(ps.query_id, ps.doc_id, ps.score):
+        assert abs(s - full[(q, d)]) <= 1e-6, (q, d)
+
+
+def test_generation_drift_consistent(ray_session):
+    # drift rows re-derive exactly from the two component tables
+    from raysearch.pipelines.lifecycle import (appended_topk,
+                                               generation_drift,
+                                               time_travel_topk)
+
+    gd = generation_drift(SF).to_pandas()
+    cur = appended_topk(SF).to_pandas()
+    old = time_travel_topk(SF).to_pandas()
+    for r in gd.itertuples():
+        c = set(cur[cur.query_id == r.query_id].doc_id)
+        o = set(old[old.query_id == r.query_id].doc_id)
+        assert (r.n_cur, r.n_old, r.n_overlap) == (len(c), len(o),
+                                                   len(c & o))
+        assert r.n_entered == len(c - o) and r.n_exited == len(o - c)
+        un = len(c | o)
+        assert r.jaccard == round(len(c & o) / un, 6)
+    # the append genuinely reshapes some ranking (new docs entered)
+    assert (gd.n_entered > 0).any()
